@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Fingerprint-keyed cross-run materialization — the reference's signature
+  * feature (HF datasets' fingerprint cache, warp_pipes/core/pipe.py:223-243;
+  * vector cache, support/caching.py:144-170; engine state dirs,
+  * pipes/index.py:65-99).
+  *
+  * Catalyst has no cross-run memoization, so this wraps any expensive stage
+  * as read-if-exists Parquet keyed by
+  * `hash(upstream fingerprint, pipe fingerprint)`. Writes go to a temp path
+  * and are renamed in, so a crashed writer never leaves a half-cache that a
+  * later run would trust. At cluster scale the cacheDir lives on the shared
+  * FS (HDFS/object store) and the parquet keeps the producing stage's
+  * partitioning.
+  */
+object CachedStage {
+
+  def cacheKey(upstreamFingerprint: String, pipeFingerprint: String): String =
+    Fingerprint.combine(upstreamFingerprint, pipeFingerprint)
+
+  /** Run `compute` (or reuse a previous run's result) under
+    * `cacheDir/<key>`.
+    */
+  def apply(spark: SparkSession, cacheDir: String, key: String)(
+      compute: => DataFrame): DataFrame = {
+    val dir = new Path(cacheDir, key)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(dir, "_SUCCESS")
+    if (fs.exists(done)) {
+      spark.read.parquet(dir.toString)
+    } else {
+      val tmp = new Path(cacheDir, s"_tmp_$key")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      compute.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      fs.rename(tmp, dir)
+      spark.read.parquet(dir.toString)
+    }
+  }
+
+  /** Cache the result of applying `pipe` to `df`, keyed by the pipe tree's
+    * fingerprint and a caller-supplied fingerprint of the input data (e.g.
+    * source path + snapshot version).
+    */
+  def through(pipe: Pipe, cacheDir: String, upstreamFingerprint: String)(
+      df: DataFrame): DataFrame =
+    apply(df.sparkSession, cacheDir, cacheKey(upstreamFingerprint, pipe.fingerprint))(pipe(df))
+}

@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** The atomic unit of computation: a pure `DataFrame => DataFrame`.
+  *
+  * Mirrors the reference's `Pipe` contract (warp_pipes/core/pipe.py:39-333):
+  *   - `inputFilter`: a [[Condition]] over column names; non-matching columns
+  *     are hidden from the kernel (core/pipe.py:44-45, 305-309).
+  *   - `update`: kernel output columns OVERLAY the unfiltered input batch
+  *     instead of replacing it (core/pipe.py:112-114).
+  *   - `fingerprint`: deterministic content hash of the pipe tree
+  *     (core/fingerprintable.py:32-260) — the key for [[CachedStage]].
+  *
+  * Where the reference dispatches one eager kernel over in-memory batches,
+  * dataset shards, and multiprocess workers (core/pipe.py:83-283), here a
+  * pipe only DECLARES plan fragments: Spark owns batching, partitioning and
+  * parallelism, and Catalyst owns column pruning / pushdown, so the whole
+  * `_call_dataset` machinery collapses into `df.transform(pipe)`.
+  */
+trait Pipe extends (DataFrame => DataFrame) with Serializable {
+
+  def name: String = {
+    val n = getClass.getSimpleName
+    if (n.endsWith("$")) n.dropRight(1) else n
+  }
+
+  /** Fingerprintable parameters. Restrict to primitives rendered as strings
+    * so hashing is stable across JVMs (cf. SURVEY §7.4 risk 5).
+    */
+  def params: Map[String, String] = Map.empty
+
+  /** Child pipes (for combinators); folded into the fingerprint. */
+  def children: Seq[Pipe] = Nil
+
+  /** Hide non-matching columns from the kernel. */
+  def inputFilter: Option[Condition] = None
+
+  /** If true, kernel outputs overlay the full input instead of replacing it.
+    * Update pipes must be row-preserving (same contract as the reference,
+    * where `batch.update(output)` requires equal batch size).
+    */
+  def update: Boolean = false
+
+  /** The kernel. `keys` = columns matched by [[inputFilter]] (all columns if
+    * none). `df` is the FULL input frame — kernels should read only `keys`
+    * and use [[finish]] to honor the update/replace contract. Row-shape-
+    * changing kernels (explode/generate) build their output directly.
+    */
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame
+
+  final def apply(df: DataFrame): DataFrame = {
+    val all = df.columns.toSeq
+    val kept = inputFilter.fold(all)(c => all.filter(c))
+    transform(df, kept)
+  }
+
+  /** Assemble the output frame from named column expressions over `df`:
+    * update → overlay onto all input columns; replace → exactly the outputs.
+    * Keeps input column order, appends new names in given order (matches the
+    * reference's dict-update semantics).
+    */
+  protected final def finish(df: DataFrame, outCols: Seq[(String, Column)]): DataFrame = {
+    val outMap = outCols.toMap
+    if (update) {
+      val existing = df.columns.toSeq
+      val overlaid = existing.map(k => outMap.getOrElse(k, Pipe.qcol(k)).as(k))
+      val appended = outCols.collect { case (k, c) if !existing.contains(k) => c.as(k) }
+      df.select(overlaid ++ appended: _*)
+    } else {
+      df.select(outCols.map { case (k, c) => c.as(k) }: _*)
+    }
+  }
+
+  def fingerprint: String = Fingerprint.ofStruct(
+    name,
+    params ++ Map(
+      "update" -> update.toString,
+      "inputFilter" -> inputFilter.map(_.repr).getOrElse("")),
+    children.map(_.fingerprint))
+
+  /** Chain: `(a andThenPipe b)(df) == b(a(df))`. */
+  def andThenPipe(next: Pipe): Pipe = graft.pipes.SequentialPipe(Seq(this, next))
+}
+
+object Pipe {
+  /** Column ref that treats dots as literal name chars (the reference's
+    * `field.key` convention), not struct access.
+    */
+  def qcol(name: String): Column = col(s"`$name`")
+}

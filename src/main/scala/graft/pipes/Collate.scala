@@ -1,0 +1,106 @@
+package graft.pipes
+
+import graft.core.{Condition, Pipe, SchemaCondition}
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Collation / batch-assembly pipes.
+  * Reference: warp_pipes/pipes/collate.py (L1-L7 in SURVEY §2.5).
+  *
+  * A DataFrame IS column-major, so the reference's rows→columns transpose
+  * (`Collate`, collate.py:58-63) is the identity at the engine level; what
+  * survives as real operators are batch assembly (rows → array groups),
+  * de-collation (explode) and padding.
+  */
+
+/** L1 `Collate` as a dataset op: assemble fixed-size batches of `batchSize`
+  * rows into one array-typed row per batch (rows→columns transpose made
+  * explicit). Requires a total order (`orderCol`) like every reshape.
+  */
+case class CollatePipe(batchSize: Int, keys: Seq[String], orderCol: String) extends Pipe {
+  override def params = Map("batchSize" -> batchSize.toString,
+    "keys" -> keys.sorted.mkString(","), "orderCol" -> orderCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    NestPipe(batchSize, keys, orderCol)(df.select(keys.map(qcol): _*))
+}
+
+/** L2 `DeCollate` (collate.py:70-86): columns→rows; all array columns must
+  * have equal per-row lengths (the reference asserts; arrays_zip pads with
+  * null instead — we keep the assert via a runtime check expression).
+  */
+case class DeCollatePipe(keys: Seq[String]) extends Pipe {
+  override def params = Map("keys" -> keys.sorted.mkString(","))
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    NestingOps.flattenOnce(df, keys).drop(NestingOps.Pos)
+}
+
+/** L3 `FirstEg` (collate.py:89-99). */
+case class FirstEg() extends Pipe {
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = df.limit(1)
+}
+
+/** L6 `Padding` (collate.py:137-178): right-pad each matched array column to
+  * the global max length. Fill values: `padTokenId` for `*input_ids`, 0 for
+  * `*attention_mask`/masks, overridable per key via `specialPaddingTokens`
+  * (mirrors `special_padding_tokens`).
+  *
+  * Scale note: the "batch max" is a 1-row aggregate broadcast back via
+  * crossJoin — no window over a single partition, no skew.
+  */
+case class PaddingPipe(
+    keys: Seq[String],
+    padTokenId: Int = 0,
+    specialPaddingTokens: Map[String, Int] = Map.empty) extends Pipe {
+  override def params = Map(
+    "keys" -> keys.sorted.mkString(","),
+    "padTokenId" -> padTokenId.toString,
+    "special" -> specialPaddingTokens.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+  override def update: Boolean = true
+
+  private def fillFor(key: String): Int =
+    specialPaddingTokens.getOrElse(key,
+      if (key.endsWith("attention_mask") || key.endsWith("mask")) 0 else padTokenId)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val maxes = df.agg(
+      greatest(keys.map(k => coalesce(max(size(qcol(k))), lit(0))): _*).as("__maxlen__"))
+    val joined = df.crossJoin(broadcast(maxes))
+    val outs = keys.map { k =>
+      val fill = lit(fillFor(k))
+      val elemType = df.schema(k).dataType.asInstanceOf[ArrayType].elementType
+      k -> concat(qcol(k),
+        array_repeat(fill.cast(elemType), (col("__maxlen__") - size(qcol(k))).cast("int")))
+    }
+    val overlaid = finish(joined, outs)
+    overlaid.drop("__maxlen__")
+  }
+}
+
+/** L7 `CollateField` (collate.py:181-268): composite — gate on the presence
+  * of `field.*` columns, pad the token keys of that field, leave the rest.
+  * The reference's collate/prefix dance disappears (columns stay columnar);
+  * padding + optional include/exclude projection is what remains.
+  */
+case class CollateFieldPipe(
+    field: String,
+    padTokenId: Int = 0,
+    exclude: Seq[String] = Nil,
+    includeOnly: Seq[String] = Nil) extends Pipe {
+  override def params = Map("field" -> field, "padTokenId" -> padTokenId.toString,
+    "exclude" -> exclude.sorted.mkString(","), "includeOnly" -> includeOnly.sorted.mkString(","))
+  override def update: Boolean = true
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    if (!SchemaCondition.HasKeyWithPrefix(s"$field.")(df.schema)) return df
+    val fieldKeys = df.columns.toSeq.filter(_.startsWith(s"$field."))
+      .filterNot(k => exclude.contains(k.stripPrefix(s"$field.")))
+      .filter(k => includeOnly.isEmpty || includeOnly.contains(k.stripPrefix(s"$field.")))
+    val padKeys = fieldKeys.filter { k =>
+      val short = k.stripPrefix(s"$field.")
+      (short == "input_ids" || short == "attention_mask") &&
+        df.schema(k).dataType.isInstanceOf[ArrayType]
+    }
+    if (padKeys.isEmpty) df else PaddingPipe(padKeys, padTokenId)(df)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.pipes
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset utilities. Reference: warp_pipes/support/datasets_utils.py
+  * (U1-U4 in SURVEY §2.10).
+  */
+
+/** U1 `take_subset` (datasets_utils.py:22-62): seeded random subset by count
+  * or fraction. The reference uses `RandomState(0)` permutation; we use
+  * `rand(seed)` ordering — same contract (deterministic given seed),
+  * different sequence (documented divergence, SURVEY §7.4 risk 3).
+  */
+case class TakeSubset(n: Option[Long] = None, fraction: Option[Double] = None,
+    seed: Long = 0L) extends Pipe {
+  override def params = Map("n" -> n.mkString, "fraction" -> fraction.mkString,
+    "seed" -> seed.toString)
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame =
+    (n, fraction) match {
+      case (Some(count), _) => df.orderBy(rand(seed)).limit(count.toInt)
+      case (_, Some(f)) => df.sample(withReplacement = false, f, seed)
+      case _ => df
+    }
+}
+
+/** U2 `keep_only_columns` (datasets_utils.py:88-127). */
+case class KeepColumns(keys: Seq[String]) extends Pipe {
+  override def params = Map("keys" -> keys.sorted.mkString(","))
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    df.select(keys.filter(df.columns.contains).map(qcol): _*)
+}
+
+/** U3 `concatenate_datasets` (datasets_utils.py:130-147):
+  * axis 0 = union rows; axis 1 = zip columns (used to attach new columns
+  * after flatten/nest, pipes/nesting.py:316-323).
+  */
+object Concatenate {
+  def rows(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  def columns(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(PipeUtils.zipByPosition)
+}

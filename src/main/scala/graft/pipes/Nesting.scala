@@ -1,0 +1,164 @@
+package graft.pipes
+
+import graft.core.{Condition, Pipe, SchemaOps}
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Nesting / reshaping pipes — the reference's explode/flatten/reshape layer.
+  * Reference: warp_pipes/pipes/nesting.py + warp_pipes/support/nesting.py
+  * (N1-N7 in SURVEY §2.4).
+  *
+  * Two lowering strategies, picked per call site:
+  *   - ARRAY path (preferred): nested data stays inside `ArrayType` columns
+  *     and is reshaped with higher-order functions (`transform`, `filter`,
+  *     `flatten`, `array_repeat`) — no shuffle, stays in whole-stage codegen.
+  *   - EXPLODE path (general): `posexplode` rows out, apply arbitrary inner
+  *     pipes, re-nest with `groupBy(row id) + sort_array(collect_list(...))`.
+  *     One shuffle on re-nest; row ids are stamped locally (partition-salted)
+  *     so the groupBy distributes evenly at any scale.
+  */
+object NestingOps {
+
+  val RowIdx = "__row_idx__"
+  val Pos = "__pos__"
+
+  /** Stamp a stable per-row id (reference threads absolute `idx`,
+    * core/pipe.py:277; SURVEY §1.4). monotonically_increasing_id is
+    * partition-prefixed, so ids are unique and spread across partitions —
+    * safe as a groupBy key at scale (no single hot key).
+    */
+  def withRowIdx(df: DataFrame): DataFrame =
+    df.withColumn(RowIdx, monotonically_increasing_id())
+
+  /** N1 row-multiplying flatten: explode `arrayKeys` in lockstep, one output
+    * row per inner element; other columns are carried (repeated). Kernel of
+    * the reference's `flatten_nested` (support/nesting.py:19-56).
+    */
+  def flattenOnce(df: DataFrame, arrayKeys: Seq[String]): DataFrame = {
+    require(arrayKeys.nonEmpty, "flattenOnce needs at least one array column")
+    arrayKeys.foreach { k =>
+      require(df.schema(k).dataType.isInstanceOf[ArrayType], s"$k is not an array column")
+    }
+    val others = df.columns.toSeq.filterNot(arrayKeys.contains)
+    val zipped = arrays_zip(arrayKeys.map(qcol): _*)
+    val exploded = df
+      .select(others.map(qcol) :+ posexplode(zipped).as(Seq(Pos, "__z__")): _*)
+    exploded.select(
+      (others.map(qcol) :+ col(Pos)) ++
+        arrayKeys.map(k => col(s"__z__.`$k`").as(k)): _*)
+  }
+
+  /** Inverse of [[flattenOnce]]: group by `parent`, re-assemble each array
+    * column ordered by `order` (defaults to the flatten position).
+    */
+  def nestBack(df: DataFrame, parent: Seq[String], arrayKeys: Seq[String],
+      order: String = Pos): DataFrame = {
+    val others = df.columns.toSeq
+      .filterNot(c => parent.contains(c) || arrayKeys.contains(c) || c == order)
+    val aggs =
+      arrayKeys.map(k =>
+        sort_array(collect_list(struct(col(order), qcol(k).as("v")))).as(k)) ++
+        others.map(k => first(qcol(k)).as(k))
+    val grouped = df.groupBy(parent.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
+    grouped.select(
+      parent.map(qcol) ++
+        arrayKeys.map(k => transform(qcol(k), x => x.getField("v")).as(k)) ++
+        others.map(qcol): _*)
+  }
+}
+
+/** N1 `Flatten(level)` (nesting.py:41-62): `(b, n, …) -> (b*n, …)` for all
+  * matched array columns, `level` times.
+  */
+case class FlattenPipe(level: Int = 1, override val inputFilter: Option[Condition] = None)
+    extends Pipe {
+  override def params = Map("level" -> level.toString)
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    (1 to level).foldLeft(df) { (acc, _) =>
+      val arrayKeys = keys.filter(k =>
+        acc.columns.contains(k) && acc.schema(k).dataType.isInstanceOf[ArrayType])
+      NestingOps.flattenOnce(acc, arrayKeys).drop(NestingOps.Pos)
+    }
+  }
+}
+
+/** N2 `Nest` (nesting.py:65-115): reshape flat rows back into fixed-size
+  * groups of `size` (np.reshape semantics require a total order — supplied
+  * by `orderCol`). `-1`-style inference is the caller's division.
+  */
+case class NestPipe(size: Int, keys: Seq[String], orderCol: String) extends Pipe {
+  override def params = Map("size" -> size.toString, "keys" -> keys.sorted.mkString(","),
+    "orderCol" -> orderCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.orderBy(qcol(orderCol))) - 1
+    val grouped = df.withColumn("__grp__", floor(rn / size))
+      .withColumn(NestingOps.Pos, rn % size)
+    NestingOps.nestBack(grouped, Seq("__grp__"), keys).drop("__grp__")
+  }
+}
+
+/** N3 `ApplyAsFlatten(pipe, level)` (nesting.py:118-335): flatten → inner
+  * pipe → re-nest by parent row. The reference asserts the inner pipe keeps
+  * shape (nesting.py:223-233); re-nesting by row id instead makes
+  * group-internal drops/re-orders legal, which is exactly what `Nested`
+  * needs (SURVEY §7.4 risk 1). Inner pipes that change order should rewrite
+  * the `__pos__` column; re-nest sorts by it.
+  */
+case class ApplyAsFlatten(pipe: Pipe, level: Int = 1,
+    override val inputFilter: Option[Condition] = None) extends Pipe {
+  override def children = Seq(pipe)
+  override def params = Map("level" -> level.toString)
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val stamped = NestingOps.withRowIdx(df)
+    // flatten `level` times, accumulating one pos column per level
+    val (flat, posCols) = (1 to level).foldLeft((stamped, Seq.empty[String])) {
+      case ((acc, ps), lvl) =>
+        val arrayKeys = keys.filter(k => acc.schema(k).dataType.isInstanceOf[ArrayType])
+        val posName = s"${NestingOps.Pos}$lvl"
+        (NestingOps.flattenOnce(acc, arrayKeys)
+          .withColumnRenamed(NestingOps.Pos, posName), ps :+ posName)
+    }
+    val inner = pipe(flat)
+    require(inner.columns.contains(NestingOps.RowIdx),
+      s"inner pipe of ApplyAsFlatten must preserve ${NestingOps.RowIdx}")
+    // re-nest innermost-out
+    val renested = posCols.reverse.zipWithIndex.foldLeft(inner) { case (acc, (posName, i)) =>
+      val parents = Seq(NestingOps.RowIdx) ++ posCols.dropRight(i + 1)
+      val nestKeys = keys.filter(acc.columns.contains)
+      NestingOps.nestBack(acc, parents, nestKeys, order = posName)
+    }
+    renested.drop(NestingOps.RowIdx)
+  }
+}
+
+/** N4/N5 `Nested(pipe, level)` (nesting.py:338-403): apply the inner pipe
+  * independently within each row's nested group (inner pipe may drop or
+  * re-order elements inside its group).
+  */
+case class NestedPipe(pipe: Pipe, level: Int = 1,
+    override val inputFilter: Option[Condition] = None) extends Pipe {
+  override def children = Seq(pipe)
+  override def params = Map("level" -> level.toString)
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame =
+    ApplyAsFlatten(pipe, level, inputFilter)(df)
+}
+
+/** N6 `Expand(axis, n)` (nesting.py:406-426; kernel support/nesting.py:99-133):
+  * insert a new axis at depth `axis` and repeat n×. Depth 0 wraps the whole
+  * per-row value; deeper axes lower to nested `transform` + `array_repeat` —
+  * pure array math, no row multiplication, no shuffle.
+  */
+case class ExpandPipe(axis: Int, n: Int, keys: Seq[String]) extends Pipe {
+  override def params =
+    Map("axis" -> axis.toString, "n" -> n.toString, "keys" -> keys.sorted.mkString(","))
+  override def update: Boolean = true
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val outs = keys.map { k =>
+      k -> ApplyToCols.applyAtDepth(qcol(k), x => array_repeat(x, n), axis)
+    }
+    finish(df, outs)
+  }
+}
