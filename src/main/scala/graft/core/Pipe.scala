@@ -56,6 +56,19 @@ trait Pipe extends (DataFrame => DataFrame) with Serializable {
     transform(df, kept)
   }
 
+  /** Apply with [[inputFilter]] evaluated against an explicit column
+    * universe instead of `df.columns`. Lets combinators hand every branch
+    * the ORIGINAL column set even when branches are chained onto one frame
+    * (see `ParallelPipe`'s shuffle-free fast path) — the reference gives
+    * each `Parallel` branch a copy of the input batch
+    * (warp_pipes/pipes/pipelines.py:111-142); restricting `keys` to the
+    * original universe reproduces that without materializing copies.
+    */
+  final def applyWithUniverse(df: DataFrame, universe: Seq[String]): DataFrame = {
+    val kept = inputFilter.fold(universe)(c => universe.filter(c))
+    transform(df, kept)
+  }
+
   /** Assemble the output frame from named column expressions over `df`:
     * update → overlay onto all input columns; replace → exactly the outputs.
     * Keeps input column order, appends new names in given order (matches the

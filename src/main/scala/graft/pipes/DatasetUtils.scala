@@ -36,10 +36,18 @@ case class KeepColumns(keys: Seq[String]) extends Pipe {
 /** U3 `concatenate_datasets` (datasets_utils.py:130-147):
   * axis 0 = union rows; axis 1 = zip columns (used to attach new columns
   * after flatten/nest, pipes/nesting.py:316-323).
+  *
+  * Axis 1 requires explicit row identity: frames are equi-joined on a
+  * shared id column (the reference's in-memory positional zip has no
+  * scale-safe Spark analogue — positional alignment of independently
+  * shuffled frames is undefined; round-1 verdict item 2).
   */
 object Concatenate {
   def rows(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
-  def columns(dfs: Seq[DataFrame]): DataFrame =
-    dfs.reduce(PipeUtils.zipByPosition)
+  def columns(dfs: Seq[DataFrame], on: String): DataFrame =
+    dfs.reduce { (a, b) =>
+      val fresh = b.columns.filter(c => c == on || !a.columns.contains(c))
+      a.join(b.select(fresh.map(qcol).toSeq: _*), Seq(on))
+    }
 }

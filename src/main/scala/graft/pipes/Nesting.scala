@@ -35,6 +35,10 @@ object NestingOps {
   /** N1 row-multiplying flatten: explode `arrayKeys` in lockstep, one output
     * row per inner element; other columns are carried (repeated). Kernel of
     * the reference's `flatten_nested` (support/nesting.py:19-56).
+    *
+    * Lockstep columns of unequal length are a LOUD runtime error (the
+    * reference's batch invariant, support/shapes.py; `arrays_zip` alone
+    * would silently null-pad — round-1 verdict item 5).
     */
   def flattenOnce(df: DataFrame, arrayKeys: Seq[String]): DataFrame = {
     require(arrayKeys.nonEmpty, "flattenOnce needs at least one array column")
@@ -42,12 +46,48 @@ object NestingOps {
       require(df.schema(k).dataType.isInstanceOf[ArrayType], s"$k is not an array column")
     }
     val others = df.columns.toSeq.filterNot(arrayKeys.contains)
-    val zipped = arrays_zip(arrayKeys.map(qcol): _*)
+    val sizes = arrayKeys.map(k => size(qcol(k)))
+    val lockstep = sizes.tail.foldLeft(lit(true))((acc, s) => acc && s === sizes.head)
+    val zipped =
+      if (arrayKeys.size == 1) arrays_zip(arrayKeys.map(qcol): _*)
+      else when(lockstep, arrays_zip(arrayKeys.map(qcol): _*))
+        .otherwise(raise_error(concat(
+          lit(s"flatten: ragged lockstep arrays [${arrayKeys.mkString(",")}]: sizes "),
+          concat_ws(",", sizes.map(_.cast("string")): _*))))
     val exploded = df
       .select(others.map(qcol) :+ posexplode(zipped).as(Seq(Pos, "__z__")): _*)
     exploded.select(
       (others.map(qcol) :+ col(Pos)) ++
         arrayKeys.map(k => col(s"__z__.`$k`").as(k)): _*)
+  }
+
+  /** Scale-safe 0-based global rank by `orderCol`: range-partitioned
+    * distributed sort, per-partition positions, and a tiny per-partition
+    * offset table joined back by broadcast. Replaces
+    * `row_number().over(Window.orderBy(...))`, which moves ALL rows to one
+    * partition (round-1 verdict item 4). Ties in `orderCol` get an
+    * arbitrary-but-stable order within a partition; use a unique order
+    * column for fully deterministic results.
+    */
+  def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pid = "__pid__"
+    val ppos = "__ppos__"
+    val parted = df.repartitionByRange(qcol(orderCol)).sortWithinPartitions(qcol(orderCol))
+      .withColumn(pid, spark_partition_id())
+    val withPos = parted.withColumn(ppos,
+      row_number().over(Window.partitionBy(pid).orderBy(qcol(orderCol))) - 1)
+    // numPartitions-row aggregate: exclusive prefix-sum of partition counts.
+    // The single-partition window below is over ~#partitions rows — trivial.
+    val offsets = withPos.groupBy(pid).agg(count(lit(1)).as("__cnt__"))
+      .withColumn("__off__", coalesce(
+        sum("__cnt__").over(
+          Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col("__off__"))
+    withPos.join(broadcast(offsets), pid)
+      .withColumn(rankCol, col(ppos) + col("__off__"))
+      .drop(pid, ppos, "__off__")
   }
 
   /** Inverse of [[flattenOnce]]: group by `parent`, re-assemble each array
@@ -92,10 +132,11 @@ case class NestPipe(size: Int, keys: Seq[String], orderCol: String) extends Pipe
   override def params = Map("size" -> size.toString, "keys" -> keys.sorted.mkString(","),
     "orderCol" -> orderCol)
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(Window.orderBy(qcol(orderCol))) - 1
-    val grouped = df.withColumn("__grp__", floor(rn / size))
-      .withColumn(NestingOps.Pos, rn % size)
+    val rank = "__rank__"
+    val ranked = NestingOps.withGlobalRank(df, orderCol, rank)
+    val grouped = ranked.withColumn("__grp__", floor(col(rank) / size))
+      .withColumn(NestingOps.Pos, col(rank) % size)
+      .drop(rank)
     NestingOps.nestBack(grouped, Seq("__grp__"), keys).drop("__grp__")
   }
 }
