@@ -1,0 +1,259 @@
+package graft
+
+import graft.core._
+import graft.core.Condition._
+import graft.pipes._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query registry: one entry per implemented operator from
+  * SURVEY.md §2, each paired (in [[SparkEntry.oracleSql]]) with equivalent
+  * DuckDB SQL over the same parquet tables.
+  *
+  * Conventions for oracle-hash stability:
+  *   - every query ends in a deterministic ORDER BY (mirrored in the SQL);
+  *   - double aggregates are round()ed; raw doubles pass through untouched;
+  *   - timestamps are emitted as formatted strings (parquet timestamp
+  *     annotations differ between writers);
+  *   - aggregate/computed columns are aliased identically on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val q = Pipe.qcol _
+
+  /** lineitem rows with a unique total-order key (l_linenumber <= 7). */
+  private def liOrd(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("ordv"),
+      col("l_quantity").as("qty"))
+
+  /** (l_orderkey, nums = sorted list of line numbers). */
+  private def liNums(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("nums"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- core (C1-C8) -----
+    "c1_identity" -> ((s, d) =>
+      IdentityPipe()(t(s, d, "region")).orderBy("r_regionkey")),
+    "c2_input_filter" -> ((s, d) =>
+      SequentialPipe(Seq(ApplyToAllCols(upper(_), "upper")),
+        inputFilter = Some(In(Seq("n_name"))))(t(s, d, "nation")).orderBy("n_name")),
+    "c3_update_overlay" -> ((s, d) =>
+      ApplyToCols(_ * 2, "x2", Seq("l_quantity"))(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "c4_cached_stage" -> ((s, d) => {
+      val pipe = LambdaPipe(
+        _.groupBy("n_regionkey").agg(count(lit(1)).as("cnt")), "nation_cnt_by_region")
+      CachedStage.through(pipe, "/tmp/graft-cache", s"nation@$d")(t(s, d, "nation"))
+        .orderBy("n_regionkey")
+    }),
+    "c7_condition_filter" -> ((s, d) =>
+      FilterKeys(Contains("name") || HasPrefix("n_nation"))(t(s, d, "nation"))
+        .orderBy("n_nationkey")),
+    "c8_gate_true" -> ((s, d) =>
+      Gate(SchemaCondition.HasKeys(Seq("c_acctbal")),
+        FilterKeys(In(Seq("c_custkey", "c_acctbal"))),
+        Some(GetKey("c_custkey")))(t(s, d, "customer")).orderBy("c_custkey")),
+
+    // ----- basics (B1-B12) -----
+    "b3_getkey" -> ((s, d) => GetKey("p_name")(t(s, d, "part")).orderBy("p_name")),
+    "b5_dropkeys" -> ((s, d) =>
+      DropKeys(Seq("o_orderdate"))(t(s, d, "orders")).orderBy("o_orderkey")),
+    "b6_addprefix" -> ((s, d) =>
+      AddPrefix("doc.")(t(s, d, "documents")).orderBy(q("doc.doc_id"))),
+    "b7_replaceinkeys" -> ((s, d) =>
+      ReplaceInKeys("r_", "region_")(t(s, d, "region")).orderBy("region_regionkey")),
+    "b8_renamekeys" -> ((s, d) =>
+      RenameKeys(Map("s_suppkey" -> "id", "s_name" -> "name"))(t(s, d, "supplier"))
+        .orderBy("id")),
+    "b9_apply_elementwise" -> ((s, d) =>
+      ApplyToCols(_ * 2, "x2", Seq("nums"), elementWise = true)(liNums(s, d))
+        .orderBy("l_orderkey")),
+    "b10_apply_all_upper" -> ((s, d) =>
+      ApplyToAllCols(upper(_), "upper",
+        inputFilter = Some(In(Seq("c_name", "c_mktsegment"))))(t(s, d, "customer"))
+        .orderBy("c_custkey")),
+
+    // ----- pipelines (P1-P5) -----
+    "p1_sequential" -> ((s, d) =>
+      SequentialPipe.of(
+        DropKeys(Seq("l_shipdate")),
+        ApplyToCols(_ * 2, "x2", Seq("l_quantity")))(t(s, d, "lineitem"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "p2_parallel" -> ((s, d) =>
+      ParallelPipe.of(
+        ApplyToCols(_ * 2, "x2", Seq("l_quantity")),
+        ApplyToCols(_ * 10, "x10", Seq("l_partkey")))(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "p3_gate_alt" -> ((s, d) =>
+      Gate(SchemaCondition.HasKeys(Seq("missing_col")),
+        GetKey("r_regionkey"), Some(GetKey("r_name")))(t(s, d, "region"))
+        .orderBy("r_name")),
+    "p4_block_sequential" -> ((s, d) =>
+      BlockSequential(Seq(
+        "project" -> FilterKeys(In(Seq("n_name", "n_regionkey"))),
+        "upper" -> ApplyToAllCols(upper(_), "upper",
+          inputFilter = Some(In(Seq("n_name"))))))(t(s, d, "nation"))
+        .orderBy("n_name")),
+    "p5_parallel_by_field" -> ((s, d) =>
+      ParallelByField(Map(
+        "doc" -> ApplyToCols(upper(_), "upper", Seq("doc.lang"))))(
+        AddPrefix("doc.")(t(s, d, "documents"))).orderBy(q("doc.doc_id"))),
+
+    // ----- nesting (N1-N6) -----
+    "n1_flatten" -> ((s, d) =>
+      FlattenPipe()(liNums(s, d)).orderBy("l_orderkey", "nums")),
+    "n2_nest" -> ((s, d) =>
+      NestPipe(8, Seq("ordv", "qty"), "ordv")(liOrd(s, d))
+        .orderBy(element_at(col("ordv"), 1))),
+    "n3_apply_as_flatten" -> ((s, d) =>
+      ApplyAsFlatten(ApplyToCols(_ * 2, "x2", Seq("nums")))(liNums(s, d))
+        .orderBy("l_orderkey")),
+    "n4_nested_inner_filter" -> ((s, d) =>
+      NestedPipe(LambdaPipe(_.filter(col("nums") % 2 === 0), "keep_even"))(liNums(s, d))
+        .orderBy("l_orderkey")),
+    "n6_expand" -> ((s, d) =>
+      ExpandPipe(0, 3, Seq("r_name"))(t(s, d, "region")).orderBy("r_regionkey")),
+
+    // ----- collate (L1-L7) -----
+    "l1_collate" -> ((s, d) =>
+      CollatePipe(16, Seq("ordv", "qty"), "ordv")(liOrd(s, d))
+        .orderBy(element_at(col("ordv"), 1))),
+    "l2_decollate" -> ((s, d) => {
+      val nested = t(s, d, "lineitem").groupBy("l_orderkey").agg(
+        sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("z"))
+        .select(col("l_orderkey"),
+          transform(col("z"), x => x.getField("l_linenumber")).as("nums"),
+          transform(col("z"), x => x.getField("l_quantity")).as("qtys"))
+      DeCollatePipe(Seq("nums", "qtys"))(nested).orderBy("l_orderkey", "nums", "qtys")
+    }),
+    "l3_first_eg" -> ((s, d) =>
+      FirstEg()(t(s, d, "region").orderBy("r_regionkey"))),
+    "l6_padding" -> ((s, d) =>
+      PaddingPipe(Seq("input_ids"))(
+        liNums(s, d).withColumnRenamed("nums", "input_ids")).orderBy("l_orderkey")),
+    "l7_collate_field" -> ((s, d) => {
+      val dfIn = liNums(s, d).select(
+        col("l_orderkey").as("tok.idx"),
+        col("nums").as("tok.input_ids"),
+        transform(col("nums"), _ => lit(1)).as("tok.attention_mask"))
+      CollateFieldPipe("tok")(dfIn).orderBy(q("tok.idx"))
+    }),
+
+    // ----- dataset utils (U1-U3) -----
+    "u1_take_subset" -> ((s, d) =>
+      TakeSubset(n = Some(500), seed = 7)(t(s, d, "part"))),
+    "u2_keep_columns" -> ((s, d) =>
+      KeepColumns(Seq("p_partkey", "p_name"))(t(s, d, "part")).orderBy("p_partkey")),
+    "u3_concat_rows" -> ((s, d) => {
+      val r = t(s, d, "region")
+      Concatenate.rows(Seq(r, r)).orderBy("r_regionkey")
+    }),
+    "u3_concat_columns" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val extra = docs.select(col("doc_id"), (col("n_chars") * 2).as("n_chars_x2"))
+      Concatenate.columns(Seq(docs, extra), on = "doc_id").orderBy("doc_id")
+    }),
+
+    // ----- events / relational headliners -----
+    "ev_window_agg" -> ((s, d) => {
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
+      // read as epoch-nanos long and downcast to micros.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("cnt"), col("sv"))
+        .orderBy("ws", "event_type")
+    }),
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_order_revenue" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(100)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "c2_input_filter" -> "SELECT upper(n_name) AS n_name FROM nation ORDER BY n_name",
+    "c3_update_overlay" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity*2 AS l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "c4_cached_stage" ->
+      "SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "c7_condition_filter" -> "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "c8_gate_true" -> "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_custkey",
+    "b3_getkey" -> "SELECT p_name FROM part ORDER BY p_name",
+    "b5_dropkeys" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders ORDER BY o_orderkey",
+    "b6_addprefix" ->
+      "SELECT doc_id AS \"doc.doc_id\", text AS \"doc.text\", lang AS \"doc.lang\", source AS \"doc.source\", n_chars AS \"doc.n_chars\" FROM documents ORDER BY \"doc.doc_id\"",
+    "b7_replaceinkeys" ->
+      "SELECT r_regionkey AS region_regionkey, r_name AS region_name FROM region ORDER BY region_regionkey",
+    "b8_renamekeys" -> "SELECT s_suppkey AS id, s_name AS name FROM supplier ORDER BY id",
+    "b9_apply_elementwise" ->
+      "SELECT l_orderkey, list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "b10_apply_all_upper" ->
+      "SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal, upper(c_mktsegment) AS c_mktsegment FROM customer ORDER BY c_custkey",
+    "p1_sequential" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity*2 AS l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p2_parallel" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity*2 AS l_quantity, l_partkey*10 AS l_partkey FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p3_gate_alt" -> "SELECT r_name FROM region ORDER BY r_name",
+    "p4_block_sequential" ->
+      "SELECT upper(n_name) AS n_name, n_regionkey FROM nation ORDER BY n_name",
+    "p5_parallel_by_field" ->
+      "SELECT doc_id AS \"doc.doc_id\", text AS \"doc.text\", upper(lang) AS \"doc.lang\", source AS \"doc.source\", n_chars AS \"doc.n_chars\" FROM documents ORDER BY \"doc.doc_id\"",
+    "n1_flatten" ->
+      "SELECT l_orderkey, l_linenumber AS nums FROM lineitem ORDER BY l_orderkey, nums",
+    "n2_nest" ->
+      "WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 8) SELECT ordv, qty FROM g ORDER BY ordv[1]",
+    "n3_apply_as_flatten" ->
+      "SELECT list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "n4_nested_inner_filter" ->
+      "SELECT list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey HAVING len(nums) > 0 ORDER BY l_orderkey",
+    "n6_expand" ->
+      "SELECT r_regionkey, [r_name, r_name, r_name] AS r_name FROM region ORDER BY r_regionkey",
+    "l1_collate" ->
+      "WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 16) SELECT ordv, qty FROM g ORDER BY ordv[1]",
+    "l2_decollate" ->
+      "SELECT l_orderkey, l_linenumber AS nums, l_quantity AS qtys FROM lineitem ORDER BY l_orderkey, nums, qtys",
+    "l3_first_eg" -> "SELECT * FROM region ORDER BY r_regionkey LIMIT 1",
+    "l6_padding" ->
+      "WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS input_ids FROM lineitem GROUP BY 1), m AS (SELECT max(len(input_ids)) AS ml FROM a) SELECT l_orderkey, input_ids || list_transform(range(ml - len(input_ids)), x -> 0) AS input_ids FROM a, m ORDER BY l_orderkey",
+    "l7_collate_field" ->
+      "WITH a AS (SELECT l_orderkey AS \"tok.idx\", list_sort(list(l_linenumber)) AS ids FROM lineitem GROUP BY 1), m AS (SELECT max(len(ids)) AS ml FROM a) SELECT \"tok.idx\", ids || list_transform(range(ml - len(ids)), x -> 0) AS \"tok.input_ids\", list_transform(ids, x -> 1) || list_transform(range(ml - len(ids)), x -> 0) AS \"tok.attention_mask\" FROM a, m ORDER BY \"tok.idx\"",
+    "u2_keep_columns" -> "SELECT p_partkey, p_name FROM part ORDER BY p_partkey",
+    "u3_concat_rows" ->
+      "SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region) ORDER BY r_regionkey",
+    "u3_concat_columns" ->
+      "SELECT doc_id, text, lang, source, n_chars, n_chars*2 AS n_chars_x2 FROM documents ORDER BY doc_id",
+    "ev_window_agg" ->
+      "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
+    "q1_pricing_summary" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc, round(avg(l_quantity),4) AS avg_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q3_order_revenue" ->
+      "SELECT o_orderkey, o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_orderpriority ORDER BY revenue DESC, o_orderkey LIMIT 100",
+  )
+}

@@ -64,8 +64,9 @@ case class PaddingPipe(
       if (key.endsWith("attention_mask") || key.endsWith("mask")) 0 else padTokenId)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val lens = keys.map(k => coalesce(max(size(qcol(k))), lit(0)))
     val maxes = df.agg(
-      greatest(keys.map(k => coalesce(max(size(qcol(k))), lit(0))): _*).as("__maxlen__"))
+      (if (lens.size == 1) lens.head else greatest(lens: _*)).as("__maxlen__"))
     val joined = df.crossJoin(broadcast(maxes))
     val outs = keys.map { k =>
       val fill = lit(fillFor(k))

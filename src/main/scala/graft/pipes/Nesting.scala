@@ -154,23 +154,28 @@ case class ApplyAsFlatten(pipe: Pipe, level: Int = 1,
   override def params = Map("level" -> level.toString)
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
     val stamped = NestingOps.withRowIdx(df)
-    // flatten `level` times, accumulating one pos column per level
-    val (flat, posCols) = (1 to level).foldLeft((stamped, Seq.empty[String])) {
-      case ((acc, ps), lvl) =>
-        val arrayKeys = keys.filter(k => acc.schema(k).dataType.isInstanceOf[ArrayType])
+    // flatten `level` times, accumulating one pos column + the set of keys
+    // actually flattened per level (only those get re-nested — scalar
+    // carried columns stay group constants)
+    val init = (stamped, Seq.empty[String], List.empty[Seq[String]])
+    val (flat, posCols, levelKeys) = (1 to level).foldLeft(init) {
+      case ((acc, ps, ks), lvl) =>
+        val arrayKeys = keys.filter(k =>
+          acc.columns.contains(k) && acc.schema(k).dataType.isInstanceOf[ArrayType])
         val posName = s"${NestingOps.Pos}$lvl"
         (NestingOps.flattenOnce(acc, arrayKeys)
-          .withColumnRenamed(NestingOps.Pos, posName), ps :+ posName)
+          .withColumnRenamed(NestingOps.Pos, posName), ps :+ posName, ks :+ arrayKeys)
     }
     val inner = pipe(flat)
     require(inner.columns.contains(NestingOps.RowIdx),
       s"inner pipe of ApplyAsFlatten must preserve ${NestingOps.RowIdx}")
     // re-nest innermost-out
-    val renested = posCols.reverse.zipWithIndex.foldLeft(inner) { case (acc, (posName, i)) =>
-      val parents = Seq(NestingOps.RowIdx) ++ posCols.dropRight(i + 1)
-      val nestKeys = keys.filter(acc.columns.contains)
-      NestingOps.nestBack(acc, parents, nestKeys, order = posName)
-    }
+    val renested = posCols.reverse.zip(levelKeys.reverse).zipWithIndex
+      .foldLeft(inner) { case (acc, ((posName, lvlKeys), i)) =>
+        val parents = Seq(NestingOps.RowIdx) ++ posCols.dropRight(i + 1)
+        val nestKeys = lvlKeys.filter(acc.columns.contains)
+        NestingOps.nestBack(acc, parents, nestKeys, order = posName)
+      }
     renested.drop(NestingOps.RowIdx)
   }
 }
