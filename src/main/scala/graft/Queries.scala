@@ -161,6 +161,20 @@ object Queries {
       Concatenate.columns(Seq(docs, extra), on = "doc_id").orderBy("doc_id")
     }),
 
+    // ----- text (T1-T2) -----
+    "t1_tokenizer" -> ((s, d) =>
+      graft.text.TokenizerPipe()(t(s, d, "documents").select("doc_id", "text"))
+        .select("doc_id", "input_ids", "attention_mask", "offset_mapping")
+        .orderBy("doc_id")),
+    "t2_passages" -> ((s, d) => {
+      val toks = graft.text.TokenizerPipe()(t(s, d, "documents").select("doc_id", "text"))
+      graft.text.GeneratePassagesPipe(24, 16,
+        startTokens = Seq(1), endTokens = Seq(2), globalKeys = Seq("doc_id"))(toks)
+        .select("doc_id", "passage_idx", "input_ids", "attention_mask",
+          "offset_mapping", "passage_mask", "text")
+        .orderBy("doc_id", "passage_idx")
+    }),
+
     // ----- events / relational headliners -----
     "ev_window_agg" -> ((s, d) => {
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
@@ -249,6 +263,34 @@ object Queries {
       "SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region) ORDER BY r_regionkey",
     "u3_concat_columns" ->
       "SELECT doc_id, text, lang, source, n_chars, n_chars*2 AS n_chars_x2 FROM documents ORDER BY doc_id",
+    "t1_tokenizer" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id,
+        | list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003) AS INT)) AS input_ids,
+        | list_transform(toks, t -> 1) AS attention_mask,
+        | list_transform(range(1, len(toks)+1), i -> [CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0) AS INT), CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0)+length(toks[i]) AS INT)]) AS offset_mapping
+        |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "t2_passages" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, text,
+        | list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), j -> CAST(unicode(t[j]) AS BIGINT))), (h,c) -> (h*31+c)%1000003) AS INT)) AS ids,
+        | list_transform(range(1, len(toks)+1), j -> [CAST(coalesce(list_sum(list_transform(toks[1:j-1], s -> length(s)+1)),0) AS INT), CAST(coalesce(list_sum(list_transform(toks[1:j-1], s -> length(s)+1)),0)+length(toks[j]) AS INT)]) AS om
+        | FROM t),
+        |win AS (SELECT doc_id, text, ids, om, len(ids) AS n,
+        | unnest(list_filter(range(0, greatest(len(ids),1), 14), ii -> least(22, len(ids) - ii) > (CASE WHEN ii=0 THEN 0 ELSE 4 END))) AS i
+        | FROM tok),
+        |p AS (SELECT doc_id, text, ids, om, n, i,
+        | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS passage_idx,
+        | CASE WHEN i=0 THEN 0 ELSE 4 END AS lp,
+        | least(22, n - i) AS sl
+        | FROM win)
+        |SELECT doc_id, passage_idx,
+        | [1] || ids[i+1:i+sl] || [2] || list_transform(range(22 - sl), x -> 0) AS input_ids,
+        | [1] || list_transform(ids[i+1:i+sl], x -> 1) || [1] || list_transform(range(22 - sl), x -> 0) AS attention_mask,
+        | [[-1,-1]] || om[i+1:i+sl] || [[-1,-1]] || list_transform(range(22 - sl), x -> [-1,-1]) AS offset_mapping,
+        | list_transform(range(0, 24), pp -> CASE WHEN pp >= 1 + lp AND pp < 1 + lp + (22 - lp - 4) AND pp < sl + 2 THEN 1 ELSE 0 END) AS passage_mask,
+        | text[(list_min(list_filter(flatten(om[i+1:i+sl]), v -> v >= 0)) + 1):list_max(flatten(om[i+1:i+sl]))] AS text
+        |FROM p ORDER BY doc_id, passage_idx""".stripMargin.replace("\n", " "),
     "ev_window_agg" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
     "q1_pricing_summary" ->
