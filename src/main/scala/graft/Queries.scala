@@ -175,6 +175,100 @@ object Queries {
         .orderBy("doc_id", "passage_idx")
     }),
 
+    // ----- search (S1-S8) -----
+    "s2_dense_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.BruteForceDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s1_ivf_dense" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.IVFDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        nlist = 10, nprobe = 6,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s3_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+      val eng = graft.search.BM25Engine(docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s4_group_lookup" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("idx"),
+        col("l_orderkey"))
+      val queries = t(s, d, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("qid"),
+          col("o_orderkey").as("query.l_orderkey"))
+      val eng = graft.search.GroupLookupEngine(li, "l_orderkey",
+        graft.search.SearchConfig(k = 8, fillMaskedIndices = false, queryIdCol = Some("qid")))
+      eng(queries)
+        .select(col("qid"), q("index.idx"), q("index.score"))
+        .orderBy("qid")
+    }),
+    "s5_topk" -> ((s, d) => {
+      val prev = t(s, d, "lineitem").groupBy("l_orderkey").agg(
+        sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("z"))
+        .select(col("l_orderkey").as("qid"),
+          transform(col("z"), x => x.getField("l_linenumber").cast("long")).as("index.idx"),
+          transform(col("z"), x => x.getField("l_quantity").cast("double")).as("index.score"))
+      graft.search.TopkEngine(graft.search.SearchConfig(k = 3, fillMaskedIndices = false, queryIdCol = Some("qid")))(prev)
+        .select(col("qid"), q("index.idx"), q("index.score"))
+        .orderBy("qid")
+    }),
+    "s6_merge_engines" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("idx"),
+        col("embedding").as("vector"), col("label"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"),
+          col("label").as("query.label"))
+      val dense = graft.search.BruteForceDenseEngine(corpus,
+        graft.search.SearchConfig(k = 5, mergePreviousResults = false,
+          fillMaskedIndices = false, queryIdCol = Some("qid")))
+      val lookup = graft.search.GroupLookupEngine(corpus, "label",
+        graft.search.SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid")))
+      graft.search.IndexPipe(Seq(dense, lookup))(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s8_index_cascade" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val dense = graft.search.BruteForceDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 50, fillMaskedIndices = false, queryIdCol = Some("qid")))
+      val topk = graft.search.TopkEngine(
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")))
+      graft.search.IndexPipe(Seq(dense, topk))(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     // ----- events / relational headliners -----
     "ev_window_agg" -> ((s, d) => {
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
@@ -263,6 +357,58 @@ object Queries {
       "SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region) ORDER BY r_regionkey",
     "u3_concat_columns" ->
       "SELECT doc_id, text, lang, source, n_chars, n_chars*2 AS n_chars_x2 FROM documents ORDER BY doc_id",
+    "s2_dense_bruteforce" ->
+      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+    "s3_bm25" ->
+      """WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM c WHERE doc_id < 20),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+    "s4_group_lookup" ->
+      """WITH li AS (SELECT l_orderkey AS gid, l_orderkey*10+l_linenumber AS rid FROM lineitem),
+        |lk AS (SELECT gid, list_sort(list(rid)) AS members FROM li GROUP BY gid),
+        |q AS (SELECT o_orderkey AS qid FROM orders WHERE o_orderkey < 200),
+        |j AS (SELECT qid, coalesce(members[1:8], []) AS m FROM q LEFT JOIN lk ON qid = gid)
+        |SELECT qid, m || list_transform(range(8 - len(m)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | list_transform(m, x -> 0.0) || list_transform(range(8 - len(m)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM j ORDER BY qid""".stripMargin.replace("\n", " "),
+    "s5_topk" ->
+      """WITH x AS (SELECT l_orderkey AS qid, CAST(l_linenumber AS BIGINT) AS idx, l_quantity AS score FROM lineitem),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM x),
+        |g AS (SELECT qid, list(idx ORDER BY r) AS li, list(score ORDER BY r) AS ls FROM rk WHERE r <= 3 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(3 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(3 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+    "s6_merge_engines" ->
+      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
+        |d5 AS (SELECT qid, idx, score FROM (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc) WHERE r <= 5),
+        |l5 AS (SELECT qs.qid, e.vec_id AS idx FROM qs JOIN embeddings e ON qs.label = e.label QUALIFY row_number() OVER (PARTITION BY qs.qid ORDER BY e.vec_id) <= 5),
+        |mins AS (SELECT qid, min(score) AS mn FROM d5 GROUP BY qid),
+        |contrib AS (SELECT qid, idx, score - mn AS s FROM d5 JOIN mins USING(qid) UNION ALL SELECT qid, idx, 0.0 AS s FROM l5),
+        |merged AS (SELECT qid, idx, sum(s) AS soff FROM contrib GROUP BY qid, idx),
+        |fin AS (SELECT m.qid, CAST(m.idx AS BIGINT) AS idx, m.soff + mins.mn AS score FROM merged m JOIN mins USING(qid)),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM fin)
+        |SELECT qid, list(idx ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 5 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+    "s8_index_cascade" ->
+      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
     "t1_tokenizer" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT doc_id,

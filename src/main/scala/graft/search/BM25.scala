@@ -1,0 +1,142 @@
+package graft.search
+
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrTransform}
+
+/** S3 native BM25 lexical search (reference `ElasticSearch` engine,
+  * warp_pipes/search/elasticsearch.py:44-341 — rebuilt Spark-native:
+  * no external service, the postings statistics are DataFrames).
+  *
+  * Build: tokenize the corpus text (whitespace split, punctuation
+  * stripped — reference `_tokenize`, support/elasticsearch.py:374-381) →
+  *   postings (term, docId, tf), doc lengths, document frequencies,
+  *   N and avgdl.
+  * Query: explode query-term OCCURRENCES → equi-join postings on term →
+  *   per (query, doc) sum of
+  *     idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+  *   with Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5)) and ES defaults
+  *   k1=1.2, b=0.75 (SURVEY §7.4 risk 4) → window top-k.
+  *
+  * Options mirrored from the reference:
+  *   - auxiliary query field scored with weight
+  *     `1 + max(w * ln(max(len_q/len_aux, 1)), 0)` when
+  *     `scaleAuxWeightByLengths` (support/elasticsearch.py:384-398);
+  *   - score temperature division (elasticsearch.py:289-292);
+  *   - term filter: equi-join on a corpus column (filterKey).
+  *
+  * The postings join shuffles by term — even at 100 TB the term space
+  * hashes uniformly; stopword-heavy terms are bounded by per-doc tf
+  * aggregation happening corpus-side before the join.
+  */
+case class BM25Engine(
+    corpus: DataFrame,
+    config: SearchConfig = SearchConfig(),
+    corpusIdxCol: String = "idx",
+    corpusTextCol: String = "text",
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    auxWeight: Double = 0.0,
+    scaleAuxWeightByLengths: Boolean = true,
+    temperature: Option[Double] = None,
+    filterKey: Option[String] = None) extends SearchEngine {
+
+  override def params = Map("k" -> config.k.toString, "k1" -> k1.toString,
+    "b" -> b.toString, "auxWeight" -> auxWeight.toString,
+    "temperature" -> temperature.mkString, "filterKey" -> filterKey.mkString,
+    "engine" -> "bm25")
+
+  /** Whitespace tokens with punctuation stripped (reference `_tokenize`). */
+  def tokens(text: Column): Column =
+    filter(
+      arrTransform(split(trim(text), "\\s+"),
+        t => regexp_replace(t, lit("[\\p{Punct}]"), lit(""))),
+      t => length(t) > 0)
+
+  private lazy val n: Long = corpus.count()
+  protected def fillRange: Option[Long] = Some(n)
+
+  /** Build-side statistics; small relative to the corpus and reusable
+    * across query batches.
+    */
+  lazy val stats: BM25Stats = {
+    val base = corpus.select(
+      Seq(col(corpusIdxCol).cast("long").as("docId"),
+        tokens(qcol(corpusTextCol)).as("toks")) ++
+        filterKey.map(fk => qcol(fk).as("__filter__")): _*)
+    val docs = base.select(
+      Seq(col("docId"), size(col("toks")).as("len")) ++
+        filterKey.map(_ => col("__filter__")).toSeq: _*)
+    val postings = base
+      .select(Seq(col("docId"), posexplode(col("toks")).as(Seq("pos", "term"))): _*)
+      .groupBy("term", "docId").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(countDistinct("docId").as("df"))
+    val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl"))
+      .collect()(0)
+    BM25Stats(postings, dfreq, docs, totals.getLong(0), totals.getDouble(1))
+  }
+
+  private def scoreJoin(
+      queries: DataFrame, rowId: String, termCol: Column, weight: Column): DataFrame = {
+    val s = stats
+    val hasFilter = filterKey.isDefined && queries.columns.contains("__qfilter__")
+    val qTerms = queries.select(
+      col(rowId) +: weight.as("__w__") +:
+        (if (hasFilter) Seq(col("__qfilter__")) else Nil) :+
+        posexplode(termCol).as(Seq("__qpos__", "term")): _*)
+    val idf = log(lit(1d) +
+      (lit(s.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / lit(s.avgdl)))
+    val docCols = Seq("docId", "len") ++ (if (hasFilter) Seq("__filter__") else Nil)
+    val joined = qTerms
+      .join(s.postings, Seq("term"))
+      .join(s.dfreq, Seq("term"))
+      .join(s.docs.select(docCols.map(col): _*), Seq("docId"))
+    val filtered =
+      if (hasFilter) joined.filter(col("__filter__") === col("__qfilter__"))
+      else joined
+    filtered.select(col(rowId), col("docId").as("idx"),
+      (col("__w__") * idf * tfPart).as("score"))
+  }
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    val qText = qcol(s"${config.queryField}.text")
+    val base = stamped.select(col(rowId) +: qText.as("__qt__") +:
+      filterKey.map(fk =>
+        qcol(s"${config.queryField}.${stripField(fk)}").as("__qfilter__")).toSeq: _*)
+    val mainScores = scoreJoin(base, rowId, tokens(col("__qt__")), lit(1d))
+
+    val auxKey = s"${config.queryField}.aux_text"
+    val scored =
+      if (auxWeight > 0 && stamped.columns.contains(auxKey)) {
+        val auxText = qcol(s"`$auxKey`")
+        val lenQ = size(tokens(col("__qt__"))).cast("double")
+        val auxBase = stamped.select(col(rowId), qText.as("__qt__"), auxText.as("__at__"))
+        val lenA = size(tokens(col("__at__"))).cast("double")
+        // 1 + max(w * ln(max(len_q/len_aux, 1)), 0); plain w when unscaled
+        val w =
+          if (scaleAuxWeightByLengths)
+            when(lenA > 0,
+              lit(1d) + greatest(lit(auxWeight) * log(greatest(lenQ / lenA, lit(1d))), lit(0d)))
+              .otherwise(lit(0d))
+          else lit(auxWeight)
+        val auxScores = scoreJoin(auxBase, rowId, tokens(col("__at__")), w)
+        mainScores.unionByName(auxScores)
+      } else mainScores
+
+    val summed = scored.groupBy(col(rowId), col("idx"))
+      .agg(sum("score").as("score"))
+    val tempered = temperature.fold(summed)(t =>
+      summed.withColumn("score", col("score") / t))
+    SearchEngine.collapseTopK(stamped, tempered, rowId, config.k)
+  }
+
+  private def stripField(fk: String): String =
+    fk.split("\\.").last
+}
+
+case class BM25Stats(
+    postings: DataFrame, dfreq: DataFrame, docs: DataFrame,
+    n: Long, avgdl: Double)

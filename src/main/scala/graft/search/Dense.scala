@@ -1,0 +1,118 @@
+package graft.search
+
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S2 brute-force dense search (reference `TorchVectorBase`,
+  * warp_pipes/search/vector_base/torch.py:20-111: `scores = q @ V.T; topk`).
+  *
+  * The corpus `(idx, vector)` is broadcast-joined against the query frame
+  * (small-dim side broadcast; Spark falls back to shuffle join when the
+  * corpus outgrows the broadcast threshold), scored with a double-precision
+  * dot product, and collapsed to top-k per query. This is the exactness
+  * oracle for [[IVFDenseEngine]] — mirroring the reference, where the torch
+  * matmul path is the correctness oracle for FAISS
+  * (tests/search/test_dense.py:27-34).
+  *
+  * Query vectors ride in column `{queryField}.vector` (the reference
+  * fetches them from the vector cache by row idx; the Spark-first
+  * equivalent is a column materialized by the Predict pipe).
+  */
+case class BruteForceDenseEngine(
+    corpus: DataFrame,
+    config: SearchConfig = SearchConfig(),
+    corpusIdxCol: String = "idx",
+    corpusVecCol: String = "vector") extends SearchEngine {
+
+  override def params = Map("k" -> config.k.toString,
+    "indexField" -> config.indexField, "engine" -> "dense_bruteforce")
+
+  private lazy val n: Long = corpus.count()
+  protected def fillRange: Option[Long] = Some(n)
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    val qv = qcol(s"${config.queryField}.vector")
+    val c = broadcast(corpus.select(
+      col(corpusIdxCol).cast("long").as("idx"),
+      col(corpusVecCol).as("__cv__")))
+    val exploded = stamped
+      .select(col(rowId), qv.as("__qv__"))
+      .crossJoin(c)
+      .select(col(rowId), col("idx"),
+        SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))
+    SearchEngine.collapseTopK(stamped, exploded, rowId, config.k)
+  }
+}
+
+/** S1 IVF-style approximate dense search (reference `DenseSearch` over
+  * FAISS IVF, warp_pipes/search/dense.py:28-129 + vector_base/utils/
+  * faiss.py:204-410 — GPU k-means + inverted lists + nprobe).
+  *
+  * Spark-first lowering: `spark.ml.clustering.KMeans` fits `nlist`
+  * centroids; the corpus is tagged with its nearest centroid id
+  * (the inverted lists, materialized as a cluster-partitioned frame);
+  * a query probes its `nprobe` nearest centroids and equi-joins the
+  * matching clusters only — pruning the scored candidates by
+  * ~nprobe/nlist. PQ compression is out of scope (documented, SURVEY S1).
+  *
+  * Call [[build]] once per corpus; the tagged corpus and centroid table
+  * are small state DataFrames that persist across queries.
+  */
+case class IVFDenseEngine(
+    corpus: DataFrame,
+    nlist: Int = 16,
+    nprobe: Int = 4,
+    config: SearchConfig = SearchConfig(),
+    corpusIdxCol: String = "idx",
+    corpusVecCol: String = "vector",
+    kmeansSeed: Long = 42L) extends SearchEngine {
+
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.functions.array_to_vector
+
+  override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
+    "nprobe" -> nprobe.toString, "engine" -> "dense_ivf")
+
+  private lazy val n: Long = corpus.count()
+  protected def fillRange: Option[Long] = Some(n)
+
+  /** (cid, centroid array<double>) + corpus tagged with cid. */
+  lazy val (centroids: DataFrame, tagged: DataFrame) = build()
+
+  def build(): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val prepared = corpus.select(
+      col(corpusIdxCol).cast("long").as("idx"),
+      col(corpusVecCol).as("__cv__"),
+      array_to_vector(org.apache.spark.sql.functions.transform(
+        col(corpusVecCol), _.cast("double"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(kmeansSeed).setMaxIter(20)
+      .fit(prepared)
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray)
+    }
+    val centsDf = spark.createDataFrame(cents.toSeq).toDF("cid", "centroid")
+    val taggedDf = model.transform(prepared)
+      .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
+    (centsDf, taggedDf)
+  }
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = qcol(s"${config.queryField}.vector")
+    // probe: nprobe nearest centroids per query (centroid table is tiny)
+    val probeW = Window.partitionBy(col(rowId)).orderBy(desc("__cscore__"), asc("cid"))
+    val probes = stamped.select(col(rowId), qv.as("__qv__"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cscore__", SearchEngine.dot(col("__qv__"), col("centroid")))
+      .withColumn("__crank__", row_number().over(probeW))
+      .filter(col("__crank__") <= nprobe)
+      .select(col(rowId), col("__qv__"), col("cid"))
+    // score only the probed clusters' members
+    val exploded = probes.join(tagged, Seq("cid"))
+      .select(col(rowId), col("idx"),
+        SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))
+    SearchEngine.collapseTopK(stamped, exploded, rowId, config.k)
+  }
+}

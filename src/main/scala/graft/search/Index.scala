@@ -1,0 +1,66 @@
+package graft.search
+
+import graft.core.Pipe
+import org.apache.spark.sql.DataFrame
+
+/** S8 `Index` orchestrator (reference warp_pipes/pipes/index.py:38-248):
+  * owns an ordered cascade of engines and folds a query frame through
+  * them — each engine reads the previous engine's `{indexField}.idx` /
+  * `.score` columns and merges or re-ranks per its config. Typical
+  * cascades from the reference tests: dense(k=50) → topk(k=10)
+  * (tests/pipes/test_index.py:54-74) or bm25(k=100) → dense(k=3)
+  * (user_guide/src/examples/index.py:46-63).
+  *
+  * The reference's vector-caching side (predict pipes per corpus/query,
+  * index.py:148-156) maps to [[graft.predict.PredictWithCache]] run ahead
+  * of the cascade; engines here read vectors as columns.
+  *
+  * All engines must agree on the index field (index.py:126-146).
+  */
+case class IndexPipe(engines: Seq[SearchEngine]) extends Pipe {
+  require(engines.nonEmpty, "IndexPipe needs at least one engine")
+  require(engines.map(_.config.indexField).distinct.size == 1,
+    "all engines must share the same indexField " +
+      s"(got ${engines.map(_.config.indexField).distinct.mkString(", ")})")
+
+  override def children: Seq[Pipe] = engines
+  override def update: Boolean = true
+  override def params = Map("engines" -> engines.map(_.name).mkString(","))
+
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame =
+    engines.foldLeft(df)((acc, e) => e(acc))
+}
+
+/** S9 `AutoSearchEngine` registry (reference warp_pipes/search/auto.py:
+  * 11-39): engine-name → factory. The Spark engines need their state
+  * frames at construction, so factories close over a corpus.
+  */
+object AutoSearchEngine {
+  type Factory = (DataFrame, SearchConfig) => SearchEngine
+
+  def registry(
+      corpusIdxCol: String = "idx",
+      corpusVecCol: String = "vector",
+      corpusTextCol: String = "text",
+      groupKey: String = "group"): Map[String, Factory] = Map(
+    "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
+    "dense_ivf" -> ((c, cfg) => IVFDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+    "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol)),
+    "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol)),
+    "lookup" -> ((c, cfg) => GroupLookupEngine(c, groupKey, cfg, corpusIdxCol)),
+    "topk" -> ((c, cfg) => TopkEngine(cfg)))
+
+  def apply(name: String, corpus: DataFrame, cfg: SearchConfig = SearchConfig(),
+      opts: Map[String, String] = Map.empty): SearchEngine = {
+    val reg = registry(
+      corpusIdxCol = opts.getOrElse("idxCol", "idx"),
+      corpusVecCol = opts.getOrElse("vecCol", "vector"),
+      corpusTextCol = opts.getOrElse("textCol", "text"),
+      groupKey = opts.getOrElse("groupKey", "group"))
+    reg.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown engine '$name'; known: ${reg.keys.toSeq.sorted.mkString(", ")}"))(
+      corpus, cfg)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.search
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The `SearchResult` algebra (reference: warp_pipes/search/result.py).
+  *
+  * A search result for one query row is a pair of equally-long ranked
+  * arrays: `idx: array<long>` (padded with -1) and `score: array<double>`
+  * (padded with -Infinity). A batch of results is a DataFrame with one such
+  * pair of columns — the Spark analogue of the reference's `[B, k]` index /
+  * score matrices (result.py:155-177).
+  *
+  * All operations here are per-row Column expressions (higher-order array
+  * functions): merging two engines' results never shuffles — it composes
+  * into whatever stage produced them, at any batch size.
+  */
+object SearchResultOps {
+
+  val NegInf: Column = lit(Double.NegativeInfinity)
+
+  /** Sort (idx, score) pairs by score desc, idx asc (deterministic
+    * tiebreak — the reference's argsort leaves ties unspecified,
+    * result.py:325).
+    */
+  def sortEntries(entries: Column): Column =
+    array_sort(entries, (l, r) => {
+      val ls = l.getField("score"); val rs = r.getField("score")
+      val li = l.getField("idx"); val ri = r.getField("idx")
+      when(ls > rs, -1).when(ls < rs, 1)
+        .when(li < ri, -1).when(li > ri, 1).otherwise(0)
+    })
+
+  def zipEntries(idx: Column, score: Column): Column =
+    zip_with(idx, score, (i, s) => struct(i.as("idx"), s.as("score")))
+
+  def entriesIdx(entries: Column): Column =
+    transform(entries, _.getField("idx").cast("long"))
+
+  def entriesScore(entries: Column): Column =
+    transform(entries, _.getField("score").cast("double"))
+
+  /** Row-min over finite scores, 0 when none (reference `_get_real_min`,
+    * result.py:234-239).
+    */
+  def realMin(score: Column): Column =
+    coalesce(array_min(filter(score, s => s =!= NegInf)), lit(0d))
+
+  /** Merge two ranked lists (reference `__add__` + `sum_scores`,
+    * result.py:199-239): offset each side by its finite row-min, union the
+    * indices, sum scores of duplicate indices, pin -1 padding to -inf,
+    * offset back by (minA + minB), re-sort desc.
+    *
+    * Returns (idx, score) columns. O(k^2) per row in expressions — k is
+    * tens, and this trades a per-row loop for zero shuffles.
+    */
+  def merge(aIdx: Column, aScore: Column, bIdx: Column, bScore: Column)
+      : (Column, Column) = {
+    val minA = realMin(aScore)
+    val minB = realMin(bScore)
+    val aPairs = zip_with(aIdx, aScore, (i, s) => struct(i.as("idx"), (s - minA).as("score")))
+    val bPairs = zip_with(bIdx, bScore, (i, s) => struct(i.as("idx"), (s - minB).as("score")))
+    val all = concat(aPairs, bPairs)
+    val uniq = array_distinct(concat(aIdx, bIdx))
+    val entries = transform(uniq, i => struct(
+      i.as("idx"),
+      when(i === -1, NegInf).otherwise(
+        aggregate(
+          filter(all, p => p.getField("idx") === i),
+          lit(0d),
+          (acc, p) => acc + p.getField("score")) + minA + minB).as("score")))
+    val sorted = sortEntries(entries)
+    (entriesIdx(sorted), entriesScore(sorted))
+  }
+
+  /** Truncate or right-pad to k with -1 / -inf (reference `resize`,
+    * result.py:253-263).
+    */
+  def resize(idx: Column, score: Column, k: Int): (Column, Column) = {
+    val pad = greatest(lit(k) - size(idx), lit(0))
+    (concat(slice(idx, 1, k), array_repeat(lit(-1L), pad)),
+      concat(slice(score, 1, k), array_repeat(NegInf, pad)))
+  }
+
+  /** Replace negative (padding) indices by a pseudo-random valid id in
+    * [0, n). The reference uses true randint (result.py:265-271) — here the
+    * fill is a seeded hash of (row id, position) so results are
+    * deterministic and cache-stable (SURVEY §7.4 risk 3).
+    */
+  def fillMasked(idx: Column, rowId: Column, n: Column, salt: Long): Column =
+    transform(idx, (v, pos) =>
+      when(v < 0, pmod(xxhash64(rowId, pos, lit(salt)), n)).otherwise(v))
+}

@@ -1,0 +1,116 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ports of the reference's search oracle tests:
+  *   - `sum_scores` vs a dict-based reimplementation incl. -1/-inf padding
+  *     (tests/search/test_search_result.py:9-75);
+  *   - group-lookup invariants idx=-1 <=> score=-inf
+  *     (tests/search/test_group_lookup.py:19-39);
+  *   - IVF recall vs the brute-force oracle
+  *     (tests/search/test_dense.py:15-34).
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NegInf = Double.NegativeInfinity
+
+  /** Dict-based merge oracle mirroring result.py:199-239. */
+  private def mergeOracle(
+      a: (Seq[Long], Seq[Double]), b: (Seq[Long], Seq[Double]))
+      : (Seq[Long], Seq[Double]) = {
+    def realMin(s: Seq[Double]): Double = {
+      val fin = s.filter(_ != NegInf)
+      if (fin.isEmpty) 0.0 else fin.min
+    }
+    val minA = realMin(a._2)
+    val minB = realMin(b._2)
+    val contrib = a._1.zip(a._2.map(_ - minA)) ++ b._1.zip(b._2.map(_ - minB))
+    val uniq = (a._1 ++ b._1).distinct
+    val entries = uniq.map { i =>
+      val s =
+        if (i == -1L) NegInf
+        else contrib.collect { case (`i`, v) => v }.sum + minA + minB
+      (i, s)
+    }
+    val sorted = entries.sortBy { case (i, s) => (-s, i) }
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  private def runMerge(
+      a: (Seq[Long], Seq[Double]), b: (Seq[Long], Seq[Double]))
+      : (Seq[Long], Seq[Double]) = {
+    val df = Seq((a._1, a._2, b._1, b._2)).toDF("ai", "as", "bi", "bs")
+    val (mi, ms) = SearchResultOps.merge(col("ai"), col("as"), col("bi"), col("bs"))
+    val r = df.select(mi.as("i"), ms.as("s")).collect()(0)
+    (r.getSeq[Long](0), r.getSeq[Double](1))
+  }
+
+  test("merge matches the dict oracle — disjoint, overlapping, padded") {
+    val cases = Seq(
+      // disjoint indices
+      ((Seq(1L, 2L, 3L), Seq(5.0, 4.0, 3.0)), (Seq(7L, 8L), Seq(2.0, 1.0))),
+      // overlapping indices sum
+      ((Seq(1L, 2L, 3L), Seq(5.0, 4.0, 3.0)), (Seq(2L, 3L, 4L), Seq(9.0, 1.0, 0.5))),
+      // -1 / -inf padding on one side
+      ((Seq(1L, 2L, -1L), Seq(5.0, 4.0, NegInf)), (Seq(2L, -1L), Seq(1.0, NegInf))),
+      // all-padded side (realMin -> 0)
+      ((Seq(-1L, -1L), Seq(NegInf, NegInf)), (Seq(3L, 4L), Seq(2.0, 1.0))),
+      // negative scores (min-offset matters)
+      ((Seq(1L, 2L), Seq(-3.0, -7.0)), (Seq(2L, 5L), Seq(-1.0, -4.0))))
+    cases.foreach { case (a, b) =>
+      val got = runMerge(a, b)
+      val want = mergeOracle(a, b)
+      assert(got._1 == want._1, s"indices: a=$a b=$b got=$got want=$want")
+      got._2.zip(want._2).foreach { case (g, w) =>
+        assert(g == w || math.abs(g - w) < 1e-9, s"scores: a=$a b=$b got=$got want=$want")
+      }
+    }
+  }
+
+  test("resize pads with -1/-inf and truncates") {
+    val df = Seq((Seq(1L, 2L), Seq(5.0, 4.0))).toDF("i", "s")
+    val (ri, rs) = SearchResultOps.resize(col("i"), col("s"), 4)
+    val r = df.select(ri.as("i"), rs.as("s")).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, -1L, -1L))
+    assert(r.getSeq[Double](1) == Seq(5.0, 4.0, NegInf, NegInf))
+    val (ti, _) = SearchResultOps.resize(col("i"), col("s"), 1)
+    assert(df.select(ti.as("i")).collect()(0).getSeq[Long](0) == Seq(1L))
+  }
+
+  test("group lookup invariant: idx=-1 <=> score=-inf") {
+    val corpus = spark.read.parquet(sf("lineitem")).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("idx"), col("l_orderkey"))
+    val queries = spark.read.parquet(sf("orders")).limit(50)
+      .select(col("o_orderkey").as("qid"), col("o_orderkey").as("query.l_orderkey"))
+    val out = GroupLookupEngine(corpus, "l_orderkey",
+      SearchConfig(k = 8, fillMaskedIndices = false, queryIdCol = Some("qid")))(queries)
+    out.select(col("`index.idx`"), col("`index.score`")).collect().foreach { r =>
+      r.getSeq[Long](0).zip(r.getSeq[Double](1)).foreach { case (i, s) =>
+        assert((i == -1L) == (s == NegInf), s"violated at $r")
+      }
+    }
+  }
+
+  test("IVF recall@10 >= 0.9 vs brute force") {
+    // sf0.01: 500 vectors with 10 latent label clusters — the scale the
+    // driver gate runs at (sf0.001's ~50 vectors make recall pure noise)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    val exact = BruteForceDenseEngine(corpus, cfg)(queries)
+      .select(col("qid"), col("`index.idx`")).as[(Long, Seq[Long])].collect().toMap
+    val approx = IVFDenseEngine(corpus, nlist = 10, nprobe = 6, config = cfg)(queries)
+      .select(col("qid"), col("`index.idx`")).as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      val e = exact(qid).filter(_ >= 0).toSet
+      val a = approx(qid).filter(_ >= 0).toSet
+      e.intersect(a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+  }
+}
