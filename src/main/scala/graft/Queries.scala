@@ -269,6 +269,28 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // ----- predict (M1-M3) -----
+    "m1_predict" -> ((s, d) => {
+      val model = graft.predict.LinearModel(
+        Seq(Seq.fill(64)(1.0), Seq.tabulate(64)(_.toDouble)), Seq(0.0, 0.5))
+      graft.predict.PredictWithoutCache(model, "embedding", "vector")(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          transform(col("vector"), v => round(v, 4)).as("vector"))
+        .orderBy("vec_id")
+    }),
+    "m2_predict_cached" -> ((s, d) => {
+      val model = graft.predict.LinearModel(
+        Seq(Seq.fill(64)(1.0), Seq.tabulate(64)(_.toDouble)), Seq(0.0, 0.5))
+      graft.predict.PredictWithCache(model, "embedding", "vector",
+        idCol = "vec_id", cacheDir = "/tmp/graft-cache",
+        datasetFingerprint = s"embeddings@$d")(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          transform(col("vector"), v => round(v, 4)).as("vector"))
+        .orderBy("vec_id")
+    }),
+
     // ----- events / relational headliners -----
     "ev_window_agg" -> ((s, d) => {
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
@@ -357,6 +379,10 @@ object Queries {
       "SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region) ORDER BY r_regionkey",
     "u3_concat_columns" ->
       "SELECT doc_id, text, lang, source, n_chars, n_chars*2 AS n_chars_x2 FROM documents ORDER BY doc_id",
+    "m1_predict" ->
+      """SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
+    "m2_predict_cached" ->
+      """SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
     "s2_dense_bruteforce" ->
       """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
