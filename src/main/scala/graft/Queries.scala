@@ -35,6 +35,19 @@ object Queries {
     t(s, dir, "lineitem").groupBy("l_orderkey")
       .agg(sort_array(collect_list(col("l_linenumber"))).as("nums"))
 
+  /** documents plus near-duplicate plants: docs 0-49 re-appear as
+    * doc_id+10000 with their last two words dropped.
+    */
+  private def plantedNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val mutated = docs.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ").as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.unionByName(mutated)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- core (C1-C8) -----
     "c1_identity" -> ((s, d) =>
@@ -291,6 +304,77 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // ----- LLM data-pipeline: dedup -----
+    "dd_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val planted = docs.unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+      graft.llm.ExactDedupPipe(Seq("text"), "doc_id")(planted).orderBy("doc_id")
+    }),
+    "dd_minhash_lsh" -> ((s, d) =>
+      graft.llm.MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5)(
+        plantedNearDups(s, d))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    "dd_simhash" -> ((s, d) =>
+      graft.llm.SimHashDedupPipe("text", "doc_id", maxHamming = 6)(
+        plantedNearDups(s, d))
+        .orderBy("id_a", "id_b")),
+    "dd_ngram_jaccard" -> ((s, d) =>
+      graft.llm.NgramJaccardPipe("text", "doc_id", "lang", threshold = 0.3)(
+        plantedNearDups(s, d))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    "dd_cosine_neardup" -> ((s, d) =>
+      graft.llm.EmbeddingCosineDedupPipe("embedding", "vec_id", "label",
+        threshold = 0.15)(t(s, d, "embeddings").filter(col("vec_id") < 150))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // ----- LLM data-pipeline: text analysis -----
+    "ta_langid" -> ((s, d) =>
+      graft.llm.LanguageIdPipe("text")(t(s, d, "documents"))
+        .select("doc_id", "lang_pred").orderBy("doc_id")),
+    "ta_quality" -> ((s, d) =>
+      graft.llm.QualityScorePipe("text")(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+          "digit_ratio", "upper_ratio", "quality")
+        .orderBy("doc_id")),
+    "ta_token_count" -> ((s, d) =>
+      graft.llm.TokenCountPipe("text")(t(s, d, "documents"))
+        .select("doc_id", "ws_tokens", "word_tokens", "est_bpe_tokens")
+        .orderBy("doc_id")),
+    "ta_fingerprint" -> ((s, d) =>
+      graft.llm.FingerprintPipe("text")(t(s, d, "documents"))
+        .select("doc_id", "fingerprint").orderBy("doc_id")),
+
+    // ----- LLM data-pipeline: multimodal plumbing -----
+    "mm_media_meta" -> ((s, d) => {
+      val out = graft.llm.ToMediaColumnPipe("text")(t(s, d, "documents"))
+      out.select(col("doc_id"),
+        col("media_meta").getField("format").as("format"),
+        col("media_meta").getField("n_bytes").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    "mm_decode_stub" -> ((s, d) => {
+      val media = graft.llm.ToMediaColumnPipe("text")(
+        t(s, d, "documents").select("doc_id", "text"))
+      graft.llm.DecodeMediaStubPipe("media", "doc_id", dim = 8)(media)
+        .select(col("doc_id"),
+          transform(col("media_features"), v => round(v, 4)).as("f"))
+        .orderBy("doc_id")
+    }),
+    "mm_frame_sample" -> ((s, d) => {
+      val media = graft.llm.ToMediaColumnPipe("text")(
+        t(s, d, "documents").select("doc_id", "text"))
+      graft.llm.FrameSamplePipe("media")(media)
+        .select(col("doc_id"),
+          transform(col("frames"), f => f.getField("offset")).as("offsets"),
+          transform(col("frames"), f => f.getField("data").cast("string")).as("chunks"))
+        .orderBy("doc_id")
+    }),
+
     // ----- events / relational headliners -----
     "ev_window_agg" -> ((s, d) => {
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
@@ -379,6 +463,100 @@ object Queries {
       "SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region) ORDER BY r_regionkey",
     "u3_concat_columns" ->
       "SELECT doc_id, text, lang, source, n_chars, n_chars*2 AS n_chars_x2 FROM documents ORDER BY doc_id",
+    "dd_exact" ->
+      """WITH planted AS (SELECT * FROM documents UNION ALL SELECT doc_id+10000, text, lang, source, n_chars FROM documents WHERE doc_id < 100)
+        |SELECT min(doc_id) AS doc_id, text, arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source, arg_min(n_chars, doc_id) AS n_chars, count(*) AS dup_count
+        |FROM planted GROUP BY text ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dd_minhash_lsh" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS j
+        | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "dd_ngram_jaccard" ->
+      """WITH planted AS (SELECT doc_id, text, lang FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' '), lang
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks, lang FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, lang, string_split(trim(text), ' ') AS toks FROM planted)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS j
+        | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "dd_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE a.vec_id < 150 AND b.vec_id < 150
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "ta_langid" ->
+      """WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        | len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+        | len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+        | len(list_filter(toks, t -> t IN ('el','la','los','y','de','un','es','en','que','por'))) AS s_es,
+        | len(list_filter(toks, t -> t IN ('le','la','les','et','de','un','est','en','que','pour'))) AS s_fr,
+        | len(list_filter(toks, t -> t IN ('de','shi','le','zai','he','you','wo','ta','men','bu'))) AS s_zh
+        | FROM s)
+        |SELECT doc_id, CASE
+        | WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        | WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        | WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        | WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        | WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        | ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ta_quality" ->
+      """WITH s AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt, nc,
+        | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_r,
+        | (nc - length(regexp_replace(text, '[0-9]', '', 'g'))) / nc AS dig_r,
+        | (nc - length(regexp_replace(text, '[A-Z]', '', 'g'))) / nc AS up_r
+        | FROM s)
+        |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+        | round((nc - (nt - 1)) / nt, 4) AS mean_token_len,
+        | round(stop_r, 4) AS stopword_ratio,
+        | round(dig_r, 4) AS digit_ratio,
+        | round(up_r, 4) AS upper_ratio,
+        | round(greatest(least(least(nt/50, 1)*0.4 + least(stop_r*4, 1)*0.4 + (1-dig_r)*0.1 + (1-up_r)*0.1, 1), 0), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ta_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+        | CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> length(t) > 0)) AS INT) AS word_tokens,
+        | CAST(ceil(length(text)/4.0) AS INT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ta_fingerprint" ->
+      """WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(toks, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |   list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))),
+        |   (h, c) -> (h*31 + c) % 1000003))),
+        | (h, t) -> (h*131 + t) % 1000000007) AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "mm_media_meta" ->
+      "SELECT doc_id, 'utf8-text' AS format, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    "mm_decode_stub" ->
+      """SELECT doc_id, list_transform(range(0, 8), j ->
+        | round(list_avg(list_transform(range(j+1, length(text)+1, 8), i -> unicode(text[i]))) / 255, 4)) AS f
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        | list_transform(range(0, length(text), 64)[1:8], x -> x) AS offsets,
+        | list_transform(range(0, length(text), 64)[1:8], o -> substr(text, o+1, 16)) AS chunks
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "m1_predict" ->
       """SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
     "m2_predict_cached" ->

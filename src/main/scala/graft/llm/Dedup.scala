@@ -1,0 +1,229 @@
+package graft.llm
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{transform => arrTransform, _}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * These extend the reference's capability surface (BASELINE.json north
+  * star); every variant is bucketed — candidate generation NEVER scores
+  * all pairs:
+  *   - exact: content-hash groupBy (one shuffle, map-side combined);
+  *   - MinHash-LSH: shingle → signature → band buckets → equi-join within
+  *     buckets only → exact-Jaccard verification of candidates;
+  *   - SimHash: 64-bit signature → 16-bit band buckets → Hamming check;
+  *   - n-gram Jaccard: exact pairwise within caller-provided blocks;
+  *   - embedding cosine: exact pairwise within blocks (compose with
+  *     [[graft.search.IVFDenseEngine]] cluster ids for the 100 TB path).
+  */
+object DedupOps {
+
+  /** Word k-shingles of a text column as distinct xxhash64 values. Texts
+    * shorter than k words hash whole.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        arrTransform(sequence(lit(0), n - k),
+          i => xxhash64(concat_ws("", slice(toks, i + 1, lit(k))))))
+        .otherwise(array(xxhash64(text))))
+  }
+
+  /** Word k-shingles as strings (hash-free — for oracle-matchable exact
+    * Jaccard).
+    */
+  def shingleStrings(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        arrTransform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(text)))
+  }
+
+  /** Exact Jaccard similarity of two set-valued (distinct) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature: sig[s] = min over shingles of xxhash64(shingle, s),
+    * s = 0..numHashes-1.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    arrTransform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(arrTransform(shingles, x => xxhash64(x, s))))
+
+  /** 64-bit SimHash over token xxhash64 values: bit b is set when the
+    * weighted bit-b sum over tokens is positive.
+    */
+  def simhash64(tokens: Column): Column = {
+    val hashes = arrTransform(tokens, t => xxhash64(t))
+    (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftrightunsigned(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Cosine similarity in double precision (sequential accumulation). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}
+
+/** Exact dedup: group rows by content hash of `keys`, keep the row with
+  * the smallest `idCol` as the cluster representative. Output = input
+  * columns + `dup_count` per kept row. One shuffle on the content hash,
+  * partially aggregated map-side.
+  */
+case class ExactDedupPipe(keys: Seq[String], idCol: String) extends Pipe {
+  override def params = Map("keys" -> keys.sorted.mkString(","), "id" -> idCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val h = xxhash64(keys.map(qcol): _*)
+    df.withColumn("__h__", h)
+      .groupBy("__h__")
+      .agg(
+        min_by(struct(df.columns.map(qcol): _*), qcol(idCol)).as("__rep__"),
+        count(lit(1)).as("dup_count"))
+      .select(df.columns.map(c => col(s"__rep__.`$c`").as(c)) :+ col("dup_count"): _*)
+  }
+}
+
+/** MinHash-LSH near-dup detection: emits verified candidate pairs
+  * `(id_a, id_b, jaccard)` with exact shingle-Jaccard >= threshold.
+  * Candidates come ONLY from band-bucket equi-joins (numHashes/bands
+  * rows per doc) — never an all-pairs product. For jaccard j and b bands
+  * of r rows, P(miss) = (1 - j^r)^b — with 64 hashes / 32 bands,
+  * j=0.7 pairs are missed with p ~ 4e-10.
+  */
+case class MinHashLSHDedupPipe(
+    textCol: String,
+    idCol: String,
+    numHashes: Int = 64,
+    bands: Int = 32,
+    shingleSize: Int = 3,
+    jaccardThreshold: Double = 0.5) extends Pipe {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val r = numHashes / bands
+    val withSig = df.select(
+      qcol(idCol).cast("long").as("id"),
+      DedupOps.shingleHashes(qcol(textCol), shingleSize).as("sh"))
+      .withColumn("sig", DedupOps.minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(arrTransform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
+    val left = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
+
+/** SimHash near-dup detection: emits candidate pairs with Hamming
+  * distance <= maxHamming on the 64-bit signature. Candidates come from
+  * 16-bit band buckets (4 per doc) — by pigeonhole any pair within
+  * Hamming distance 3 shares at least one of the 4 bands, so recall is
+  * EXACT for maxHamming <= 3.
+  */
+case class SimHashDedupPipe(
+    textCol: String,
+    idCol: String,
+    maxHamming: Int = 3) extends Pipe {
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "maxHamming" -> maxHamming.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val withSim = df.select(
+      qcol(idCol).cast("long").as("id"),
+      DedupOps.simhash64(split(trim(qcol(textCol)), "\\s+")).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bh")))
+    val left = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val right = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
+
+/** Exact n-gram-Jaccard pairs within blocks: scores all pairs sharing
+  * `blockCol` (callers choose blocks that bound the product — language,
+  * length bucket, LSH band, IVF cluster...). Hash-free shingles so the
+  * result is engine-independent.
+  */
+case class NgramJaccardPipe(
+    textCol: String,
+    idCol: String,
+    blockCol: String,
+    shingleSize: Int = 3,
+    threshold: Double = 0.1) extends Pipe {
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "block" -> blockCol, "shingle" -> shingleSize.toString,
+    "threshold" -> threshold.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val base = df.select(qcol(blockCol).as("blk"),
+      qcol(idCol).cast("long").as("id"),
+      DedupOps.shingleStrings(qcol(textCol), shingleSize).as("sh"))
+    val left = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
+
+/** Embedding-cosine near-dup pairs within blocks (same blocking contract
+  * as [[NgramJaccardPipe]]; at scale pass an IVF cluster id).
+  */
+case class EmbeddingCosineDedupPipe(
+    vecCol: String,
+    idCol: String,
+    blockCol: String,
+    threshold: Double = 0.9) extends Pipe {
+  override def params = Map("vec" -> vecCol, "id" -> idCol,
+    "block" -> blockCol, "threshold" -> threshold.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val base = df.select(qcol(blockCol).as("blk"),
+      qcol(idCol).cast("long").as("id"), qcol(vecCol).as("v"))
+    val left = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", DedupOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

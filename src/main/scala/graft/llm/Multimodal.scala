@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video ride as opaque `binary`
+  * columns with typed metadata structs. The decode kernels are STUBBED
+  * with deterministic fakes (the real image/audio libraries are not in
+  * this container) — but the Spark-side shape is real: schemas, the
+  * per-partition batch iteration (`mapPartitions` — the Scala analogue of
+  * the reference ecosystem's `mapInPandas` batch loop), partitioning, and
+  * output encoders are all production plumbing a real decoder drops into.
+  */
+object MultimodalOps {
+  /** Metadata struct carried next to every media binary. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+}
+
+/** Wrap a source column as a media binary + metadata. For the driver
+  * fixtures the "media" is the UTF-8 text payload; a real pipeline reads
+  * parquet binary columns directly.
+  */
+case class ToMediaColumnPipe(
+    srcCol: String,
+    format: String = "utf8-text",
+    mediaCol: String = "media",
+    metaCol: String = "media_meta") extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("src" -> srcCol, "format" -> format)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val bin = qcol(srcCol).cast("binary")
+    val meta = struct(
+      lit(format).as("format"),
+      octet_length(bin).cast("long").as("n_bytes"),
+      lit(-1).as("width"), lit(-1).as("height"), lit(-1).as("channels"))
+    finish(df, Seq(mediaCol -> bin, metaCol -> meta))
+  }
+}
+
+/** "Decode" a media binary into a fixed-size feature vector via
+  * mapPartitions — batch shape identical to a real decoder (iterate the
+  * partition, decode each blob, emit features). The decode itself is a
+  * DETERMINISTIC FAKE: feature[j] = mean of bytes congruent to j mod dim,
+  * scaled — stable across runs/engines, so tests can assert values.
+  * Swap `decode` for an actual image/audio kernel to productionize.
+  */
+case class DecodeMediaStubPipe(
+    mediaCol: String,
+    idCol: String,
+    dim: Int = 8,
+    outputCol: String = "media_features") extends Pipe {
+  override def params = Map("media" -> mediaCol, "id" -> idCol,
+    "dim" -> dim.toString, "out" -> outputCol)
+
+  private[llm] def decode(bytes: Array[Byte]): Array[Double] = {
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val j = i % dim
+      sums(j) += (bytes(i) & 0xFF)
+      counts(j) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(j => if (counts(j) == 0) 0d else sums(j) / counts(j) / 255d)
+  }
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, ArrayType(DoubleType), nullable = false))
+    val d = dim
+    val decodeFn = decode _
+    val out = df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val feats = if (bytes == null) new Array[Double](d) else decodeFn(bytes)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    out
+  }
+}
+
+/** Sample fixed-offset "frames" from a media binary (the video analogue:
+  * take every strideBytes-th chunk of chunkBytes) as an array of binary
+  * chunks + their offsets. Pure expressions — substring on binary.
+  */
+case class FrameSamplePipe(
+    mediaCol: String,
+    chunkBytes: Int = 16,
+    strideBytes: Int = 64,
+    maxFrames: Int = 8,
+    outputCol: String = "frames") extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("media" -> mediaCol, "chunk" -> chunkBytes.toString,
+    "stride" -> strideBytes.toString, "max" -> maxFrames.toString)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val bin = qcol(mediaCol)
+    val n = octet_length(bin)
+    val offsets = slice(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(strideBytes)), 1, maxFrames)
+    val frames = org.apache.spark.sql.functions.transform(offsets, off =>
+      struct(off.as("offset"), bin.substr(off + 1, lit(chunkBytes)).as("data")))
+    finish(df, Seq(outputCol -> frames))
+  }
+}

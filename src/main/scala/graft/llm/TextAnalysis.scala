@@ -1,0 +1,126 @@
+package graft.llm
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{transform => arrTransform, _}
+
+/** Text-analysis operators for training-data curation — language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen, no shuffle, no UDF).
+  */
+object TextAnalysisOps {
+
+  /** Tiny function-word lists per language; deliberately deterministic and
+    * engine-reproducible (a DuckDB oracle can mirror them 1:1).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "es", "en", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est", "en", "que", "pour"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "bu"))
+
+  def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+}
+
+/** Language ID by function-word voting: predicted = argmax over per-lang
+  * stopword hit counts, first-listed language wins ties (fixed order en,
+  * de, es, fr, zh; 'und' = no hits at all).
+  */
+case class LanguageIdPipe(textCol: String, outputCol: String = "lang_pred")
+    extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "out" -> outputCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val tokens = TextAnalysisOps.toks(qcol(textCol))
+    val scores = TextAnalysisOps.stopwords.map { case (lang, words) =>
+      lang -> TextAnalysisOps.stopwordHits(tokens, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means earlier-listed langs overwrite later ones on ties
+    finish(df, Seq(outputCol -> pred))
+  }
+}
+
+/** Quality scoring: structural ratios a curation pipeline filters on.
+  * Emits n_tokens, mean_token_len, stopword_ratio, digit_ratio,
+  * upper_ratio and a bounded composite quality in [0, 1].
+  */
+case class QualityScorePipe(textCol: String) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val text = qcol(textCol)
+    val tokens = TextAnalysisOps.toks(text)
+    val nTok = size(tokens).cast("double")
+    val nChars = length(text).cast("double")
+    val meanLen = (nChars - (nTok - 1)) / nTok
+    val allStop = TextAnalysisOps.stopwords.flatMap(_._2).distinct
+    val stopRatio = TextAnalysisOps.stopwordHits(tokens, allStop).cast("double") / nTok
+    val digitRatio = (nChars - length(regexp_replace(text, lit("[0-9]"), lit("")))) / nChars
+    val upperRatio = (nChars - length(regexp_replace(text, lit("[A-Z]"), lit("")))) / nChars
+    // composite: reward moderate length and stopword presence, punish
+    // digit/upper noise; clamped to [0,1]
+    val lenScore = least(nTok / 50d, lit(1d))
+    val raw = lenScore * 0.4 + least(stopRatio * 4d, lit(1d)) * 0.4 +
+      (lit(1d) - digitRatio) * 0.1 + (lit(1d) - upperRatio) * 0.1
+    val outs = Seq(
+      "n_tokens" -> nTok.cast("int"),
+      "mean_token_len" -> round(meanLen, 4),
+      "stopword_ratio" -> round(stopRatio, 4),
+      "digit_ratio" -> round(digitRatio, 4),
+      "upper_ratio" -> round(upperRatio, 4),
+      "quality" -> round(greatest(least(raw, lit(1d)), lit(0d)), 4))
+    finish(df, outs.map { case (k, c) => k -> (c: Column) })
+  }
+}
+
+/** Token counting: whitespace tokens, word-ish tokens (letter/digit runs —
+  * a BPE-ish lower bound), and the chars/4 BPE estimate used for LLM
+  * budget planning.
+  */
+case class TokenCountPipe(textCol: String) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val text = qcol(textCol)
+    val outs = Seq(
+      "ws_tokens" -> size(TextAnalysisOps.toks(text)).cast("int"),
+      "word_tokens" -> size(filter(split(text, "[^A-Za-z0-9]+"),
+        t => length(t) > 0)).cast("int"),
+      "est_bpe_tokens" -> ceil(length(text) / 4d).cast("int"))
+    finish(df, outs.map { case (k, c) => k -> (c: Column) })
+  }
+}
+
+/** Document fingerprinting: order-sensitive polynomial rolling hash over
+  * token-content hashes — engine-reproducible (bounded modular
+  * arithmetic, no platform hash), so equal-content docs collide and
+  * near-equal docs don't.
+  */
+case class FingerprintPipe(textCol: String, outputCol: String = "fingerprint")
+    extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "out" -> outputCol)
+
+  /** token hash: fold (h*31 + codepoint) % 1000003, seed 7 (same scheme
+    * as [[graft.text.TokenizerPipe]] ids).
+    */
+  private def tokHash(t: Column): Column =
+    aggregate(filter(split(t, ""), c => length(c) > 0), lit(7L),
+      (h, c) => pmod(h * 31 + ascii(c).cast("long"), lit(1000003L)))
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val tokens = TextAnalysisOps.toks(qcol(textCol))
+    val fp = aggregate(arrTransform(tokens, t => tokHash(t)), lit(0L),
+      (h, t) => pmod(h * 131 + t, lit(1000000007L)))
+    finish(df, Seq(outputCol -> fp))
+  }
+}

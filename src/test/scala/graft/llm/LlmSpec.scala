@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = {
+    val docs = spark.read.parquet(sf("documents"))
+    val toks = split(col("text"), " ")
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") < 30).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ").as("text")))
+  }
+
+  test("exact dedup collapses planted exact duplicates") {
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val out = ExactDedupPipe(Seq("text"), "doc_id")(doubled)
+    val n = docs.select("text").distinct().count()
+    assert(out.count() == n)
+    // representatives are the original (smaller) ids and counts >= 2
+    assert(out.filter(col("doc_id") >= 5000).count() == 0)
+    assert(out.filter(col("dup_count") < 2).count() == 0)
+  }
+
+  test("minhash-LSH finds planted near-dups") {
+    val pairs = MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5)(planted)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0 until 30).count(i => pairs.contains((i.toLong, i + 10000L)))
+    // docs with very few tokens drop below the jaccard threshold when
+    // truncated; the long majority must all be found
+    assert(found >= 24, s"found only $found/30 planted near-dup pairs")
+  }
+
+  test("simhash finds planted near-dups within hamming 6") {
+    val pairs = SimHashDedupPipe("text", "doc_id", maxHamming = 6)(planted)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0 until 30).count(i => pairs.contains((i.toLong, i + 10000L)))
+    assert(found >= 20, s"found only $found/30 planted pairs")
+  }
+
+  test("decode stub: deterministic features with real partition plumbing") {
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+      .repartition(4)
+    val media = ToMediaColumnPipe("text")(docs)
+    val out = DecodeMediaStubPipe("media", "doc_id", dim = 8)(media)
+    val rows = out.select("doc_id", "media_features").collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(f.length == 8)
+      assert(f.forall(v => v >= 0.0 && v <= 1.0))
+    }
+    // deterministic across runs
+    val again = DecodeMediaStubPipe("media", "doc_id", dim = 8)(media)
+      .select("doc_id", "media_features").collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("language id picks the list with most hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val out = LanguageIdPipe("text")(df).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+}
