@@ -388,6 +388,13 @@ object Queries {
           col("event_type"), col("cnt"), col("sv"))
         .orderBy("ws", "event_type")
     }),
+    "ev_sessionize" -> ((s, d) =>
+      graft.streaming.SessionizePipe(gapSeconds = 1800)(
+        graft.streaming.EventStream.readBatch(s, d))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_idx")),
     "q1_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -643,6 +650,16 @@ object Queries {
         |FROM p ORDER BY doc_id, passage_idx""".stripMargin.replace("\n", " "),
     "ev_window_agg" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
+    "ev_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS ns
+        | FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        | FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin.replace("\n", " "),
     "q1_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc, round(avg(l_quantity),4) AS avg_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q3_order_revenue" ->

@@ -74,6 +74,18 @@ object VerifyScratch {
     val out6 = gen(NestingOps.withRowIdx(li.select("l_orderkey", "l_quantity")))
     println(s"[6] general path cols=${out6.columns.mkString(",")} rows=${out6.count()}")
 
+    // 7. debug pipes + dataset fingerprint + per-example wrapper
+    val pb = PrintBatch("li")(li.select("l_orderkey", "l_quantity", "l_returnflag"))
+    println(s"[7] printbatch passthrough rows=${pb.count()}")
+    PrintContent(2, "li")(li.select("l_orderkey"))
+    val fp1 = DatasetFingerprint.of(li.select("l_orderkey"))
+    val fp2 = DatasetFingerprint.of(li.select("l_orderkey"))
+    val fp3 = DatasetFingerprint.of(li.select("l_partkey"))
+    println(s"[7] fingerprint stable=${fp1 == fp2} differs=${fp1 != fp3}")
+    val ate = ApplyToEachExample(ApplyToCols(_ * 2, "x2", Seq("l_quantity")),
+      checked = true)(li.select("l_orderkey", "l_quantity"))
+    println(s"[7] applyToEachExample rows=${ate.count()}")
+
     spark.stop()
   }
 }

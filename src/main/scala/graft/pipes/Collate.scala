@@ -41,6 +41,27 @@ case class FirstEg() extends Pipe {
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = df.limit(1)
 }
 
+/** L4 `ApplyToEachExample` (collate.py:102-115): map a pipe over single
+  * examples. In Spark a row-preserving pipe already applies per row; this
+  * wrapper exists for parity and ENFORCES the per-example contract: the
+  * inner pipe must keep row count (checked lazily via a guard column when
+  * `checked`).
+  */
+case class ApplyToEachExample(pipe: Pipe, checked: Boolean = false) extends Pipe {
+  override def children = Seq(pipe)
+  override def params = Map("checked" -> checked.toString)
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val out = pipe(df)
+    if (checked) {
+      val inN = df.count()
+      val outN = out.count()
+      require(inN == outN,
+        s"ApplyToEachExample: inner pipe ${pipe.name} changed row count $inN -> $outN")
+    }
+    out
+  }
+}
+
 /** L6 `Padding` (collate.py:137-178): right-pad each matched array column to
   * the global max length. Fill values: `padTokenId` for `*input_ids`, 0 for
   * `*attention_mask`/masks, overridable per key via `specialPaddingTokens`

@@ -33,6 +33,18 @@ case class KeepColumns(keys: Seq[String]) extends Pipe {
     df.select(keys.filter(df.columns.contains).map(qcol): _*)
 }
 
+/** U4 `get_dataset_fingerprints` (datasets_utils.py:150-164): a
+  * deterministic content fingerprint for a DataFrame — the canonicalized
+  * (analyzed, pruned) plan digest. Two frames with the same source data
+  * and same logical plan share a fingerprint; use as the `upstream`
+  * argument of [[graft.core.CachedStage]].
+  */
+object DatasetFingerprint {
+  def of(df: DataFrame): String =
+    graft.core.Fingerprint.hash(
+      df.queryExecution.analyzed.canonicalized.toString)
+}
+
 /** U3 `concatenate_datasets` (datasets_utils.py:130-147):
   * axis 0 = union rows; axis 1 = zip columns (used to attach new columns
   * after flatten/nest, pipes/nesting.py:316-323).

@@ -61,6 +61,12 @@ object NestingOps {
         arrayKeys.map(k => col(s"__z__.`$k`").as(k)): _*)
   }
 
+  /** N7 `nest_idx` (support/nesting.py:135-138): flat index of element
+    * `pos` inside group `grp` for a nesting of stride `size` —
+    * `grp * size + pos`, as column arithmetic.
+    */
+  def nestIdx(grp: Column, pos: Column, size: Int): Column = grp * size + pos
+
   /** Scale-safe 0-based global rank by `orderCol`: range-partitioned
     * distributed sort, per-partition positions, and a tiny per-partition
     * offset table joined back by broadcast. Replaces

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming layer. The reference has NO streaming (SURVEY §1.1)
+  * — this is a capability extension for the `events` feed: the SAME pipes
+  * run on a batch frame and on a `readStream` frame (Spark's unified
+  * Dataset model), so every batch oracle doubles as the streaming
+  * correctness baseline.
+  */
+object EventStream {
+
+  /** Batch read of the events table (TIMESTAMP(NANOS) downcast to micros). */
+  def readBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Streaming read over a directory of event parquet files. The schema is
+    * pinned from a batch sample — required by streaming file sources.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = readBatch(spark, dir).schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema)
+      .format("parquet")
+      .load(s"$dir/events.parquet")
+  }
+}
+
+/** Tumbling event-time window aggregation; on a streaming frame the
+  * watermark bounds state. Works identically on batch frames (watermark
+  * is a no-op there), so the duckdb `time_bucket` oracle verifies both.
+  */
+case class WindowedEventAgg(
+    tsCol: String = "ts",
+    windowLength: String = "1 hour",
+    watermark: String = "2 hours",
+    groupKeys: Seq[String] = Seq("event_type")) extends Pipe {
+  override def params = Map("ts" -> tsCol, "window" -> windowLength,
+    "watermark" -> watermark, "keys" -> groupKeys.mkString(","))
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val in = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    in.groupBy(window(qcol(tsCol), windowLength) +: groupKeys.map(qcol): _*)
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws") +:
+          groupKeys.map(qcol) :+ col("cnt") :+ col("sv"): _*)
+  }
+}
+
+/** Gap-timeout sessionization per key: a new session starts when the gap
+  * to the previous event exceeds `gapSeconds`. Batch lowering = lag +
+  * running sum over a per-key window (shuffles once by key; keys hash
+  * uniformly at scale). A streaming deployment swaps this pipe for
+  * `flatMapGroupsWithState` with identical session semantics — see
+  * [[SessionizeStreaming]].
+  */
+case class SessionizePipe(
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    gapSeconds: Long = 1800) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("key" -> keyCol, "ts" -> tsCol,
+    "gap" -> gapSeconds.toString)
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(qcol(keyCol)).orderBy(qcol(tsCol))
+    val gap = unix_timestamp(qcol(tsCol)) - lag(unix_timestamp(qcol(tsCol)), 1)
+      .over(w)
+    val newSession = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    df.withColumn("session_idx",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+  }
+}
+
+/** Streaming sessionization with explicit state:
+  * `flatMapGroupsWithState`-based per-key session tracking. Provided as
+  * the streaming twin of [[SessionizePipe]]; emits (key, session_start,
+  * session_end, n_events) per closed session.
+  */
+object SessionizeStreaming {
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  import org.apache.spark.sql.{Dataset, Encoders}
+
+  case class Event(key: Long, tsMicros: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class ClosedSession(key: Long, start: Long, end: Long, n: Long)
+
+  def apply(events: Dataset[Event], gapSeconds: Long): Dataset[ClosedSession] = {
+    implicit val se = Encoders.product[SessionState]
+    implicit val ce = Encoders.product[ClosedSession]
+    val gapMicros = gapSeconds * 1000000L
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsMicros)
+          var closed = List.empty[ClosedSession]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            st match {
+              case null => st = SessionState(e.tsMicros, e.tsMicros, 1)
+              case s if e.tsMicros - s.last > gapMicros =>
+                closed ::= ClosedSession(key, s.start, s.last, s.n)
+                st = SessionState(e.tsMicros, e.tsMicros, 1)
+              case s => st = SessionState(s.start, e.tsMicros, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.reverseIterator
+      }
+  }
+}

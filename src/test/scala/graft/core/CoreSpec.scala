@@ -1,0 +1,94 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.pipes._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Golden I/O for the core Pipe contract — update / inputFilter
+  * combinations (mirrors tests/core/test_pipe.py:41-99) and condition
+  * truth tables (tests/pipes/test_pipelines.py:6-21).
+  */
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("x", "s", "v")
+
+  /** A toy kernel writing `y = x + 1` from its visible keys. */
+  private case class AddOne(
+      override val update: Boolean,
+      override val inputFilter: Option[Condition]) extends Pipe {
+    protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+      require(keys.forall(df.columns.contains))
+      finish(df, Seq("y" -> (Pipe.qcol("x") + 1: Column)))
+    }
+  }
+
+  test("replace mode: output only the kernel columns") {
+    val out = AddOne(update = false, None)(batch)
+    assert(out.columns.toSeq == Seq("y"))
+    assert(out.as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("update mode: kernel columns overlay the full input") {
+    val out = AddOne(update = true, None)(batch)
+    assert(out.columns.toSeq == Seq("x", "s", "v", "y"))
+    assert(out.select("y").as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("inputFilter hides keys from the kernel but not from the overlay") {
+    var seen: Seq[String] = Nil
+    case class Probe() extends Pipe {
+      override val update = true
+      override val inputFilter = Some(Condition.In(Seq("x")))
+      protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+        seen = keys
+        finish(df, Seq("y" -> (Pipe.qcol("x") * 2: Column)))
+      }
+    }
+    val out = Probe()(batch)
+    assert(seen == Seq("x"))
+    assert(out.columns.toSeq == Seq("x", "s", "v", "y"))
+  }
+
+  test("condition truth table") {
+    import Condition._
+    assert(HasPrefix("doc.")("doc.text"))
+    assert(!HasPrefix("doc.")("query.text"))
+    assert(Contains("name")("n_name"))
+    assert((HasPrefix("a") && Contains("b"))("ab"))
+    assert(!(HasPrefix("a") && Contains("b"))("ac"))
+    assert((HasPrefix("a") || Contains("b"))("zb"))
+    assert((!HasPrefix("a"))("b"))
+    assert(Static(true)("anything") && !Static(false)("anything"))
+  }
+
+  test("gate static folding takes the branch at plan time") {
+    import org.apache.spark.sql.types.StructType
+    val taken = Gate(SchemaCondition.Static(true), GetKey("x"), Some(GetKey("s")))(batch)
+    assert(taken.columns.toSeq == Seq("x"))
+    val alt = Gate(SchemaCondition.Static(false), GetKey("x"), Some(GetKey("s")))(batch)
+    assert(alt.columns.toSeq == Seq("s"))
+    assert(SchemaCondition.HasKeyWithPrefix("x")(batch.schema.asInstanceOf[StructType]))
+  }
+
+  test("flatten/nest round-trips preserve content") {
+    val df = Seq(
+      (1L, Seq(10, 11, 12)), (2L, Seq(20)), (3L, Seq(30, 31))).toDF("id", "xs")
+    val flat = NestingOps.flattenOnce(df, Seq("xs"))
+    assert(flat.count() == 6)
+    val back = NestingOps.nestBack(flat, Seq("id"), Seq("xs"))
+    val got = back.select("id", "xs").as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(1L -> Seq(10, 11, 12), 2L -> Seq(20), 3L -> Seq(30, 31)))
+  }
+
+  test("CachedStage: second call reads, content identical, corrupt tmp ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs").toString
+    var computes = 0
+    def compute: DataFrame = { computes += 1; batch }
+    val a = CachedStage(spark, dir, "k1")(compute).collect().toSeq
+    val b = CachedStage(spark, dir, "k1")(compute).collect().toSeq
+    assert(computes == 1, "second call must not recompute")
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.pipes._
+import graft.llm._
+import graft.text._
+import org.apache.spark.sql.functions._
+
+/** Reflection-style sweep over every pipe (mirrors
+  * tests/pipes/test_all_pipes.py:10-41): each registered constructor is
+  * instantiated twice and must (a) java-serialize (Spark closure
+  * contract), (b) produce IDENTICAL fingerprints across fresh instances,
+  * (c) produce a DIFFERENT fingerprint under a parameter change.
+  */
+class RegistrySpec extends SparkSpec {
+
+  /** (name, make(), makeVariant()) — variant differs in one parameter. */
+  private val registry: Seq[(String, () => Pipe, () => Pipe)] = Seq(
+    ("IdentityPipe", () => IdentityPipe(), () => SequentialPipe.of(IdentityPipe())),
+    ("GetKey", () => GetKey("a"), () => GetKey("b")),
+    ("FilterKeys", () => FilterKeys(Condition.HasPrefix("a")),
+      () => FilterKeys(Condition.HasPrefix("b"))),
+    ("DropKeys", () => DropKeys(Seq("a")), () => DropKeys(Seq("b"))),
+    ("AddPrefix", () => AddPrefix("p."), () => AddPrefix("q.")),
+    ("ReplaceInKeys", () => ReplaceInKeys("a", "b"), () => ReplaceInKeys("a", "c")),
+    ("RenameKeys", () => RenameKeys(Map("a" -> "b")), () => RenameKeys(Map("a" -> "c"))),
+    ("ApplyToCols", () => ApplyToCols(_ * 2, "x2", Seq("a")),
+      () => ApplyToCols(_ * 2, "x3", Seq("a"))),
+    ("ApplyToAllCols", () => ApplyToAllCols(upper(_), "upper"),
+      () => ApplyToAllCols(lower(_), "lower")),
+    ("LambdaPipe", () => LambdaPipe(identity, "id"), () => LambdaPipe(identity, "id2")),
+    ("SequentialPipe", () => SequentialPipe.of(GetKey("a")),
+      () => SequentialPipe.of(GetKey("b"))),
+    ("ParallelPipe", () => ParallelPipe.of(ApplyToCols(_ * 2, "x2", Seq("a"))),
+      () => ParallelPipe.of(ApplyToCols(_ * 2, "x2", Seq("b")))),
+    ("Gate", () => Gate(SchemaCondition.Static(true), IdentityPipe()),
+      () => Gate(SchemaCondition.Static(false), IdentityPipe())),
+    ("BlockSequential", () => BlockSequential(Seq("s" -> IdentityPipe())),
+      () => BlockSequential(Seq("t" -> IdentityPipe()))),
+    ("ParallelByField", () => ParallelByField(Map("a" -> ApplyToCols(_ * 2, "x2", Seq("a.x")))),
+      () => ParallelByField(Map("b" -> ApplyToCols(_ * 2, "x2", Seq("b.x"))))),
+    ("FlattenPipe", () => FlattenPipe(1), () => FlattenPipe(2)),
+    ("NestPipe", () => NestPipe(4, Seq("a"), "o"), () => NestPipe(8, Seq("a"), "o")),
+    ("ApplyAsFlatten", () => ApplyAsFlatten(IdentityPipe()),
+      () => ApplyAsFlatten(IdentityPipe(), 2)),
+    ("NestedPipe", () => NestedPipe(IdentityPipe()), () => NestedPipe(IdentityPipe(), 2)),
+    ("ExpandPipe", () => ExpandPipe(0, 3, Seq("a")), () => ExpandPipe(0, 4, Seq("a"))),
+    ("CollatePipe", () => CollatePipe(16, Seq("a"), "o"), () => CollatePipe(8, Seq("a"), "o")),
+    ("DeCollatePipe", () => DeCollatePipe(Seq("a")), () => DeCollatePipe(Seq("b"))),
+    ("FirstEg", () => FirstEg(), () => SequentialPipe.of(FirstEg())),
+    ("ApplyToEachExample", () => ApplyToEachExample(IdentityPipe()),
+      () => ApplyToEachExample(GetKey("a"))),
+    ("PaddingPipe", () => PaddingPipe(Seq("a")), () => PaddingPipe(Seq("a"), 1)),
+    ("CollateFieldPipe", () => CollateFieldPipe("f"), () => CollateFieldPipe("g")),
+    ("TakeSubset", () => TakeSubset(Some(10)), () => TakeSubset(Some(20))),
+    ("KeepColumns", () => KeepColumns(Seq("a")), () => KeepColumns(Seq("b"))),
+    ("PrintBatch", () => PrintBatch("h"), () => PrintBatch("i")),
+    ("PrintContent", () => PrintContent(3), () => PrintContent(4)),
+    ("TokenizerPipe", () => TokenizerPipe(), () => TokenizerPipe(maxLength = Some(5))),
+    ("GeneratePassagesPipe", () => GeneratePassagesPipe(24, 16),
+      () => GeneratePassagesPipe(24, 20)),
+    ("ExactDedupPipe", () => ExactDedupPipe(Seq("t"), "id"),
+      () => ExactDedupPipe(Seq("u"), "id")),
+    ("MinHashLSHDedupPipe", () => MinHashLSHDedupPipe("t", "id"),
+      () => MinHashLSHDedupPipe("t", "id", numHashes = 128)),
+    ("SimHashDedupPipe", () => SimHashDedupPipe("t", "id"),
+      () => SimHashDedupPipe("t", "id", maxHamming = 5)),
+    ("NgramJaccardPipe", () => NgramJaccardPipe("t", "id", "b"),
+      () => NgramJaccardPipe("t", "id", "b", threshold = 0.5)),
+    ("EmbeddingCosineDedupPipe", () => EmbeddingCosineDedupPipe("v", "id", "b"),
+      () => EmbeddingCosineDedupPipe("v", "id", "b", threshold = 0.5)),
+    ("LanguageIdPipe", () => LanguageIdPipe("t"), () => LanguageIdPipe("u")),
+    ("QualityScorePipe", () => QualityScorePipe("t"), () => QualityScorePipe("u")),
+    ("TokenCountPipe", () => TokenCountPipe("t"), () => TokenCountPipe("u")),
+    ("FingerprintPipe", () => FingerprintPipe("t"), () => FingerprintPipe("u")),
+    ("ToMediaColumnPipe", () => ToMediaColumnPipe("t"), () => ToMediaColumnPipe("u")),
+    ("DecodeMediaStubPipe", () => DecodeMediaStubPipe("m", "id"),
+      () => DecodeMediaStubPipe("m", "id", dim = 16)),
+    ("FrameSamplePipe", () => FrameSamplePipe("m"), () => FrameSamplePipe("m", 32)))
+
+  private def roundTripSerialize(p: Pipe): Pipe = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(p)
+    oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    ois.readObject().asInstanceOf[Pipe]
+  }
+
+  test("every pipe java-serializes (Spark closure contract)") {
+    registry.foreach { case (name, make, _) =>
+      val p = roundTripSerialize(make())
+      assert(p.name.nonEmpty, name)
+    }
+  }
+
+  test("fingerprints are deterministic across fresh instances") {
+    registry.foreach { case (name, make, _) =>
+      assert(make().fingerprint == make().fingerprint, name)
+    }
+  }
+
+  test("fingerprints change under a parameter change") {
+    registry.foreach { case (name, make, variant) =>
+      assert(make().fingerprint != variant().fingerprint, name)
+    }
+  }
+
+  test("fingerprint survives serialization") {
+    registry.foreach { case (name, make, _) =>
+      assert(make().fingerprint == roundTripSerialize(make()).fingerprint, name)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch parity: the windowed agg pipe produces the same result
+  * on a MemoryStream (complete mode) as on the equivalent batch frame,
+  * and stateful sessionization closes sessions at the gap boundary.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed agg: streaming result equals batch result") {
+    implicit val sctx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "click", 4.0),
+      ("2024-01-01 01:20:00", "buy", 8.0))
+    val toDf = (s: Seq[(String, String, Double)]) => s.toDF("t", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+
+    val batchOut = WindowedEventAgg()(toDf(rows))
+      .orderBy("ws", "event_type").collect().map(_.toString).toSeq
+
+    val mem = MemoryStream[(String, String, Double)]
+    mem.addData(rows: _*)
+    val streamIn = mem.toDF().toDF("t", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val q = WindowedEventAgg()(streamIn)
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamOut = spark.table("agg_out")
+      .orderBy("ws", "event_type").collect().map(_.toString).toSeq
+    q.stop()
+    assert(streamOut == batchOut)
+    assert(batchOut.size == 3) // two click windows + one buy window
+  }
+
+  test("batch sessionization splits on the gap") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "t").withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = SessionizePipe(gapSeconds = 1800)(df)
+      .select("user_id", "session_idx").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
+  test("stateful streaming sessionization closes sessions at the gap") {
+    implicit val sctx = spark.sqlContext
+    import SessionizeStreaming._
+    val mem = MemoryStream[Event]
+    val out = SessionizeStreaming(mem.toDS(), gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val m = 1000000L
+    mem.addData(Event(1, 0), Event(1, 30 * m), Event(1, 200 * m))
+    q.processAllAvailable()
+    mem.addData(Event(1, 500 * m))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions").as[ClosedSession].collect().sortBy(_.start)
+    // first session [0, 30s] closed by the 200s event; second closed by 500s
+    assert(closed.length == 2)
+    assert(closed(0) == ClosedSession(1, 0, 30 * m, 2))
+    assert(closed(1) == ClosedSession(1, 200 * m, 200 * m, 1))
+  }
+}
