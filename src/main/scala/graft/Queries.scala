@@ -322,8 +322,9 @@ object Queries {
         plantedNearDups(s, d))
         .orderBy("id_a", "id_b")),
     "dd_ngram_jaccard" -> ((s, d) =>
-      graft.llm.NgramJaccardPipe("text", "doc_id", "lang", threshold = 0.3)(
-        plantedNearDups(s, d))
+      graft.llm.NgramJaccardPipe("text", "doc_id", "blk", threshold = 0.3)(
+        plantedNearDups(s, d)
+          .withColumn("blk", concat_ws("/", col("lang"), col("source"))))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
     "dd_cosine_neardup" -> ((s, d) =>
@@ -487,16 +488,16 @@ object Queries {
         | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "dd_ngram_jaccard" ->
-      """WITH planted AS (SELECT doc_id, text, lang FROM documents UNION ALL
-        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' '), lang
-        | FROM (SELECT doc_id, string_split(text,' ') AS toks, lang FROM documents WHERE doc_id < 50)),
-        |sh AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
+      """WITH planted AS (SELECT doc_id, text, lang || '/' || source AS blk FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' '), lang || '/' || source
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks, lang, source FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, blk, list_distinct(CASE WHEN len(toks) >= 3
         |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
         |  ELSE [text] END) AS s
-        | FROM (SELECT doc_id, text, lang, string_split(trim(text), ' ') AS toks FROM planted)),
+        | FROM (SELECT doc_id, text, blk, string_split(trim(text), ' ') AS toks FROM planted)),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS j
-        | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        | FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "dd_cosine_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -86,6 +86,11 @@ object VerifyScratch {
       checked = true)(li.select("l_orderkey", "l_quantity"))
     println(s"[7] applyToEachExample rows=${ate.count()}")
 
+    // 8. flagship entry smoke (driver checks rows > 0)
+    val entryOut = SparkEntry.entry(spark)
+    println(s"[8] entry rows=${entryOut.count()} cols=${entryOut.columns.mkString(",")}")
+    entryOut.show(3, truncate = false)
+
     spark.stop()
   }
 }

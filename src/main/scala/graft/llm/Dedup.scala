@@ -191,13 +191,22 @@ case class NgramJaccardPipe(
     "threshold" -> threshold.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    // jaccard over hashed shingle sets == jaccard over string shingle
+    // sets (modulo 64-bit collisions); longs intersect ~10x cheaper than
+    // strings at identical output values
     val base = df.select(qcol(blockCol).as("blk"),
       qcol(idCol).cast("long").as("id"),
-      DedupOps.shingleStrings(qcol(textCol), shingleSize).as("sh"))
+      DedupOps.shingleHashes(qcol(textCol), shingleSize).as("sh"))
     val left = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val right = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // lossless size prune BEFORE the expensive set ops: jaccard <=
+    // min(|A|,|B|)/max(|A|,|B|), so pairs with min < tau*max can never
+    // reach the threshold
+    val sa = size(col("sh_a")).cast("double")
+    val sb = size(col("sh_b")).cast("double")
     left.join(right, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(sa, sb) >= lit(threshold) * greatest(sa, sb))
       .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
