@@ -333,6 +333,49 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    "dd_clusters" -> ((s, d) => {
+      val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
+        jaccardThreshold = 0.5)(plantedNearDups(s, d))
+      graft.llm.DedupOps.connectedComponents(pairs).orderBy("id")
+    }),
+    "l5_to_tensor" -> ((s, d) =>
+      ToTensorPipe(Seq("nums"))(liNums(s, d)).orderBy("l_orderkey")),
+    "s3b_bm25_aux" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = split(col("text"), " ")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(toks, lit(1), lit(5)), " ").as("query.text"),
+          array_join(slice(toks, lit(6), (col("doc_id") % 4 + 1).cast("int")), " ")
+            .as("query.aux_text"))
+      val eng = graft.search.BM25Engine(docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        auxWeight = 0.5, temperature = Some(2.0))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "m2s2_cached_dense" -> ((s, d) => {
+      val model = graft.predict.LinearModel(
+        Seq(Seq.fill(64)(1.0), Seq.tabulate(64)(_.toDouble * 0.1)), Seq(0.0, 0.0))
+      val withVec = graft.predict.PredictWithCache(model, "embedding", "vector",
+        idCol = "vec_id", cacheDir = "/tmp/graft-cache",
+        datasetFingerprint = s"emb2d@$d")(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+      val corpus = withVec.select(col("vec_id").as("idx"), col("vector"))
+      val queries = withVec.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("vector").as("query.vector"))
+      graft.search.BruteForceDenseEngine(corpus,
+        graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     // ----- LLM data-pipeline: text analysis -----
     "ta_langid" -> ((s, d) =>
       graft.llm.LanguageIdPipe("text")(t(s, d, "documents"))
@@ -510,6 +553,50 @@ object Queries {
         |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.15
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "dd_clusters" ->
+      """WITH RECURSIVE planted AS (SELECT doc_id, text FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges UNION SELECT u, u FROM edges
+        | UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u ORDER BY id""".stripMargin.replace("\n", " "),
+    "l5_to_tensor" ->
+      "SELECT l_orderkey, CAST(list_sort(list(l_linenumber)) AS DOUBLE[]) AS nums FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "s3b_bm25_aux" ->
+      """WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks, toks[6:5+(doc_id % 4 + 1)] AS atoks FROM c WHERE doc_id < 20),
+        |qw AS (SELECT qid, qtoks, atoks,
+        |  CASE WHEN len(atoks) > 0 THEN 1 + greatest(0.5 * ln(greatest(CAST(len(qtoks) AS DOUBLE)/len(atoks), 1)), 0) ELSE 0 END AS w
+        | FROM q),
+        |qt AS (SELECT qid, unnest(qtoks) AS term, 1.0 AS w FROM qw
+        |  UNION ALL SELECT qid, unnest(atoks) AS term, w FROM qw),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( qt.w * ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) / 2.0 AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+    "m2s2_cached_dense" ->
+      """WITH v AS (SELECT vec_id, [list_sum(CAST(embedding AS DOUBLE[])),
+        |  list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1) * 0.1))] AS vec FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, vec AS qv FROM v WHERE vec_id < 8),
+        |sc AS (SELECT qs.qid, v.vec_id AS idx, qs.qv[1]*v.vec[1] + qs.qv[2]*v.vec[2] AS score FROM qs CROSS JOIN v),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 5 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
     "ta_langid" ->
       """WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |sc AS (SELECT doc_id,

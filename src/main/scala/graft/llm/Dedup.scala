@@ -70,6 +70,40 @@ object DedupOps {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Connected components over an undirected pair graph `(id_a, id_b)` by
+    * iterative min-label propagation: each vertex takes the min of its own
+    * and its neighbors' labels until fixpoint (<= graph diameter rounds —
+    * near-dup clusters are tiny, so convergence is fast). Labels are
+    * localCheckpoint-ed per round to keep the plan linear. Returns
+    * `(id, cluster)` with cluster = min member id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("u"),
+        col("id_a").cast("long").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("cluster").as("nc")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("nc").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Cosine similarity in double precision (sequential accumulation). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =

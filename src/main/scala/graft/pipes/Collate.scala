@@ -62,6 +62,20 @@ case class ApplyToEachExample(pipe: Pipe, checked: Boolean = false) extends Pipe
   }
 }
 
+/** L5 `to_tensor_op` (collate.py:118-134): lists → tensors. In Spark the
+  * single columnar representation makes this a typed cast of array
+  * columns (SURVEY L5) — e.g. int lists to float tensors for a model
+  * input.
+  */
+case class ToTensorPipe(keys: Seq[String], elementType: String = "double")
+    extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("keys" -> keys.sorted.mkString(","),
+    "elementType" -> elementType)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    finish(df, keys.map(k => k -> qcol(k).cast(s"array<$elementType>")))
+}
+
 /** L6 `Padding` (collate.py:137-178): right-pad each matched array column to
   * the global max length. Fill values: `padTokenId` for `*input_ids`, 0 for
   * `*attention_mask`/masks, overridable per key via `specialPaddingTokens`

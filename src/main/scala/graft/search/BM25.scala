@@ -111,7 +111,7 @@ case class BM25Engine(
     val auxKey = s"${config.queryField}.aux_text"
     val scored =
       if (auxWeight > 0 && stamped.columns.contains(auxKey)) {
-        val auxText = qcol(s"`$auxKey`")
+        val auxText = qcol(auxKey)
         val lenQ = size(tokens(col("__qt__"))).cast("double")
         val auxBase = stamped.select(col(rowId), qText.as("__qt__"), auxText.as("__at__"))
         val lenA = size(tokens(col("__at__"))).cast("double")
