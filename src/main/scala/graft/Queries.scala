@@ -131,6 +131,17 @@ object Queries {
     "n4_nested_inner_filter" -> ((s, d) =>
       NestedPipe(LambdaPipe(_.filter(col("nums") % 2 === 0), "keep_even"))(liNums(s, d))
         .orderBy("l_orderkey")),
+    "n5_nested_level2" -> ((s, d) => {
+      // arrays of arrays: per order, line numbers grouped in pairs ->
+      // Nested(level=2) doubles the innermost scalars
+      val lvl2 = liNums(s, d).select(col("l_orderkey"),
+        filter(
+          transform(sequence(lit(0), floor((size(col("nums")) - 1) / 2).cast("int")),
+            i => slice(col("nums"), i * 2 + 1, lit(2))),
+          a => size(a) > 0).as("nn"))
+      NestedPipe(ApplyToCols(_ * 2, "x2", Seq("nn")), level = 2)(lvl2)
+        .orderBy("l_orderkey")
+    }),
     "n6_expand" -> ((s, d) =>
       ExpandPipe(0, 3, Seq("r_name"))(t(s, d, "region")).orderBy("r_regionkey")),
 
@@ -498,6 +509,10 @@ object Queries {
       "SELECT list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
     "n4_nested_inner_filter" ->
       "SELECT list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey HAVING len(nums) > 0 ORDER BY l_orderkey",
+    "n5_nested_level2" ->
+      """WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS nums FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_orderkey, list_filter(list_transform(range(0, (len(nums)-1)//2 + 1), i -> nums[i*2+1:i*2+2]), x -> len(x) > 0) AS nn FROM a)
+        |SELECT list_transform(nn, inner_l -> list_transform(inner_l, x -> x*2)) AS nn, l_orderkey FROM b ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
     "n6_expand" ->
       "SELECT r_regionkey, [r_name, r_name, r_name] AS r_name FROM region ORDER BY r_regionkey",
     "l1_collate" ->

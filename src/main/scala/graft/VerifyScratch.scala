@@ -86,6 +86,23 @@ object VerifyScratch {
       checked = true)(li.select("l_orderkey", "l_quantity"))
     println(s"[7] applyToEachExample rows=${ate.count()}")
 
+    // 8b. engine state persistence: fresh BM25 instance reloads from parquet
+    val stateDir = "/tmp/graft-engine-state"
+    val docsSm = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val qs = docsSm.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+    def bm25() = graft.search.BM25Engine(docsSm,
+      graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+        queryIdCol = Some("qid")),
+      corpusIdxCol = "doc_id", corpusTextCol = "text",
+      stateDir = Some(stateDir), corpusFingerprint = "scratch-docs")
+    val w1 = bm25()(qs).select("qid", "`index.idx`").collect().map(_.toString).sorted
+    val stateFiles = new java.io.File(stateDir).listFiles().map(_.getName).sorted
+    val w2 = bm25()(qs).select("qid", "`index.idx`").collect().map(_.toString).sorted
+    println(s"[8b] engine state frames=${stateFiles.length} " +
+      s"reload identical=${w1.toSeq == w2.toSeq}")
+
     // 8. flagship entry smoke (driver checks rows > 0)
     val entryOut = SparkEntry.entry(spark)
     println(s"[8] entry rows=${entryOut.count()} cols=${entryOut.columns.mkString(",")}")

@@ -40,7 +40,16 @@ case class BM25Engine(
     auxWeight: Double = 0.0,
     scaleAuxWeightByLengths: Boolean = true,
     temperature: Option[Double] = None,
-    filterKey: Option[String] = None) extends SearchEngine {
+    filterKey: Option[String] = None,
+    /** When set, build-side statistics persist as parquet under
+      * `stateDir/<hash(corpusFingerprint, engine fingerprint, frame)>`
+      * and later engine instances load instead of recomputing — the
+      * reference's engine state dirs
+      * (`cache_dir/fz-index-<corpus_fp>/search-<cfg_fp>`,
+      * pipes/index.py:65-99), rebuilt on [[graft.core.CachedStage]].
+      */
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "k1" -> k1.toString,
     "b" -> b.toString, "auxWeight" -> auxWeight.toString,
@@ -57,21 +66,33 @@ case class BM25Engine(
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
 
-  /** Build-side statistics; small relative to the corpus and reusable
-    * across query batches.
+  /** Build-side statistics; small relative to the corpus, reusable across
+    * query batches, and (with `stateDir`) persisted across engine
+    * instances.
     */
   lazy val stats: BM25Stats = {
-    val base = corpus.select(
+    lazy val base = corpus.select(
       Seq(col(corpusIdxCol).cast("long").as("docId"),
         tokens(qcol(corpusTextCol)).as("toks")) ++
         filterKey.map(fk => qcol(fk).as("__filter__")): _*)
-    val docs = base.select(
+    lazy val docsRaw = base.select(
       Seq(col("docId"), size(col("toks")).as("len")) ++
         filterKey.map(_ => col("__filter__")).toSeq: _*)
-    val postings = base
+    lazy val postingsRaw = base
       .select(Seq(col("docId"), posexplode(col("toks")).as(Seq("pos", "term"))): _*)
       .groupBy("term", "docId").agg(count(lit(1)).as("tf"))
-    val dfreq = postings.groupBy("term").agg(countDistinct("docId").as("df"))
+    def persisted(frame: String)(compute: => DataFrame): DataFrame =
+      stateDir match {
+        case Some(dir) =>
+          val key = graft.core.Fingerprint.combine(
+            corpusFingerprint, fingerprint, frame)
+          graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
+        case None => compute
+      }
+    val docs = persisted("docs")(docsRaw)
+    val postings = persisted("postings")(postingsRaw)
+    val dfreq = persisted("dfreq")(
+      postings.groupBy("term").agg(countDistinct("docId").as("df")))
     val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl"))
       .collect()(0)
     BM25Stats(postings, dfreq, docs, totals.getLong(0), totals.getDouble(1))

@@ -66,7 +66,13 @@ case class IVFDenseEngine(
     config: SearchConfig = SearchConfig(),
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
-    kmeansSeed: Long = 42L) extends SearchEngine {
+    kmeansSeed: Long = 42L,
+    /** Persist centroids + tagged corpus under `stateDir` keyed by
+      * (corpusFingerprint, engine fingerprint) — reference engine state
+      * dirs (pipes/index.py:65-99). Cache hits skip the KMeans fit.
+      */
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
@@ -77,24 +83,41 @@ case class IVFDenseEngine(
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
 
-  /** (cid, centroid array<double>) + corpus tagged with cid. */
+  /** (cid, centroid array<double>) + corpus tagged with cid. With
+    * `stateDir` both frames are fingerprint-cached parquet; the KMeans
+    * fit runs only when neither cache exists (`fitted` is lazy and only
+    * forced inside a cache-miss compute closure).
+    */
   lazy val (centroids: DataFrame, tagged: DataFrame) = build()
+
+  private lazy val prepared: DataFrame = corpus.select(
+    col(corpusIdxCol).cast("long").as("idx"),
+    col(corpusVecCol).as("__cv__"),
+    array_to_vector(org.apache.spark.sql.functions.transform(
+      col(corpusVecCol), _.cast("double"))).as("features"))
+
+  private lazy val fitted =
+    new KMeans().setK(nlist).setSeed(kmeansSeed).setMaxIter(20).fit(prepared)
 
   def build(): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val prepared = corpus.select(
-      col(corpusIdxCol).cast("long").as("idx"),
-      col(corpusVecCol).as("__cv__"),
-      array_to_vector(org.apache.spark.sql.functions.transform(
-        col(corpusVecCol), _.cast("double"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(kmeansSeed).setMaxIter(20)
-      .fit(prepared)
-    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray)
+    def persisted(frame: String)(compute: => DataFrame): DataFrame =
+      stateDir match {
+        case Some(dir) =>
+          val key = graft.core.Fingerprint.combine(
+            corpusFingerprint, fingerprint, frame)
+          graft.core.CachedStage(spark, dir, key)(compute)
+        case None => compute
+      }
+    val centsDf = persisted("centroids") {
+      spark.createDataFrame(
+        fitted.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+          .toSeq).toDF("cid", "centroid")
     }
-    val centsDf = spark.createDataFrame(cents.toSeq).toDF("cid", "centroid")
-    val taggedDf = model.transform(prepared)
-      .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
+    val taggedDf = persisted("tagged") {
+      fitted.transform(prepared)
+        .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
+    }
     (centsDf, taggedDf)
   }
 

@@ -19,7 +19,9 @@ case class GroupLookupEngine(
     corpus: DataFrame,
     groupKey: String,
     config: SearchConfig = SearchConfig(),
-    corpusIdxCol: String = "idx") extends SearchEngine {
+    corpusIdxCol: String = "idx",
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString,
     "groupKey" -> groupKey, "engine" -> "group_lookup")
@@ -27,10 +29,19 @@ case class GroupLookupEngine(
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
 
-  /** (gid, members sorted asc). */
-  lazy val lookup: DataFrame = corpus
-    .groupBy(qcol(groupKey).as("__gid__"))
-    .agg(sort_array(collect_list(col(corpusIdxCol).cast("long"))).as("__members__"))
+  /** (gid, members sorted asc); fingerprint-persisted when `stateDir`. */
+  lazy val lookup: DataFrame = {
+    def compute = corpus
+      .groupBy(qcol(groupKey).as("__gid__"))
+      .agg(sort_array(collect_list(col(corpusIdxCol).cast("long"))).as("__members__"))
+    stateDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          corpusFingerprint, fingerprint, "lookup")
+        graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
+      case None => compute
+    }
+  }
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val qGroup = qcol(s"${config.queryField}.$groupKey")

@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Engine state lifecycle (reference: build -> save -> load -> search,
+  * search/search.py:109-169 + pipes/index.py:65-99): a FRESH engine
+  * instance pointed at the same stateDir serves identical results without
+  * recomputing the build side.
+  */
+class EngineStateSpec extends SparkSpec {
+
+  test("BM25 stats persist and reload identically") {
+    val dir = Files.createTempDirectory("graft-es").toString
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+    def engine() = BM25Engine(docs,
+      SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid")),
+      corpusIdxCol = "doc_id", corpusTextCol = "text",
+      stateDir = Some(dir), corpusFingerprint = "docs-t")
+    val r1 = engine()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    val frames = new java.io.File(dir).listFiles().count(!_.getName.startsWith("_"))
+    assert(frames == 3, s"expected 3 persisted state frames, found $frames")
+    val r2 = engine()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2)
+  }
+
+  test("IVF centroids/tagged persist; cold engine skips the KMeans fit") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    def engine() = IVFDenseEngine(corpus, nlist = 10, nprobe = 6,
+      config = SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid")),
+      stateDir = Some(dir), corpusFingerprint = "emb-t")
+    val r1 = engine()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    // warm state on disk: a fresh instance must reproduce results purely
+    // from parquet (its own `fitted` stays un-forced on cache hit)
+    val e2 = engine()
+    val r2 = e2(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2)
+  }
+
+  test("group lookup persists and reloads") {
+    val dir = Files.createTempDirectory("graft-gl").toString
+    val li = spark.read.parquet(sf("lineitem")).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("idx"), col("l_orderkey"))
+    val queries = spark.read.parquet(sf("orders")).limit(20)
+      .select(col("o_orderkey").as("qid"), col("o_orderkey").as("query.l_orderkey"))
+    def engine() = GroupLookupEngine(li, "l_orderkey",
+      SearchConfig(k = 8, fillMaskedIndices = false, queryIdCol = Some("qid")),
+      stateDir = Some(dir), corpusFingerprint = "li-t")
+    val r1 = engine()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    val r2 = engine()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2)
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+}
