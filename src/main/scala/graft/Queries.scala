@@ -278,6 +278,34 @@ object Queries {
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
         .orderBy("qid")
     }),
+    "s8b_index_builder" -> ((s, d) => {
+      val model = graft.predict.LinearModel(
+        Seq(Seq.fill(64)(1.0), Seq.tabulate(64)(_.toDouble * 0.1)), Seq(0.0, 0.0))
+      val emb = t(s, d, "embeddings")
+      val idx = graft.search.IndexBuilder(
+        emb.select(col("vec_id").as("idx"), col("embedding")),
+        model, "/tmp/graft-cache", s"emb-ib@$d",
+        config = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      idx.query(queries, "qid", "embedding",
+        extraEngines = Seq(graft.search.TopkEngine(
+          graft.search.SearchConfig(k = 3, fillMaskedIndices = false,
+            queryIdCol = Some("qid")))))
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "t3_field_collate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text").as("doc.text"))
+      val toks = graft.text.TokenizerPipe(field = Some("doc"),
+        returnOffsetsMapping = false)(docs)
+      CollateFieldPipe("doc")(toks)
+        .select(col("doc_id"), q("doc.input_ids"), q("doc.attention_mask"))
+        .orderBy("doc_id")
+    }),
     "s8_index_cascade" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -723,6 +751,21 @@ object Queries {
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+    "s8b_index_builder" ->
+      """WITH v AS (SELECT vec_id, [list_sum(CAST(embedding AS DOUBLE[])),
+        |  list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1) * 0.1))] AS vec FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, vec AS qv FROM v WHERE vec_id < 8),
+        |sc AS (SELECT qs.qid, v.vec_id AS idx, qs.qv[1]*v.vec[1] + qs.qv[2]*v.vec[2] AS score FROM qs CROSS JOIN v),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 3 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+    "t3_field_collate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ids AS (SELECT doc_id, list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003) AS INT)) AS l FROM t),
+        |m AS (SELECT max(len(l)) AS ml FROM ids)
+        |SELECT doc_id,
+        | l || list_transform(range(ml - len(l)), x -> 0) AS "doc.input_ids",
+        | list_transform(l, x -> 1) || list_transform(range(ml - len(l)), x -> 0) AS "doc.attention_mask"
+        |FROM ids, m ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "t1_tokenizer" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT doc_id,

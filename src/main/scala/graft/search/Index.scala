@@ -31,6 +31,51 @@ case class IndexPipe(engines: Seq[SearchEngine]) extends Pipe {
     engines.foldLeft(df)((acc, e) => e(acc))
 }
 
+/** The full S8 lifecycle including vector caching (reference
+  * pipes/index.py:48-124: the Index owns the corpus/query predict pipes
+  * and each engine's state dir): [[build]] caches corpus vectors under
+  * the (model, corpus) fingerprint and constructs a dense engine over
+  * them with persisted state; [[query]] caches/attaches query vectors the
+  * same way, then folds the query frame through the cascade.
+  */
+case class IndexBuilder(
+    corpus: DataFrame,
+    model: graft.predict.VectorModel,
+    cacheDir: String,
+    corpusFingerprint: String,
+    corpusIdxCol: String = "idx",
+    corpusInputCol: String = "embedding",
+    config: SearchConfig = SearchConfig()) {
+
+  import org.apache.spark.sql.functions.col
+
+  /** Corpus with cached model vectors attached. */
+  lazy val corpusWithVectors: DataFrame =
+    graft.predict.PredictWithCache(model, corpusInputCol, "vector",
+      idCol = corpusIdxCol, cacheDir = cacheDir,
+      datasetFingerprint = corpusFingerprint)(corpus)
+
+  /** Dense engine over the cached corpus vectors, state persisted. */
+  lazy val denseEngine: BruteForceDenseEngine =
+    BruteForceDenseEngine(
+      corpusWithVectors.select(col(corpusIdxCol).as("idx"), col("vector")),
+      config)
+
+  /** Attach cached query vectors and fold through the engines (dense
+    * first unless other engines are supplied).
+    */
+  def query(
+      queries: DataFrame,
+      queryIdxCol: String,
+      queryInputCol: String,
+      extraEngines: Seq[SearchEngine] = Nil): DataFrame = {
+    val withVec = graft.predict.PredictWithCache(model, queryInputCol,
+      s"${config.queryField}.vector", idCol = queryIdxCol, cacheDir = cacheDir,
+      datasetFingerprint = s"$corpusFingerprint-queries")(queries)
+    IndexPipe(denseEngine +: extraEngines)(withVec)
+  }
+}
+
 /** S9 `AutoSearchEngine` registry (reference warp_pipes/search/auto.py:
   * 11-39): engine-name → factory. The Spark engines need their state
   * frames at construction, so factories close over a corpus.
