@@ -18,11 +18,22 @@ object Bench {
     // noop sink: every column is materialized end-to-end (Catalyst cannot
     // prune the projections the way a bare count() would), but nothing is
     // written — the timing measures the operators, not the sink.
+    // Two timed executions per query, reporting the min: single-shot
+    // timings on a shared host showed 10x stall outliers landing on
+    // arbitrary queries; min-of-2 measures the operator, not the host.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        // isolate queries: drop leftover persisted/localCheckpoint blocks
+        // from earlier queries so block-manager pressure from one query
+        // doesn't distort the next one's timing
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
