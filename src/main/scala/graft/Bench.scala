@@ -22,23 +22,37 @@ object Bench {
     // timings on a shared host showed 10x stall outliers landing on
     // arbitrary queries; min-of-2 measures the operator, not the host.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         // isolate queries: drop leftover persisted/localCheckpoint blocks
         // from earlier queries so block-manager pressure from one query
         // doesn't distort the next one's timing
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        // a failed run must NOT contribute a fast-fail timing (a breaking
+        // regression would otherwise read as a speedup) — record None and
+        // report the -1 sentinel if no iteration succeeded
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${results.count(_._2 < 0)}}"""
+    println(line)
+    // stdout gets interleaved with sbt/spark noise; give the driver a
+    // clean copy on disk too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), line)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -172,7 +172,9 @@ object Queries {
 
     // ----- dataset utils (U1-U3) -----
     "u1_take_subset" -> ((s, d) =>
-      TakeSubset(n = Some(500), seed = 7)(t(s, d, "part"))),
+      // hashKey mode: multiplicative-hash pseudo-shuffle — deterministic
+      // and engine-independent, so DuckDB replays the exact subset.
+      TakeSubset(n = Some(500), hashKey = Some("p_partkey"))(t(s, d, "part"))),
     "u2_keep_columns" -> ((s, d) =>
       KeepColumns(Seq("p_partkey", "p_name"))(t(s, d, "part")).orderBy("p_partkey")),
     "u3_concat_rows" -> ((s, d) => {
@@ -216,9 +218,14 @@ object Queries {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      // nprobe = nlist: probing every inverted list makes IVF EXACT (the
+      // full machinery — kmeans tagging, probe pruning joins, top-k — runs,
+      // but the candidate set is total), so the brute-force SQL is an exact
+      // oracle despite KMeans nondeterminism. nprobe < nlist recall is
+      // covered by the recall@10 spec.
       val eng = graft.search.IVFDenseEngine(
         emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
-        nlist = 10, nprobe = 6,
+        nlist = 10, nprobe = 10,
         config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")))
       eng(queries)
         .select(col("qid"), q("index.idx"),
@@ -232,7 +239,8 @@ object Queries {
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
       val eng = graft.search.BM25Engine(docs,
         graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")),
-        corpusIdxCol = "doc_id", corpusTextCol = "text")
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        roundScores = Some(4))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -356,10 +364,18 @@ object Queries {
         plantedNearDups(s, d))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
-    "dd_simhash" -> ((s, d) =>
-      graft.llm.SimHashDedupPipe("text", "doc_id", maxHamming = 6)(
-        plantedNearDups(s, d))
-        .orderBy("id_a", "id_b")),
+    "dd_simhash" -> ((s, d) => {
+      // poly61 token hash (DuckDB-replayable) + maxHamming 3 (band recall
+      // is pigeonhole-EXACT there) => an exhaustive oracle matches the
+      // banded pipe bit-for-bit. Exact copies at +20000 guarantee rows.
+      val base = plantedNearDups(s, d)
+      val exact = base.filter(col("doc_id") < 30).select(
+        (col("doc_id") + 20000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      graft.llm.SimHashDedupPipe("text", "doc_id", maxHamming = 3,
+        tokenHash = "poly61")(base.unionByName(exact))
+        .orderBy("id_a", "id_b")
+    }),
     "dd_ngram_jaccard" -> ((s, d) =>
       graft.llm.NgramJaccardPipe("text", "doc_id", "blk", threshold = 0.3)(
         plantedNearDups(s, d)
@@ -391,7 +407,7 @@ object Queries {
         graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
         corpusIdxCol = "doc_id", corpusTextCol = "text",
-        auxWeight = 0.5, temperature = Some(2.0))
+        auxWeight = 0.5, temperature = Some(2.0), roundScores = Some(4))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -499,6 +515,41 @@ object Queries {
     }),
   )
 
+  // ---- DuckDB mirrors of Scalarize's canonical array encoding ----------
+  // Verify dumps every array column as a deterministic string (see
+  // [[graft.Scalarize]]); these helpers rewrite an oracle's array columns
+  // to the identical encoding so the driver's pandas comparer sees only
+  // scalars on both sides. coalesce(...,''): DuckDB's array_to_string
+  // returns NULL for empty lists where Spark's concat_ws returns ''.
+  private def ddIntArr(c: String) =
+    s"coalesce(array_to_string($c, ','), '')"
+  private def ddStrArr(c: String) =
+    s"coalesce(array_to_string($c, chr(31)), '')"
+  private def ddDblArr(c: String) =
+    s"coalesce(array_to_string(list_transform($c, __x -> CASE WHEN isnan(__x) THEN 'nan' WHEN __x = 'infinity' THEN 'inf' WHEN __x = '-infinity' THEN '-inf' ELSE CAST(CAST(round(__x*10000) AS BIGINT) AS VARCHAR) END), ','), '')"
+  private def ddIntArrArr(c: String) =
+    s"coalesce(array_to_string(list_transform($c, __ii -> coalesce(array_to_string(__ii, ','), '')), ';'), '')"
+
+  /** Wrap an oracle query so its array columns match [[Scalarize]]'s
+    * encoding. Kinds: "" scalar passthrough, "i" integral list, "d" double
+    * list, "s" string list, "ii" list of integral lists. Row order is
+    * irrelevant (the driver sorts both frames), so no outer ORDER BY;
+    * LIMIT/ORDER inside `inner` still picks the rows.
+    */
+  private def scl(inner: String, cols: (String, String)*): String = {
+    val sel = cols.map { case (n, kind) =>
+      val qn = "\"" + n + "\""
+      kind match {
+        case ""   => qn
+        case "i"  => s"${ddIntArr(qn)} AS $qn"
+        case "d"  => s"${ddDblArr(qn)} AS $qn"
+        case "s"  => s"${ddStrArr(qn)} AS $qn"
+        case "ii" => s"${ddIntArrArr(qn)} AS $qn"
+      }
+    }.mkString(", ")
+    s"SELECT $sel FROM ($inner) __scl"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "c1_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
     "c2_input_filter" -> "SELECT upper(n_name) AS n_name FROM nation ORDER BY n_name",
@@ -517,7 +568,8 @@ object Queries {
       "SELECT r_regionkey AS region_regionkey, r_name AS region_name FROM region ORDER BY region_regionkey",
     "b8_renamekeys" -> "SELECT s_suppkey AS id, s_name AS name FROM supplier ORDER BY id",
     "b9_apply_elementwise" ->
-      "SELECT l_orderkey, list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+      scl("SELECT l_orderkey, list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+        "l_orderkey" -> "", "nums" -> "i"),
     "b10_apply_all_upper" ->
       "SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal, upper(c_mktsegment) AS c_mktsegment FROM customer ORDER BY c_custkey",
     "p1_sequential" ->
@@ -532,26 +584,34 @@ object Queries {
     "n1_flatten" ->
       "SELECT l_orderkey, l_linenumber AS nums FROM lineitem ORDER BY l_orderkey, nums",
     "n2_nest" ->
-      "WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 8) SELECT ordv, qty FROM g ORDER BY ordv[1]",
+      scl("WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 8) SELECT ordv, qty FROM g ORDER BY ordv[1]",
+        "ordv" -> "i", "qty" -> "d"),
     "n3_apply_as_flatten" ->
-      "SELECT list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+      scl("SELECT list_transform(list_sort(list(l_linenumber)), x -> x*2) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+        "nums" -> "i", "l_orderkey" -> ""),
     "n4_nested_inner_filter" ->
-      "SELECT list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey HAVING len(nums) > 0 ORDER BY l_orderkey",
+      scl("SELECT list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0) AS nums, l_orderkey FROM lineitem GROUP BY l_orderkey HAVING len(nums) > 0 ORDER BY l_orderkey",
+        "nums" -> "i", "l_orderkey" -> ""),
     "n5_nested_level2" ->
-      """WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS nums FROM lineitem GROUP BY 1),
+      scl("""WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS nums FROM lineitem GROUP BY 1),
         |b AS (SELECT l_orderkey, list_filter(list_transform(range(0, (len(nums)-1)//2 + 1), i -> nums[i*2+1:i*2+2]), x -> len(x) > 0) AS nn FROM a)
         |SELECT list_transform(nn, inner_l -> list_transform(inner_l, x -> x*2)) AS nn, l_orderkey FROM b ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+        "nn" -> "ii", "l_orderkey" -> ""),
     "n6_expand" ->
-      "SELECT r_regionkey, [r_name, r_name, r_name] AS r_name FROM region ORDER BY r_regionkey",
+      scl("SELECT r_regionkey, [r_name, r_name, r_name] AS r_name FROM region ORDER BY r_regionkey",
+        "r_regionkey" -> "", "r_name" -> "s"),
     "l1_collate" ->
-      "WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 16) SELECT ordv, qty FROM g ORDER BY ordv[1]",
+      scl("WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 16) SELECT ordv, qty FROM g ORDER BY ordv[1]",
+        "ordv" -> "i", "qty" -> "d"),
     "l2_decollate" ->
       "SELECT l_orderkey, l_linenumber AS nums, l_quantity AS qtys FROM lineitem ORDER BY l_orderkey, nums, qtys",
     "l3_first_eg" -> "SELECT * FROM region ORDER BY r_regionkey LIMIT 1",
     "l6_padding" ->
-      "WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS input_ids FROM lineitem GROUP BY 1), m AS (SELECT max(len(input_ids)) AS ml FROM a) SELECT l_orderkey, input_ids || list_transform(range(ml - len(input_ids)), x -> 0) AS input_ids FROM a, m ORDER BY l_orderkey",
+      scl("WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS input_ids FROM lineitem GROUP BY 1), m AS (SELECT max(len(input_ids)) AS ml FROM a) SELECT l_orderkey, input_ids || list_transform(range(ml - len(input_ids)), x -> 0) AS input_ids FROM a, m ORDER BY l_orderkey",
+        "l_orderkey" -> "", "input_ids" -> "i"),
     "l7_collate_field" ->
-      "WITH a AS (SELECT l_orderkey AS \"tok.idx\", list_sort(list(l_linenumber)) AS ids FROM lineitem GROUP BY 1), m AS (SELECT max(len(ids)) AS ml FROM a) SELECT \"tok.idx\", ids || list_transform(range(ml - len(ids)), x -> 0) AS \"tok.input_ids\", list_transform(ids, x -> 1) || list_transform(range(ml - len(ids)), x -> 0) AS \"tok.attention_mask\" FROM a, m ORDER BY \"tok.idx\"",
+      scl("WITH a AS (SELECT l_orderkey AS \"tok.idx\", list_sort(list(l_linenumber)) AS ids FROM lineitem GROUP BY 1), m AS (SELECT max(len(ids)) AS ml FROM a) SELECT \"tok.idx\", ids || list_transform(range(ml - len(ids)), x -> 0) AS \"tok.input_ids\", list_transform(ids, x -> 1) || list_transform(range(ml - len(ids)), x -> 0) AS \"tok.attention_mask\" FROM a, m ORDER BY \"tok.idx\"",
+        "tok.idx" -> "", "tok.input_ids" -> "i", "tok.attention_mask" -> "i"),
     "u2_keep_columns" -> "SELECT p_partkey, p_name FROM part ORDER BY p_partkey",
     "u3_concat_rows" ->
       "SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region) ORDER BY r_regionkey",
@@ -612,9 +672,10 @@ object Queries {
         | UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u ORDER BY id""".stripMargin.replace("\n", " "),
     "l5_to_tensor" ->
-      "SELECT l_orderkey, CAST(list_sort(list(l_linenumber)) AS DOUBLE[]) AS nums FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+      scl("SELECT l_orderkey, CAST(list_sort(list(l_linenumber)) AS DOUBLE[]) AS nums FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+        "l_orderkey" -> "", "nums" -> "d"),
     "s3b_bm25_aux" ->
-      """WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |dl AS (SELECT doc_id, len(toks) AS len FROM c),
         |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
@@ -628,18 +689,20 @@ object Queries {
         |sc AS (SELECT qt.qid, post.doc_id AS idx,
         |  sum( qt.w * ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) / 2.0 AS score
         |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
-        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
         |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
         |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "m2s2_cached_dense" ->
-      """WITH v AS (SELECT vec_id, [list_sum(CAST(embedding AS DOUBLE[])),
+      scl("""WITH v AS (SELECT vec_id, [list_sum(CAST(embedding AS DOUBLE[])),
         |  list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1) * 0.1))] AS vec FROM embeddings),
         |qs AS (SELECT vec_id AS qid, vec AS qv FROM v WHERE vec_id < 8),
         |sc AS (SELECT qs.qid, v.vec_id AS idx, qs.qv[1]*v.vec[1] + qs.qv[2]*v.vec[2] AS score FROM qs CROSS JOIN v),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 5 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "ta_langid" ->
       """WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |sc AS (SELECT doc_id,
@@ -687,25 +750,61 @@ object Queries {
     "mm_media_meta" ->
       "SELECT doc_id, 'utf8-text' AS format, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "mm_decode_stub" ->
-      """SELECT doc_id, list_transform(range(0, 8), j ->
+      scl("""SELECT doc_id, list_transform(range(0, 8), j ->
         | round(list_avg(list_transform(range(j+1, length(text)+1, 8), i -> unicode(text[i]))) / 255, 4)) AS f
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        "doc_id" -> "", "f" -> "d"),
     "mm_frame_sample" ->
-      """SELECT doc_id,
+      scl("""SELECT doc_id,
         | list_transform(range(0, length(text), 64)[1:8], x -> x) AS offsets,
         | list_transform(range(0, length(text), 64)[1:8], o -> substr(text, o+1, 16)) AS chunks
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        "doc_id" -> "", "offsets" -> "i", "chunks" -> "s"),
     "m1_predict" ->
-      """SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
+      scl("""SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
+        "vec_id" -> "", "vector" -> "d"),
     "m2_predict_cached" ->
-      """SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
+      scl("""SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
+        "vec_id" -> "", "vector" -> "d"),
     "s2_dense_bruteforce" ->
-      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+      scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // identical to s2: with nprobe = nlist the IVF candidate set is total,
+    // so exact brute-force top-k is the oracle
+    "s1_ivf_dense" ->
+      scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "u1_take_subset" ->
+      "SELECT * FROM part ORDER BY (p_partkey * 2654435761) % 1000003, p_partkey LIMIT 500",
+    // replays SimHashDedupPipe(tokenHash=poly61) exhaustively: tokenId
+    // polynomial fold -> two multiply+rotate-xor mixing steps -> 61-bit
+    // per-bit majority votes -> all-pairs Hamming <= 3 (the banded pipe's
+    // recall is exact there by pigeonhole over 4x16-bit bands)
+    "dd_simhash" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)
+        | UNION ALL SELECT doc_id+20000, text FROM documents WHERE doc_id < 30),
+        |tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM planted),
+        |ids AS (SELECT doc_id, list_transform(toks, t -> list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003)) AS l FROM tok),
+        |s0 AS (SELECT doc_id, list_transform(l, x -> x*2097169 + 12345) AS l FROM ids),
+        |s1 AS (SELECT doc_id, list_transform(l, x -> xor(x, (x % 1073741824) * 2147483648 + x // 1073741824)) AS l FROM s0),
+        |s2 AS (SELECT doc_id, list_transform(l, x -> (x*3 + 7) % 2305843009213693951) AS l FROM s1),
+        |sg AS (SELECT doc_id, list_transform(l, x -> xor(x, (x % 17592186044416) * 131072 + x // 17592186044416)) AS sigs FROM s2),
+        |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 61), b ->
+        |  CASE WHEN list_sum(list_transform(sigs, s -> CASE WHEN (s // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sim FROM sg)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "s3_bm25" ->
-      """WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |dl AS (SELECT doc_id, len(toks) AS len FROM c),
         |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
@@ -715,28 +814,31 @@ object Queries {
         |sc AS (SELECT qt.qid, post.doc_id AS idx,
         |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
         |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
-        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
         |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
         |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s4_group_lookup" ->
-      """WITH li AS (SELECT l_orderkey AS gid, l_orderkey*10+l_linenumber AS rid FROM lineitem),
+      scl("""WITH li AS (SELECT l_orderkey AS gid, l_orderkey*10+l_linenumber AS rid FROM lineitem),
         |lk AS (SELECT gid, list_sort(list(rid)) AS members FROM li GROUP BY gid),
         |q AS (SELECT o_orderkey AS qid FROM orders WHERE o_orderkey < 200),
         |j AS (SELECT qid, coalesce(members[1:8], []) AS m FROM q LEFT JOIN lk ON qid = gid)
         |SELECT qid, m || list_transform(range(8 - len(m)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | list_transform(m, x -> 0.0) || list_transform(range(8 - len(m)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM j ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s5_topk" ->
-      """WITH x AS (SELECT l_orderkey AS qid, CAST(l_linenumber AS BIGINT) AS idx, l_quantity AS score FROM lineitem),
+      scl("""WITH x AS (SELECT l_orderkey AS qid, CAST(l_linenumber AS BIGINT) AS idx, l_quantity AS score FROM lineitem),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM x),
         |g AS (SELECT qid, list(idx ORDER BY r) AS li, list(score ORDER BY r) AS ls FROM rk WHERE r <= 3 GROUP BY qid)
         |SELECT qid, li || list_transform(range(3 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | ls || list_transform(range(3 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s6_merge_engines" ->
-      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10),
+      scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
         |d5 AS (SELECT qid, idx, score FROM (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc) WHERE r <= 5),
         |l5 AS (SELECT qs.qid, e.vec_id AS idx FROM qs JOIN embeddings e ON qs.label = e.label QUALIFY row_number() OVER (PARTITION BY qs.qid ORDER BY e.vec_id) <= 5),
@@ -746,35 +848,40 @@ object Queries {
         |fin AS (SELECT m.qid, CAST(m.idx AS BIGINT) AS idx, m.soff + mins.mn AS score FROM merged m JOIN mins USING(qid)),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM fin)
         |SELECT qid, list(idx ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 5 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s8_index_cascade" ->
-      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+      scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s8b_index_builder" ->
-      """WITH v AS (SELECT vec_id, [list_sum(CAST(embedding AS DOUBLE[])),
+      scl("""WITH v AS (SELECT vec_id, [list_sum(CAST(embedding AS DOUBLE[])),
         |  list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1) * 0.1))] AS vec FROM embeddings),
         |qs AS (SELECT vec_id AS qid, vec AS qv FROM v WHERE vec_id < 8),
         |sc AS (SELECT qs.qid, v.vec_id AS idx, qs.qv[1]*v.vec[1] + qs.qv[2]*v.vec[2] AS score FROM qs CROSS JOIN v),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 3 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "t3_field_collate" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      scl("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |ids AS (SELECT doc_id, list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003) AS INT)) AS l FROM t),
         |m AS (SELECT max(len(l)) AS ml FROM ids)
         |SELECT doc_id,
         | l || list_transform(range(ml - len(l)), x -> 0) AS "doc.input_ids",
         | list_transform(l, x -> 1) || list_transform(range(ml - len(l)), x -> 0) AS "doc.attention_mask"
         |FROM ids, m ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        "doc_id" -> "", "doc.input_ids" -> "i", "doc.attention_mask" -> "i"),
     "t1_tokenizer" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+      scl("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT doc_id,
         | list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003) AS INT)) AS input_ids,
         | list_transform(toks, t -> 1) AS attention_mask,
         | list_transform(range(1, len(toks)+1), i -> [CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0) AS INT), CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0)+length(toks[i]) AS INT)]) AS offset_mapping
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        "doc_id" -> "", "input_ids" -> "i", "attention_mask" -> "i", "offset_mapping" -> "ii"),
     "t2_passages" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+      scl("""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, text,
         | list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), j -> CAST(unicode(t[j]) AS BIGINT))), (h,c) -> (h*31+c)%1000003) AS INT)) AS ids,
         | list_transform(range(1, len(toks)+1), j -> [CAST(coalesce(list_sum(list_transform(toks[1:j-1], s -> length(s)+1)),0) AS INT), CAST(coalesce(list_sum(list_transform(toks[1:j-1], s -> length(s)+1)),0)+length(toks[j]) AS INT)]) AS om
@@ -794,11 +901,12 @@ object Queries {
         | list_transform(range(0, 24), pp -> CASE WHEN pp >= 1 + lp AND pp < 1 + lp + (22 - lp - 4) AND pp < sl + 2 THEN 1 ELSE 0 END) AS passage_mask,
         | text[(list_min(list_filter(flatten(om[i+1:i+sl]), v -> v >= 0)) + 1):list_max(flatten(om[i+1:i+sl]))] AS text
         |FROM p ORDER BY doc_id, passage_idx""".stripMargin.replace("\n", " "),
+        "doc_id" -> "", "passage_idx" -> "", "input_ids" -> "i", "attention_mask" -> "i", "offset_mapping" -> "ii", "passage_mask" -> "i", "text" -> ""),
     "ev_window_agg" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
-        |  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
         |       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS ns
         | FROM events),
         |s AS (SELECT user_id, ts,

@@ -58,25 +58,52 @@ object DedupOps {
     arrTransform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(arrTransform(shingles, x => xxhash64(x, s))))
 
-  /** 64-bit SimHash over token xxhash64 values: bit b is set when the
+  /** 64-bit SimHash over per-token hash values: bit b is set when the
     * weighted bit-b sum over tokens is positive.
     *
     * Single pass over the tokens: one aggregate carries a 64-counter
-    * accumulator, each token contributing ±1 per bit via its binary
-    * string decomposition. (The naive per-bit formulation — 64 separate
-    * aggregates — duplicates the token-hash array expression 64 times
-    * per row and ran ~4x slower.)
+    * accumulator, each token contributing ±1 per bit via arithmetic
+    * mask tests against the per-bit power table. (The naive per-bit
+    * formulation — 64 separate aggregates — duplicates the token-hash
+    * array 64 times per row and ran ~4x slower; an earlier
+    * split(lpad(bin(h))) string decomposition churned ~70 chars of
+    * string per token and was the top remaining cost in dd_simhash.)
     */
-  def simhash64(tokens: Column): Column = {
-    val th = arrTransform(tokens, t => xxhash64(t))
+  def simhash64(tokens: Column,
+      hashFn: Column => Column = xxhash64(_)): Column = {
+    val th = arrTransform(tokens, hashFn)
     val zeros = typedLit(Seq.fill(64)(0L))
     val powers = typedLit(Seq.tabulate(64)(b => 1L << b))
     val votes = aggregate(th, zeros, (acc, h) =>
-      zip_with(acc,
-        reverse(filter(split(lpad(bin(h), 64, "0"), ""), c => length(c) > 0)),
-        (a, c) => a + when(c === lit("1"), 1L).otherwise(-1L)))
+      zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
     aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Rotate-left of a 61-bit value by k (integer shifts only — exact in
+    * any engine with 64-bit integer arithmetic).
+    */
+  private def rotl61(x: Column, k: Int): Column =
+    shiftleft(x.bitwiseAND(lit((1L << (61 - k)) - 1)), k) +
+      shiftrightunsigned(x, 61 - k)
+
+  /** Engine-reproducible 61-bit token signature: the Tokenizer.tokenId
+    * polynomial char fold ((h*31+cp) mod 1000003, seed 7) widened by two
+    * multiply + rotate-xor mixing steps, all in integer arithmetic a
+    * DuckDB lambda replays bit-for-bit (xxhash64 has no DuckDB twin, so
+    * gate oracles use this hash; recall properties are equivalent).
+    * Bits 61-63 are always zero — their simhash votes are uniformly -1,
+    * so they never set, which both engines agree on.
+    */
+  def polySig61(t: Column): Column = {
+    val chars = filter(split(t, ""), c => length(c) > 0)
+    val id = aggregate(chars, lit(7L),
+      (h, c) => pmod(h * lit(31L) + ascii(c).cast("long"), lit(1000003L)))
+    val s0 = id * lit(2097169L) + lit(12345L)
+    val s1 = s0.bitwiseXOR(rotl61(s0, 31))
+    val s2 = pmod(s1 * lit(3L) + lit(7L), lit((1L << 61) - 1L))
+    s2.bitwiseXOR(rotl61(s2, 17))
   }
 
   /** Connected components over an undirected pair graph `(id_a, id_b)` by
@@ -110,6 +137,10 @@ object DedupOps {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter rounds ($changed labels still changing) — a component " +
+        "with diameter > maxIter is split; raise maxIter")
     labels
   }
 
@@ -130,9 +161,13 @@ object DedupOps {
 case class ExactDedupPipe(keys: Seq[String], idCol: String) extends Pipe {
   override def params = Map("keys" -> keys.sorted.mkString(","), "id" -> idCol)
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    // Group by (hash, keys), not hash alone: at billions of rows a 64-bit
+    // collision would silently merge distinct content (birthday bound ~50%
+    // near 5B rows). The hash still drives partitioning/compare cost; the
+    // raw keys only break collision ties.
     val h = xxhash64(keys.map(qcol): _*)
     df.withColumn("__h__", h)
-      .groupBy("__h__")
+      .groupBy(col("__h__") +: keys.map(qcol): _*)
       .agg(
         min_by(struct(df.columns.map(qcol): _*), qcol(idCol)).as("__rep__"),
         count(lit(1)).as("dup_count"))
@@ -203,14 +238,17 @@ case class MinHashLSHDedupPipe(
 case class SimHashDedupPipe(
     textCol: String,
     idCol: String,
-    maxHamming: Int = 3) extends Pipe {
+    maxHamming: Int = 3,
+    tokenHash: String = "xxhash64") extends Pipe {
   override def params = Map("text" -> textCol, "id" -> idCol,
-    "maxHamming" -> maxHamming.toString)
+    "maxHamming" -> maxHamming.toString, "tokenHash" -> tokenHash)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val hf: Column => Column =
+      if (tokenHash == "poly61") DedupOps.polySig61 else xxhash64(_)
     val withSim = df.select(
       qcol(idCol).cast("long").as("id"),
-      DedupOps.simhash64(split(trim(qcol(textCol)), "\\s+")).as("sim"))
+      DedupOps.simhash64(split(trim(qcol(textCol)), "\\s+"), hf).as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(0xFFFFL)): _*))

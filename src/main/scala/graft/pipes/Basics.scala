@@ -22,8 +22,10 @@ case class IdentityPipe() extends Pipe {
   * not content-hashable (same caveat as dill in the reference) — callers give
   * a stable `tag` that stands in for it in the fingerprint.
   */
-case class LambdaPipe(f: DataFrame => DataFrame, tag: String) extends Pipe {
-  override def params = Map("tag" -> tag)
+case class LambdaPipe(f: DataFrame => DataFrame, tag: String,
+    isUpdate: Boolean = false) extends Pipe {
+  override def params = Map("tag" -> tag, "isUpdate" -> isUpdate.toString)
+  override def update: Boolean = isUpdate
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = f(df)
 }
 

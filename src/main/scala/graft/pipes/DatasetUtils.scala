@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   * different sequence (documented divergence, SURVEY §7.4 risk 3).
   */
 case class TakeSubset(n: Option[Long] = None, fraction: Option[Double] = None,
-    seed: Long = 0L) extends Pipe {
+    seed: Long = 0L, hashKey: Option[String] = None) extends Pipe {
   override def params = Map("n" -> n.mkString, "fraction" -> fraction.mkString,
-    "seed" -> seed.toString)
+    "seed" -> seed.toString, "hashKey" -> hashKey.mkString)
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame =
     (n, fraction) match {
+      // hashKey: engine-independent deterministic subset — pseudo-shuffle
+      // by a multiplicative hash of a unique key (reproducible in any SQL
+      // engine, unlike rand(seed) which is tied to Spark's partitioning).
+      case (Some(count), _) if hashKey.isDefined =>
+        val k = qcol(hashKey.get)
+        df.orderBy(pmod(k * lit(2654435761L), lit(1000003L)), k)
+          .limit(count.toInt)
       case (Some(count), _) => df.orderBy(rand(seed)).limit(count.toInt)
       case (_, Some(f)) => df.sample(withReplacement = false, f, seed)
       case _ => df

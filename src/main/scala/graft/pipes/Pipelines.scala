@@ -46,12 +46,16 @@ object SequentialPipe {
   * join was both a correctness hazard under shuffling branches and a
   * codegen-exiting scale-killer; gone):
   *
-  *   - FAST PATH (all branches `update`): chain the branches onto one frame,
-  *     evaluating each branch's `inputFilter`/keys against the ORIGINAL
-  *     column universe via [[Pipe.applyWithUniverse]]. Update pipes only
-  *     READ their keys and OVERLAY their outputs, so chaining equals
-  *     per-branch-on-a-copy semantics — one whole-stage-codegen select
-  *     stack, zero shuffles, zero caching.
+  *   - FAST PATH (all branches `update`): one select stack, zero joins,
+  *     zero shuffles — with true per-branch-on-a-copy reads. The original
+  *     column values ride in hidden `__pp_orig__` slots; every branch sees
+  *     the universe names rebound to those originals (so a branch NEVER
+  *     reads an earlier branch's overlay — the reference hands each
+  *     Parallel branch a copy of the input batch, pipelines.py:111-142);
+  *     a branch's written columns (detected by canonical-plan comparison
+  *     against its presented input) move to hidden `__pp_w__` slots, later
+  *     writers overwriting earlier ones, and the final select stitches
+  *     originals + last-writer values back under the real names.
   *
   *   - GENERAL PATH: stamp a row id, run each branch on the stamped frame,
   *     and equi-join branch outputs back by id. Branches must carry
@@ -60,11 +64,44 @@ object SequentialPipe {
   *     AQE pick the physical strategy at scale.
   */
 case class ParallelPipe(pipes: Seq[Pipe]) extends Pipe {
+  import ParallelPipe.{hid, wslot}
   override def children: Seq[Pipe] = pipes
+
+  /** Plan-time passthrough test: does `out`'s column `c` compute exactly
+    * `presented`'s column `c`? Compared on OPTIMIZED plans: `finish`
+    * re-aliases even passthrough columns, and only CollapseProject (run by
+    * the optimizer, not analysis) folds those pure alias chains away so
+    * canonical equality sees through them. No execution is triggered.
+    */
+  private def passthrough(presented: DataFrame, out: DataFrame, c: String): Boolean =
+    out.select(qcol(c)).queryExecution.optimizedPlan
+      .sameResult(presented.select(qcol(c)).queryExecution.optimizedPlan)
+
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
     val universe = df.columns.toSeq
     if (pipes.forall(_.update)) {
-      pipes.foldLeft(df)((acc, p) => p.applyWithUniverse(acc, universe))
+      var acc = df.select(universe.map(c => qcol(c).as(hid(c))): _*)
+      var written = Vector.empty[String]
+      for (p <- pipes) {
+        val presented = acc.select(
+          universe.map(c => col(hid(c)).as(c)) ++
+            universe.map(c => col(hid(c))) ++
+            written.map(n => col(wslot(n))): _*)
+        val out = p.applyWithUniverse(presented, universe)
+        val visible = out.columns.filterNot(_.startsWith("__pp_")).toSeq
+        val writes = visible.filter(c =>
+          !universe.contains(c) || !passthrough(presented, out, c))
+        written = written.filterNot(writes.contains) ++ writes
+        acc = out.select(
+          universe.map(c => col(hid(c))) ++
+            written.map(n =>
+              (if (writes.contains(n)) qcol(n) else col(wslot(n))).as(wslot(n))): _*)
+      }
+      val extras = written.filterNot(universe.contains)
+      acc.select(
+        universe.map(c =>
+          (if (written.contains(c)) col(wslot(c)) else col(hid(c))).as(c)) ++
+          extras.map(n => col(wslot(n)).as(n)): _*)
     } else {
       val rid = NestingOps.RowIdx
       val stamped = NestingOps.withRowIdx(df)
@@ -83,6 +120,8 @@ case class ParallelPipe(pipes: Seq[Pipe]) extends Pipe {
 
 object ParallelPipe {
   def of(pipes: Pipe*): ParallelPipe = ParallelPipe(pipes.toSeq)
+  private def hid(c: String) = s"__pp_orig__$c"
+  private def wslot(c: String) = s"__pp_w__$c"
 }
 
 /** P3 `Gate` (pipelines.py:145-196): schema-conditional routing with static

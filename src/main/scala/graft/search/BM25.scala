@@ -41,6 +41,13 @@ case class BM25Engine(
     scaleAuxWeightByLengths: Boolean = true,
     temperature: Option[Double] = None,
     filterKey: Option[String] = None,
+    /** Round scores to this many decimals BEFORE ranking. BM25 sums
+      * per-term contributions whose float addition order is engine-
+      * dependent; ulp-level divergence reorders candidates whose scores
+      * tie at any sane precision. Rounding makes the ranking (and an
+      * external oracle's) deterministic; tie-break is by ascending idx.
+      */
+    roundScores: Option[Int] = None,
     /** When set, build-side statistics persist as parquet under
       * `stateDir/<hash(corpusFingerprint, engine fingerprint, frame)>`
       * and later engine instances load instead of recomputing — the
@@ -54,7 +61,7 @@ case class BM25Engine(
   override def params = Map("k" -> config.k.toString, "k1" -> k1.toString,
     "b" -> b.toString, "auxWeight" -> auxWeight.toString,
     "temperature" -> temperature.mkString, "filterKey" -> filterKey.mkString,
-    "engine" -> "bm25")
+    "roundScores" -> roundScores.mkString, "engine" -> "bm25")
 
   /** Whitespace tokens with punctuation stripped (reference `_tokenize`). */
   def tokens(text: Column): Column =
@@ -151,7 +158,9 @@ case class BM25Engine(
       .agg(sum("score").as("score"))
     val tempered = temperature.fold(summed)(t =>
       summed.withColumn("score", col("score") / t))
-    SearchEngine.collapseTopK(stamped, tempered, rowId, config.k)
+    val ranked = roundScores.fold(tempered)(p =>
+      tempered.withColumn("score", round(col("score"), p)))
+    SearchEngine.collapseTopK(stamped, ranked, rowId, config.k)
   }
 
   private def stripField(fk: String): String =

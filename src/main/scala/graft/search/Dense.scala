@@ -7,18 +7,29 @@ import org.apache.spark.sql.functions._
 /** S2 brute-force dense search (reference `TorchVectorBase`,
   * warp_pipes/search/vector_base/torch.py:20-111: `scores = q @ V.T; topk`).
   *
-  * The corpus `(idx, vector)` is broadcast-joined against the query frame
-  * (small-dim side broadcast; Spark falls back to shuffle join when the
-  * corpus outgrows the broadcast threshold), scored with a double-precision
-  * dot product, and collapsed to top-k per query. This is the exactness
-  * oracle for [[IVFDenseEngine]] — mirroring the reference, where the torch
-  * matmul path is the correctness oracle for FAISS
-  * (tests/search/test_dense.py:27-34).
+  * The corpus `(idx, vector)` is cross-joined against the query frame —
+  * broadcast only while the corpus is under [[BruteForceDenseEngine
+  * .BroadcastRowCap]] rows (an explicit broadcast() hint is honored
+  * regardless of size, so an unconditional hint would OOM the driver on a
+  * large corpus; above the cap the plan degrades to a partitioned
+  * cartesian, which is correct but quadratic — use [[IVFDenseEngine]]
+  * there). Scored with a double-precision dot product and collapsed to
+  * top-k per query. This is the exactness oracle for [[IVFDenseEngine]] —
+  * mirroring the reference, where the torch matmul path is the
+  * correctness oracle for FAISS (tests/search/test_dense.py:27-34).
   *
   * Query vectors ride in column `{queryField}.vector` (the reference
   * fetches them from the vector cache by row idx; the Spark-first
   * equivalent is a column materialized by the Predict pipe).
   */
+object BruteForceDenseEngine {
+  /** Max corpus rows to broadcast (~tens of MB at typical embedding dims).
+    * Above the cap the cross join runs partitioned — correct but
+    * quadratic; use [[IVFDenseEngine]] for large corpora.
+    */
+  val BroadcastRowCap: Long = 500000L
+}
+
 case class BruteForceDenseEngine(
     corpus: DataFrame,
     config: SearchConfig = SearchConfig(),
@@ -33,9 +44,11 @@ case class BruteForceDenseEngine(
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val qv = qcol(s"${config.queryField}.vector")
-    val c = broadcast(corpus.select(
+    val cSel = corpus.select(
       col(corpusIdxCol).cast("long").as("idx"),
-      col(corpusVecCol).as("__cv__")))
+      col(corpusVecCol).as("__cv__"))
+    val c =
+      if (n <= BruteForceDenseEngine.BroadcastRowCap) broadcast(cSel) else cSel
     val exploded = stamped
       .select(col(rowId), qv.as("__qv__"))
       .crossJoin(c)

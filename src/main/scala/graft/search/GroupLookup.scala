@@ -45,9 +45,13 @@ case class GroupLookupEngine(
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val qGroup = qcol(s"${config.queryField}.$groupKey")
+    // No broadcast hint: the lookup is O(n_groups x avg members) — corpus-
+    // sized — and an explicit hint is honored regardless of size, which
+    // would OOM the driver at the 100 TB design point. A plain equi-join
+    // lets AQE broadcast small lookups and shuffle large ones.
     val joined = stamped
       .select(col(rowId), qGroup.as("__gid__"))
-      .join(broadcast(lookup), Seq("__gid__"), "left")
+      .join(lookup, Seq("__gid__"), "left")
       .select(col(rowId),
         slice(coalesce(col("__members__"), array().cast("array<long>")),
           1, config.k).as("__new_idx__"))

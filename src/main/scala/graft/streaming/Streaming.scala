@@ -17,8 +17,11 @@ object EventStream {
   /** Batch read of the events table (TIMESTAMP(NANOS) downcast to micros). */
   def readBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not double `/`: epoch-nanos ~1.7e18 exceeds a double's
+    // 53-bit mantissa, so (ts / 1000).cast("long") could be off by ±1 us;
+    // DuckDB truncates ns->us exactly and the oracle must agree.
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Streaming read over a directory of event parquet files. The schema is
@@ -70,9 +73,14 @@ case class SessionizePipe(
     "gap" -> gapSeconds.toString)
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(qcol(keyCol)).orderBy(qcol(tsCol))
-    val gap = unix_timestamp(qcol(tsCol)) - lag(unix_timestamp(qcol(tsCol)), 1)
-      .over(w)
-    val newSession = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    // exact microseconds: unix_timestamp() truncates to whole seconds, so a
+    // gap straddling the threshold only when fractions count would split
+    // sessions differently from a fractional-epoch oracle (round-2 hash
+    // fail). Ties on equal ts are harmless: gap 0 never opens a session.
+    val us = unix_micros(qcol(tsCol))
+    val gap = us - lag(us, 1).over(w)
+    val newSession =
+      when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0)
     df.withColumn("session_idx",
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
