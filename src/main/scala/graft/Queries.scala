@@ -65,6 +65,16 @@ object Queries {
       CachedStage.through(pipe, "/tmp/graft-cache", s"nation@$d")(t(s, d, "nation"))
         .orderBy("n_regionkey")
     }),
+    "c9_dataset_dict" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.core.DatasetDict.of(
+        "open" -> o.filter(col("o_orderstatus") === "O"),
+        "done" -> o.filter(col("o_orderstatus") === "F"))
+        .transform(ApplyToCols(_ * 2, "x2", Seq("o_totalprice")))
+        .toDF("split")
+        .select("split", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey", "split")
+    }),
     "c7_condition_filter" -> ((s, d) =>
       FilterKeys(Contains("name") || HasPrefix("n_nation"))(t(s, d, "nation"))
         .orderBy("n_nationkey")),
@@ -487,6 +497,9 @@ object Queries {
           col("event_type"), col("cnt"), col("sv"))
         .orderBy("ws", "event_type")
     }),
+    "ev_stream_window" -> ((s, d) =>
+      graft.streaming.EventStream.runWindowedAggStream(s, d)
+        .orderBy("ws", "event_type")),
     "ev_sessionize" -> ((s, d) =>
       graft.streaming.SessionizePipe(gapSeconds = 1800)(
         graft.streaming.EventStream.readBatch(s, d))
@@ -558,6 +571,10 @@ object Queries {
     "c4_cached_stage" ->
       "SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
     "c7_condition_filter" -> "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "c9_dataset_dict" ->
+      """SELECT 'done' AS split, o_orderkey, o_totalprice*2 AS o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT 'open', o_orderkey, o_totalprice*2 FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey, split""".stripMargin.replace("\n", " "),
     "c8_gate_true" -> "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_custkey",
     "b3_getkey" -> "SELECT p_name FROM part ORDER BY p_name",
     "b5_dropkeys" ->
@@ -903,6 +920,10 @@ object Queries {
         |FROM p ORDER BY doc_id, passage_idx""".stripMargin.replace("\n", " "),
         "doc_id" -> "", "passage_idx" -> "", "input_ids" -> "i", "attention_mask" -> "i", "offset_mapping" -> "ii", "passage_mask" -> "i", "text" -> ""),
     "ev_window_agg" ->
+      "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
+    // same oracle as ev_window_agg — the Spark side runs a real
+    // StreamingQuery (file source -> memory sink) instead of the batch plan
+    "ev_stream_window" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, ts,

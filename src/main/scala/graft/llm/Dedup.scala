@@ -246,9 +246,29 @@ case class SimHashDedupPipe(
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val hf: Column => Column =
       if (tokenHash == "poly61") DedupOps.polySig61 else xxhash64(_)
-    val withSim = df.select(
-      qcol(idCol).cast("long").as("id"),
-      DedupOps.simhash64(split(trim(qcol(textCol)), "\\s+"), hf).as("sim"))
+    // Relational simhash instead of the per-row HOF fold: token signatures
+    // come from a distinct-token dimension (the char-fold hash is
+    // interpreted higher-order-function work — evaluating it once per
+    // DISTINCT token instead of once per occurrence is ~10x at natural
+    // token repetition; for xxhash64 it is still free), and the 64
+    // per-bit vote sums are plain codegen'd aggregates. Costs one
+    // distinct + join (AQE broadcasts small vocabularies) + one groupBy;
+    // buys whole-stage codegen for the entire per-occurrence path.
+    val toks = df.select(qcol(idCol).cast("long").as("id"),
+      explode(split(trim(qcol(textCol)), "\\s+")).as("__tok__"))
+    val dict = toks.select("__tok__").distinct()
+      .withColumn("__sig__", hf(col("__tok__")))
+    val joined = toks.join(dict, Seq("__tok__"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("__sig__"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$b"))
+    val votes = joined.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    // bits are disjoint, so summing the selected powers equals bitwise OR
+    val simExpr = (0 until 64).map(b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    // (not localCheckpoint-ed: the band self-join's two reads dedupe via
+    // ReusedExchange; an eager checkpoint measured slower)
+    val withSim = votes.select(col("id"), simExpr.as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(0xFFFFL)): _*))

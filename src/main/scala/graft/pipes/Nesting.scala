@@ -79,18 +79,23 @@ object NestingOps {
     import org.apache.spark.sql.expressions.Window
     val pid = "__pid__"
     val ppos = "__ppos__"
-    val parted = df.repartitionByRange(qcol(orderCol)).sortWithinPartitions(qcol(orderCol))
+    // no explicit sortWithinPartitions: the rank window's required
+    // (pid, orderCol) ordering sorts once; an explicit pre-sort made the
+    // executor sort every partition twice (round-3 fusion)
+    val parted = df.repartitionByRange(qcol(orderCol))
       .withColumn(pid, spark_partition_id())
-    val withPos = parted.withColumn(ppos,
-      row_number().over(Window.partitionBy(pid).orderBy(qcol(orderCol))) - 1)
-    // numPartitions-row aggregate: exclusive prefix-sum of partition counts.
-    // The single-partition window below is over ~#partitions rows — trivial.
-    val offsets = withPos.groupBy(pid).agg(count(lit(1)).as("__cnt__"))
+    // numPartitions-row aggregate: exclusive prefix-sum of partition
+    // counts, computed from the bare partition (counts don't depend on
+    // positions, so this branch skips the rank window's sort entirely).
+    // The single-partition window below is over ~#partitions rows.
+    val offsets = parted.groupBy(pid).agg(count(lit(1)).as("__cnt__"))
       .withColumn("__off__", coalesce(
         sum("__cnt__").over(
           Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col(pid), col("__off__"))
+    val withPos = parted.withColumn(ppos,
+      row_number().over(Window.partitionBy(pid).orderBy(qcol(orderCol))) - 1)
     withPos.join(broadcast(offsets), pid)
       .withColumn(rankCol, col(ppos) + col("__off__"))
       .drop(pid, ppos, "__off__")

@@ -24,15 +24,39 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Streaming read over a directory of event parquet files. The schema is
-    * pinned from a batch sample — required by streaming file sources.
+  /** Streaming read over the event parquet files. The schema must be
+    * pinned to the RAW file schema (ts = epoch-nanos long under
+    * nanosAsLong) — pinning the post-transform schema would make the
+    * parquet reader reject the nanos column — and the same ns->us
+    * downcast as [[readBatch]] is applied on top, so batch and stream
+    * plans see identical frames.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = readBatch(spark, dir).schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema)
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source only accepts directories; filter the
+    // events file out of the shared fixtures dir by name
+    spark.readStream.schema(raw)
       .format("parquet")
-      .load(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Execute the windowed aggregation as a REAL StreamingQuery (parquet
+    * file source -> memory sink, complete mode, one micro-batch) and
+    * return the result as a batch frame. The `ev_stream_window` gate query
+    * routes through this, so the driver's DuckDB oracle verifies the
+    * Structured Streaming path end-to-end, not just the batch twin.
+    */
+  def runWindowedAggStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "ev_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = WindowedEventAgg()(readStream(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 }
 

@@ -91,4 +91,25 @@ class CoreSpec extends SparkSpec {
     assert(computes == 1, "second call must not recompute")
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
+
+  test("DatasetDict applies a pipe per split and collapses with markers") {
+    import graft.pipes.ApplyToCols
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(sf("orders"))
+    val dict = DatasetDict.of(
+      "open" -> df.filter(col("o_orderstatus") === "O"),
+      "done" -> df.filter(col("o_orderstatus") === "F"))
+      .transform(ApplyToCols(_ * 2, "x2", Seq("o_totalprice")))
+    assert(dict.names == Seq("done", "open"))
+    val open = dict("open")
+    val expected = df.filter(col("o_orderstatus") === "O")
+      .select(org.apache.spark.sql.functions.sum(col("o_totalprice") * 2))
+      .collect()(0).getDouble(0)
+    val got = open.select(org.apache.spark.sql.functions.sum(col("o_totalprice")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-6)
+    val flat = dict.toDF("split")
+    assert(flat.columns.contains("split"))
+    assert(flat.count() == dict("open").count() + dict("done").count())
+  }
 }

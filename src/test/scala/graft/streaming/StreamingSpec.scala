@@ -68,4 +68,14 @@ class StreamingSpec extends SparkSpec {
     assert(closed(0) == ClosedSession(1, 0, 30 * m, 2))
     assert(closed(1) == ClosedSession(1, 200 * m, 200 * m, 1))
   }
+
+  test("file-source streaming run over real events parquet equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = WindowedEventAgg()(EventStream.readBatch(spark, dir))
+      .orderBy("ws", "event_type").collect().map(_.toString).toSeq
+    val stream = EventStream.runWindowedAggStream(spark, dir)
+      .orderBy("ws", "event_type").collect().map(_.toString).toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
 }
