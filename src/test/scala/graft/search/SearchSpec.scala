@@ -93,6 +93,28 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("PQ compresses to m codes per vector and keeps useful recall@10") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    val exact = BruteForceDenseEngine(corpus, cfg)(queries)
+      .select(col("qid"), col("`index.idx`")).as[(Long, Seq[Long])].collect().toMap
+    val pq = PQDenseEngine(corpus, m = 8, codebookSize = 64, config = cfg)
+    val approx = pq(queries)
+      .select(col("qid"), col("`index.idx`")).as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      exact(qid).toSet.intersect(approx(qid).toSet).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    // quantization loses precision by design; the memory win is 32x
+    // (8 int codes vs 64 floats) — recall must stay far above chance
+    // (10/500 = 0.02) to be a useful coarse filter
+    assert(recall >= 0.4, s"PQ recall@10 = $recall")
+    assert(pq.codes.columns.length == 1 + 8, "codes frame = idx + m codes")
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force") {
     // sf0.01: 500 vectors with 10 latent label clusters — the scale the
     // driver gate runs at (sf0.001's ~50 vectors make recall pure noise)
