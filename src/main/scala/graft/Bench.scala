@@ -41,12 +41,16 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times: the driver parses the JSON from a 2000-char stdout
+    // tail, and full-precision doubles pushed the line to ~2300 chars —
+    // the truncated head made BENCH_r{2,3} unparseable (parsed: null)
+    def f3(v: Double) = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${results.count(_._2 < 0)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${results.count(_._2 < 0)}}"""
     println(line)
     // stdout gets interleaved with sbt/spark noise; give the driver a
     // clean copy on disk too

@@ -38,6 +38,13 @@ def cells_equal(a, b):
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # the real driver hashes raw cell values, so int64 0 vs float64
+            # 0.0 (e.g. a DuckDB HUGEINT window-sum pandas-converts to
+            # float) is a HASH MISMATCH there even though it compares
+            # numerically equal here — flag the kind divergence loudly
+            if av.dtype.kind != bv.dtype.kind:
+                return False, (f"col {c}: dtype kind {av.dtype.kind} != "
+                               f"{bv.dtype.kind} (driver hash would differ)")
             av = av.astype(float)
             bv = bv.astype(float)
             same = (av == bv) | (np.isnan(av) & np.isnan(bv))
