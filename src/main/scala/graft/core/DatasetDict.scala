@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions.lit
   * until the caller asks for one).
   */
 case class DatasetDict(splits: Map[String, DataFrame]) {
+  require(splits.nonEmpty, "DatasetDict requires at least one split " +
+    "(toDF/names on an empty dict have no meaning)")
   def apply(split: String): DataFrame = splits(split)
   def names: Seq[String] = splits.keys.toSeq.sorted
 

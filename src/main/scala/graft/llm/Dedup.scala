@@ -256,8 +256,12 @@ case class SimHashDedupPipe(
     // per-bit vote sums are plain codegen'd aggregates. Costs one
     // distinct + join (AQE broadcasts small vocabularies) + one groupBy;
     // buys whole-stage codegen for the entire per-occurrence path.
+    // NULL text normalizes to "" (one empty token): explode of
+    // split(trim(null)) would DROP the row entirely, silently removing
+    // null-text docs from the candidate pool — with coalesce a null doc
+    // and an empty doc share a signature and pair up as exact near-dups
     val toks = df.select(qcol(idCol).cast("long").as("id"),
-      explode(split(trim(qcol(textCol)), "\\s+")).as("__tok__"))
+      explode(split(trim(coalesce(qcol(textCol), lit(""))), "\\s+")).as("__tok__"))
     val dict = toks.select("__tok__").distinct()
       .withColumn("__sig__", hf(col("__tok__")))
     val joined = toks.join(dict, Seq("__tok__"))

@@ -39,8 +39,11 @@ object SequentialPipe {
 
 /** P2 `Parallel` (pipelines.py:111-142): run each branch on the same input,
   * merge output columns. The reference asserts equal values on key
-  * conflicts; here later branches win on overlap (documented divergence —
-  * under the reference's own contract the values would be equal anyway).
+  * conflicts (pipelines.py:124-133); default here is later-writer-wins
+  * (documented divergence — under the reference's contract the values
+  * would be equal anyway), and `strict = true` restores the reference
+  * semantics with a LAZY per-row equality check (`raise_error` on
+  * disagreement) so plan construction stays action-free.
   *
   * Two lowerings (cf. round-1 verdict: the old RDD zipWithIndex positional
   * join was both a correctness hazard under shuffling branches and a
@@ -63,19 +66,27 @@ object SequentialPipe {
   *     fail fast with guidance. Joins shuffle, but correctly — broadcast /
   *     AQE pick the physical strategy at scale.
   */
-case class ParallelPipe(pipes: Seq[Pipe]) extends Pipe {
+case class ParallelPipe(pipes: Seq[Pipe], strict: Boolean = false) extends Pipe {
   import ParallelPipe.{hid, wslot}
   override def children: Seq[Pipe] = pipes
 
   /** Plan-time passthrough test: does `out`'s column `c` compute exactly
-    * `presented`'s column `c`? Compared on OPTIMIZED plans: `finish`
-    * re-aliases even passthrough columns, and only CollapseProject (run by
-    * the optimizer, not analysis) folds those pure alias chains away so
-    * canonical equality sees through them. No execution is triggered.
+    * `presented`'s column `c`? Cheap check first: if `out`'s attribute for
+    * `c` IS `presented`'s attribute (same exprId on the analyzed plans),
+    * the branch never touched it — no optimizer round needed. Only columns
+    * a branch rebuilt (re-aliased, rewritten) fall through to the
+    * optimized-plan comparison: `finish` re-aliases even passthrough
+    * columns, and only CollapseProject (run by the optimizer, not
+    * analysis) folds those pure alias chains away so canonical equality
+    * sees through them. No execution is triggered either way.
     */
-  private def passthrough(presented: DataFrame, out: DataFrame, c: String): Boolean =
-    out.select(qcol(c)).queryExecution.optimizedPlan
-      .sameResult(presented.select(qcol(c)).queryExecution.optimizedPlan)
+  private def passthrough(presented: DataFrame, out: DataFrame, c: String): Boolean = {
+    val pa = presented.queryExecution.analyzed.output.find(_.name == c)
+    val oa = out.queryExecution.analyzed.output.find(_.name == c)
+    (pa.nonEmpty && oa.nonEmpty && pa.get.exprId == oa.get.exprId) ||
+      out.select(qcol(c)).queryExecution.optimizedPlan
+        .sameResult(presented.select(qcol(c)).queryExecution.optimizedPlan)
+  }
 
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
     val universe = df.columns.toSeq
@@ -84,24 +95,39 @@ case class ParallelPipe(pipes: Seq[Pipe]) extends Pipe {
       var written = Vector.empty[String]
       for (p <- pipes) {
         val presented = acc.select(
-          universe.map(c => col(hid(c)).as(c)) ++
-            universe.map(c => col(hid(c))) ++
-            written.map(n => col(wslot(n))): _*)
+          universe.map(c => qcol(hid(c)).as(c)) ++
+            universe.map(c => qcol(hid(c))) ++
+            written.map(n => qcol(wslot(n))): _*)
         val out = p.applyWithUniverse(presented, universe)
         val visible = out.columns.filterNot(_.startsWith("__pp_")).toSeq
         val writes = visible.filter(c =>
           !universe.contains(c) || !passthrough(presented, out, c))
+        // reference Parallel asserts conflicting keys carry EQUAL values
+        // (pipelines.py:124-133); default here is later-writer-wins
+        // (documented divergence), strict=true restores the reference
+        // contract lazily: a row where two branches disagree raises at
+        // execution, so no eager comparison job runs at plan-build time
+        val conflicts = if (strict) writes.filter(written.contains) else Nil
         written = written.filterNot(writes.contains) ++ writes
         acc = out.select(
-          universe.map(c => col(hid(c))) ++
-            written.map(n =>
-              (if (writes.contains(n)) qcol(n) else col(wslot(n))).as(wslot(n))): _*)
+          universe.map(c => qcol(hid(c))) ++
+            written.map { n =>
+              val v =
+                if (!writes.contains(n)) qcol(wslot(n))
+                else if (conflicts.contains(n))
+                  when(qcol(n) <=> qcol(wslot(n)), qcol(n)).otherwise(raise_error(
+                    concat(lit(s"Parallel branches disagree on '$n': "),
+                      qcol(wslot(n)).cast("string"), lit(" vs "),
+                      qcol(n).cast("string"))))
+                else qcol(n)
+              v.as(wslot(n))
+            }: _*)
       }
       val extras = written.filterNot(universe.contains)
       acc.select(
         universe.map(c =>
-          (if (written.contains(c)) col(wslot(c)) else col(hid(c))).as(c)) ++
-          extras.map(n => col(wslot(n)).as(n)): _*)
+          (if (written.contains(c)) qcol(wslot(c)) else qcol(hid(c))).as(c)) ++
+          extras.map(n => qcol(wslot(n)).as(n)): _*)
     } else {
       val rid = NestingOps.RowIdx
       val stamped = NestingOps.withRowIdx(df)

@@ -51,6 +51,43 @@ class CoreSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("x", "s", "v", "y"))
   }
 
+  test("Parallel fast path handles dotted column names") {
+    // the repo's field convention prefixes columns like `doc.x`; the fast
+    // path's synthesized `__pp_orig__doc.x` slots must be read back
+    // backtick-quoted or col() parses the dot as a struct access
+    val in = AddPrefix("doc.")(batch)
+    assert(in.columns.toSeq == Seq("doc.x", "doc.s", "doc.v"))
+    val out = ParallelPipe.of(
+      ApplyToCols(_ * 2, "x2", Seq("doc.x")),
+      ApplyToCols(_ * 10, "x10", Seq("doc.v")))(in)
+    assert(out.columns.toSeq == Seq("doc.x", "doc.s", "doc.v"))
+    val r = out.select(Pipe.qcol("doc.x"), Pipe.qcol("doc.v"))
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((2, 100.0), (4, 200.0)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"fast path joined:\n${p.take(1000)}")
+  }
+
+  test("Parallel strict mode: equal duplicate writes pass, conflicts raise") {
+    val double = ApplyToCols(_ * 2, "dbl", Seq("x"))
+    val same = ParallelPipe(Seq(double, ApplyToCols(_ * 2, "dbl", Seq("x"))),
+      strict = true)(batch)
+    assert(same.select("x").as[Int].collect().sorted.toSeq == Seq(2, 4))
+    val conflict = ParallelPipe(Seq(double, ApplyToCols(_ * 3, "tpl", Seq("x"))),
+      strict = true)(batch)
+    val e = intercept[Exception] { conflict.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("disagree")), s"unexpected error: $e")
+    // default (non-strict) keeps later-writer-wins
+    val lenient = ParallelPipe(Seq(double, ApplyToCols(_ * 3, "tpl", Seq("x"))))(batch)
+    assert(lenient.select("x").as[Int].collect().sorted.toSeq == Seq(3, 6))
+  }
+
+  test("DatasetDict rejects an empty split map") {
+    intercept[IllegalArgumentException] { DatasetDict(Map.empty) }
+  }
+
   test("condition truth table") {
     import Condition._
     assert(HasPrefix("doc.")("doc.text"))

@@ -43,6 +43,14 @@ class LlmSpec extends SparkSpec {
     assert(found >= 20, s"found only $found/30 planted pairs")
   }
 
+  test("simhash keeps null-text docs: null pairs with empty doc at hamming 0") {
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = SimHashDedupPipe("text", "doc_id", maxHamming = 0)(df)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"null doc dropped from candidates: $pairs")
+  }
+
   test("decode stub: deterministic features with real partition plumbing") {
     val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
       .repartition(4)
