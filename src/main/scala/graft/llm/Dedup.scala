@@ -52,11 +52,23 @@ object DedupOps {
       size(array_union(a, b)).cast("double")
 
   /** MinHash signature: sig[s] = min over shingles of xxhash64(shingle, s),
-    * s = 0..numHashes-1.
+    * s = 0..numHashes-1. (HOF form — kept for array-typed callers; the
+    * LSH pipe uses the relational [[minhashPermutations]] instead, which
+    * whole-stage-codegens.)
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     arrTransform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(arrTransform(shingles, x => xxhash64(x, s))))
+
+  /** The `numHashes` MinHash re-hashes of one shingle-hash value as plain
+    * columns, for feeding through `min(...)` aggregates (fully codegen'd
+    * there — XxHash64 has doGenCode; inside a HOF lambda the same hash
+    * runs interpreted). Linear permutations a_s*x + b_s would be cheaper
+    * still, but mod-2^64 wraparound is an ARITHMETIC_OVERFLOW under
+    * ANSI mode (Spark 4 default), so each column is a seeded hash round.
+    */
+  def minhashPermutations(h: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(s => xxhash64(lit(s), h))
 
   /** 64-bit SimHash over per-token hash values: bit b is set when the
     * weighted bit-b sum over tokens is positive.
@@ -198,32 +210,46 @@ case class MinHashLSHDedupPipe(
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val r = numHashes / bands
-    // NB the shingle column `sh` is deliberately KEPT as an output of the
-    // projection that feeds the signature: pruning it lets Catalyst's
-    // CollapseProject inline the whole shingle expression inside the
-    // signature's outer lambda, re-evaluating shingling numHashes times
-    // per row (measured 21x slower). Carrying `sh` through the bucket
-    // join costs shuffle width but keeps shingling evaluated once.
-    val withSig = df.select(
+    // Relational lowering (same reasoning as the round-3 simhash rewrite):
+    //   1. explode shingle hashes -> (id, h) rows; the signature is 64
+    //      codegen'd min() aggregates over cheap linear permutations of h
+    //      (partial aggregation collapses to one 64-long buffer per doc
+    //      map-side, so the shuffle carries |docs|, not |shingles|, rows).
+    //      The old HOF form (array_min . transform per seed) evaluated a
+    //      seeded xxhash64 per (shingle, seed) INTERPRETED — HOF lambdas
+    //      never whole-stage-codegen.
+    //   2. band-bucket equi-join on (band, bh, id) ONLY — the previous
+    //      shape carried both docs' full shingle arrays through the
+    //      band explode, putting bands x sum(|sh|) array bytes through
+    //      the shuffle; candidates are now matched id-to-id first.
+    //   3. the few surviving candidates fetch their shingle sets back by
+    //      id (two joins against the slim (id, sh) projection) for the
+    //      lossless size prune + exact-Jaccard verify.
+    val base = df.select(
       qcol(idCol).cast("long").as("id"),
       DedupOps.shingleHashes(qcol(textCol), shingleSize).as("sh"))
-      .withColumn("sig", DedupOps.minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(arrTransform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
-    val left = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = left.join(right, Seq("band", "bh"))
+    val perms = DedupOps.minhashPermutations(col("h"), numHashes)
+    val sigs = base.select(col("id"), explode(col("sh")).as("h"))
+      .groupBy("id")
+      .agg(min(perms.head).as("__m0"),
+        perms.tail.zipWithIndex.map { case (p, i) => min(p).as(s"__m${i + 1}") }: _*)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until r).map(j => col(s"__m${b * r + j}")): _*)): _*))
+        .as(Seq("band", "bh")))
+    val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val withSets = pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     // lossless size prune: jaccard <= min(|A|,|B|)/max(|A|,|B|)
     val sa = size(col("sh_a")).cast("double")
     val sb = size(col("sh_b")).cast("double")
-    pairs
+    withSets
       .filter(least(sa, sb) >= lit(jaccardThreshold) * greatest(sa, sb))
       .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
