@@ -61,14 +61,26 @@ object DedupOps {
       s => array_min(arrTransform(shingles, x => xxhash64(x, s))))
 
   /** The `numHashes` MinHash re-hashes of one shingle-hash value as plain
-    * columns, for feeding through `min(...)` aggregates (fully codegen'd
-    * there — XxHash64 has doGenCode; inside a HOF lambda the same hash
-    * runs interpreted). Linear permutations a_s*x + b_s would be cheaper
-    * still, but mod-2^64 wraparound is an ARITHMETIC_OVERFLOW under
-    * ANSI mode (Spark 4 default), so each column is a seeded hash round.
+    * columns, for feeding through `min(...)` aggregates. Classic linear
+    * permutations pi_s(x) = (a_s*x + b_s) mod p over the Mersenne prime
+    * p = 2^31-1 (the construction Spark MLlib's MinHashLSH also uses):
+    * x is first folded to [0, p) so every product stays below 2^62 —
+    * safe under ANSI mode, where a raw mod-2^64 wraparound would raise
+    * ARITHMETIC_OVERFLOW. Coefficients come from a fixed-seed PRNG so
+    * signatures are deterministic across runs/engines. ~64 mul+add+mod
+    * per shingle beats 64 seeded xxhash64 rounds in both codegen and
+    * interpreted paths, and keeps the generated aggregate method small.
     */
-  def minhashPermutations(h: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(s => xxhash64(lit(s), h))
+  def minhashPermutations(h: Column, numHashes: Int): Seq[Column] = {
+    val p = 2147483647L // 2^31 - 1
+    val rnd = new scala.util.Random(0x5eed5eed)
+    val hp = pmod(h, lit(p))
+    (0 until numHashes).map { _ =>
+      val a = 1L + rnd.nextInt(Int.MaxValue - 1).toLong
+      val b = rnd.nextInt(Int.MaxValue).toLong
+      pmod(hp * lit(a) + lit(b), lit(p))
+    }
+  }
 
   /** 64-bit SimHash over per-token hash values: bit b is set when the
     * weighted bit-b sum over tokens is positive.
@@ -225,9 +237,30 @@ case class MinHashLSHDedupPipe(
     //   3. the few surviving candidates fetch their shingle sets back by
     //      id (two joins against the slim (id, sh) projection) for the
     //      lossless size prune + exact-Jaccard verify.
-    val base = df.select(
-      qcol(idCol).cast("long").as("id"),
-      DedupOps.shingleHashes(qcol(textCol), shingleSize).as("sh"))
+    //
+    // `base` and `banded` are eagerly localCheckpoint-ed (the same device
+    // connectedComponents uses): base feeds THREE consumers (the signature
+    // aggregate and both candidate fetch joins) and banded TWO (both sides
+    // of the band self-join, where the broadcast side defeats
+    // ReusedExchange). Without materialization each consumer re-runs the
+    // interpreted shingle HOF from the file scan — and the generator's
+    // inferred size(sh)>0 / isnotnull(sh) filter re-evaluates that same
+    // expression per row BEFORE the project, so the r4 plan paid the
+    // shingle pass ~8x. Checkpointed, each heavy pass runs exactly once
+    // over numeric-only rows ((id, long[]) ~ 8B/shingle, smaller than the
+    // text it came from; banded is 3 longs x bands per doc).
+    val slim = df.select(
+      qcol(idCol).cast("long").as("id"), qcol(textCol).as("__text__"))
+    // small inputs (a single parquet file at test SF) plan 1-2 input
+    // partitions, serializing the per-token shingle work on 2 of N cores;
+    // widen to the session's parallelism. Inputs already wider are left
+    // alone — at 100 TB the scan has thousands of partitions and this is
+    // a no-op, not a down-shuffle.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wide = if (slim.rdd.getNumPartitions < par) slim.repartition(par) else slim
+    val base = wide
+      .select(col("id"), DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
+      .localCheckpoint(true)
     val perms = DedupOps.minhashPermutations(col("h"), numHashes)
     val sigs = base.select(col("id"), explode(col("sh")).as("h"))
       .groupBy("id")
@@ -237,6 +270,7 @@ case class MinHashLSHDedupPipe(
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until r).map(j => col(s"__m${b * r + j}")): _*)): _*))
         .as(Seq("band", "bh")))
+      .localCheckpoint(true)
     val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))
