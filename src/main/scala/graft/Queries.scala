@@ -154,8 +154,19 @@ object Queries {
     }),
     "n6_expand" -> ((s, d) =>
       ExpandPipe(0, 3, Seq("r_name"))(t(s, d, "region")).orderBy("r_regionkey")),
+    "n7_nest_idx" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          NestingOps.nestIdx(col("l_orderkey"), col("l_linenumber"), 10)
+            .as("nest_idx"))
+        .orderBy("nest_idx")),
 
     // ----- collate (L1-L7) -----
+    "l4_apply_each" -> ((s, d) =>
+      ApplyToEachExample(ApplyToCols(_ * 2, "x2", Seq("l_quantity")),
+        checked = true)(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "l1_collate" -> ((s, d) =>
       CollatePipe(16, Seq("ordv", "qty"), "ordv")(liOrd(s, d))
         .orderBy(element_at(col("ordv"), 1))),
@@ -251,6 +262,24 @@ object Queries {
         graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")),
         corpusIdxCol = "doc_id", corpusTextCol = "text",
         roundScores = Some(4))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s3c_bm25_filter" -> ((s, d) => {
+      // filterKey path: candidates restricted to corpus docs whose `lang`
+      // equals the query's `query.lang` (the ES term-filter semantics:
+      // the filter prunes CANDIDATES; idf/avgdl statistics stay global)
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
+          col("lang").as("query.lang"))
+      val eng = graft.search.BM25Engine(docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        filterKey = Some("lang"), roundScores = Some(4))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -387,9 +416,17 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
     "dd_ngram_jaccard" -> ((s, d) =>
+      // scale-honest blocking: (lang, 8-char text prefix) — block
+      // CARDINALITY grows with the corpus (sorted-neighborhood style), so
+      // block sizes stay roughly constant at 100x, unlike lang x source
+      // whose fixed ~20 blocks grow linearly and go quadratic. Planted
+      // dups are tail edits, so they share the prefix block; head-edited
+      // dups are the documented recall tradeoff (MinHashLSH is the
+      // edit-position-robust path).
       graft.llm.NgramJaccardPipe("text", "doc_id", "blk", threshold = 0.3)(
         plantedNearDups(s, d)
-          .withColumn("blk", concat_ws("/", col("lang"), col("source"))))
+          .withColumn("blk",
+            concat_ws("/", col("lang"), substring(trim(col("text")), 1, 8))))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
     "dd_cosine_neardup" -> ((s, d) =>
@@ -617,6 +654,10 @@ object Queries {
     "n6_expand" ->
       scl("SELECT r_regionkey, [r_name, r_name, r_name] AS r_name FROM region ORDER BY r_regionkey",
         "r_regionkey" -> "", "r_name" -> "s"),
+    "n7_nest_idx" ->
+      "SELECT l_orderkey, l_linenumber, l_orderkey*10 + l_linenumber AS nest_idx FROM lineitem ORDER BY nest_idx",
+    "l4_apply_each" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity*2 AS l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "l1_collate" ->
       scl("WITH r2 AS (SELECT l_orderkey*10+l_linenumber AS ordv, l_quantity AS qty FROM lineitem), r3 AS (SELECT ordv, qty, (row_number() OVER (ORDER BY ordv) - 1) AS rn FROM r2), g AS (SELECT list(ordv ORDER BY rn) AS ordv, list(qty ORDER BY rn) AS qty FROM r3 GROUP BY rn // 16) SELECT ordv, qty FROM g ORDER BY ordv[1]",
         "ordv" -> "i", "qty" -> "d"),
@@ -651,9 +692,10 @@ object Queries {
         | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "dd_ngram_jaccard" ->
-      """WITH planted AS (SELECT doc_id, text, lang || '/' || source AS blk FROM documents UNION ALL
-        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' '), lang || '/' || source
-        | FROM (SELECT doc_id, string_split(text,' ') AS toks, lang, source FROM documents WHERE doc_id < 50)),
+      """WITH planted AS (SELECT doc_id, text, lang || '/' || substr(trim(text), 1, 8) AS blk FROM documents UNION ALL
+        | SELECT doc_id+10000, mtext, lang || '/' || substr(trim(mtext), 1, 8)
+        | FROM (SELECT doc_id, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS mtext, lang
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks, lang FROM documents WHERE doc_id < 50))),
         |sh AS (SELECT doc_id, blk, list_distinct(CASE WHEN len(toks) >= 3
         |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
         |  ELSE [text] END) AS s
@@ -831,6 +873,24 @@ object Queries {
         |sc AS (SELECT qt.qid, post.doc_id AS idx,
         |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
         |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "s3c_bm25_filter" ->
+      scl("""WITH c AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, lang AS qlang, toks[1:5] AS qtoks FROM c WHERE doc_id < 20),
+        |qt AS (SELECT qid, qlang, unnest(qtoks) AS term FROM q),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id
+        |  JOIN c cd ON post.doc_id = cd.doc_id AND cd.lang = qt.qlang CROSS JOIN tot GROUP BY 1,2),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
         |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
         |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",

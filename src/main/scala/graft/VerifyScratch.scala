@@ -55,6 +55,44 @@ object VerifyScratch {
     val rescansText = plan.contains("FileScan parquet")
     println(s"[4] checkpointed base in plan (rdd=$scansRdd, parquet=$rescansText) " +
       s"-> ${scansRdd && !rescansText}")
+
+    // 5. registry-built IVF-PQ end-to-end on real embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val qrs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+      queryIdCol = Some("qid"))
+    val hits = graft.search.AutoSearchEngine("ivf_pq", corpus, cfg)(qrs)
+      .select(col("qid"), col("`index.idx`")).collect()
+    val selfFound = hits.forall(r => r.getSeq[Long](1).contains(r.getLong(0)))
+    println(s"[5] ivf_pq by name, self in top-5 for all queries -> $selfFound")
+
+    // 6. ngram block-cap guard trips lazily on a hot block
+    val hot = docs.select(col("doc_id"), col("text"), lit("one").as("blk"))
+    val guarded = graft.llm.NgramJaccardPipe("text", "doc_id", "blk",
+      maxBlockRows = Some(5L))(hot) // plan-build must not throw
+    val tripped =
+      try { guarded.count(); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => Option(t.getMessage).exists(_.contains("maxBlockRows"))) }
+    println(s"[6] ngram block cap raises at execution -> $tripped")
+
+    // 7. TakeSubset small-n topK + large-n prefilter agree (hashKey mode)
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val small = graft.pipes.TakeSubset(n = Some(30), hashKey = Some("p_partkey"))(part)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.sql.execution.topKSortFallbackThreshold", "5")
+    val large = graft.pipes.TakeSubset(n = Some(30), hashKey = Some("p_partkey"))(part)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.sql.execution.topKSortFallbackThreshold", "10000")
+    println(s"[7] subset paths select identical sets -> ${small == large}")
+
+    // 8. SearchResult.append stacks batches
+    val appended = graft.search.SearchResultOps.append(
+      qrs.limit(2), qrs.limit(3))
+    println(s"[8] append rows 2+3 -> ${appended.count() == 5}")
     spark.stop()
   }
 }

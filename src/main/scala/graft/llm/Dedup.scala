@@ -362,18 +362,41 @@ case class NgramJaccardPipe(
     idCol: String,
     blockCol: String,
     shingleSize: Int = 3,
-    threshold: Double = 0.1) extends Pipe {
+    threshold: Double = 0.1,
+    /** Fail fast (at execution, lazily) when any block exceeds this many
+      * rows: an m-row block scores m^2/2 pairs, so one hot block — a
+      * stopword prefix, an empty-language bucket — can quietly turn the
+      * job quadratic at scale. The check costs one small aggregate on the
+      * block column (the pairs join shuffles by `blk` anyway). None
+      * disables; callers who legitimately want huge blocks opt out.
+      */
+    maxBlockRows: Option[Long] = Some(100000L)) extends Pipe {
   override def params = Map("text" -> textCol, "id" -> idCol,
     "block" -> blockCol, "shingle" -> shingleSize.toString,
-    "threshold" -> threshold.toString)
+    "threshold" -> threshold.toString,
+    "maxBlockRows" -> maxBlockRows.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     // jaccard over hashed shingle sets == jaccard over string shingle
     // sets (modulo 64-bit collisions); longs intersect ~10x cheaper than
     // strings at identical output values
-    val base = df.select(qcol(blockCol).as("blk"),
+    val raw = df.select(qcol(blockCol).as("blk"),
       qcol(idCol).cast("long").as("id"),
       DedupOps.shingleHashes(qcol(textCol), shingleSize).as("sh"))
+    val base = maxBlockRows match {
+      case Some(cap) =>
+        val counts = raw.groupBy(col("blk")).agg(count(lit(1)).as("__bn__"))
+        raw.join(counts, Seq("blk"))
+          .filter(when(col("__bn__") <= cap, lit(true)).otherwise(
+            raise_error(concat(
+              lit("NgramJaccardPipe: block '"), col("blk").cast("string"),
+              lit("' has "), col("__bn__"),
+              lit(s" rows > maxBlockRows=$cap — its all-pairs product would" +
+                " be quadratic; choose finer blocks or raise the cap")))
+              .cast("boolean")))
+          .drop("__bn__")
+      case None => raw
+    }
     val left = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val right = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     // lossless size prune BEFORE the expensive set ops: jaccard <=

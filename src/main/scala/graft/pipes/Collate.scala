@@ -52,13 +52,23 @@ case class ApplyToEachExample(pipe: Pipe, checked: Boolean = false) extends Pipe
   override def params = Map("checked" -> checked.toString)
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
     val out = pipe(df)
-    if (checked) {
-      val inN = df.count()
-      val outN = out.count()
-      require(inN == outN,
-        s"ApplyToEachExample: inner pipe ${pipe.name} changed row count $inN -> $outN")
+    if (!checked) out
+    else {
+      // Lazy contract check (no job at plan-build, keeping the pipe
+      // algebra lazy): a one-row guard frame carries both counts; its
+      // filter raises at EXECUTION time when they differ, and the
+      // cross join with one guaranteed row is row-preserving. Opt-in
+      // cost unchanged from the eager version: one extra pass over df
+      // and the inner output for the two count aggregates.
+      val guard = df.agg(count(lit(1)).as("__aee_in__"))
+        .crossJoin(out.agg(count(lit(1)).as("__aee_out__")))
+        .filter(when(col("__aee_in__") === col("__aee_out__"), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"ApplyToEachExample: inner pipe ${pipe.name} changed row count "),
+            col("__aee_in__"), lit(" -> "), col("__aee_out__"))).cast("boolean")))
+        .select(lit(1).as("__aee_ok__"))
+      out.crossJoin(guard).drop("__aee_ok__")
     }
-    out
   }
 }
 

@@ -13,21 +13,64 @@ import org.apache.spark.sql.functions._
   * or fraction. The reference uses `RandomState(0)` permutation; we use
   * `rand(seed)` ordering — same contract (deterministic given seed),
   * different sequence (documented divergence, SURVEY §7.4 risk 3).
+  *
+  * Scale shape: for n below the topK-sort threshold, `orderBy(key).limit`
+  * plans as TakeOrderedAndProject — a per-partition heap plus a driver
+  * merge of partials, NO full-data sort or shuffle. Above it Spark would
+  * fall back to a global sort of ALL rows to keep n of them, so the pipe
+  * instead counts once (one eager pass, same trade the sample-fraction
+  * design needs anyway) and pre-shrinks to ~n rows before the sort:
+  * random mode by seeded Bernoulli sample, hashKey mode by a hash-range
+  * prefilter (which keeps exactly the rows any full sort would have
+  * ranked first, so the selected set is unchanged). The +5*sqrt(n)
+  * headroom makes a shortfall a >5-sigma event.
   */
 case class TakeSubset(n: Option[Long] = None, fraction: Option[Double] = None,
     seed: Long = 0L, hashKey: Option[String] = None) extends Pipe {
   override def params = Map("n" -> n.mkString, "fraction" -> fraction.mkString,
     "seed" -> seed.toString, "hashKey" -> hashKey.mkString)
+
+  private def topKThreshold(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.sql.execution.topKSortFallbackThreshold", "10000").toLong
+
+  private def headroom(count: Long): Double =
+    count + 5 * math.sqrt(count.toDouble) + 100
+
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame =
     (n, fraction) match {
       // hashKey: engine-independent deterministic subset — pseudo-shuffle
       // by a multiplicative hash of a unique key (reproducible in any SQL
       // engine, unlike rand(seed) which is tied to Spark's partitioning).
       case (Some(count), _) if hashKey.isDefined =>
+        require(count <= Int.MaxValue, s"take_subset n=$count > Int.MaxValue")
         val k = qcol(hashKey.get)
-        df.orderBy(pmod(k * lit(2654435761L), lit(1000003L)), k)
-          .limit(count.toInt)
-      case (Some(count), _) => df.orderBy(rand(seed)).limit(count.toInt)
+        val m = lit(1000003L)
+        val h = pmod(k * lit(2654435761L), m)
+        if (count < topKThreshold(df)) df.orderBy(h, k).limit(count.toInt)
+        else {
+          val total = df.count()
+          if (total <= count) df
+          else {
+            // keep hash buckets expected to hold ~n rows, then sort only
+            // those: the n smallest (h, k) pairs all lie below the cut
+            val cut = math.min(1000003L,
+              (1000003.0 * headroom(count) / total).toLong + 1)
+            df.filter(h < lit(cut)).orderBy(h, k).limit(count.toInt)
+          }
+        }
+      case (Some(count), _) =>
+        require(count <= Int.MaxValue, s"take_subset n=$count > Int.MaxValue")
+        if (count < topKThreshold(df)) df.orderBy(rand(seed)).limit(count.toInt)
+        else {
+          val total = df.count()
+          if (total <= count) df
+          else {
+            val f = math.min(1.0, headroom(count) / total)
+            df.sample(withReplacement = false, f, seed)
+              .orderBy(rand(seed)).limit(count.toInt)
+          }
+        }
       case (_, Some(f)) => df.sample(withReplacement = false, f, seed)
       case _ => df
     }

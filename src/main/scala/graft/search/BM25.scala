@@ -48,6 +48,14 @@ case class BM25Engine(
       * external oracle's) deterministic; tie-break is by ascending idx.
       */
     roundScores: Option[Int] = None,
+    /** Drop terms whose document frequency exceeds this fraction of the
+      * corpus from the postings/scoring join (standard Lucene-style
+      * stopword elision). Ultra-common terms contribute near-zero idf but
+      * create the one join-skew hazard at scale: their posting lists hash
+      * to a single partition. Pruning them at stats-build removes the hot
+      * keys from every downstream join. Opt-in; None scores all terms.
+      */
+    maxDfFraction: Option[Double] = None,
     /** When set, build-side statistics persist as parquet under
       * `stateDir/<hash(corpusFingerprint, engine fingerprint, frame)>`
       * and later engine instances load instead of recomputing — the
@@ -61,7 +69,8 @@ case class BM25Engine(
   override def params = Map("k" -> config.k.toString, "k1" -> k1.toString,
     "b" -> b.toString, "auxWeight" -> auxWeight.toString,
     "temperature" -> temperature.mkString, "filterKey" -> filterKey.mkString,
-    "roundScores" -> roundScores.mkString, "engine" -> "bm25")
+    "roundScores" -> roundScores.mkString,
+    "maxDfFraction" -> maxDfFraction.mkString, "engine" -> "bm25")
 
   /** Whitespace tokens with punctuation stripped (reference `_tokenize`). */
   def tokens(text: Column): Column =
@@ -97,11 +106,18 @@ case class BM25Engine(
         case None => compute
       }
     val docs = persisted("docs")(docsRaw)
-    val postings = persisted("postings")(postingsRaw)
-    val dfreq = persisted("dfreq")(
-      postings.groupBy("term").agg(countDistinct("docId").as("df")))
+    val postingsAll = persisted("postings")(postingsRaw)
+    val dfreqAll = persisted("dfreq")(
+      postingsAll.groupBy("term").agg(countDistinct("docId").as("df")))
     val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl"))
       .collect()(0)
+    val (postings, dfreq) = maxDfFraction match {
+      case Some(frac) =>
+        val cut = frac * totals.getLong(0)
+        val kept = dfreqAll.filter(col("df") <= cut)
+        (postingsAll.join(kept.select("term"), Seq("term"), "left_semi"), kept)
+      case None => (postingsAll, dfreqAll)
+    }
     BM25Stats(postings, dfreq, docs, totals.getLong(0), totals.getDouble(1))
   }
 

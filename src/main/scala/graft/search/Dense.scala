@@ -134,19 +134,25 @@ case class IVFDenseEngine(
     (centsDf, taggedDf)
   }
 
-  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+  /** `(rowId, __qv__, cid)` — each query row paired with its `nprobe`
+    * nearest centroid ids (the probe step, reusable by [[IVFPQDenseEngine]]).
+    */
+  def probes(stamped: DataFrame, rowId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = qcol(s"${config.queryField}.vector")
     // probe: nprobe nearest centroids per query (centroid table is tiny)
     val probeW = Window.partitionBy(col(rowId)).orderBy(desc("__cscore__"), asc("cid"))
-    val probes = stamped.select(col(rowId), qv.as("__qv__"))
+    stamped.select(col(rowId), qv.as("__qv__"))
       .crossJoin(broadcast(centroids))
       .withColumn("__cscore__", SearchEngine.dot(col("__qv__"), col("centroid")))
       .withColumn("__crank__", row_number().over(probeW))
       .filter(col("__crank__") <= nprobe)
       .select(col(rowId), col("__qv__"), col("cid"))
+  }
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     // score only the probed clusters' members
-    val exploded = probes.join(tagged, Seq("cid"))
+    val exploded = probes(stamped, rowId).join(tagged, Seq("cid"))
       .select(col(rowId), col("idx"),
         SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))
     SearchEngine.collapseTopK(stamped, exploded, rowId, config.k)

@@ -91,6 +91,10 @@ object AutoSearchEngine {
     "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
     "dense_ivf" -> ((c, cfg) => IVFDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+    "dense_pq" -> ((c, cfg) => PQDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+    "ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
     "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol)),
     "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol)),
     "lookup" -> ((c, cfg) => GroupLookupEngine(c, groupKey, cfg, corpusIdxCol)),

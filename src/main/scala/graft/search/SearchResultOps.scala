@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The `SearchResult` algebra (reference: warp_pipes/search/result.py).
@@ -81,6 +81,14 @@ object SearchResultOps {
     (concat(slice(idx, 1, k), array_repeat(lit(-1L), pad)),
       concat(slice(score, 1, k), array_repeat(NegInf, pad)))
   }
+
+  /** Batch-axis concatenation of two result frames (reference `append`,
+    * result.py:273-277: stacks the [B, k] index/score matrices of a second
+    * batch under the first). Rows of `b` follow rows of `a`, matched by
+    * column name; both frames must carry the same result schema. A pure
+    * union — no shuffle, any batch size.
+    */
+  def append(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
 
   /** Replace negative (padding) indices by a pseudo-random valid id in
     * [0, n). The reference uses true randint (result.py:265-271) — here the

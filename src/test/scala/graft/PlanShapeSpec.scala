@@ -60,6 +60,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"fast path joined:\n${p.take(2000)}")
   }
 
+  test("take_subset small-n plans a topK heap, not a global sort") {
+    val p = plan("u1_take_subset")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n${p.take(2000)}")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort shuffle for a 500-row subset:\n${p.take(2000)}")
+  }
+
+  test("take_subset large-n prefilters instead of globally sorting") {
+    import graft.pipes.TakeSubset
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val key = "spark.sql.execution.topKSortFallbackThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "5") // force every n >= 5 onto the large-n path
+      val picked = TakeSubset(n = Some(40), hashKey = Some("p_partkey"))(part)
+      // hash-range prefilter must select the SAME set a full sort would
+      spark.conf.set(key, "1000000")
+      val full = TakeSubset(n = Some(40), hashKey = Some("p_partkey"))(part)
+      val a = picked.select("p_partkey").collect().map(_.getLong(0)).sorted.toSeq
+      val b = full.select("p_partkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b, s"prefiltered selection diverged: ${a.take(5)} vs ${b.take(5)}")
+      // random mode: exact n rows out, and the sort input is pre-shrunk by
+      // a Bernoulli Sample (the range shuffle that remains carries ~n
+      // sampled rows, not the full table)
+      spark.conf.set(key, "5")
+      val rnd = TakeSubset(n = Some(40), seed = 7L)(part)
+      assert(rnd.count() == 40)
+      assert(rnd.queryExecution.executedPlan.toString.contains("Sample"),
+        "large-n random path did not sample before sorting")
+    } finally spark.conf.set(key, old)
+  }
+
   test("no explicit broadcast hint on unbounded frames (group lookup)") {
     // the hint would be honored regardless of size and OOM at 100 TB; the
     // LOGICAL plan must carry no ResolvedHint — Catalyst may still choose

@@ -129,6 +129,26 @@ class CoreSpec extends SparkSpec {
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
 
+  test("ApplyToEachExample(checked): lazy at build, raises at execution") {
+    import graft.pipes.{ApplyToEachExample, ApplyToCols, LambdaPipe}
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(sf("region"))
+    // row-preserving inner: same rows out, check passes at execution
+    val ok = ApplyToEachExample(ApplyToCols(_ * 2, "x2", Seq("r_regionkey")),
+      checked = true)(df)
+    assert(ok.count() == df.count())
+    // row-DROPPING inner: plan-build must stay silent (laziness), the
+    // action must raise with the row-count message
+    val bad = ApplyToEachExample(
+      LambdaPipe(_.filter(col("r_regionkey") > 2), "drop"), checked = true)
+    val planned = bad(df) // no job may run here
+    val e = intercept[Exception](planned.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("changed row count")),
+      s"wrong failure: ${msgs(e).mkString(" | ")}")
+  }
+
   test("DatasetDict applies a pipe per split and collapses with markers") {
     import graft.pipes.ApplyToCols
     import org.apache.spark.sql.functions.col

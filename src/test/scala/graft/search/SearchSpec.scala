@@ -115,6 +115,66 @@ class SearchSpec extends SparkSpec {
     assert(pq.codes.columns.length == 1 + 8, "codes frame = idx + m codes")
   }
 
+  test("append stacks result batches on the batch axis") {
+    val a = Seq((1L, Seq(1L, 2L), Seq(5.0, 4.0))).toDF("qid", "index.idx", "index.score")
+    val b = Seq((2L, Seq(7L, -1L), Seq(2.0, NegInf))).toDF("qid", "index.idx", "index.score")
+    val out = SearchResultOps.append(a, b).orderBy("qid").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(1).getLong(0) == 2L)
+    assert(out(1).getSeq[Long](1) == Seq(7L, -1L))
+  }
+
+  test("BM25 maxDfFraction prunes ultra-common terms from the postings") {
+    // 'the' appears in every doc; 'rare'/'only' in one each
+    val corpus = Seq(
+      (0L, "the quick fox"), (1L, "the lazy dog"), (2L, "the rare term"),
+      (3L, "the only match")).toDF("doc_id", "text")
+    val queries = Seq((0L, "the rare")).toDF("qid", "query.text")
+    val cfg = SearchConfig(k = 4, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    val pruned = BM25Engine(corpus, cfg, corpusIdxCol = "doc_id",
+      corpusTextCol = "text", maxDfFraction = Some(0.5))
+    // stats-level: 'the' (df=4/4) gone, 'rare' kept
+    val terms = pruned.stats.dfreq.select("term").collect().map(_.getString(0)).toSet
+    assert(!terms.contains("the") && terms.contains("rare"), s"terms=$terms")
+    // scoring: only the doc containing 'rare' matches the query at all
+    val hits = pruned(queries).select(col("`index.idx`"))
+      .collect()(0).getSeq[Long](0).filter(_ >= 0)
+    assert(hits == Seq(2L), s"hits=$hits")
+    // unpruned engine still matches every doc via 'the'
+    val all = BM25Engine(corpus, cfg, corpusIdxCol = "doc_id",
+      corpusTextCol = "text")(queries).select(col("`index.idx`"))
+      .collect()(0).getSeq[Long](0).filter(_ >= 0)
+    assert(all.length == 4, s"unpruned hits=$all")
+  }
+
+  test("IVF-PQ: registry-constructed, prunes lists, useful recall@10") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    val exact = BruteForceDenseEngine(corpus, cfg)(queries)
+      .select(col("qid"), col("`index.idx`")).as[(Long, Seq[Long])].collect().toMap
+    // through the registry — the reference's default index shape must be
+    // constructible by name (auto.py:11-39 / faiss.py factory strings)
+    val eng = AutoSearchEngine("ivf_pq", corpus, cfg)
+    assert(eng.isInstanceOf[IVFPQDenseEngine])
+    val ivfpq = eng.asInstanceOf[IVFPQDenseEngine]
+      .copy(nlist = 10, nprobe = 6, codebookSize = 64)
+    val approx = ivfpq(queries)
+      .select(col("qid"), col("`index.idx`")).as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      val e = exact(qid).filter(_ >= 0).toSet
+      e.intersect(approx(qid).filter(_ >= 0).toSet).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // double approximation (list pruning + quantized scores): must beat
+    // chance (0.02) by far; PQ-alone clears 0.4, pruning costs a little
+    assert(mean >= 0.35, s"IVF-PQ mean recall@10 = $mean")
+    // PQ registry entry resolves too
+    assert(AutoSearchEngine("dense_pq", corpus, cfg).isInstanceOf[PQDenseEngine])
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force") {
     // sf0.01: 500 vectors with 10 latent label clusters — the scale the
     // driver gate runs at (sf0.001's ~50 vectors make recall pure noise)
