@@ -79,6 +79,21 @@ object VerifyScratch {
           .exists(t => Option(t.getMessage).exists(_.contains("maxBlockRows"))) }
     println(s"[6] ngram block cap raises at execution -> $tripped")
 
+    // 6b. ngram pipe (checkpointed base) == direct exact jaccard per block
+    val blocked = docs.select(col("doc_id"), col("text"),
+      substring(trim(col("text")), 1, 4).as("blk"))
+    val ngOut = graft.llm.NgramJaccardPipe("text", "doc_id", "blk",
+      threshold = 0.3)(blocked)
+      .select("id_a", "id_b").orderBy("id_a", "id_b").collect().toSeq
+    val shb = blocked.select(col("blk"), col("doc_id").cast("long").as("id"),
+      graft.llm.DedupOps.shingleHashes(col("text"), 3).as("sh"))
+    val ngBrute = shb.as("a").join(shb.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .filter(graft.llm.DedupOps.jaccard(col("a.sh"), col("b.sh")) >= 0.3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .orderBy("id_a", "id_b").collect().toSeq
+    println(s"[6b] ngram==blocked brute (${ngOut.size}/${ngBrute.size}) -> ${ngOut == ngBrute}")
+
     // 7. TakeSubset small-n topK + large-n prefilter agree (hashKey mode)
     val part = spark.read.parquet(s"$sf/part.parquet")
     val small = graft.pipes.TakeSubset(n = Some(30), hashKey = Some("p_partkey"))(part)

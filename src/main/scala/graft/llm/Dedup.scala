@@ -380,9 +380,19 @@ case class NgramJaccardPipe(
     // jaccard over hashed shingle sets == jaccard over string shingle
     // sets (modulo 64-bit collisions); longs intersect ~10x cheaper than
     // strings at identical output values
-    val raw = df.select(qcol(blockCol).as("blk"),
-      qcol(idCol).cast("long").as("id"),
-      DedupOps.shingleHashes(qcol(textCol), shingleSize).as("sh"))
+    //
+    // the (blk, id, sh) base feeds THREE consumers (the block-size guard
+    // and both self-join sides), so — exactly as in MinHashLSHDedupPipe —
+    // it is widened to session parallelism and localCheckpoint-ed once:
+    // without it the interpreted shingle HOF re-runs from the file scan
+    // per consumer on however few partitions the input planned
+    val slim = df.select(qcol(blockCol).as("blk"),
+      qcol(idCol).cast("long").as("id"), qcol(textCol).as("__text__"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wide = if (slim.rdd.getNumPartitions < par) slim.repartition(par) else slim
+    val raw = wide.select(col("blk"), col("id"),
+      DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
+      .localCheckpoint(true)
     val base = maxBlockRows match {
       case Some(cap) =>
         val counts = raw.groupBy(col("blk")).agg(count(lit(1)).as("__bn__"))
