@@ -537,6 +537,14 @@ object Queries {
     "ev_stream_window" -> ((s, d) =>
       graft.streaming.EventStream.runWindowedAggStream(s, d)
         .orderBy("ws", "event_type")),
+    "ev_stream_dedup" -> ((s, d) =>
+      // REAL StreamingQuery: watermarked dropDuplicatesWithinWatermark
+      // over the event stream (at-least-once delivery dedup); the fixture
+      // spans days, so a 30-day bound keeps every recurrence in state and
+      // the batch DISTINCT oracle is exact
+      graft.streaming.EventStream.runDedupStream(s, d,
+        Seq("user_id", "event_type"), "30 days")
+        .orderBy("user_id", "event_type")),
     "ev_sessionize" -> ((s, d) =>
       graft.streaming.SessionizePipe(gapSeconds = 1800)(
         graft.streaming.EventStream.readBatch(s, d))
@@ -985,6 +993,8 @@ object Queries {
     // StreamingQuery (file source -> memory sink) instead of the batch plan
     "ev_stream_window" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
+    "ev_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000

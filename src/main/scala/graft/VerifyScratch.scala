@@ -108,6 +108,38 @@ object VerifyScratch {
     val appended = graft.search.SearchResultOps.append(
       qrs.limit(2), qrs.limit(3))
     println(s"[8] append rows 2+3 -> ${appended.count() == 5}")
+
+    // 9. REAL StreamingQuery dedup over the events parquet == DISTINCT
+    val streamed = graft.streaming.EventStream.runDedupStream(
+      spark, sf, Seq("user_id", "event_type"), "30 days")
+      .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+    val batchDistinct = graft.streaming.EventStream.readBatch(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+    println(s"[9] stream dedup == batch distinct (${streamed.size}) -> " +
+      s"${streamed == batchDistinct}")
+
+    // 10. bucketed co-located join: zero Exchange at the package surface
+    spark.sql("CREATE DATABASE IF NOT EXISTS vsbuck LOCATION '/tmp/vs-bucketed'")
+    val li10 = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    graft.sources.BucketedTables.write(li10, "vsbuck.a", "l_orderkey", 4)
+    graft.sources.BucketedTables.write(li10, "vsbuck.b", "l_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = graft.sources.BucketedTables.colocatedJoin(
+      spark, "vsbuck.a", "vsbuck.b", Seq("l_orderkey"))
+    val bplan = bj.queryExecution.executedPlan.toString
+    println(s"[10] bucketed join shuffle-free -> ${!bplan.contains("Exchange")}")
+    spark.sql("DROP DATABASE IF EXISTS vsbuck CASCADE")
+
+    // 11. salted join == plain join totals on a hot key
+    val hot11 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(lit("hot").as("k"), col("l_quantity"))
+    import spark.implicits._
+    val dim11 = Seq(("hot", 2.0)).toDF("k", "w")
+    val a11 = hot11.join(dim11, Seq("k")).agg(sum(col("l_quantity") * col("w"))).collect()(0)
+    val b11 = graft.operators.Salting.saltedJoin(hot11, dim11, Seq("k"), 8)
+      .agg(sum(col("l_quantity") * col("w"))).collect()(0)
+    println(s"[11] salted join totals match -> ${a11 == b11}")
     spark.stop()
   }
 }

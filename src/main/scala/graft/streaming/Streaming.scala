@@ -43,20 +43,59 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Execute the windowed aggregation as a REAL StreamingQuery (parquet
-    * file source -> memory sink, complete mode, one micro-batch) and
-    * return the result as a batch frame. The `ev_stream_window` gate query
-    * routes through this, so the driver's DuckDB oracle verifies the
-    * Structured Streaming path end-to-end, not just the batch twin.
+  /** Execute a streaming frame as a REAL StreamingQuery (memory sink, one
+    * micro-batch drain) and return the sink contents as a batch frame.
+    * Gate queries route through this so the driver's DuckDB oracle
+    * verifies the Structured Streaming path end-to-end, not just the
+    * batch twin.
     */
-  def runWindowedAggStream(spark: SparkSession, dir: String): DataFrame = {
+  def runToMemorySink(streamed: DataFrame, outputMode: String): DataFrame = {
     val name = "ev_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = WindowedEventAgg()(readStream(spark, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    streamed.sparkSession.table(name)
+  }
+
+  /** Windowed aggregation over the event stream (gate `ev_stream_window`). */
+  def runWindowedAggStream(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(WindowedEventAgg()(readStream(spark, dir)), "complete")
+
+  /** At-least-once dedup over the event stream (gate `ev_stream_dedup`). */
+  def runDedupStream(spark: SparkSession, dir: String,
+      keys: Seq[String], watermark: String): DataFrame =
+    runToMemorySink(
+      StreamingDedupPipe(keys, watermark = watermark)(readStream(spark, dir)),
+      "append")
+}
+
+/** Exact dedup for at-least-once delivery: duplicate rows (by `keys`)
+  * arriving within the `watermark` delay bound are dropped, with state
+  * expiring as event time advances — `dropDuplicatesWithinWatermark`, the
+  * unbounded-stream-safe form (plain streaming dropDuplicates without the
+  * event-time column in its keys would accrete state forever). Output is
+  * the key columns (first-seen rows' payloads are delivery-order-dependent
+  * and so never deterministic on a parallel source).
+  *
+  * On a batch frame the same pipe is a distinct over the keys, so one
+  * DuckDB `SELECT DISTINCT` oracle verifies both twins — provided the
+  * fixture's duplicates all recur within the watermark bound (at scale,
+  * the watermark is exactly the delivery-delay SLA, so that is the
+  * contract anyway).
+  */
+case class StreamingDedupPipe(
+    keys: Seq[String],
+    tsCol: String = "ts",
+    watermark: String = "2 hours") extends Pipe {
+  override def params = Map("keys" -> keys.mkString(","),
+    "ts" -> tsCol, "watermark" -> watermark)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val out =
+      if (df.isStreaming)
+        df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+      else df.dropDuplicates(keys)
+    out.select(keys.map(qcol): _*)
   }
 }
 

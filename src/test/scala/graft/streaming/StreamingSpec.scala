@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.size == 3) // two click windows + one buy window
   }
 
+  test("streaming dedup drops within-watermark duplicates, equals batch distinct") {
+    implicit val sctx = spark.sqlContext
+    val rows = Seq( // (ts, user, type) with exact dup deliveries
+      ("2024-01-01 00:10:00", 1L, "click"),
+      ("2024-01-01 00:11:00", 1L, "click"), // dup within watermark
+      ("2024-01-01 00:12:00", 1L, "view"),
+      ("2024-01-01 00:20:00", 2L, "click"),
+      ("2024-01-01 00:21:00", 2L, "click")) // dup within watermark
+    val toDf = (s: Seq[(String, Long, String)]) => s.toDF("t", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val pipe = StreamingDedupPipe(Seq("user_id", "event_type"))
+
+    val batchOut = pipe(toDf(rows))
+      .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+    assert(batchOut.size == 3)
+
+    val mem = MemoryStream[(String, Long, String)]
+    mem.addData(rows: _*)
+    val streamIn = mem.toDF().toDF("t", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventStream.runToMemorySink(pipe(streamIn), "append")
+      .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+    assert(out == batchOut)
+  }
+
   test("batch sessionization splits on the gap") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
