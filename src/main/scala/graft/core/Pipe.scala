@@ -102,4 +102,19 @@ object Pipe {
     * `field.key` convention), not struct access.
     */
   def qcol(name: String): Column = col(s"`$name`")
+
+  /** Round-robin repartition up to the session's default parallelism when
+    * the incoming plan has FEWER partitions — a single small parquet file
+    * plans 1-2 input splits, which serializes per-row expression-heavy
+    * stages (tokenize, shingle, passage generation) on 1-2 of N cores.
+    * No-op on already-wide inputs (at 100 TB a scan has thousands of
+    * splits, so this never down-shuffles) and on streaming frames (whose
+    * partitioning the source owns).
+    */
+  def widen(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    }
 }

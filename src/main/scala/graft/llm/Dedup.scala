@@ -251,14 +251,7 @@ case class MinHashLSHDedupPipe(
     // text it came from; banded is 3 longs x bands per doc).
     val slim = df.select(
       qcol(idCol).cast("long").as("id"), qcol(textCol).as("__text__"))
-    // small inputs (a single parquet file at test SF) plan 1-2 input
-    // partitions, serializing the per-token shingle work on 2 of N cores;
-    // widen to the session's parallelism. Inputs already wider are left
-    // alone — at 100 TB the scan has thousands of partitions and this is
-    // a no-op, not a down-shuffle.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val wide = if (slim.rdd.getNumPartitions < par) slim.repartition(par) else slim
-    val base = wide
+    val base = Pipe.widen(slim)
       .select(col("id"), DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
       .localCheckpoint(true)
     val perms = DedupOps.minhashPermutations(col("h"), numHashes)
@@ -322,6 +315,10 @@ case class SimHashDedupPipe(
     // and an empty doc share a signature and pair up as exact near-dups
     val toks = df.select(qcol(idCol).cast("long").as("id"),
       explode(split(trim(coalesce(qcol(textCol), lit(""))), "\\s+")).as("__tok__"))
+    // (dict left on AQE's post-distinct partitioning: a pre-signature
+    // repartition and a widened toks projection both re-measured slower
+    // at sf0.1 — the extra exchange outweighs the parallelism it buys on
+    // a vocabulary this small; at scale distinct() output is already wide)
     val dict = toks.select("__tok__").distinct()
       .withColumn("__sig__", hf(col("__tok__")))
     val joined = toks.join(dict, Seq("__tok__"))
@@ -333,7 +330,9 @@ case class SimHashDedupPipe(
     val simExpr = (0 until 64).map(b =>
       when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     // (not localCheckpoint-ed: the band self-join's two reads dedupe via
-    // ReusedExchange; an eager checkpoint measured slower)
+    // ReusedExchange on the vote aggregate's shuffle; an eager checkpoint
+    // re-measured SLOWER in both r3 and r5 — the materialization job costs
+    // more than the one re-read it saves)
     val withSim = votes.select(col("id"), simExpr.as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
@@ -388,9 +387,7 @@ case class NgramJaccardPipe(
     // per consumer on however few partitions the input planned
     val slim = df.select(qcol(blockCol).as("blk"),
       qcol(idCol).cast("long").as("id"), qcol(textCol).as("__text__"))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val wide = if (slim.rdd.getNumPartitions < par) slim.repartition(par) else slim
-    val raw = wide.select(col("blk"), col("id"),
+    val raw = Pipe.widen(slim).select(col("blk"), col("id"),
       DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
       .localCheckpoint(true)
     val base = maxBlockRows match {

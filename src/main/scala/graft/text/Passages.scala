@@ -53,7 +53,10 @@ case class GeneratePassagesPipe(
 
   private def fp: String = field.map(_ + ".").getOrElse("")
 
-  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+  protected def transform(df0: DataFrame, keys: Seq[String]): DataFrame = {
+    // window arithmetic + per-window array slicing is expression-heavy;
+    // keep it off a small file's 1-2 input splits
+    val df = Pipe.widen(df0)
     val ids = qcol(s"${fp}input_ids")
     val am = qcol(s"${fp}attention_mask")
     val om = qcol(s"${fp}offset_mapping")

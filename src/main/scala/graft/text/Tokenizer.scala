@@ -63,7 +63,10 @@ case class TokenizerPipe(
     }
   }
 
-  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+  protected def transform(df0: DataFrame, keys: Seq[String]): DataFrame = {
+    // per-token interpreted HOF work (the offset fold, char-fold ids) must
+    // not serialize on a small file's 1-2 input splits
+    val df = Pipe.widen(df0)
     val raw = filter(split(trim(qcol(inKey)), "\\s+"), t => length(t) > 0)
     val toks = maxLength.fold(raw)(m => slice(raw, 1, m))
     val offsets = aggregate(
