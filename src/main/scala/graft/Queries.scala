@@ -571,6 +571,114 @@ object Queries {
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(100)
     }),
+
+    // ----- scale utilities as gate rows (salting, bucketed layout) -----
+    "sj_salted_join" -> ((s, d) => {
+      // salting shards each key into 8 sub-keys; the VALUES must be
+      // row-for-row identical to the plain join (oracle = plain SQL join)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_nationkey"))
+      graft.operators.Salting.saltedJoin(li, sup, Seq("l_suppkey"), saltFactor = 8)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "sj_salted_agg" -> ((s, d) => {
+      // two-phase (keys+salt, then keys) decomposable aggregation; long
+      // sums keep the oracle exact regardless of merge order
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey").as("ok"),
+        col("l_linenumber").cast("long").as("ln"))
+      graft.operators.Salting.saltedAgg(li, Seq("l_returnflag"),
+        Map("qty" -> "sum", "ok" -> "count", "ln" -> "max"), saltFactor = 16)
+        .orderBy("l_returnflag")
+    }),
+    "bj_bucketed_join" -> ((s, d) => {
+      // pay-once co-location: both sides written bucketed+sorted on the
+      // join key, the later join plans with zero Exchange (plan shape is
+      // asserted in ScaleOpsSpec); the gate checks VALUES survive the
+      // bucketed round-trip
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      graft.sources.BucketedTables.write(o, "g_orders_bkt", "o_orderkey", 8)
+      graft.sources.BucketedTables.write(l, "g_lineitem_bkt", "o_orderkey", 8)
+      graft.sources.BucketedTables
+        .colocatedJoin(s, "g_orders_bkt", "g_lineitem_bkt", Seq("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ----- registry/dispatch surfaces as data-producing gates -----
+    "s9_auto_engine" -> ((s, d) => {
+      // S9: engine resolved BY NAME from the AutoSearchEngine registry
+      // (reference auto.py); result must match the directly-constructed
+      // BM25 oracle on a distinct query slice
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+      val eng = graft.search.AutoSearchEngine("bm25", docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        opts = Map("idxCol" -> "doc_id", "textCol" -> "text",
+          "roundScores" -> "4"))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "m3_dispatch" -> ((s, d) => {
+      // M3: the cache-or-compute dispatcher itself (cacheDir=None routes
+      // to PredictWithoutCache) with an alternating-sign readout model
+      val model = graft.predict.LinearModel(
+        Seq(Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)), Seq(0.25))
+      graft.predict.Predict(model, "embedding", "vector")(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          transform(col("vector"), v => round(v, 4)).as("vector"))
+        .orderBy("vec_id")
+    }),
+
+    // ----- PQ / IVF-PQ with deterministic codebooks: exact ADC oracles -----
+    "s10_pq_adc" -> ((s, d) => {
+      // fixed formula codebooks make encoding + ADC fully deterministic;
+      // the oracle replays nearest-centroid codes and ADC sums exactly
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.PQDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s11_ivfpq_exact" -> ((s, d) => {
+      // nprobe = nlist probes every inverted list, so the full IVF-PQ
+      // machinery (kmeans tagging, probe joins, tagged-code ADC) runs with
+      // a TOTAL candidate set — with fixed codebooks the result equals the
+      // PQ ADC ranking independent of KMeans nondeterminism (same oracle)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.IVFPQDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        nlist = 8, nprobe = 8, m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
   )
 
   // ---- DuckDB mirrors of Scalarize's canonical array encoding ----------
@@ -1009,5 +1117,74 @@ object Queries {
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc, round(avg(l_quantity),4) AS avg_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q3_order_revenue" ->
       "SELECT o_orderkey, o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_orderpriority ORDER BY revenue DESC, o_orderkey LIMIT 100",
+    // salting/bucketing change PARTITIONING only — the oracles are the
+    // plain join / plain GROUP BY the utilities must be indistinguishable
+    // from
+    "sj_salted_join" ->
+      "SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, s_name, s_nationkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey ORDER BY l_orderkey, l_linenumber",
+    "sj_salted_agg" ->
+      "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, count(l_orderkey) AS ok, max(CAST(l_linenumber AS BIGINT)) AS ln FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "bj_bucketed_join" ->
+      "SELECT o_orderkey, o_orderpriority, round(sum(l_extendedprice),2) AS rev FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_orderpriority ORDER BY o_orderkey",
+    "s9_auto_engine" ->
+      scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM c WHERE doc_id >= 100 AND doc_id < 120),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "m3_dispatch" ->
+      scl("""SELECT vec_id, [round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN (i-1)%2=0 THEN 1.0 ELSE -1.0 END))) + 0.25, 4)] AS vector FROM embeddings ORDER BY vec_id""",
+        "vec_id" -> "", "vector" -> "d"),
+    // exact PQ ADC replay: formula codebook book(j,c,t) =
+    // ((c*31+t*7+j*13) mod 10)*0.1 - 0.4; codes = argmin squared-L2 with
+    // first-occurrence tie-break; score = sum_j dot(q_sub_j, book[j][code_j])
+    "s10_pq_adc" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, v, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      v[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      v[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |    qs.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM qs CROSS JOIN codes),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // nprobe=nlist IVF-PQ == PQ ADC: same oracle as s10
+    "s11_ivfpq_exact" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, v, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      v[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      v[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |    qs.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM qs CROSS JOIN codes),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
   )
 }

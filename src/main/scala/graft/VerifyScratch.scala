@@ -140,6 +140,68 @@ object VerifyScratch {
     val b11 = graft.operators.Salting.saltedJoin(hot11, dim11, Seq("k"), 8)
       .agg(sum(col("l_quantity") * col("w"))).collect()(0)
     println(s"[11] salted join totals match -> ${a11 == b11}")
+
+    // 12. fixed-codebook PQ: deterministic, and with nprobe=nlist the
+    // IVF-PQ composition returns the identical ranking (round-6 gates)
+    val emb12 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus12 = emb12.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val qs12 = emb12.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val books12 = graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)
+    val cfg12 = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+      queryIdCol = Some("qid"))
+    def run12(e: graft.search.SearchEngine) =
+      e(qs12).select(col("qid"), col("`index.idx`"))
+        .orderBy("qid").collect().map(_.toString).toSeq
+    val pqRes = run12(graft.search.PQDenseEngine(corpus12, 8, 16, cfg12,
+      fixedCodebooks = Some(books12)))
+    val pqRes2 = run12(graft.search.PQDenseEngine(corpus12, 8, 16, cfg12,
+      fixedCodebooks = Some(books12)))
+    val ivfpqRes = run12(graft.search.IVFPQDenseEngine(corpus12,
+      nlist = 4, nprobe = 4, m = 8, codebookSize = 16, config = cfg12,
+      fixedCodebooks = Some(books12)))
+    println(s"[12] fixed-book PQ deterministic -> ${pqRes == pqRes2}; " +
+      s"ivfpq(nprobe=nlist) == pq -> ${ivfpqRes == pqRes}")
+
+    // 13. auto engine by name == directly-constructed BM25 (roundScores opt)
+    val qs13 = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+    val cfg13 = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+      queryIdCol = Some("qid"))
+    val byName = graft.search.AutoSearchEngine("bm25", docs, cfg13,
+      Map("idxCol" -> "doc_id", "textCol" -> "text", "roundScores" -> "4"))(qs13)
+      .select(col("qid"), col("`index.idx`")).orderBy("qid")
+      .collect().map(_.toString).toSeq
+    val direct = graft.search.BM25Engine(docs, cfg13, "doc_id", "text",
+      roundScores = Some(4))(qs13)
+      .select(col("qid"), col("`index.idx`")).orderBy("qid")
+      .collect().map(_.toString).toSeq
+    println(s"[13] auto('bm25') == direct BM25 -> ${byName == direct}")
+
+    // 14. M3 dispatch routes by cacheDir: None -> PredictWithoutCache,
+    // Some -> PredictWithCache
+    val m14a = graft.predict.Predict(
+      graft.predict.LinearModel(Seq(Seq.fill(64)(1.0)), Seq(0.0)),
+      "embedding", "vector")
+    val m14b = graft.predict.Predict(
+      graft.predict.LinearModel(Seq(Seq.fill(64)(1.0)), Seq(0.0)),
+      "embedding", "vector", idCol = "vec_id", cacheDir = Some("/tmp/vs-m3cache"))
+    println(s"[14] dispatch None->direct Some->cached -> " +
+      s"${m14a.isInstanceOf[graft.predict.PredictWithoutCache] &&
+        m14b.isInstanceOf[graft.predict.PredictWithCache]}")
+
+    // 15. salted agg == plain agg (sum/count/max) on lineitem
+    val li15 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"))
+    val plain15 = li15.groupBy("l_returnflag")
+      .agg(sum("qty").as("qty"), count("ok").as("ok"), max("ln").as("ln"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    val salted15 = graft.operators.Salting.saltedAgg(li15, Seq("l_returnflag"),
+      Map("qty" -> "sum", "ok" -> "count", "ln" -> "max"), 16)
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    println(s"[15] salted agg == plain agg -> ${plain15 == salted15}")
     spark.stop()
   }
 }

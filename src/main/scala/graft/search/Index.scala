@@ -87,7 +87,8 @@ object AutoSearchEngine {
       corpusIdxCol: String = "idx",
       corpusVecCol: String = "vector",
       corpusTextCol: String = "text",
-      groupKey: String = "group"): Map[String, Factory] = Map(
+      groupKey: String = "group",
+      roundScores: Option[Int] = None): Map[String, Factory] = Map(
     "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
     "dense_ivf" -> ((c, cfg) => IVFDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
@@ -95,8 +96,10 @@ object AutoSearchEngine {
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
     "ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
-    "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol)),
-    "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol)),
+    "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
+      roundScores = roundScores)),
+    "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
+      roundScores = roundScores)),
     "lookup" -> ((c, cfg) => GroupLookupEngine(c, groupKey, cfg, corpusIdxCol)),
     "topk" -> ((c, cfg) => TopkEngine(cfg)))
 
@@ -106,7 +109,8 @@ object AutoSearchEngine {
       corpusIdxCol = opts.getOrElse("idxCol", "idx"),
       corpusVecCol = opts.getOrElse("vecCol", "vector"),
       corpusTextCol = opts.getOrElse("textCol", "text"),
-      groupKey = opts.getOrElse("groupKey", "group"))
+      groupKey = opts.getOrElse("groupKey", "group"),
+      roundScores = opts.get("roundScores").map(_.toInt))
     reg.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown engine '$name'; known: ${reg.keys.toSeq.sorted.mkString(", ")}"))(

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions.{transform => arrTransform, _}
   * per pair), then each (query, code-row) pair scores as m table lookups
   * instead of d multiplications.
   *
-  * Approximate by construction (quantization error): covered by a recall
-  * spec against [[BruteForceDenseEngine]] — no exact oracle can exist.
+  * Approximate by construction when KMeans trains the codebooks: covered
+  * by a recall spec against [[BruteForceDenseEngine]]. With
+  * `fixedCodebooks` (caller-supplied, e.g. [[PQDenseEngine.formulaCodebooks]])
+  * the whole pipeline — nearest-centroid encoding, ADC tables, top-k — is
+  * DETERMINISTIC, so an external oracle can replay it exactly; that is how
+  * the s10/s11 gate rows verify the ADC machinery value-for-value.
   * Compose with [[IVFDenseEngine]]-style list pruning for the full IVF-PQ
   * shape (probe lists, then ADC-score only the probed members).
   */
@@ -31,13 +35,15 @@ case class PQDenseEngine(
     config: SearchConfig = SearchConfig(),
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
-    kmeansSeed: Long = 42L) extends SearchEngine {
+    kmeansSeed: Long = 42L,
+    fixedCodebooks: Option[Seq[Seq[Seq[Double]]]] = None) extends SearchEngine {
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
 
   override def params = Map("k" -> config.k.toString, "m" -> m.toString,
-    "codebookSize" -> codebookSize.toString, "engine" -> "dense_pq")
+    "codebookSize" -> codebookSize.toString, "engine" -> "dense_pq",
+    "fixedBooks" -> fixedCodebooks.isDefined.toString)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
@@ -51,6 +57,26 @@ case class PQDenseEngine(
   private def build(): (Seq[Seq[Seq[Double]]], DataFrame) = {
     require(dim % m == 0, s"m=$m must divide vector dim=$dim")
     val dsub = dim / m
+    fixedCodebooks.foreach { books =>
+      require(books.size == m && books.forall(b =>
+        b.size == codebookSize && b.forall(_.size == dsub)),
+        s"fixedCodebooks must be m=$m x codebookSize=$codebookSize x dsub=$dsub")
+      // Nearest-centroid encoding as pure expressions (no KMeans): per
+      // subspace, squared L2 to each centroid of the literal codebook,
+      // argmin with first-occurrence (= lowest code) tie-break — the
+      // arithmetic an external engine replays bit-for-bit.
+      val codesDf = corpus.select(
+        col(corpusIdxCol).cast("long").as("idx") +:
+          (0 until m).map { j =>
+            val sub = arrTransform(
+              slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double"))
+            val dists = arrTransform(typedLit(books(j)), c =>
+              aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+                lit(0d), (acc, v) => acc + v))
+            (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$j")
+          }: _*)
+      return (books, codesDf)
+    }
     val prepared = corpus.select(
       col(corpusIdxCol).cast("long").as("idx") +:
         (0 until m).map(j =>
@@ -97,6 +123,17 @@ case class PQDenseEngine(
 object PQDenseEngine {
   /** Codes rows are ~(8 + 4m) bytes; 4M rows ≈ 160 MB broadcast at m=8. */
   val BroadcastCodeRowCap: Long = 4000000L
+
+  /** Deterministic formula codebook: component t of centroid c in
+    * subspace j is `((c*31 + t*7 + j*13) mod 10) * 0.1 - 0.4`. Integer
+    * arithmetic then one double multiply + subtract — any engine
+    * reproduces the exact same doubles, which is what makes the PQ gate
+    * rows exactly verifiable (the formula stands in for a trained
+    * codebook; recall quality of TRAINED books is the recall spec's job).
+    */
+  def formulaCodebooks(m: Int, codebookSize: Int, dsub: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => (0 until codebookSize).map(c => (0 until dsub).map(t =>
+      ((c * 31 + t * 7 + j * 13) % 10) * 0.1 - 0.4)))
 }
 
 /** IVF-PQ composition — the reference's DEFAULT dense index shape
@@ -121,11 +158,13 @@ case class IVFPQDenseEngine(
     config: SearchConfig = SearchConfig(),
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
-    kmeansSeed: Long = 42L) extends SearchEngine {
+    kmeansSeed: Long = 42L,
+    fixedCodebooks: Option[Seq[Seq[Seq[Double]]]] = None) extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
-    "codebookSize" -> codebookSize.toString, "engine" -> "ivf_pq")
+    "codebookSize" -> codebookSize.toString, "engine" -> "ivf_pq",
+    "fixedBooks" -> fixedCodebooks.isDefined.toString)
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
@@ -133,7 +172,7 @@ case class IVFPQDenseEngine(
 
   /** Fine quantizer (codebooks + codes). */
   lazy val pq: PQDenseEngine = PQDenseEngine(corpus, m, codebookSize,
-    config, corpusIdxCol, corpusVecCol, kmeansSeed)
+    config, corpusIdxCol, corpusVecCol, kmeansSeed, fixedCodebooks)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
