@@ -523,11 +523,10 @@ object Queries {
 
     // ----- events / relational headliners -----
     "ev_window_agg" -> ((s, d) => {
-      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
-      // read as epoch-nanos long and downcast to micros.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // events.parquet stores TIMESTAMP(NANOS); the shared reader owns the
+      // nanosAsLong legacy conf and the EXACT integer ns->us downcast
+      // (a double `/1000` here would be off by ±1 us at epoch-nanos scale)
+      graft.streaming.EventStream.readBatch(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
@@ -640,6 +639,27 @@ object Queries {
         .select(col("vec_id"),
           transform(col("vector"), v => round(v, 4)).as("vector"))
         .orderBy("vec_id")
+    }),
+
+    // ----- composed curation pipeline (the library's raison d'être) -----
+    "pp_clean_pipeline" -> ((s, d) => {
+      // language-ID -> quality scoring -> curation filter -> exact dedup
+      // -> token counting, composed as ONE SequentialPipe over documents
+      // with planted exact duplicates; the oracle replays the whole chain
+      val docs = t(s, d, "documents")
+      val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      val pipe = SequentialPipe(Seq(
+        graft.llm.LanguageIdPipe("text"),
+        graft.llm.QualityScorePipe("text"),
+        LambdaPipe(_.filter(col("quality") >= 0.5 &&
+          col("lang_pred") === col("lang")), "curation_floor"),
+        graft.llm.ExactDedupPipe(Seq("text"), "doc_id"),
+        graft.llm.TokenCountPipe("text")))
+      pipe(planted)
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("quality"),
+          col("dup_count"), col("ws_tokens"), col("est_bpe_tokens"))
+        .orderBy("doc_id")
     }),
 
     // ----- PQ / IVF-PQ with deterministic codebooks: exact ADC oracles -----
@@ -1146,6 +1166,36 @@ object Queries {
     "m3_dispatch" ->
       scl("""SELECT vec_id, [round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN (i-1)%2=0 THEN 1.0 ELSE -1.0 END))) + 0.25, 4)] AS vector FROM embeddings ORDER BY vec_id""",
         "vec_id" -> "", "vector" -> "d"),
+    "pp_clean_pipeline" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id+10000, text, lang FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id, text, lang, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM base),
+        |lid AS (SELECT *,
+        | len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+        | len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+        | len(list_filter(toks, t -> t IN ('el','la','los','y','de','un','es','en','que','por'))) AS s_es,
+        | len(list_filter(toks, t -> t IN ('le','la','les','et','de','un','est','en','que','pour'))) AS s_fr,
+        | len(list_filter(toks, t -> t IN ('de','shi','le','zai','he','you','wo','ta','men','bu'))) AS s_zh
+        | FROM s),
+        |pred AS (SELECT *, CASE
+        | WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        | WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        | WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        | WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        | WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        | ELSE 'zh' END AS lang_pred FROM lid),
+        |q AS (SELECT doc_id, text, lang, lang_pred,
+        | round(greatest(least(least(CAST(len(toks) AS DOUBLE)/50,1)*0.4
+        |  + least((CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS DOUBLE)/CAST(len(toks) AS DOUBLE))*4,1)*0.4
+        |  + (1 - (nc - length(regexp_replace(text,'[0-9]','','g')))/nc)*0.1
+        |  + (1 - (nc - length(regexp_replace(text,'[A-Z]','','g')))/nc)*0.1, 1), 0), 4) AS quality
+        | FROM pred),
+        |f AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred = lang),
+        |dd AS (SELECT text, lang, lang_pred, quality, min(doc_id) AS doc_id, count(*) AS dup_count
+        | FROM f GROUP BY text, lang, lang_pred, quality)
+        |SELECT doc_id, lang, lang_pred, quality, dup_count,
+        | CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+        | CAST(ceil(length(text)/4.0) AS INT) AS est_bpe_tokens
+        |FROM dd ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // exact PQ ADC replay: formula codebook book(j,c,t) =
     // ((c*31+t*7+j*13) mod 10)*0.1 - 0.4; codes = argmin squared-L2 with
     // first-occurrence tie-break; score = sum_j dot(q_sub_j, book[j][code_j])

@@ -24,6 +24,21 @@ object BucketedTables {
   /** Write `df` as a bucketed+sorted managed parquet table. */
   def write(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int, overwrite: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    if (overwrite) {
+      // mode("overwrite") only replaces tables THIS catalog knows about; a
+      // table dir left by a previous session is an orphan location the
+      // in-memory catalog can't drop, and CREATE refuses to reuse it —
+      // drop the entry if registered, then clear any orphaned directory
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val parts = table.split('.')
+      val loc = if (parts.length == 2) s"$wh/${parts(0)}.db/${parts(1)}"
+                else s"$wh/${parts(0)}"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val w = df.write.format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
     (if (overwrite) w.mode("overwrite") else w).saveAsTable(table)

@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** Batch read of the events table (TIMESTAMP(NANOS) downcast to micros). */
+  /** Batch read of the events table (TIMESTAMP(NANOS) downcast to micros).
+    *
+    * `nanosAsLong` is a SESSION-level legacy conf with no per-read option,
+    * so it must be set here; this is safe under concurrent queries only
+    * because every events reader routes through this method (or
+    * [[readStream]]) and always sets the same value — the conf is never
+    * toggled back, so no query can observe a stale flip.
+    */
   def readBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer `div`, not double `/`: epoch-nanos ~1.7e18 exceeds a double's
