@@ -435,6 +435,22 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    "dd_srp_cosine" -> ((s, d) => {
+      // SRP-LSH near-dup: block-free scale path for embedding dedup.
+      // Planted near-copies (+= ((t%5)-2)/100 per component) keep cosine
+      // ~0.994; formula hyperplanes make the exhaustive oracle exact
+      val raw = t(s, d, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = raw.unionByName(raw.filter(col("vec_id") < 30).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding")))
+      graft.llm.SRPCosineDedupPipe("embedding", "vec_id")(planted)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "dd_clusters" -> ((s, d) => {
       val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
         jaccardThreshold = 0.5)(plantedNearDups(s, d))
@@ -1166,6 +1182,26 @@ object Queries {
     "m3_dispatch" ->
       scl("""SELECT vec_id, [round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN (i-1)%2=0 THEN 1.0 ELSE -1.0 END))) + 0.25, 4)] AS vector FROM embeddings ORDER BY vec_id""",
         "vec_id" -> "", "vector" -> "d"),
+    // SRP-LSH: exhaustive replay is exact because recall is pigeonhole-
+    // exact at hamming <= bands-1 and signatures are formula-deterministic
+    "dd_srp_cosine" ->
+      """WITH raw AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |base AS (SELECT id, v FROM raw
+        | UNION ALL SELECT id+10000, list_transform(range(0,64), t -> v[t+1] + ((t % 5) - 2) * 0.01) FROM raw WHERE id < 30),
+        |sig AS (SELECT id, v,
+        | list_sum(list_transform(range(0,16), b ->
+        |  CASE WHEN list_sum(list_transform(range(0,64), t ->
+        |    v[t+1] * ((((b*37 + t*11) % 21) - 10) / 10.0))) > 0
+        |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg
+        | FROM base),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(CAST(a.sg AS BIGINT), CAST(b.sg AS BIGINT))) AS BIGINT) AS hamming,
+        |  list_sum(list_transform(range(0,64), t -> a.v[t+1]*b.v[t+1]))
+        |   / (sqrt(list_sum(list_transform(range(0,64), t -> a.v[t+1]*a.v[t+1])))
+        |    * sqrt(list_sum(list_transform(range(0,64), t -> b.v[t+1]*b.v[t+1])))) AS cosine
+        | FROM sig a JOIN sig b ON a.id < b.id)
+        |SELECT id_a, id_b, hamming, round(cosine,4) AS cosine FROM pairs
+        |WHERE hamming <= 3 AND cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "pp_clean_pipeline" ->
       """WITH base AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id+10000, text, lang FROM documents WHERE doc_id < 50),
         |s AS (SELECT doc_id, text, lang, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM base),

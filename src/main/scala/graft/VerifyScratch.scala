@@ -202,6 +202,19 @@ object VerifyScratch {
       Map("qty" -> "sum", "ok" -> "count", "ln" -> "max"), 16)
       .orderBy("l_returnflag").collect().map(_.toString).toSeq
     println(s"[15] salted agg == plain agg -> ${plain15 == salted15}")
+
+    // 16. SRP-LSH embedding near-dup: planted near-copies all recovered,
+    // no false positives among the natural corpus at cosine >= 0.9
+    val raw16 = spark.read.parquet(s"$sf/embeddings.parquet").select(
+      col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted16 = raw16.unionByName(raw16.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding")))
+    val srp = graft.llm.SRPCosineDedupPipe("embedding", "vec_id")(planted16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected16 = (0L until 10L).map(i => (i, i + 10000)).toSet
+    println(s"[16] srp planted recall (${srp.size}) -> ${srp == expected16}")
     spark.stop()
   }
 }

@@ -443,3 +443,77 @@ case class EmbeddingCosineDedupPipe(
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
+
+/** SRP-LSH near-dup over an embedding column — the SimHash analogue for
+  * vectors, and [[EmbeddingCosineDedupPipe]]'s BLOCK-FREE scale path:
+  * no caller-chosen blocking contract, candidates come from signature
+  * band buckets alone.
+  *
+  * Each vector gets an `nBits`-bit signature of hyperplane signs
+  * (signed random projection: P[bit differs] = angle/pi). Hyperplanes
+  * come from a deterministic integer formula — component t of plane b is
+  * `(((b*37 + t*11) mod 21) - 10) / 10` — so an external engine replays
+  * signatures bit-for-bit and an exhaustive oracle is EXACT. Banding
+  * (`bands` buckets of nBits/bands bits) generates candidates with
+  * pigeonhole-exact recall for Hamming <= bands-1; candidates then verify
+  * exact Hamming AND exact cosine. Emits (id_a, id_b, hamming, cosine).
+  *
+  * At scale: the band self-join carries (id, band, bucket) rows only —
+  * vectors are fetched back by id for the few surviving candidates, and
+  * the signature base is localCheckpoint-ed once (three consumers).
+  * Reference counterpart: the dedup role FAISS range-search plays in
+  * embedding pipelines (warp_pipes/search/vector_base/, by capability).
+  */
+case class SRPCosineDedupPipe(
+    vecCol: String,
+    idCol: String,
+    nBits: Int = 16,
+    bands: Int = 4,
+    maxHamming: Int = 3,
+    minCosine: Double = 0.9) extends Pipe {
+  require(nBits % bands == 0, "bands must divide nBits")
+  require(nBits <= 62, "signature must fit a long")
+  require(maxHamming < bands,
+    "recall is pigeonhole-exact only for maxHamming <= bands-1")
+  override def params = Map("vec" -> vecCol, "id" -> idCol,
+    "nBits" -> nBits.toString, "bands" -> bands.toString,
+    "maxHamming" -> maxHamming.toString, "minCosine" -> minCosine.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val dim = df.select(size(qcol(vecCol))).head().getInt(0)
+    val planes: Seq[Seq[Double]] = Seq.tabulate(nBits)(b =>
+      Seq.tabulate(dim)(t => (((b * 37 + t * 11) % 21) - 10) / 10.0))
+    val slim = df.select(qcol(idCol).cast("long").as("id"),
+      arrTransform(qcol(vecCol), _.cast("double")).as("v"))
+    val sigExpr = (0 until nBits).map { b =>
+      val dot = aggregate(
+        zip_with(col("v"), typedLit(planes(b)), (x, p) => x * p),
+        lit(0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = Pipe.widen(slim).select(col("id"), col("v"), sigExpr.as("sg"))
+      .localCheckpoint(true)
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val banded = base.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sg"), b * r).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bh")))
+    val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("sg").as("sg_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("sg").as("sg_b")), Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sg_a").bitwiseXOR(col("sg_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("cosine", DedupOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("cosine"))
+  }
+}

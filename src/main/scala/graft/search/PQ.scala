@@ -57,26 +57,31 @@ case class PQDenseEngine(
   private def build(): (Seq[Seq[Seq[Double]]], DataFrame) = {
     require(dim % m == 0, s"m=$m must divide vector dim=$dim")
     val dsub = dim / m
-    fixedCodebooks.foreach { books =>
-      require(books.size == m && books.forall(b =>
-        b.size == codebookSize && b.forall(_.size == dsub)),
-        s"fixedCodebooks must be m=$m x codebookSize=$codebookSize x dsub=$dsub")
-      // Nearest-centroid encoding as pure expressions (no KMeans): per
-      // subspace, squared L2 to each centroid of the literal codebook,
-      // argmin with first-occurrence (= lowest code) tie-break — the
-      // arithmetic an external engine replays bit-for-bit.
-      val codesDf = corpus.select(
-        col(corpusIdxCol).cast("long").as("idx") +:
-          (0 until m).map { j =>
-            val sub = arrTransform(
-              slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double"))
-            val dists = arrTransform(typedLit(books(j)), c =>
-              aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-                lit(0d), (acc, v) => acc + v))
-            (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$j")
-          }: _*)
-      return (books, codesDf)
+    fixedCodebooks match {
+      case Some(books) =>
+        require(books.size == m && books.forall(b =>
+          b.size == codebookSize && b.forall(_.size == dsub)),
+          s"fixedCodebooks must be m=$m x codebookSize=$codebookSize x dsub=$dsub")
+        // Nearest-centroid encoding as pure expressions (no KMeans): per
+        // subspace, squared L2 to each centroid of the literal codebook,
+        // argmin with first-occurrence (= lowest code) tie-break — the
+        // arithmetic an external engine replays bit-for-bit.
+        val codesDf = corpus.select(
+          col(corpusIdxCol).cast("long").as("idx") +:
+            (0 until m).map { j =>
+              val sub = arrTransform(
+                slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double"))
+              val dists = arrTransform(typedLit(books(j)), c =>
+                aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+                  lit(0d), (acc, v) => acc + v))
+              (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$j")
+            }: _*)
+        (books, codesDf)
+      case None => buildTrained(dsub)
     }
+  }
+
+  private def buildTrained(dsub: Int): (Seq[Seq[Seq[Double]]], DataFrame) = {
     val prepared = corpus.select(
       col(corpusIdxCol).cast("long").as("idx") +:
         (0 until m).map(j =>
