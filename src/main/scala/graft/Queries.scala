@@ -715,6 +715,54 @@ object Queries {
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
         .orderBy("qid")
     }),
+
+    // ----- curation: repetition / decontamination / PII / stratified -----
+    "cu_repetition" -> ((s, d) =>
+      graft.llm.RepetitionStatsPipe("text")(t(s, d, "documents"))
+        .select("doc_id", "dup_token_frac", "top_bigram_frac", "dup_bigram_frac")
+        .orderBy("doc_id")),
+    "cu_decontaminate" -> ((s, d) => {
+      // eval corpus = docs 0-29; 4-grams split the sf0.01 corpus 81/419
+      val docs = t(s, d, "documents")
+      graft.llm.DecontaminatePipe(docs.filter(col("doc_id") < 30),
+        "text", "doc_id", ngramSize = 4)(docs)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+    "cu_pii" -> ((s, d) => {
+      // plant deterministic email/phone/IP on every 3rd doc; the oracle
+      // replays the planting and RE2-compatible redaction verbatim
+      val planted = t(s, d, "documents").withColumn("t2",
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(col("text")))
+      graft.llm.PiiRedactPipe("t2")(planted)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+        .orderBy("doc_id")
+    }),
+    "cu_stratified" -> ((s, d) =>
+      graft.llm.StratifiedSamplePipe("doc_id", "lang",
+        Seq("en" -> 0.35, "de" -> 0.8), defaultRate = 0.6)(t(s, d, "documents"))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // ----- as-of join (point-in-time lookup) -----
+    "aj_asof" -> ((s, d) => {
+      // each click gets the latest prior purchase of the same user; ts
+      // compared as exact epoch-micros (no float, no format divergence)
+      val ev = graft.streaming.EventStream.readBatch(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      graft.operators.AsOfJoin.backward(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_event_id"), col("asof_value"), col("asof_n_prior"))
+        .orderBy("event_id")
+    }),
   )
 
   // ---- DuckDB mirrors of Scalarize's canonical array encoding ----------
@@ -1272,5 +1320,58 @@ object Queries {
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // Gopher-style repetition stats: sorted-bigram run lengths replayed as
+    // an unnest+group count (identical math, different but equivalent shape)
+    "cu_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM tok),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1,2),
+        |s AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS nbg, CAST(max(cnt) AS DOUBLE) AS top,
+        |  CAST(coalesce(sum(cnt) FILTER (WHERE cnt>1),0) AS DOUBLE) AS dup FROM c GROUP BY 1)
+        |SELECT tok.doc_id,
+        | round(1 - len(list_distinct(t))*1.0/len(t), 4) AS dup_token_frac,
+        | round(CASE WHEN coalesce(nbg,0) > 0 THEN top/nbg ELSE 0 END, 4) AS top_bigram_frac,
+        | round(CASE WHEN coalesce(nbg,0) > 0 THEN dup/nbg ELSE 0 END, 4) AS dup_bigram_frac
+        |FROM tok LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "cu_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) ELSE [] END) AS g FROM tok),
+        |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id < 30),
+        |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN ev USING (g))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    "cu_pii" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        | THEN text || ' contact user' || doc_id || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        | ELSE text END AS t2 FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        | CAST(len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        | regexp_replace(regexp_replace(regexp_replace(t2,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "cu_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id*131+7) % 1000003) % 10000 <
+        |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // union+window replay of the tagged as-of scan: rights (side 0) sort
+    // before lefts at equal ts, so a purchase at exactly click-ts is visible
+    "aj_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='purchase'),
+        |u AS (SELECT user_id, ts, 1 AS side, NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val, event_id AS l_eid FROM l
+        | UNION ALL SELECT user_id, ts, 0, event_id, value, NULL FROM r),
+        |w AS (SELECT *,
+        |  last_value(r_eid IGNORE NULLS) OVER win AS a_eid,
+        |  last_value(r_val IGNORE NULLS) OVER win AS a_val,
+        |  count(r_eid) OVER win AS np
+        | FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, r_eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT w.l_eid AS event_id, w.user_id, epoch_us(w.ts) AS ts_us,
+        | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
   )
 }

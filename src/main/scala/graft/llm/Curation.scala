@@ -1,0 +1,199 @@
+package graft.llm
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{transform => arrTransform, _}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of the reference surface: repetition-based quality signals,
+  * eval-set decontamination, PII redaction, and deterministic stratified
+  * sampling. All are shuffle-minimal by construction — the per-document
+  * stats are pure codegen'd Column expressions (no shuffle at all), and
+  * the two relational ops shuffle once on their natural key.
+  */
+object CurationOps {
+
+  /** Word n-grams as space-joined strings; empty array when the doc has
+    * fewer than `n` tokens (guarded — `sequence(0, k)` with k < 0 would
+    * produce a DESCENDING range, not an empty one).
+    */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      arrTransform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Duplicate statistics of a SORTED array in ONE `aggregate` pass:
+    * returns struct(top, dup) where `top` is the longest run of equal
+    * adjacent elements and `dup` the total length of runs longer than 1.
+    *
+    * Deliberately a single linear scan referencing `sorted` exactly once:
+    * an index-based run-length formulation (`get(sorted, i)` inside a
+    * lambda) re-evaluates the whole producing expression per element once
+    * CollapseProject inlines it — measured as a >200 s hang at sf0.01 vs
+    * seconds for this shape (see SURVEY §6 HOF-inline note).
+    */
+  def runStats(sorted: Column): Column = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("run"), lit(0).as("top"), lit(0).as("dup"))
+    def closedTop(a: Column) = greatest(a.getField("top"), a.getField("run"))
+    def closedDup(a: Column) = a.getField("dup") +
+      when(a.getField("run") > 1, a.getField("run")).otherwise(0)
+    aggregate(sorted, zero,
+      (a, x) => {
+        val same = x <=> a.getField("prev")
+        struct(x.as("prev"),
+          when(same, a.getField("run") + 1).otherwise(lit(1)).as("run"),
+          when(same, a.getField("top")).otherwise(closedTop(a)).as("top"),
+          when(same, a.getField("dup")).otherwise(closedDup(a)).as("dup"))
+      },
+      a => struct(closedTop(a).as("top"), closedDup(a).as("dup")))
+  }
+}
+
+/** Gopher-style repetition signals for quality filtering: the fraction of
+  * repeated tokens, and the share of bigram occurrences held by the most
+  * frequent bigram / by any duplicated bigram. Entirely per-row Column
+  * expressions (sorted-array run lengths instead of an explode+groupBy) —
+  * zero shuffle, so at 100 TB it is a map-only pass that scales linearly
+  * with input splits.
+  *
+  * Signals follow the repetition-removal family of Rae et al. (Gopher,
+  * arXiv:2112.11446 §A1.1); thresholds are the caller's policy.
+  */
+case class RepetitionStatsPipe(textCol: String) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    // Stage each expensive array as a (multiply-referenced) output column
+    // so CollapseProject cannot inline it into a per-element lambda.
+    val staged = df
+      .withColumn("__rs_toks__", TextAnalysisOps.toks(qcol(textCol)))
+      .withColumn("__rs_bg__",
+        array_sort(CurationOps.wordNgrams(col("__rs_toks__"), 2)))
+      .withColumn("__rs_run__", CurationOps.runStats(col("__rs_bg__")))
+    val nt = size(col("__rs_toks__")).cast("double")
+    val nbg = size(col("__rs_bg__")).cast("double")
+    val top = col("__rs_run__").getField("top").cast("double")
+    val dup = col("__rs_run__").getField("dup").cast("double")
+    val dupTok = lit(1d) - size(array_distinct(col("__rs_toks__"))).cast("double") / nt
+    val outs: Seq[(String, Column)] = Seq(
+      "dup_token_frac" -> round(dupTok, 4),
+      "top_bigram_frac" -> round(when(nbg > 0, top / nbg).otherwise(0d), 4),
+      "dup_bigram_frac" -> round(when(nbg > 0, dup / nbg).otherwise(0d), 4))
+    finish(staged, outs).drop("__rs_toks__", "__rs_bg__", "__rs_run__")
+  }
+}
+
+/** Eval-set decontamination: flag (or drop) training documents that share
+  * any word `n`-gram with a benchmark/eval corpus — the standard guard
+  * against test-set leakage into training data.
+  *
+  * Shape at scale: the eval side is DISTINCT n-grams of a benchmark suite
+  * (thousands of docs, ~millions of n-grams) and is broadcast, so the
+  * train side is a map-only semi-join probe — no shuffle of the 100 TB
+  * side. Set `broadcastEval = false` for an oversized eval corpus to fall
+  * back to a shuffled left-semi join on the n-gram key.
+  */
+case class DecontaminatePipe(
+    evalDf: DataFrame,
+    textCol: String,
+    idCol: String,
+    ngramSize: Int = 3,
+    /** true → add boolean `flagCol`; false → drop contaminated rows. */
+    flagOnly: Boolean = true,
+    flagCol: String = "contaminated",
+    broadcastEval: Boolean = true) extends Pipe {
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "n" -> ngramSize.toString, "flagOnly" -> flagOnly.toString,
+    "flag" -> flagCol, "broadcastEval" -> broadcastEval.toString)
+
+  private def ngrams(c: Column): Column =
+    CurationOps.wordNgrams(TextAnalysisOps.toks(c), ngramSize)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val evalNg = evalDf
+      .select(explode(ngrams(qcol(textCol))).as("__ng__")).distinct()
+    val probe = if (broadcastEval) broadcast(evalNg) else evalNg
+    val hits = df.select(qcol(idCol).as("__cid__"),
+        explode(ngrams(qcol(textCol))).as("__ng__"))
+      .join(probe, Seq("__ng__"), "left_semi")
+      .select(col("__cid__")).distinct()
+    if (flagOnly)
+      df.join(hits, qcol(idCol) === col("__cid__"), "left")
+        .withColumn(flagCol, col("__cid__").isNotNull)
+        .drop("__cid__")
+    else
+      df.join(hits, qcol(idCol) === col("__cid__"), "left_anti")
+  }
+}
+
+/** PII redaction: count and mask pattern families (emails, phone numbers,
+  * IPv4 by default) with placeholder tags. Pure regexp expressions —
+  * map-only, codegen'd, no shuffle.
+  */
+case class PiiRedactPipe(
+    textCol: String,
+    outputCol: String = "redacted",
+    patterns: Seq[(String, String, String)] = PiiRedactPipe.defaults)
+    extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "out" -> outputCol,
+    "patterns" -> patterns.map(p => s"${p._1}:${p._2}:${p._3}").mkString("|"))
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val text = qcol(textCol)
+    val counts = patterns.map { case (pname, regex, _) =>
+      s"n_$pname" -> (size(regexp_extract_all(text, lit(regex), lit(0)))
+        .cast("int"): Column)
+    }
+    val redacted = patterns.foldLeft(text) { case (acc, (_, regex, tag)) =>
+      regexp_replace(acc, lit(regex), lit(tag))
+    }
+    finish(df, counts :+ (outputCol -> redacted))
+  }
+}
+
+object PiiRedactPipe {
+  /** (name, regex, replacement) — identical semantics in Java regex and
+    * DuckDB's RE2, so an oracle can replay them verbatim.
+    */
+  val defaults: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", "\\b\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ips", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+}
+
+/** Deterministic stratified sampling for domain/language rebalancing:
+  * keep a row iff an engine-reproducible hash of its id falls under the
+  * group's rate threshold. A pure filter — no shuffle, no RNG state, and
+  * the SAME rows survive on any cluster size or retry (unlike
+  * `sample()`, whose output is partitioning-dependent), which makes
+  * training-data mixes reproducible and auditable.
+  *
+  * Hash is the repo's polynomial scheme ((id*131+7) mod 1000003 mod 1e4 —
+  * same family as [[FingerprintPipe]]), replayable in any engine.
+  */
+case class StratifiedSamplePipe(
+    idCol: String,
+    groupCol: String,
+    rates: Seq[(String, Double)],
+    defaultRate: Double = 1.0) extends Pipe {
+  require(rates.forall { case (_, r) => r >= 0 && r <= 1 } &&
+    defaultRate >= 0 && defaultRate <= 1, "rates must be in [0, 1]")
+  override def params = Map("id" -> idCol, "group" -> groupCol,
+    "rates" -> rates.map(r => s"${r._1}:${r._2}").mkString("|"),
+    "default" -> defaultRate.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val slot = pmod(pmod(qcol(idCol).cast("long") * 131 + 7, lit(1000003L)),
+      lit(10000L))
+    val thr = rates.foldRight(lit((defaultRate * 10000).toLong): Column) {
+      case ((g, r), acc) =>
+        when(qcol(groupCol) === g, lit((r * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(slot < thr)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    ("k", 10L, "l1"), ("k", 4L, "l2"), ("j", 7L, "l3"), ("m", 99L, "l4"))
+    .toDF("key", "ts", "name")
+  private val right = Seq(
+    ("k", 5L, 100L, 1.0), // before l1, after l2
+    ("k", 10L, 200L, 2.0), // exactly at l1.ts -> visible to l1
+    ("k", 10L, 300L, 3.0), // same ts: greater (event_id) payload wins
+    ("k", 11L, 400L, 4.0), // after everything on k
+    ("j", 7L, 500L, 5.0)) // exactly at l3.ts
+    .toDF("key", "ts", "event_id", "value")
+
+  test("backward as-of: latest right row at or before left ts, per key") {
+    val out = AsOfJoin.backward(left, right, Seq("key"), "ts", "ts",
+      Seq("event_id", "value"))
+      .select("key", "ts", "name", "asof_event_id", "asof_value", "asof_n_prior")
+      .orderBy("key", "ts").collect()
+    assert(out.toSeq == Seq(
+      Row("j", 7L, "l3", 500L, 5.0, 1L), // equal ts IS visible (<=)
+      Row("k", 4L, "l2", null, null, 0L), // no prior right row
+      Row("k", 10L, "l1", 300L, 3.0, 3L), // tie at ts=10 -> max payload
+      Row("m", 99L, "l4", null, null, 0L))) // key absent on right side
+  }
+
+  test("plan shape: no join operator — one window pass over a union") {
+    val out = AsOfJoin.backward(left, right, Seq("key"), "ts", "ts", Seq("value"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan, got:\n$plan")
+    assert(plan.contains("Window"))
+  }
+}
