@@ -747,6 +747,17 @@ object Queries {
         Seq("en" -> 0.35, "de" -> 0.8), defaultRate = 0.6)(t(s, d, "documents"))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ----- sequence packing (concat-and-chunk) -----
+    "pk_pack" -> ((s, d) => {
+      // global path: exercises the range-partition + broadcast-offset
+      // prefix sum (the grouped path is covered by PackingSpec)
+      val docs = t(s, d, "documents").withColumn("tok_cnt",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.llm.PackSequencesPipe("tok_cnt", 256, "doc_id")(docs)
+        .select("doc_id", "tok_cnt", "pack_first", "pack_last", "pack_pos")
+        .orderBy("doc_id")
+    }),
+
     // ----- as-of join (point-in-time lookup) -----
     "aj_asof" -> ((s, d) => {
       // each click gets the latest prior purchase of the same user; ts
@@ -1358,6 +1369,13 @@ object Queries {
         |WHERE ((doc_id*131+7) % 1000003) % 10000 <
         |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "pk_pack" ->
+      """WITH c AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok_cnt FROM documents),
+        |p AS (SELECT doc_id, tok_cnt, CAST(coalesce(sum(tok_cnt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM c)
+        |SELECT doc_id, tok_cnt, prev // 256 AS pack_first,
+        | CASE WHEN tok_cnt > 0 THEN (prev + tok_cnt - 1) // 256 ELSE prev // 256 END AS pack_last,
+        | prev % 256 AS pack_pos
+        |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // union+window replay of the tagged as-of scan: rights (side 0) sort
     // before lefts at equal ts, so a purchase at exactly click-ts is visible
     "aj_asof" ->

@@ -96,6 +96,55 @@ object VerifyScratch {
     println(s"[7] asof plan join-free, exchanges=$nEx -> " +
       s"${!ajplan.contains("Join") && nEx <= 2}")
 
+    // 8. forward as-of == join+argmin replay on the same real events
+    val ajf = graft.operators.AsOfJoin.forward(clicks,
+      purch.withColumnRenamed("pts", "ts"), Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"))
+    val freplay = clicks.as("l").join(purch.as("r"),
+        col("l.user_id") === col("r.user_id") && col("pts") >= col("l.ts"), "left")
+      .groupBy(col("l.event_id").as("event_id"))
+      .agg(count(col("r.event_id")).as("nn"),
+        min(struct(col("pts"), (-col("r.event_id")).as("neg"))).as("mn"))
+      .select(col("event_id"), col("nn"), (-col("mn.neg")).as("best"))
+    val fmismatch = ajf.join(freplay, "event_id")
+      .filter(col("asof_n_next") =!= col("nn") ||
+        !(col("asof_event_id") <=> col("best"))).count()
+    println(s"[8] forward asof == join+argmin replay -> ${fmismatch == 0}")
+
+    // 9. tolerance: every surviving match obeys the bound; stale matches
+    // are nulled but their visibility count survives
+    val tol = 3600L * 1000000L // 1 h in micros
+    val ajt = graft.operators.AsOfJoin.backward(clicks,
+      purch.withColumnRenamed("pts", "ts"), Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"),
+      within = Some((l, r) => unix_micros(l) - unix_micros(r) <= tol))
+    val tBad = ajt.join(replay, "event_id")
+      .join(purch.select(col("event_id").as("best2"), col("pts")),
+        col("best") === col("best2"), "left")
+      .filter(
+        // survived -> must be within tolerance and equal the unfiltered best
+        (col("asof_event_id").isNotNull &&
+          (col("asof_event_id") =!= col("best"))) ||
+        // nulled but a best exists -> best must be out of tolerance
+        (col("asof_event_id").isNull && col("best").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("pts")) <= tol) ||
+        col("asof_n_prior") =!= col("np")).count()
+    println(s"[9] tolerance nulls stale matches only -> ${tBad == 0}")
+
+    // 10. sequence packing on real docs: offsets tile exactly (loss-free
+    // concat-and-chunk) and the prefix sum is range-partitioned
+    val pdocs = docs.withColumn("n",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+    val packed = graft.llm.PackSequencesPipe("n", 128, "doc_id")(pdocs)
+    val offs = packed.select(col("doc_id"),
+        (col("pack_first") * 128 + col("pack_pos")).as("off"), col("n"))
+      .orderBy("doc_id").collect()
+    val tiles = offs.sliding(2).forall { case Array(a, b) =>
+      b.getLong(1) == a.getLong(1) + a.getLong(2); case _ => true }
+    val pplan = packed.queryExecution.executedPlan.toString
+    println(s"[10] packing tiles exactly, range-partitioned -> " +
+      s"${tiles && offs.head.getLong(1) == 0 && pplan.contains("rangepartitioning")}")
+
     spark.stop()
   }
 }

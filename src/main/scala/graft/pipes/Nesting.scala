@@ -101,6 +101,38 @@ object NestingOps {
       .drop(pid, ppos, "__off__")
   }
 
+  /** Scale-safe 0-based EXCLUSIVE global prefix sum of `valueCol` in
+    * `orderCol` order — the [[withGlobalRank]] design generalized from
+    * counts to sums (rank is the valueCol=1 special case): range-partition
+    * sort, per-partition running sums, broadcast per-partition offsets.
+    * A plain `sum().over(Window.orderBy(...))` would move ALL rows to one
+    * partition. Ties in `orderCol` get an arbitrary-but-stable order; use
+    * a unique order column for fully deterministic results.
+    */
+  def withGlobalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pid = "__pid__"
+    val psum = "__psum__"
+    val v = coalesce(qcol(valueCol).cast("long"), lit(0L))
+    val parted = df.repartitionByRange(qcol(orderCol))
+      .withColumn(pid, spark_partition_id())
+    val offsets = parted.groupBy(pid).agg(sum(v).as("__cnt__"))
+      .withColumn("__off__", coalesce(
+        sum("__cnt__").over(
+          Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col("__off__"))
+    // ROWS frame (not the default RANGE): with ties in orderCol a RANGE
+    // frame would include every tie row in "preceding"
+    val withS = parted.withColumn(psum,
+      sum(v).over(Window.partitionBy(pid).orderBy(qcol(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - v)
+    withS.join(broadcast(offsets), pid)
+      .withColumn(outCol, col(psum) + col("__off__"))
+      .drop(pid, psum, "__off__")
+  }
+
   /** Inverse of [[flattenOnce]]: group by `parent`, re-assemble each array
     * column ordered by `order` (defaults to the flatten position).
     */

@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("global packing: hand-computed chunk spans, seqLen 10") {
+    val df = Seq((1L, 4L), (2L, 8L), (3L, 10L), (4L, 0L), (5L, 25L))
+      .toDF("id", "n")
+    val out = PackSequencesPipe("n", 10, "id")(df)
+      .select("id", "pack_first", "pack_last", "pack_pos")
+      .orderBy("id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 0L, 0L, 0L), // tokens [0,4) -> pack 0
+      Row(2L, 0L, 1L, 4L), // [4,12) crosses into pack 1
+      Row(3L, 1L, 2L, 2L), // [12,22)
+      Row(4L, 2L, 2L, 2L), // empty doc: degenerate span at its offset
+      Row(5L, 2L, 4L, 2L))) // [22,47) spans packs 2-4
+  }
+
+  test("grouped packing: independent streams per group") {
+    val df = Seq(("a", 1L, 6L), ("a", 2L, 6L), ("b", 1L, 3L), ("b", 2L, 3L))
+      .toDF("g", "id", "n")
+    val out = PackSequencesPipe("n", 8, "id", groupCol = Some("g"))(df)
+      .select("g", "id", "pack_first", "pack_pos").orderBy("g", "id").collect()
+    assert(out.toSeq == Seq(
+      Row("a", 1L, 0L, 0L), Row("a", 2L, 0L, 6L),
+      Row("b", 1L, 0L, 0L), Row("b", 2L, 0L, 3L)))
+  }
+
+  test("packing is a loss-free layout: offsets tile exactly, no overlap") {
+    val docs = spark.read.parquet(sf("documents"))
+      .withColumn("n", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val out = PackSequencesPipe("n", 128, "doc_id")(docs)
+    // reconstruct each doc's absolute offset and check consecutive docs
+    // (by doc_id) are exactly adjacent: off(i+1) = off(i) + n(i)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val bad = out
+      .withColumn("off", col("pack_first") * 128 + col("pack_pos"))
+      .withColumn("prev_end",
+        lag(col("pack_first") * 128 + col("pack_pos") + col("n"), 1, 0L).over(w))
+      .filter(col("off") =!= col("prev_end")).count()
+    assert(bad == 0)
+    // plan shape: the global prefix sum must not hit a single partition —
+    // no SinglePartition exchange outside the tiny offsets branch
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected range-partitioned prefix sum, got:\n$plan")
+  }
+}

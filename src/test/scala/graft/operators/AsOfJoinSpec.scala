@@ -29,6 +29,39 @@ class AsOfJoinSpec extends SparkSpec {
       Row("m", 99L, "l4", null, null, 0L))) // key absent on right side
   }
 
+  test("forward as-of: earliest right row at or after left ts") {
+    val out = AsOfJoin.forward(left, right, Seq("key"), "ts", "ts",
+      Seq("event_id", "value"))
+      .select("key", "ts", "asof_event_id", "asof_value", "asof_n_next")
+      .orderBy("key", "ts").collect()
+    assert(out.toSeq == Seq(
+      Row("j", 7L, 500L, 5.0, 1L), // equal ts visible in forward too
+      Row("k", 4L, 100L, 1.0, 4L), // earliest at/after ts=4 is ts=5
+      Row("k", 10L, 300L, 3.0, 3L), // tie at ts=10 -> max payload
+      Row("m", 99L, null, null, 0L)))
+  }
+
+  test("tolerance nulls matches outside the window but keeps the count") {
+    val out = AsOfJoin.backward(left, right, Seq("key"), "ts", "ts",
+      Seq("event_id", "value"),
+      within = Some((l, r) => l - r <= 2L))
+      .select("key", "ts", "asof_event_id", "asof_n_prior")
+      .orderBy("key", "ts").collect()
+    assert(out.toSeq == Seq(
+      Row("j", 7L, 500L, 1L), // gap 0 <= 2: kept
+      Row("k", 4L, null, 0L),
+      Row("k", 10L, 300L, 3L), // gap 0: kept, count still all-visible
+      Row("m", 99L, null, 0L)))
+    // a tolerance that excludes the ts=5 match for the ts=10 left row
+    // would null it had the ts=10 rights not existed — verify on a left
+    // row whose only match is stale
+    val out2 = AsOfJoin.backward(left.filter($"ts" === 10L),
+      right.filter($"event_id" === 100L), Seq("key"), "ts", "ts",
+      Seq("event_id"), within = Some((l, r) => l - r <= 2L))
+      .select("asof_event_id", "asof_n_prior").collect()
+    assert(out2.toSeq == Seq(Row(null, 1L))) // match at ts=5 is 5 old -> nulled
+  }
+
   test("plan shape: no join operator — one window pass over a union") {
     val out = AsOfJoin.backward(left, right, Seq("key"), "ts", "ts", Seq("value"))
     val plan = out.queryExecution.executedPlan.toString
