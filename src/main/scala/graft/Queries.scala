@@ -747,6 +747,17 @@ object Queries {
         Seq("en" -> 0.35, "de" -> 0.8), defaultRate = 0.6)(t(s, d, "documents"))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ----- deterministic shuffle + corpus profiling -----
+    "ds_shuffle" -> ((s, d) =>
+      graft.llm.DeterministicShufflePipe("doc_id")(t(s, d, "documents"))
+        .select("doc_id", "shuffle_slot").orderBy("shuffle_slot", "doc_id")),
+    "cs_stats" -> ((s, d) =>
+      // exact-percentile path (oracle-replayable); approx path is spec'd
+      graft.llm.CorpusStatsPipe(Seq("lang"), "n_chars", approx = false)(
+        t(s, d, "documents"))
+        .select("lang", "n", "mean", "min", "max", "p50", "p90", "p99")
+        .orderBy("lang")),
+
     // ----- sequence packing (concat-and-chunk) -----
     "pk_pack" -> ((s, d) => {
       // global path: exercises the range-partition + broadcast-offset
@@ -1369,6 +1380,19 @@ object Queries {
         |WHERE ((doc_id*131+7) % 1000003) % 10000 <
         |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ds_shuffle" ->
+      """WITH s AS (SELECT doc_id, (doc_id*131+7) % 1000003 AS s1 FROM documents)
+        |SELECT doc_id, (s1*s1 + s1) % 1000003 AS shuffle_slot
+        |FROM s ORDER BY shuffle_slot, doc_id""".stripMargin.replace("\n", " "),
+    // quantile_cont == Spark's exact percentile (linear interpolation on
+    // the sorted group)
+    "cs_stats" ->
+      """SELECT lang, count(n_chars) AS n, round(avg(n_chars),4) AS mean,
+        | min(n_chars) AS min, max(n_chars) AS max,
+        | round(quantile_cont(n_chars, 0.5),4) AS p50,
+        | round(quantile_cont(n_chars, 0.9),4) AS p90,
+        | round(quantile_cont(n_chars, 0.99),4) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "pk_pack" ->
       """WITH c AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok_cnt FROM documents),
         |p AS (SELECT doc_id, tok_cnt, CAST(coalesce(sum(tok_cnt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM c)

@@ -145,6 +145,27 @@ object VerifyScratch {
     println(s"[10] packing tiles exactly, range-partitioned -> " +
       s"${tiles && offs.head.getLong(1) == 0 && pplan.contains("rangepartitioning")}")
 
+    // 11. deterministic shuffle on real docs: permutation, layout-stable,
+    // and the plan range-partitions on the slot (distributed sort)
+    val sh = graft.llm.DeterministicShufflePipe("doc_id")(docs)
+    val sh2 = graft.llm.DeterministicShufflePipe("doc_id")(docs.repartition(7))
+    val stable = sh.select("doc_id", "shuffle_slot")
+      .except(sh2.select("doc_id", "shuffle_slot")).count() == 0
+    val shplan = sh.queryExecution.executedPlan.toString
+    println(s"[11] shuffle permutation stable+range-partitioned -> " +
+      s"${stable && sh.count() == docs.count() && shplan.contains("rangepartitioning")}")
+
+    // 12. corpus stats: approx and exact percentiles agree on real data,
+    // groupBy plan has a partial aggregate (map-side combine)
+    val ex = graft.llm.CorpusStatsPipe(Seq("lang"), "n_chars", approx = false)(docs)
+    val ap = graft.llm.CorpusStatsPipe(Seq("lang"), "n_chars", approx = true)(docs)
+    val joined = ex.select(col("lang"), col("p50").as("e"))
+      .join(ap.select(col("lang"), col("p50").as("a")), "lang")
+    val csBad = joined.filter(abs(col("e") - col("a")) > col("e") * 0.05 + 5).count()
+    val csplan = ex.queryExecution.executedPlan.toString
+    println(s"[12] corpus stats approx~exact, partial agg -> " +
+      s"${csBad == 0 && csplan.contains("partial_")}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,88 @@
+package graft.llm
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic pseudo-random global shuffle for training-data ordering:
+  * assign each row a slot from an engine-reproducible hash of its id and
+  * range-partition + sort by (slot, id). Unlike `orderBy(rand(seed))`
+  * (whose sample is partitioning-dependent) or an RNG column (whose state
+  * is retry-dependent), the SAME permutation comes out on any cluster
+  * size, retry, or engine — auditable training-data order.
+  *
+  * Scale shape: range partition on the slot is a distributed sort (no
+  * single-partition window, no driver collect); downstream writers get
+  * well-mixed partitions (consecutive doc_ids land far apart).
+  *
+  * The mixer is QUADRATIC on purpose: an affine hash ((id*a+b) mod p —
+  * the [[StratifiedSamplePipe]] family) maps consecutive ids a constant
+  * stride apart, which is order-preserving until the modulus wraps — not
+  * a shuffle at all for a contiguous id range. s = (id*131+seed) mod p;
+  * slot = (s² + s) mod p destroys locality (~50% adjacent inversions,
+  * measured) while staying exactly replayable in any engine (all
+  * intermediates < 2⁶³; DuckDB BIGINT multiplication would error on a
+  * 64-bit-wrap mixer).
+  */
+case class DeterministicShufflePipe(
+    idCol: String,
+    seed: Long = 7L,
+    slotCol: String = "shuffle_slot") extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("id" -> idCol, "seed" -> seed.toString,
+    "slot" -> slotCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val p = lit(1000003L)
+    val s1 = pmod(qcol(idCol).cast("long") * 131 + seed, p)
+    val slot = pmod(s1 * s1 + s1, p)
+    df.withColumn(slotCol, slot)
+      .repartitionByRange(col(slotCol), qcol(idCol))
+      .sortWithinPartitions(col(slotCol), qcol(idCol))
+  }
+}
+
+/** Per-group corpus profiling: count, mean, min, max, and quantiles of a
+  * numeric column — the length/score distribution summaries a curation
+  * run reports per language or source.
+  *
+  * `approx = true` (the 100 TB default) uses `percentile_approx`
+  * (GK-sketch, bounded memory per group); `approx = false` uses exact
+  * `percentile`, which buffers each group's values — fine for bounded
+  * group counts and the DuckDB-replayable correctness gate, a memory
+  * hazard for billion-row groups.
+  */
+case class CorpusStatsPipe(
+    groupCols: Seq[String],
+    valueCol: String,
+    quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+    approx: Boolean = true,
+    accuracy: Int = 10000) extends Pipe {
+  require(groupCols.nonEmpty, "CorpusStatsPipe needs at least one group column")
+  require(quantiles.forall(p => p >= 0 && p <= 1), "quantiles must be in [0, 1]")
+  override def update: Boolean = false
+  override def params = Map("group" -> groupCols.mkString(","),
+    "value" -> valueCol, "q" -> quantiles.mkString(","),
+    "approx" -> approx.toString, "accuracy" -> accuracy.toString)
+
+  private def qname(p: Double): String =
+    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_")
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val v = qcol(valueCol)
+    val qaggs = quantiles.map { p =>
+      val c =
+        if (approx) percentile_approx(v, lit(p), lit(accuracy)).cast("double")
+        else percentile(v, lit(p))
+      round(c, 4).as(qname(p))
+    }
+    val aggs = Seq(
+      count(v).as("n"),
+      round(avg(v), 4).as("mean"),
+      min(v).as("min"),
+      max(v).as("max")) ++ qaggs
+    df.groupBy(groupCols.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
