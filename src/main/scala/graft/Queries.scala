@@ -747,6 +747,59 @@ object Queries {
         Seq("en" -> 0.35, "de" -> 0.8), defaultRate = 0.6)(t(s, d, "documents"))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ----- composed curation v2: the round-6 end-to-end cleaner -----
+    "pp_curate_v2" -> ((s, d) => {
+      // line-wrap -> line dedup -> repetition stats -> repetition floor
+      // -> stratified rebalance -> token count, as ONE SequentialPipe;
+      // the oracle replays the whole chain stage by stage
+      val docs = t(s, d, "documents")
+        .withColumn("__tk__", split(trim(col("text")), "\\s+"))
+        .withColumn("text", concat_ws("\n",
+          transform(sequence(lit(0), ceil(size(col("__tk__")) / 8d).cast("long") - 1),
+            i => concat_ws(" ", slice(col("__tk__"), i * 8 + 1, lit(8))))))
+        .drop("__tk__")
+      val pipe = SequentialPipe(Seq(
+        graft.llm.LineDedupPipe("text", "doc_id"),
+        graft.llm.RepetitionStatsPipe("text"),
+        LambdaPipe(_.filter(col("dup_token_frac") <= 0.5), "repetition_floor"),
+        graft.llm.StratifiedSamplePipe("doc_id", "lang",
+          Seq("en" -> 0.5), defaultRate = 0.9),
+        graft.llm.TokenCountPipe("text")))
+      pipe(docs)
+        .select("doc_id", "lang", "n_lines_removed", "dup_token_frac", "ws_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ----- URL/domain blocklist filter (C4-style) -----
+    "ur_url_filter" -> ((s, d) => {
+      // plant blocked subdomain / clean / blocked apex URLs on a cycle
+      val planted = t(s, d, "documents").withColumn("t2",
+        when(col("doc_id") % 4 === 0, concat(col("text"),
+          lit(" see http://ads"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/x")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" see https://ok.org/page")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(" ref http://example.com")))
+        .otherwise(col("text")))
+      graft.llm.UrlFilterPipe("t2", Seq("example.com"))(planted)
+        .select("doc_id", "n_urls", "url_blocked").orderBy("doc_id")
+    }),
+
+    // ----- line-level exact dedup (CCNet-style corpus cleaner) -----
+    "ld_line_dedup" -> ((s, d) => {
+      // the synthetic docs are single-line; re-wrap every 8 tokens so the
+      // corpus has realistic repeated lines (the oracle replays the wrap)
+      val docs = t(s, d, "documents")
+        .withColumn("__tk__", split(trim(col("text")), "\\s+"))
+        .withColumn("text", concat_ws("\n",
+          transform(sequence(lit(0), ceil(size(col("__tk__")) / 8d).cast("long") - 1),
+            i => concat_ws(" ", slice(col("__tk__"), i * 8 + 1, lit(8))))))
+        .drop("__tk__")
+      graft.llm.LineDedupPipe("text", "doc_id")(docs)
+        .select("doc_id", "text", "n_lines_removed").orderBy("doc_id")
+    }),
+
     // ----- deterministic shuffle + corpus profiling -----
     "ds_shuffle" -> ((s, d) =>
       graft.llm.DeterministicShufflePipe("doc_id")(t(s, d, "documents"))
@@ -1380,6 +1433,48 @@ object Queries {
         |WHERE ((doc_id*131+7) % 1000003) % 10000 <
         |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "pp_curate_v2" ->
+      """WITH s0 AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |t AS (SELECT doc_id, lang, array_to_string(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+        |        i -> array_to_string(tk[i*8+1:i*8+8], ' ')), chr(10)) AS txt FROM s0),
+        |l0 AS (SELECT doc_id, lang, string_split(txt, chr(10)) AS ln FROM t),
+        |l1 AS (SELECT doc_id, lang, ln, unnest(range(1, len(ln)+1)) AS i FROM l0),
+        |l2 AS (SELECT doc_id, lang, i, ln[i] AS line FROM l1),
+        |c AS (SELECT line, count(*) AS cnt FROM l2 GROUP BY 1),
+        |cleaned AS (SELECT l2.doc_id, any_value(l2.lang) AS lang,
+        |        coalesce(string_agg(CASE WHEN c.cnt <= 1 THEN l2.line END, chr(10) ORDER BY l2.i), '') AS text,
+        |        CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+        |      FROM l2 JOIN c USING (line) GROUP BY l2.doc_id),
+        |tok AS (SELECT *, string_split_regex(trim(text), '\s+') AS t2 FROM cleaned),
+        |rep AS (SELECT doc_id, lang, n_lines_removed, CAST(len(t2) AS INT) AS ws_tokens,
+        |        round(1 - len(list_distinct(t2))*1.0/len(t2), 4) AS dup_token_frac FROM tok),
+        |fl AS (SELECT * FROM rep WHERE dup_token_frac <= 0.5),
+        |st AS (SELECT * FROM fl WHERE ((doc_id*131+7) % 1000003) % 10000 <
+        |        CASE lang WHEN 'en' THEN 5000 ELSE 9000 END)
+        |SELECT doc_id, lang, n_lines_removed, dup_token_frac, ws_tokens
+        |FROM st ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ur_url_filter" ->
+      """WITH p AS (SELECT doc_id, CASE
+        | WHEN doc_id % 4 = 0 THEN text || ' see http://ads' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/x'
+        | WHEN doc_id % 4 = 1 THEN text || ' see https://ok.org/page'
+        | WHEN doc_id % 4 = 2 THEN text || ' ref http://example.com'
+        | ELSE text END AS t2 FROM documents),
+        |h AS (SELECT doc_id, regexp_extract_all(t2, 'https?://([A-Za-z0-9.-]+)', 1) AS hosts FROM p)
+        |SELECT doc_id, CAST(len(hosts) AS INT) AS n_urls,
+        | len(list_filter(hosts, x -> x = 'example.com' OR ends_with(x, '.example.com'))) > 0 AS url_blocked
+        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ld_line_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |t AS (SELECT doc_id, array_to_string(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+        |        i -> array_to_string(tk[i*8+1:i*8+8], ' ')), chr(10)) AS txt FROM s),
+        |l0 AS (SELECT doc_id, string_split(txt, chr(10)) AS ln FROM t),
+        |l1 AS (SELECT doc_id, ln, unnest(range(1, len(ln)+1)) AS i FROM l0),
+        |l2 AS (SELECT doc_id, i, ln[i] AS line FROM l1),
+        |c AS (SELECT line, count(*) AS cnt FROM l2 GROUP BY 1)
+        |SELECT l2.doc_id,
+        | coalesce(string_agg(CASE WHEN c.cnt <= 1 THEN l2.line END, chr(10) ORDER BY l2.i), '') AS text,
+        | CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+        |FROM l2 JOIN c USING (line) GROUP BY l2.doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ds_shuffle" ->
       """WITH s AS (SELECT doc_id, (doc_id*131+7) % 1000003 AS s1 FROM documents)
         |SELECT doc_id, (s1*s1 + s1) % 1000003 AS shuffle_slot

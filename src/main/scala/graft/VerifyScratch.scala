@@ -166,6 +166,37 @@ object VerifyScratch {
     println(s"[12] corpus stats approx~exact, partial agg -> " +
       s"${csBad == 0 && csplan.contains("partial_")}")
 
+    // 13. line dedup on wrapped real docs: removed-line mass accounts for
+    // the shrink exactly (token conservation), no doc lost
+    val wrapped = docs
+      .withColumn("__tk__", split(trim(col("text")), "\\s+"))
+      .withColumn("text", concat_ws("\n",
+        transform(sequence(lit(0), ceil(size(col("__tk__")) / 8d).cast("long") - 1),
+          i => concat_ws(" ", slice(col("__tk__"), i * 8 + 1, lit(8))))))
+      .drop("__tk__")
+    val ld = graft.llm.LineDedupPipe("text", "doc_id")(wrapped)
+    val lines = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(explode(split(col("text"), "\n"))).filter(length(col("col")) > 0).count()
+    val conserved = lines(wrapped) == lines(ld) + ld.agg(sum("n_lines_removed"))
+      .collect()(0).getLong(0)
+    println(s"[13] line dedup conserves line mass, ${ld.count()} docs -> " +
+      s"${conserved && ld.count() == docs.count()}")
+
+    // 14. url filter end-to-end: planted blocked/clean URLs classified
+    val uplanted = docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" x http://bad.example.com/p"))
+        .otherwise(lit(" x https://good.org/p"))).as("text"))
+    val uf = graft.llm.UrlFilterPipe("text", Seq("example.com"))(uplanted)
+    val ufOk = uf.filter((col("doc_id") % 2 === 0) =!= col("url_blocked")).count() == 0
+    println(s"[14] url filter classifies planted urls -> $ufOk")
+
+    // 15. composed curate-v2 chain runs end-to-end and every stage bites
+    val v2 = graft.SparkEntry.queries("pp_curate_v2")(spark, sf)
+    val n = v2.count()
+    val nRemoved = v2.filter(col("n_lines_removed") > 0).count()
+    println(s"[15] curate-v2: $n/${docs.count()} survive, $nRemoved line-deduped " +
+      s"-> ${n > 0 && n < docs.count() && nRemoved > 0}")
+
     spark.stop()
   }
 }

@@ -166,6 +166,85 @@ object PiiRedactPipe {
     ("ips", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
 }
 
+/** URL/domain blocklist filtering (the C4-style source cleaner): extract
+  * every `http(s)://host` from the text, flag (or drop) documents whose
+  * host — or any parent domain of it — is blocklisted. Pure codegen'd
+  * expressions over an inlined blocklist: map-only, zero shuffle, linear
+  * in input splits. For blocklists too large to inline (millions of
+  * domains), follow the [[DecontaminatePipe]] shape instead: explode
+  * hosts and left-semi probe a broadcast blocklist table.
+  */
+case class UrlFilterPipe(
+    textCol: String,
+    blockedDomains: Seq[String],
+    /** true → add `n_urls` + boolean `flagCol`; false → drop flagged rows. */
+    flagOnly: Boolean = true,
+    flagCol: String = "url_blocked") extends Pipe {
+  require(blockedDomains.nonEmpty, "blockedDomains must not be empty")
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "flagOnly" -> flagOnly.toString,
+    "flag" -> flagCol, "blocked" -> blockedDomains.mkString("|"))
+
+  private val hostRe = "https?://([A-Za-z0-9.-]+)"
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val hosts = regexp_extract_all(qcol(textCol), lit(hostRe), lit(1))
+    val blockedLit = array(blockedDomains.map(lit): _*)
+    // host matches d iff host == d or host ends with "." + d
+    val hit = exists(hosts, h =>
+      exists(blockedLit, d => h === d || h.endsWith(concat(lit("."), d))))
+    if (flagOnly)
+      finish(df, Seq(
+        "n_urls" -> size(hosts).cast("int"),
+        flagCol -> (hit: Column)))
+    else df.filter(!hit)
+  }
+}
+
+/** Line-level exact deduplication (the CCNet/RefinedWeb corpus cleaner):
+  * drop every line whose exact text occurs in more than `maxOccurrences`
+  * (doc, line) slots across the WHOLE corpus — boilerplate headers,
+  * navigation chrome, cookie banners — and reassemble each document from
+  * its surviving lines in original order.
+  *
+  * Scale shape: one explode (map-only), one map-side-combined count
+  * aggregate on the line text, one line→count join (AQE splits the hot
+  * keys — the empty line and top boilerplate are exactly the skewed ones),
+  * one groupBy(id) reassembly. No window over the corpus, no driver
+  * state; every shuffle key is either the line text or the doc id.
+  */
+case class LineDedupPipe(
+    textCol: String,
+    idCol: String,
+    maxOccurrences: Long = 1,
+    removedCol: String = "n_lines_removed") extends Pipe {
+  require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "max" -> maxOccurrences.toString, "removed" -> removedCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val lines = df.select(qcol(idCol).as("__ld_id__"),
+      posexplode(split(coalesce(qcol(textCol), lit("")), "\n"))
+        .as(Seq("__ld_pos__", "__ld_line__")))
+    val counts = lines.groupBy("__ld_line__")
+      .agg(count(lit(1)).as("__ld_cnt__"))
+    val keep = col("__ld_cnt__") <= maxOccurrences
+    val rebuilt = lines.join(counts, Seq("__ld_line__"))
+      .groupBy("__ld_id__")
+      .agg(
+        concat_ws("\n", arrTransform(
+          array_sort(collect_list(when(keep,
+            struct(col("__ld_pos__").as("p"), col("__ld_line__").as("v"))))),
+          x => x.getField("v"))).as("__ld_clean__"),
+        sum(when(keep, 0L).otherwise(1L)).as("__ld_removed__"))
+    df.join(rebuilt, qcol(idCol) === col("__ld_id__"), "left")
+      .withColumn(textCol, coalesce(col("__ld_clean__"), lit("")))
+      .withColumn(removedCol, coalesce(col("__ld_removed__"), lit(0L)))
+      .drop("__ld_id__", "__ld_clean__", "__ld_removed__")
+  }
+}
+
 /** Deterministic stratified sampling for domain/language rebalancing:
   * keep a row iff an engine-reproducible hash of its id falls under the
   * group's rate threshold. A pure filter — no shuffle, no RNG state, and

@@ -43,6 +43,49 @@ class CurationSpec extends SparkSpec {
     assert(out(1) == Row(2L, 0, 0, 0, "clean text"))
   }
 
+  test("url filter: apex + subdomain blocking, drop mode, no false hits") {
+    val df = Seq(
+      (1L, "go to http://example.com now"),
+      (2L, "go to https://ads.tracker.example.com/p?x=1 now"),
+      (3L, "fine: https://notexample.com and http://example.company"),
+      (4L, "no urls at all")).toDF("doc_id", "text")
+    val out = UrlFilterPipe("text", Seq("example.com"))(df)
+      .select("doc_id", "n_urls", "url_blocked").orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 1, true), // apex match
+      Row(2L, 1, true), // subdomain suffix match
+      Row(3L, 2, false), // notexample.com / example.company must NOT match
+      Row(4L, 0, false)))
+    val kept = UrlFilterPipe("text", Seq("example.com"), flagOnly = false)(df)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("line dedup removes cross-doc boilerplate, keeps order, counts") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nunique one\nfooter"),
+      (2L, "COOKIE BANNER\nunique two\nfooter"),
+      (3L, "all original\nlines here")).toDF("doc_id", "text")
+    val out = LineDedupPipe("text", "doc_id")(df)
+      .select("doc_id", "text", "n_lines_removed").orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, "unique one", 2L))
+    assert(out(1) == Row(2L, "unique two", 2L))
+    assert(out(2) == Row(3L, "all original\nlines here", 0L))
+    // maxOccurrences=2 tolerates pairs, still kills nothing here >2
+    val out2 = LineDedupPipe("text", "doc_id", maxOccurrences = 2)(df)
+      .select("doc_id", "n_lines_removed").orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(out2 == Seq(0L, 0L, 0L))
+    // a doc that loses every line becomes empty, not null
+    val all = Seq((1L, "same\nsame2"), (2L, "same\nsame2")).toDF("doc_id", "text")
+    val wiped = LineDedupPipe("text", "doc_id")(all)
+      .select("text", "n_lines_removed").distinct().collect()
+    assert(wiped.toSeq == Seq(Row("", 2L)))
+    // non-text columns survive the round trip
+    val extra = Seq((1L, "a\nb", "keep")).toDF("doc_id", "text", "tag")
+    assert(LineDedupPipe("text", "doc_id")(extra).columns.toSeq ==
+      Seq("doc_id", "text", "tag", "n_lines_removed"))
+  }
+
   test("stratified sample: rate bounds, determinism, and group isolation") {
     val docs = spark.read.parquet(sf("documents"))
     val p = StratifiedSamplePipe("doc_id", "lang", Seq("en" -> 0.0), defaultRate = 1.0)
