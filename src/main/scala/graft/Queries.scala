@@ -751,13 +751,11 @@ object Queries {
     "pp_curate_v2" -> ((s, d) => {
       // line-wrap -> line dedup -> repetition stats -> repetition floor
       // -> stratified rebalance -> token count, as ONE SequentialPipe;
-      // the oracle replays the whole chain stage by stage
-      val docs = t(s, d, "documents")
-        .withColumn("__tk__", split(trim(col("text")), "\\s+"))
-        .withColumn("text", concat_ws("\n",
-          transform(sequence(lit(0), ceil(size(col("__tk__")) / 8d).cast("long") - 1),
-            i => concat_ws(" ", slice(col("__tk__"), i * 8 + 1, lit(8))))))
-        .drop("__tk__")
+      // the oracle replays the whole chain stage by stage. The wrap is a
+      // single linear regex pass (every 8th inter-token space -> newline);
+      // a chunked-slice HOF build re-evaluates the token split per chunk.
+      val docs = t(s, d, "documents").withColumn("text",
+        regexp_replace(trim(col("text")), "((?:\\S+\\s+){7}\\S+)\\s+", "$1\n"))
       val pipe = SequentialPipe(Seq(
         graft.llm.LineDedupPipe("text", "doc_id"),
         graft.llm.RepetitionStatsPipe("text"),
@@ -790,12 +788,8 @@ object Queries {
     "ld_line_dedup" -> ((s, d) => {
       // the synthetic docs are single-line; re-wrap every 8 tokens so the
       // corpus has realistic repeated lines (the oracle replays the wrap)
-      val docs = t(s, d, "documents")
-        .withColumn("__tk__", split(trim(col("text")), "\\s+"))
-        .withColumn("text", concat_ws("\n",
-          transform(sequence(lit(0), ceil(size(col("__tk__")) / 8d).cast("long") - 1),
-            i => concat_ws(" ", slice(col("__tk__"), i * 8 + 1, lit(8))))))
-        .drop("__tk__")
+      val docs = t(s, d, "documents").withColumn("text",
+        regexp_replace(trim(col("text")), "((?:\\S+\\s+){7}\\S+)\\s+", "$1\n"))
       graft.llm.LineDedupPipe("text", "doc_id")(docs)
         .select("doc_id", "text", "n_lines_removed").orderBy("doc_id")
     }),
@@ -1434,9 +1428,7 @@ object Queries {
         |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "pp_curate_v2" ->
-      """WITH s0 AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |t AS (SELECT doc_id, lang, array_to_string(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)),
-        |        i -> array_to_string(tk[i*8+1:i*8+8], ' ')), chr(10)) AS txt FROM s0),
+      """WITH t AS (SELECT doc_id, lang, regexp_replace(trim(text), '((?:\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g') AS txt FROM documents),
         |l0 AS (SELECT doc_id, lang, string_split(txt, chr(10)) AS ln FROM t),
         |l1 AS (SELECT doc_id, lang, ln, unnest(range(1, len(ln)+1)) AS i FROM l0),
         |l2 AS (SELECT doc_id, lang, i, ln[i] AS line FROM l1),
@@ -1464,9 +1456,7 @@ object Queries {
         | len(list_filter(hosts, x -> x = 'example.com' OR ends_with(x, '.example.com'))) > 0 AS url_blocked
         |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ld_line_dedup" ->
-      """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |t AS (SELECT doc_id, array_to_string(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)),
-        |        i -> array_to_string(tk[i*8+1:i*8+8], ' ')), chr(10)) AS txt FROM s),
+      """WITH t AS (SELECT doc_id, regexp_replace(trim(text), '((?:\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g') AS txt FROM documents),
         |l0 AS (SELECT doc_id, string_split(txt, chr(10)) AS ln FROM t),
         |l1 AS (SELECT doc_id, ln, unnest(range(1, len(ln)+1)) AS i FROM l0),
         |l2 AS (SELECT doc_id, i, ln[i] AS line FROM l1),

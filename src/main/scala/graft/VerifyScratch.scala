@@ -168,12 +168,8 @@ object VerifyScratch {
 
     // 13. line dedup on wrapped real docs: removed-line mass accounts for
     // the shrink exactly (token conservation), no doc lost
-    val wrapped = docs
-      .withColumn("__tk__", split(trim(col("text")), "\\s+"))
-      .withColumn("text", concat_ws("\n",
-        transform(sequence(lit(0), ceil(size(col("__tk__")) / 8d).cast("long") - 1),
-          i => concat_ws(" ", slice(col("__tk__"), i * 8 + 1, lit(8))))))
-      .drop("__tk__")
+    val wrapped = docs.withColumn("text",
+      regexp_replace(trim(col("text")), "((?:\\S+\\s+){7}\\S+)\\s+", "$1\n"))
     val ld = graft.llm.LineDedupPipe("text", "doc_id")(wrapped)
     val lines = (d: org.apache.spark.sql.DataFrame) =>
       d.select(explode(split(col("text"), "\n"))).filter(length(col("col")) > 0).count()
