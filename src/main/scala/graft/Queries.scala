@@ -747,6 +747,11 @@ object Queries {
         Seq("en" -> 0.35, "de" -> 0.8), defaultRate = 0.6)(t(s, d, "documents"))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ----- corpus-LM unigram NLL quality signal -----
+    "ug_unigram_nll" -> ((s, d) =>
+      graft.llm.UnigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
+        .select("doc_id", "unigram_nll").orderBy("doc_id")),
+
     // ----- composed curation v2: the round-6 end-to-end cleaner -----
     "pp_curate_v2" -> ((s, d) => {
       // line-wrap -> line dedup -> repetition stats -> repetition floor
@@ -1427,6 +1432,16 @@ object Queries {
         |WHERE ((doc_id*131+7) % 1000003) % 10000 <
         |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // per-token nll is fixed-point (x1e4 integers): exact order-free sums
+    // make the mean bit-identical across engines and partitionings
+    "ug_unigram_nll" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
+        |v AS (SELECT tok, CAST(round(-ln(count(*) / (SELECT total FROM n)) * 10000) AS BIGINT) AS f FROM tk GROUP BY tok),
+        |sc AS (SELECT doc_id, round(CAST(sum(f) AS DOUBLE) / (count(*) * 10000.0), 4) AS unigram_nll
+        |       FROM tk JOIN v USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.unigram_nll, 0) AS unigram_nll
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "pp_curate_v2" ->
       """WITH t AS (SELECT doc_id, lang, regexp_replace(trim(text), '((?:\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g') AS txt FROM documents),
         |l0 AS (SELECT doc_id, lang, string_split(txt, chr(10)) AS ln FROM t),

@@ -193,6 +193,15 @@ object VerifyScratch {
     println(s"[15] curate-v2: $n/${docs.count()} survive, $nRemoved line-deduped " +
       s"-> ${n > 0 && n < docs.count() && nRemoved > 0}")
 
+    // 16. unigram NLL on real docs: broadcast vocab probe (no shuffle of
+    // the scoring side on the token), scores positive and finite
+    val ug = graft.llm.UnigramLogProbPipe("text", "doc_id")(docs)
+    val ugplan = ug.queryExecution.executedPlan.toString
+    val ugOk = ug.filter(col("unigram_nll") <= 0 || col("unigram_nll").isNull ||
+      col("unigram_nll") > 50).count() == 0
+    println(s"[16] unigram nll sane + broadcast vocab -> " +
+      s"${ugOk && ugplan.contains("BroadcastHashJoin")}")
+
     spark.stop()
   }
 }

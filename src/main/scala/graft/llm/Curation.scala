@@ -110,15 +110,20 @@ case class DecontaminatePipe(
     "n" -> ngramSize.toString, "flagOnly" -> flagOnly.toString,
     "flag" -> flagCol, "broadcastEval" -> broadcastEval.toString)
 
-  private def ngrams(c: Column): Column =
-    CurationOps.wordNgrams(TextAnalysisOps.toks(c), ngramSize)
+  /** Stage the token array as a kept column before building n-grams: the
+    * split expression would otherwise be inlined into wordNgrams' slice
+    * lambda and re-evaluated once per n-gram (the HOF-inline hazard,
+    * SURVEY §6) — measured ~2x on the sf0.1 gate.
+    */
+  private def ngramRows(df: DataFrame, extra: Seq[Column]): DataFrame =
+    df.withColumn("__dc_tk__", TextAnalysisOps.toks(qcol(textCol)))
+      .select(extra :+
+        explode(CurationOps.wordNgrams(col("__dc_tk__"), ngramSize)).as("__ng__"): _*)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val evalNg = evalDf
-      .select(explode(ngrams(qcol(textCol))).as("__ng__")).distinct()
+    val evalNg = ngramRows(evalDf, Nil).distinct()
     val probe = if (broadcastEval) broadcast(evalNg) else evalNg
-    val hits = df.select(qcol(idCol).as("__cid__"),
-        explode(ngrams(qcol(textCol))).as("__ng__"))
+    val hits = ngramRows(df, Seq(qcol(idCol).as("__cid__")))
       .join(probe, Seq("__ng__"), "left_semi")
       .select(col("__cid__")).distinct()
     if (flagOnly)
@@ -242,6 +247,52 @@ case class LineDedupPipe(
       .withColumn(textCol, coalesce(col("__ld_clean__"), lit("")))
       .withColumn(removedCol, coalesce(col("__ld_removed__"), lit(0L)))
       .drop("__ld_id__", "__ld_clean__", "__ld_removed__")
+  }
+}
+
+/** Corpus-derived unigram log-probability scoring (the CCNet-style LM
+  * quality signal, with the corpus itself as the language model): score
+  * each document by the mean negative log probability of its tokens under
+  * the corpus unigram distribution. Low scores read as fluent/typical
+  * text; high scores flag gibberish, rare-token soup, and wrong-language
+  * contamination.
+  *
+  * Scale shape: one map-side-combined aggregate builds the unigram table
+  * (|vocab| rows — bounded by language, not corpus size), which is
+  * BROADCAST; the scoring side is then a map-only explode + broadcast-join
+  * + per-doc re-aggregate on the id. The 100 TB side never shuffles on
+  * the token. For vocabularies too large to broadcast, pass
+  * `broadcastVocab = false` for a shuffled join.
+  */
+case class UnigramLogProbPipe(
+    textCol: String,
+    idCol: String,
+    outputCol: String = "unigram_nll",
+    broadcastVocab: Boolean = true) extends Pipe {
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "out" -> outputCol, "broadcastVocab" -> broadcastVocab.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val toks = df.select(qcol(idCol).as("__ug_id__"),
+      explode(TextAnalysisOps.toks(qcol(textCol))).as("__ug_tok__"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__ug_n__"))
+    val vocabRaw = toks.groupBy("__ug_tok__")
+      .agg(count(lit(1)).as("__ug_cnt__"))
+      .crossJoin(broadcast(total))
+      .select(col("__ug_tok__"),
+        (-log(col("__ug_cnt__") / col("__ug_n__"))).as("__ug_nll__"))
+    val vocab = if (broadcastVocab) broadcast(vocabRaw) else vocabRaw
+    // fixed-point per-token nll: integer sums are exact and order-free, so
+    // the score is bit-identical on any partitioning AND in any engine
+    // (a double avg depends on summation order)
+    val scored = toks.join(vocab, Seq("__ug_tok__"))
+      .groupBy("__ug_id__")
+      .agg(round(
+        sum(round(col("__ug_nll__") * 10000).cast("long")) /
+          (count(lit(1)) * 10000d), 4).as("__ug_score__"))
+    df.join(scored, qcol(idCol) === col("__ug_id__"), "left")
+      .withColumn(outputCol, coalesce(col("__ug_score__"), lit(0d)))
+      .drop("__ug_id__", "__ug_score__")
   }
 }
 

@@ -86,6 +86,26 @@ class CurationSpec extends SparkSpec {
       Seq("doc_id", "text", "tag", "n_lines_removed"))
   }
 
+  test("unigram nll: rare tokens score higher; partition-invariant") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")).toDF("doc_id", "text")
+    val out = UnigramLogProbPipe("text", "doc_id")(df)
+      .select("doc_id", "unigram_nll").orderBy("doc_id").collect()
+    // doc 1: all tokens are 'common' (6/8 of corpus) -> low nll
+    // doc 2: two singleton tokens -> strictly higher mean nll
+    assert(out(0).getDouble(1) < out(1).getDouble(1))
+    // hand-check doc 1: -ln(6/8) = 0.2877
+    assert(out(0).getDouble(1) == 0.2877)
+    // bit-identical across layouts (fixed-point order-free sums)
+    val docs = spark.read.parquet(sf("documents"))
+    val a = UnigramLogProbPipe("text", "doc_id")(docs)
+      .select("doc_id", "unigram_nll")
+    val b = UnigramLogProbPipe("text", "doc_id")(docs.repartition(17))
+      .select("doc_id", "unigram_nll")
+    assert(a.except(b).count() == 0)
+  }
+
   test("stratified sample: rate bounds, determinism, and group isolation") {
     val docs = spark.read.parquet(sf("documents"))
     val p = StratifiedSamplePipe("doc_id", "lang", Seq("en" -> 0.0), defaultRate = 1.0)
