@@ -821,6 +821,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ----- group top-k + binned range join -----
+    "gt_group_topk" -> ((s, d) =>
+      graft.operators.GroupTopKPipe(Seq("lang"), "n_chars", 3, "doc_id")(
+        t(s, d, "documents"))
+        .select("lang", "doc_id", "n_chars", "rank").orderBy("lang", "rank")),
+    "rj_range" -> ((s, d) => {
+      // clicks inside 30-min incident windows opened by same-user errors;
+      // binWidth == window span -> each interval covers <= 2 bins
+      val ev = graft.streaming.EventStream.readBatch(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val wins = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          unix_micros(col("ts")).as("wstart"),
+          (unix_micros(col("ts")) + 1800L * 1000000L).as("wend"))
+      graft.operators.RangeJoin.pointInInterval(clicks, wins,
+        "ts_us", "wstart", "wend", binWidth = 1800L * 1000000L,
+        keyCols = Seq("user_id"))
+        .select("event_id", "user_id", "ts_us", "err_id", "wstart")
+        .orderBy("event_id", "err_id")
+    }),
+
     // ----- as-of join (point-in-time lookup) -----
     "aj_asof" -> ((s, d) => {
       // each click gets the latest prior purchase of the same user; ts
@@ -1500,6 +1522,19 @@ object Queries {
         | CASE WHEN tok_cnt > 0 THEN (prev + tok_cnt - 1) // 256 ELSE prev // 256 END AS pack_last,
         | prev % 256 AS pack_pos
         |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "gt_group_topk" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        | FROM documents)
+        |SELECT lang, doc_id, n_chars, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin.replace("\n", " "),
+    // the oracle is the NAIVE inequality join the binned plan must equal
+    "rj_range" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type='click'),
+        |w AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS wstart, epoch_us(ts) + 1800000000 AS wend FROM events WHERE event_type='error')
+        |SELECT c.event_id, c.user_id, c.ts_us, w.err_id, w.wstart
+        |FROM c JOIN w ON c.user_id = w.user_id AND c.ts_us >= w.wstart AND c.ts_us <= w.wend
+        |ORDER BY c.event_id, w.err_id""".stripMargin.replace("\n", " "),
     // union+window replay of the tagged as-of scan: rights (side 0) sort
     // before lefts at equal ts, so a purchase at exactly click-ts is visible
     "aj_asof" ->

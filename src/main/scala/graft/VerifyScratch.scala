@@ -202,6 +202,37 @@ object VerifyScratch {
     println(s"[16] unigram nll sane + broadcast vocab -> " +
       s"${ugOk && ugplan.contains("BroadcastHashJoin")}")
 
+    // 17. group top-k on real docs: every group has <= k rows and its
+    // members dominate the group's excluded scores
+    val topk = graft.operators.GroupTopKPipe(Seq("lang"), "n_chars", 3,
+      "doc_id")(docs)
+    val sizesOk = topk.groupBy("lang").count()
+      .filter(col("count") > 3).count() == 0
+    val worstKept = topk.groupBy("lang").agg(min("n_chars").as("wk"))
+    val excluded = docs.join(topk.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(max("n_chars").as("be"))
+    val dom = worstKept.join(excluded, "lang")
+      .filter(col("be") > col("wk")).count() == 0
+    println(s"[17] group top-k bounded + dominant -> ${sizesOk && dom}")
+
+    // 18. binned range join == naive inequality join on real events
+    val cl = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val wn = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + 600L * 1000000L).as("hi"))
+    val binned = graft.operators.RangeJoin.pointInInterval(cl, wn,
+      "ts_us", "lo", "hi", binWidth = 200L * 1000000L, // bins << span
+      keyCols = Seq("user_id")).select("event_id", "err_id")
+    val naive = cl.as("c").join(wn.as("w"),
+      col("c.user_id") === col("w.user_id") &&
+        col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .select("event_id", "err_id")
+    val rjOk = binned.except(naive).count() == 0 &&
+      naive.except(binned).count() == 0 && binned.count() == naive.count()
+    println(s"[18] binned range join == naive join (${naive.count()} pairs) -> $rjOk")
+
     spark.stop()
   }
 }

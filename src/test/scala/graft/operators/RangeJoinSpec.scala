@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("point-in-interval: boundaries inclusive, multi-bin spans, exact-once") {
+    val pts = Seq((1L, "k", 10L), (2L, "k", 25L), (3L, "k", 99L), (4L, "j", 10L))
+      .toDF("pid", "key", "ts")
+    val ivs = Seq(
+      (100L, "k", 10L, 30L), // contains pids 1 (start bound) and 2
+      (200L, "k", 25L, 25L), // degenerate [25,25]: contains pid 2 only
+      (300L, "k", 0L, 95L), // spans many bins with width 7; pids 1,2
+      (400L, "j", 11L, 20L)) // pid 4 misses by 1
+      .toDF("iid", "key", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi",
+      binWidth = 7L, keyCols = Seq("key"))
+      .select("pid", "iid").orderBy("pid", "iid").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 100L), Row(1L, 300L),
+      Row(2L, 100L), Row(2L, 200L), Row(2L, 300L)))
+  }
+
+  test("binned plan is an equi-join — no nested-loop or cartesian product") {
+    val pts = Seq((1L, 10L)).toDF("pid", "ts")
+    val ivs = Seq((9L, 5L, 15L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi", 10L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi plan:\n$plan")
+  }
+
+  test("group top-k: ties break deterministically, ascending mode works") {
+    val df = Seq(("a", 1L, 5), ("a", 2L, 5), ("a", 3L, 9), ("a", 4L, 1),
+      ("b", 5L, 2)).toDF("g", "id", "v")
+    val top = GroupTopKPipe(Seq("g"), "v", 2, "id")(df)
+      .select("g", "id", "rank").orderBy("g", "rank").collect()
+    assert(top.toSeq == Seq(
+      Row("a", 3L, 1), Row("a", 1L, 2), // 5-tie -> lower id wins
+      Row("b", 5L, 1)))
+    val bottom = GroupTopKPipe(Seq("g"), "v", 1, "id", descending = false,
+      rankCol = None)(df).select("g", "id").orderBy("g").collect()
+    assert(bottom.toSeq == Seq(Row("a", 4L), Row("b", 5L)))
+  }
+}
