@@ -821,6 +821,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ----- cluster-balanced sampling (SemDeDup-style) -----
+    "cb_cluster_sample" -> ((s, d) =>
+      graft.llm.ClusterBalancedSamplePipe("embedding", "vec_id",
+        graft.llm.ClusterBalancedSamplePipe.formulaCentroids(8, 64), cap = 25)(
+        t(s, d, "embeddings"))
+        .select("vec_id", "cluster").orderBy("vec_id")),
+
+    // ----- per-key rolling-window features -----
+    "rl_rolling" -> ((s, d) => {
+      val ev = graft.streaming.EventStream.readBatch(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.RollingWindowPipe(Seq("user_id"), "ts_us", "value",
+        windowSize = 3600L * 1000000L)(ev)
+        .select("event_id", "user_id", "ts_us", "rolling_cnt", "rolling_sum")
+        .orderBy("event_id")
+    }),
+
     // ----- group top-k + binned range join -----
     "gt_group_topk" -> ((s, d) =>
       graft.operators.GroupTopKPipe(Seq("lang"), "n_chars", 3, "doc_id")(
@@ -1522,6 +1539,26 @@ object Queries {
         | CASE WHEN tok_cnt > 0 THEN (prev + tok_cnt - 1) // 256 ELSE prev // 256 END AS pack_last,
         | prev % 256 AS pack_pos
         |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // nearest formula centroid (argmin squared-L2, first-min tie-break),
+    // then per-cluster cap in quadratic-hash order — exact replay
+    "cb_cluster_sample" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, list_transform(range(0,8), c ->
+        |  list_sum(list_transform(list_transform(range(0,64), t ->
+        |    v[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4)), dd -> dd*dd))) AS ds FROM emb),
+        |cl AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cluster,
+        |  (vec_id*131+7) % 1000003 AS s1 FROM a),
+        |rk AS (SELECT vec_id, cluster,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY (s1*s1+s1) % 1000003, vec_id) AS r FROM cl)
+        |SELECT vec_id, cluster FROM rk WHERE r <= 25 ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "rl_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER w AS rolling_cnt,
+        | round(sum(value) OVER w, 4) AS rolling_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "gt_group_topk" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,
         | CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rank

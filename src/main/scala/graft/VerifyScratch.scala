@@ -233,6 +233,36 @@ object VerifyScratch {
       naive.except(binned).count() == 0 && binned.count() == naive.count()
     println(s"[18] binned range join == naive join (${naive.count()} pairs) -> $rjOk")
 
+    // 19. rolling window on real events == per-row subquery replay
+    val rw = graft.operators.RollingWindowPipe(Seq("user_id"), "ts_us",
+      "value", windowSize = 3600L * 1000000L)(
+      ev.withColumn("ts_us", unix_micros(col("ts"))))
+    val evu = ev.withColumn("ts_us", unix_micros(col("ts")))
+    val rwNaive = evu.as("a").join(evu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts_us") <= col("a.ts_us") &&
+          col("b.ts_us") >= col("a.ts_us") - 3600L * 1000000L)
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("nc"), round(sum(col("b.value")), 4).as("ns"))
+    val rwBad = rw.select(col("event_id"), col("rolling_cnt"), col("rolling_sum"))
+      .join(rwNaive, "event_id")
+      .filter(col("rolling_cnt") =!= col("nc") ||
+        col("rolling_sum") =!= col("ns")).count()
+    println(s"[19] rolling window == naive self-join replay -> ${rwBad == 0}")
+
+    // 20. cluster-balanced sample on real embeddings: caps hold and the
+    // kept set is layout-invariant
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.llm.ClusterBalancedSamplePipe.formulaCentroids(8, 64)
+    val cs1 = graft.llm.ClusterBalancedSamplePipe("embedding", "vec_id",
+      cents, cap = 10)(emb)
+    val cs2 = graft.llm.ClusterBalancedSamplePipe("embedding", "vec_id",
+      cents, cap = 10)(emb.repartition(11))
+    val capOk = cs1.groupBy("cluster").count().filter(col("count") > 10).count() == 0
+    val stable2 = cs1.select("vec_id", "cluster")
+      .except(cs2.select("vec_id", "cluster")).count() == 0
+    println(s"[20] cluster sample capped + layout-invariant -> ${capOk && stable2}")
+
     spark.stop()
   }
 }

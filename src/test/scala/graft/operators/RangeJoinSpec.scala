@@ -33,6 +33,22 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"non-equi plan:\n$plan")
   }
 
+  test("rolling window: trailing range frame, ties share a frame") {
+    val df = Seq(("k", 0L, 1.0), ("k", 50L, 2.0), ("k", 100L, 4.0),
+      ("k", 100L, 8.0), ("k", 161L, 16.0), ("j", 100L, 32.0))
+      .toDF("key", "ts", "v")
+    val out = RollingWindowPipe(Seq("key"), "ts", "v", windowSize = 100L)(df)
+      .select("key", "ts", "v", "rolling_cnt", "rolling_sum")
+      .orderBy("key", "ts", "v").collect()
+    assert(out.toSeq == Seq(
+      Row("j", 100L, 32.0, 1L, 32.0),
+      Row("k", 0L, 1.0, 1L, 1.0),
+      Row("k", 50L, 2.0, 2L, 3.0),
+      Row("k", 100L, 4.0, 4L, 15.0), // ts=0 still inside [0,100]; ties pooled
+      Row("k", 100L, 8.0, 4L, 15.0), // tie row sees the SAME frame
+      Row("k", 161L, 16.0, 3L, 28.0))) // [61,161]: the two 100s + itself
+  }
+
   test("group top-k: ties break deterministically, ascending mode works") {
     val df = Seq(("a", 1L, 5), ("a", 2L, 5), ("a", 3L, 9), ("a", 4L, 1),
       ("b", 5L, 2)).toDF("g", "id", "v")
