@@ -61,4 +61,15 @@ class RangeJoinSpec extends SparkSpec {
       rankCol = None)(df).select("g", "id").orderBy("g").collect()
     assert(bottom.toSeq == Seq(Row("a", 4L), Row("b", 5L)))
   }
+
+  test("salted two-phase group top-k equals single-phase exactly") {
+    val docs = spark.read.parquet(sf("documents"))
+    val plain = GroupTopKPipe(Seq("lang"), "n_chars", 7, "doc_id")(docs)
+      .select("lang", "doc_id", "rank")
+    val salted = GroupTopKPipe(Seq("lang"), "n_chars", 7, "doc_id",
+      saltBuckets = 16)(docs).select("lang", "doc_id", "rank")
+    assert(plain.except(salted).count() == 0 &&
+      salted.except(plain).count() == 0 &&
+      plain.count() == salted.count())
+  }
 }
