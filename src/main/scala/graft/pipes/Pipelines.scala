@@ -158,12 +158,17 @@ case class Gate(condition: SchemaCondition, pipe: Pipe, alt: Option[Pipe] = None
     extends Pipe {
   override def params = Map("condition" -> condition.repr)
   override def children: Seq[Pipe] = pipe +: alt.toSeq
-  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame =
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // reference contract (pipelines.py:168-185, tests/pipes/
+    // test_pipelines.py): a taken branch with NO pipe yields the EMPTY
+    // batch {}, not the input unchanged
+    def off: DataFrame = alt.fold(df.sparkSession.emptyDataFrame)(_(df))
     condition match {
       case SchemaCondition.Static(true) => pipe(df)
-      case SchemaCondition.Static(false) => alt.fold(df)(_(df))
-      case c => if (c(df.schema)) pipe(df) else alt.fold(df)(_(df))
+      case SchemaCondition.Static(false) => off
+      case c => if (c(df.schema)) pipe(df) else off
     }
+  }
 }
 
 /** P4 `BlockSequential` (pipelines.py:199-223): named stages, optional
