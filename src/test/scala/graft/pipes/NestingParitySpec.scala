@@ -61,6 +61,49 @@ class NestingParitySpec extends SparkSpec {
     assert(outer5.size == 5 && outer5.forall(_ == Seq(1, 2, 3)))
   }
 
+  test("flatten_nested levels 1+2 (support/test_nesting.py:12-24)") {
+    val df1 = Seq(Seq(1, 2, 3), Seq(4, 5, 6)).toDF("v")
+    val f1 = FlattenPipe()(df1).select("v").as[Int].collect().sorted.toSeq
+    assert(f1 == Seq(1, 2, 3, 4, 5, 6))
+    val df2 = Seq(Seq(Seq(1, 2), Seq(3, 4)), Seq(Seq(5, 6), Seq(7, 8)))
+      .toDF("v")
+    val f2a = FlattenPipe()(df2).select("v").as[Seq[Int]].collect().toSeq
+    assert(f2a.sortBy(_.head) == Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6), Seq(7, 8)))
+    val f2b = FlattenPipe(level = 2)(df2).select("v").as[Int]
+      .collect().sorted.toSeq
+    assert(f2b == (1 to 8))
+  }
+
+  test("update x input_filter contract table (test_pipe.py:41-92)") {
+    import graft.core.{Condition, Pipe}
+    // twin of the reference DummyPipe: emits dummy = <sorted visible keys>
+    // + "-" + row tag, so the output proves WHICH columns the kernel saw
+    case class DummyPipe(override val update: Boolean,
+        override val inputFilter: Option[Condition]) extends Pipe {
+      protected def transform(df: org.apache.spark.sql.DataFrame,
+          ks: Seq[String]) =
+        finish(df, Seq("dummy" ->
+          concat(lit(ks.sorted.mkString("")), lit("-"), col("a"))))
+    }
+    val df = Seq((1, 4), (2, 5), (3, 6)).toDF("a", "b")
+    // update=false, no filter -> ONLY the pipe output
+    val c1 = DummyPipe(update = false, None)(df)
+    assert(c1.columns.toSeq == Seq("dummy") &&
+      c1.as[String].collect().sorted.toSeq == Seq("ab-1", "ab-2", "ab-3"))
+    // update=true, no filter -> inputs + output
+    val c2 = DummyPipe(update = true, None)(df)
+    assert(c2.columns.toSeq == Seq("a", "b", "dummy"))
+    // update=false, filter In(a) -> kernel saw only 'a'; b NOT restored
+    val c3 = DummyPipe(update = false, Some(Condition.In(Seq("a"))))(df)
+    assert(c3.columns.toSeq == Seq("dummy") &&
+      c3.as[String].collect().sorted.toSeq == Seq("a-1", "a-2", "a-3"))
+    // update=true, filter In(a) -> filtered-out 'b' IS restored
+    val c4 = DummyPipe(update = true, Some(Condition.In(Seq("a"))))(df)
+    assert(c4.columns.toSeq == Seq("a", "b", "dummy") &&
+      c4.select("dummy").as[String].collect().sorted.toSeq ==
+        Seq("a-1", "a-2", "a-3"))
+  }
+
   test("Gate branch table (test_pipelines.py:6-21)") {
     import graft.core.SchemaCondition
     val df = Seq((1, 4), (2, 5), (3, 6)).toDF("a", "b")
