@@ -747,6 +747,14 @@ object Queries {
         Seq("en" -> 0.35, "de" -> 0.8), defaultRate = 0.6)(t(s, d, "documents"))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ----- vocabulary learn + encode -----
+    "vb_vocab_encode" -> ((s, d) => {
+      val out = graft.llm.VocabEncodePipe("text", "doc_id", vocabSize = 25)(
+        t(s, d, "documents"))
+      out.select(col("doc_id"), col("token_ids"), col("n_oov"))
+        .orderBy("doc_id")
+    }),
+
     // ----- corpus-LM unigram NLL quality signal -----
     "ug_unigram_nll" -> ((s, d) =>
       graft.llm.UnigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
@@ -1471,6 +1479,18 @@ object Queries {
         |WHERE ((doc_id*131+7) % 1000003) % 10000 <
         |  CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 8000 ELSE 6000 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "vb_vocab_encode" -> scl(
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |ex AS (SELECT doc_id, ln.i, t[ln.i] AS tok FROM tk, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) ln),
+        |cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+        |voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS INT) AS id
+        |        FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT 25)),
+        |enc AS (SELECT ex.doc_id,
+        |         list(CAST(coalesce(voc.id, -1) AS BIGINT) ORDER BY ex.i) AS token_ids,
+        |         CAST(sum(CASE WHEN voc.id IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov
+        |        FROM ex LEFT JOIN voc USING (tok) GROUP BY ex.doc_id)
+        |SELECT doc_id, token_ids, n_oov FROM enc ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "doc_id" -> "", "token_ids" -> "i", "n_oov" -> ""),
     // per-token nll is fixed-point (x1e4 integers): exact order-free sums
     // make the mean bit-identical across engines and partitionings
     "ug_unigram_nll" ->

@@ -263,6 +263,21 @@ object VerifyScratch {
       .except(cs2.select("vec_id", "cluster")).count() == 0
     println(s"[20] cluster sample capped + layout-invariant -> ${capOk && stable2}")
 
+    // 21. vocab learn+encode on real docs: decode round-trips every
+    // zero-OOV doc, vocab probe is broadcast
+    val vembDocs = docs
+    val vEnc = graft.llm.VocabEncodePipe("text", "doc_id", 25)(vembDocs)
+    val vMap = graft.llm.VocabOps.build(vembDocs, "text", 25)
+      .select("id", "token").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val vBad = vEnc.filter(col("n_oov") === 0)
+      .select("text", "token_ids").collect().count { r =>
+        val dec = r.getSeq[Long](1).map(i => vMap(i.toInt)).mkString(" ")
+        dec != r.getString(0).trim.split("\\s+").mkString(" ")
+      }
+    val vPlan = vEnc.queryExecution.executedPlan.toString
+    println(s"[21] vocab encode round-trips, broadcast probe -> " +
+      s"${vBad == 0 && vPlan.contains("BroadcastHashJoin")}")
+
     spark.stop()
   }
 }
