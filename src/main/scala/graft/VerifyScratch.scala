@@ -278,6 +278,17 @@ object VerifyScratch {
     println(s"[21] vocab encode round-trips, broadcast probe -> " +
       s"${vBad == 0 && vPlan.contains("BroadcastHashJoin")}")
 
+    // 22. line dedup hashKey mode on wrapped real docs: identical output
+    // to exact mode, and the count/join shuffle keys on the 8-byte hash
+    // (xxhash64 in the plan, line text absent from the aggregate key)
+    val ldh = graft.llm.LineDedupPipe("text", "doc_id", hashKey = true)(wrapped)
+    val ldSame = ld.select("doc_id", "text", "n_lines_removed")
+      .except(ldh.select("doc_id", "text", "n_lines_removed")).count() == 0 &&
+      ldh.count() == ld.count()
+    val ldhPlan = ldh.queryExecution.executedPlan.toString
+    println(s"[22] line dedup hashKey == exact, hash shuffle key -> " +
+      s"${ldSame && ldhPlan.contains("xxhash64")}")
+
     spark.stop()
   }
 }

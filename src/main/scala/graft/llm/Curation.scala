@@ -213,29 +213,47 @@ case class UrlFilterPipe(
   * its surviving lines in original order.
   *
   * Scale shape: one explode (map-only), one map-side-combined count
-  * aggregate on the line text, one line→count join (AQE splits the hot
+  * aggregate on the line key, one line→count join (AQE splits the hot
   * keys — the empty line and top boilerplate are exactly the skewed ones),
   * one groupBy(id) reassembly. No window over the corpus, no driver
-  * state; every shuffle key is either the line text or the doc id.
+  * state; every shuffle key is either the line key or the doc id.
+  *
+  * `hashKey = true` counts and joins on `xxhash64(line)` instead of the
+  * full line text — the 100 TB shape: boilerplate lines run to kilobytes
+  * and the count+join shuffle then moves 8-byte keys instead of whole
+  * lines (CCNet itself dedups on a 64-bit hash of the normalized line).
+  * Trade-off: a 64-bit collision merges two distinct lines' counts
+  * (P ≈ n²/2⁶⁵ — negligible below ~10¹² distinct lines, and the failure
+  * mode is an over-removed line, never corrupted text). Default stays
+  * exact; a spec asserts hashKey ≡ exact on real data.
   */
 case class LineDedupPipe(
     textCol: String,
     idCol: String,
     maxOccurrences: Long = 1,
-    removedCol: String = "n_lines_removed") extends Pipe {
+    removedCol: String = "n_lines_removed",
+    hashKey: Boolean = false) extends Pipe {
   require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
   override def update: Boolean = true
   override def params = Map("text" -> textCol, "id" -> idCol,
-    "max" -> maxOccurrences.toString, "removed" -> removedCol)
+    "max" -> maxOccurrences.toString, "removed" -> removedCol,
+    "hashKey" -> hashKey.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val lines = df.select(qcol(idCol).as("__ld_id__"),
+    val exploded = df.select(qcol(idCol).as("__ld_id__"),
       posexplode(split(coalesce(qcol(textCol), lit("")), "\n"))
         .as(Seq("__ld_pos__", "__ld_line__")))
-    val counts = lines.groupBy("__ld_line__")
+    // exact mode keys on the line itself (no duplicated column in the
+    // shuffle); hash mode adds the 8-byte key and keeps the text only on
+    // the rebuild side
+    val keyName = if (hashKey) "__ld_key__" else "__ld_line__"
+    val lines =
+      if (hashKey) exploded.withColumn(keyName, xxhash64(col("__ld_line__")))
+      else exploded
+    val counts = lines.groupBy(keyName)
       .agg(count(lit(1)).as("__ld_cnt__"))
     val keep = col("__ld_cnt__") <= maxOccurrences
-    val rebuilt = lines.join(counts, Seq("__ld_line__"))
+    val rebuilt = lines.join(counts, Seq(keyName))
       .groupBy("__ld_id__")
       .agg(
         concat_ws("\n", arrTransform(

@@ -86,6 +86,16 @@ class CurationSpec extends SparkSpec {
       Seq("doc_id", "text", "tag", "n_lines_removed"))
   }
 
+  test("line dedup hashKey mode (8-byte shuffle key) equals exact mode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val exact = LineDedupPipe("text", "doc_id")(docs)
+      .select("doc_id", "text", "n_lines_removed")
+    val hashed = LineDedupPipe("text", "doc_id", hashKey = true)(docs)
+      .select("doc_id", "text", "n_lines_removed")
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+  }
+
   test("unigram nll: rare tokens score higher; partition-invariant") {
     val df = Seq(
       (1L, "common common common common"),
