@@ -884,6 +884,51 @@ object Queries {
           col("asof_event_id"), col("asof_value"), col("asof_n_prior"))
         .orderBy("event_id")
     }),
+
+    // ----- DSIR importance weighting (target = English subset) -----
+    "ir_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.ImportanceWeightPipe("text", "doc_id",
+        docs.filter(col("lang") === "en"), "text")(docs)
+        .select("doc_id", "dsir_logweight").orderBy("doc_id")
+    }),
+
+    // ----- hashed linear quality classifier (fastText-style scorer) -----
+    "qc_hash_score" -> ((s, d) =>
+      graft.llm.HashedLinearScorerPipe("text",
+        graft.llm.HashedLinearScorerPipe.formulaWeights(4096), bias = 0.05)(
+        t(s, d, "documents"))
+        .select("doc_id", "quality_logit", "quality_keep").orderBy("doc_id")),
+
+    // ----- duplicated-substring removal (ExactSubstr-style) -----
+    "dd_substring" -> ((s, d) => {
+      // plant a 7-token boilerplate sentence on every 5th doc; string
+      // shingles (hashShingles=false) let the oracle replay coverage 1:1
+      val planted = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit(" subscribe to our newsletter for updates today")))
+          .otherwise(col("text")))
+      graft.llm.SubstringDedupPipe("text", "doc_id", k = 5,
+        hashShingles = false)(planted)
+        .select("doc_id", "text", "n_tokens_removed").orderBy("doc_id")
+    }),
+
+    // ----- cross-corpus fuzzy contamination (train-vs-eval MinHash) -----
+    "cu_cross_contam" -> ((s, d) => {
+      // eval side = every 10th doc with the last 2 words dropped (the
+      // plantedNearDups mutation) — high-Jaccard fuzzy leaks the exact
+      // n-gram DecontaminatePipe would also catch, but found here by LSH
+      val docs = t(s, d, "documents")
+      val toksE = split(col("text"), " ")
+      val evalDf = docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 100000).as("eval_id"),
+        array_join(slice(toksE, lit(1), greatest(size(toksE) - 2, lit(1))), " ")
+          .as("text"))
+      graft.llm.CrossCorpusMinHashPipe("text", "doc_id",
+        evalDf, "text", "eval_id", jaccardThreshold = 0.5)(docs)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // ---- DuckDB mirrors of Scalarize's canonical array encoding ----------
@@ -1607,5 +1652,78 @@ object Queries {
         |SELECT w.l_eid AS event_id, w.user_id, epoch_us(w.ts) AS ts_us,
         | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // full replay of the hashed unigram+bigram feature space (char-fold
+    // token hash as in ta_fingerprint) and the fixed-point weight table
+    "ir_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, list_transform(string_split_regex(trim(coalesce(text,'')), '\s+'),
+        |  t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))),
+        |    (h, c) -> (h*31 + c) % 1000003)) AS th FROM documents),
+        |f AS (SELECT doc_id, lang, unnest(list_transform(th, h -> h % 4096) ||
+        |  CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th)-1),
+        |    i -> ((th[i+1]*131 + th[i+2]) % 1000003) % 4096)
+        |  ELSE CAST([] AS BIGINT[]) END) AS b FROM tk),
+        |rc AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+        |tc AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+        |rn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |tn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f WHERE lang = 'en'),
+        |w AS (SELECT rc.b, CAST(round((ln((coalesce(tc.c, 0)+1) / ((SELECT n FROM tn)+4096))
+        |  - ln((rc.c+1) / ((SELECT n FROM rn)+4096))) * 10000) AS BIGINT) AS w
+        | FROM rc LEFT JOIN tc USING (b)),
+        |sc AS (SELECT f.doc_id, round(CAST(sum(w.w) AS DOUBLE)/10000, 4) AS s
+        | FROM f JOIN w USING (b) GROUP BY f.doc_id)
+        |SELECT d.doc_id, coalesce(sc.s, 0) AS dsir_logweight
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // formula weights w_fp(b) = (((b*13+5) mod 21) - 10) * 1000; bias 0.05
+    "qc_hash_score" ->
+      """WITH tk AS (SELECT doc_id, list_transform(string_split_regex(trim(coalesce(text,'')), '\s+'),
+        |  t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))),
+        |    (h, c) -> (h*31 + c) % 1000003)) AS th FROM documents),
+        |f AS (SELECT doc_id, unnest(list_transform(th, h -> h % 4096) ||
+        |  CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th)-1),
+        |    i -> ((th[i+1]*131 + th[i+2]) % 1000003) % 4096)
+        |  ELSE CAST([] AS BIGINT[]) END) AS b FROM tk),
+        |sc AS (SELECT doc_id, 500 + sum((((b*13+5) % 21) - 10) * 1000) AS fp FROM f GROUP BY doc_id)
+        |SELECT d.doc_id, round(CAST(coalesce(sc.fp, 500) AS DOUBLE)/10000, 4) AS quality_logit,
+        | coalesce(sc.fp, 500) > 0 AS quality_keep
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // coverage replay: every position under a k=5 shingle occurring >= 2x
+    // anywhere is deleted; text reassembled from survivors in order
+    "dd_substring" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |  THEN text || ' subscribe to our newsletter for updates today' ELSE text END AS t FROM documents),
+        |tk AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks FROM p),
+        |occ AS (SELECT doc_id, ln.i AS sp, array_to_string(toks[ln.i+1:ln.i+5], ' ') AS sh
+        |  FROM tk, LATERAL (SELECT unnest(range(0, greatest(len(toks)-4, 0))) AS i) ln),
+        |dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT occ.doc_id, u.p FROM occ JOIN dup USING (sh),
+        |  LATERAL (SELECT unnest(range(occ.sp, occ.sp+5)) AS p) u),
+        |tok AS (SELECT doc_id, ln.i - 1 AS p, toks[ln.i] AS w
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) ln),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p WHERE cov.p IS NULL),
+        |rb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean, count(*) AS nk FROM kept GROUP BY doc_id),
+        |n0 AS (SELECT doc_id, len(toks) AS n FROM tk)
+        |SELECT n0.doc_id, coalesce(rb.clean, '') AS text,
+        | CAST(n0.n - coalesce(rb.nk, 0) AS BIGINT) AS n_tokens_removed
+        |FROM n0 LEFT JOIN rb USING (doc_id) ORDER BY n0.doc_id""".stripMargin.replace("\n", " "),
+    // exhaustive cross-corpus Jaccard the banded pipe must equal (shingle
+    // Jaccard over strings == over xxhash64 values modulo collisions)
+    "cu_cross_contam" ->
+      """WITH ev AS (SELECT doc_id+100000 AS eval_id, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)),
+        |sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |sb AS (SELECT eval_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT eval_id, text, string_split_regex(trim(text), '\s+') AS toks FROM ev)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.eval_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS j
+        | FROM sa a CROSS JOIN sb b)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
   )
 }

@@ -289,6 +289,51 @@ object VerifyScratch {
     println(s"[22] line dedup hashKey == exact, hash shuffle key -> " +
       s"${ldSame && ldhPlan.contains("xxhash64")}")
 
+    // 23. DSIR importance weights on real docs: English target lifts the
+    // mean weight of English docs above non-English, weight table joins
+    // broadcast (the 100 TB probe side must not shuffle on the feature)
+    val iw = graft.llm.ImportanceWeightPipe("text", "doc_id",
+      docs.filter(col("lang") === "en"), "text")(docs)
+    val iwMeans = iw.groupBy(col("lang") === "en").agg(avg("dsir_logweight"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val iwPlan = iw.queryExecution.executedPlan.toString
+    println(s"[23] dsir: en-target mean(en) > mean(other), broadcast table -> " +
+      s"${iwMeans(true) > iwMeans(false) && iwPlan.contains("BroadcastHashJoin")}")
+
+    // 24. hashed linear scorer is map-only: no Exchange anywhere in the
+    // scoring plan (weight vector rides as a literal)
+    val hls = graft.llm.HashedLinearScorerPipe("text",
+      graft.llm.HashedLinearScorerPipe.formulaWeights(4096))(docs)
+    val hlsPlan = hls.queryExecution.executedPlan.toString
+    println(s"[24] hashed scorer map-only (no Exchange) -> " +
+      s"${!hlsPlan.contains("Exchange") && hls.count() == docs.count()}")
+
+    // 25. substring dedup on real docs + planted boilerplate: every 5th
+    // doc loses >= the 7 planted tokens; clean docs keep token counts
+    val sdPlanted = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(col("text"),
+        lit(" subscribe to our newsletter for updates today")))
+        .otherwise(col("text")))
+    val sd = graft.llm.SubstringDedupPipe("text", "doc_id", k = 5)(sdPlanted)
+    val sdBad = sd.filter(col("doc_id") % 5 === 0 && col("n_tokens_removed") < 7)
+      .count()
+    println(s"[25] substring dedup removes planted boilerplate -> ${sdBad == 0}")
+
+    // 26. cross-corpus minhash: near-copy eval docs pair with their train
+    // source (id_b = id_a + 100000 for every planted leak)
+    val ccToks = split(col("text"), " ")
+    val ccEval = docs.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 100000).as("eval_id"),
+      array_join(slice(ccToks, lit(1), greatest(size(ccToks) - 2, lit(1))), " ")
+        .as("text"))
+    val cc = graft.llm.CrossCorpusMinHashPipe("text", "doc_id",
+      ccEval, "text", "eval_id", jaccardThreshold = 0.5)(docs)
+    val ccPairs = cc.select("id_a", "id_b").collect()
+    val ccPlanted = ccPairs.count(r => r.getLong(1) == r.getLong(0) + 100000)
+    val ccExpected = docs.filter(col("doc_id") % 10 === 0).count()
+    println(s"[26] cross-corpus minhash finds planted leaks -> " +
+      s"${ccPlanted == ccExpected}")
+
     spark.stop()
   }
 }

@@ -170,6 +170,36 @@ object DedupOps {
     labels
   }
 
+  /** MinHash signature base + band buckets of one corpus: returns
+    * (base = (id, sh shingle-hash array), banded = (id, band, bh)), both
+    * eagerly localCheckpoint-ed — base feeds the signature aggregate and
+    * the candidate fetch joins; banded feeds both sides of a band join
+    * (where a broadcast side defeats ReusedExchange). Permutation
+    * coefficients come from a fixed seed, so two calls (e.g. the two
+    * corpora of [[CrossCorpusMinHashPipe]]) bucket IDENTICALLY.
+    */
+  def minhashBanded(
+      src: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): (DataFrame, DataFrame) = {
+    val r = numHashes / bands
+    val slim = src.select(
+      Pipe.qcol(idCol).cast("long").as("id"), Pipe.qcol(textCol).as("__text__"))
+    val base = Pipe.widen(slim)
+      .select(col("id"), shingleHashes(col("__text__"), shingleSize).as("sh"))
+      .localCheckpoint(true)
+    val perms = minhashPermutations(col("h"), numHashes)
+    val sigs = base.select(col("id"), explode(col("sh")).as("h"))
+      .groupBy("id")
+      .agg(min(perms.head).as("__m0"),
+        perms.tail.zipWithIndex.map { case (p, i) => min(p).as(s"__m${i + 1}") }: _*)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until r).map(j => col(s"__m${b * r + j}")): _*)): _*))
+        .as(Seq("band", "bh")))
+      .localCheckpoint(true)
+    (base, banded)
+  }
+
   /** Cosine similarity in double precision (sequential accumulation). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
@@ -221,7 +251,6 @@ case class MinHashLSHDedupPipe(
     "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val r = numHashes / bands
     // Relational lowering (same reasoning as the round-3 simhash rewrite):
     //   1. explode shingle hashes -> (id, h) rows; the signature is 64
     //      codegen'd min() aggregates over cheap linear permutations of h
@@ -249,21 +278,8 @@ case class MinHashLSHDedupPipe(
     // shingle pass ~8x. Checkpointed, each heavy pass runs exactly once
     // over numeric-only rows ((id, long[]) ~ 8B/shingle, smaller than the
     // text it came from; banded is 3 longs x bands per doc).
-    val slim = df.select(
-      qcol(idCol).cast("long").as("id"), qcol(textCol).as("__text__"))
-    val base = Pipe.widen(slim)
-      .select(col("id"), DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
-      .localCheckpoint(true)
-    val perms = DedupOps.minhashPermutations(col("h"), numHashes)
-    val sigs = base.select(col("id"), explode(col("sh")).as("h"))
-      .groupBy("id")
-      .agg(min(perms.head).as("__m0"),
-        perms.tail.zipWithIndex.map { case (p, i) => min(p).as(s"__m${i + 1}") }: _*)
-    val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until r).map(j => col(s"__m${b * r + j}")): _*)): _*))
-        .as(Seq("band", "bh")))
-      .localCheckpoint(true)
+    val (base, banded) = DedupOps.minhashBanded(
+      df, textCol, idCol, numHashes, bands, shingleSize)
     val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))
@@ -515,5 +531,143 @@ case class SRPCosineDedupPipe(
       .withColumn("cosine", DedupOps.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("hamming"), col("cosine"))
+  }
+}
+
+/** Cross-corpus MinHash-LSH contamination detection: fuzzy near-duplicate
+  * pairs BETWEEN two corpora — the fuzzy complement of the exact-n-gram
+  * [[DecontaminatePipe]] (an eval document paraphrased or lightly edited
+  * into the training set shares no exact n-gram but keeps high shingle
+  * Jaccard). Emits `(id_a from df, id_b from refDf, jaccard)` with exact
+  * Jaccard >= threshold; candidates come ONLY from shared band buckets
+  * (never a cross product), and both sides bucket with the same fixed-seed
+  * permutations, so recall matches single-corpus [[MinHashLSHDedupPipe]]:
+  * P(miss) = (1 - j^r)^b.
+  *
+  * Scale shape: each side shuffles |docs| signature rows once; the band
+  * join carries 3 longs x bands per doc; only surviving candidate pairs
+  * fetch shingle sets back by id. The eval side is typically tiny next to
+  * the train side — AQE broadcasts its banded frame, making the train
+  * side's candidate generation map-only.
+  */
+case class CrossCorpusMinHashPipe(
+    textCol: String,
+    idCol: String,
+    refDf: DataFrame,
+    refTextCol: String,
+    refIdCol: String,
+    numHashes: Int = 64,
+    bands: Int = 32,
+    shingleSize: Int = 3,
+    jaccardThreshold: Double = 0.5) extends Pipe {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "refText" -> refTextCol, "refId" -> refIdCol,
+    "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val (baseA, bandedA) = DedupOps.minhashBanded(
+      df, textCol, idCol, numHashes, bands, shingleSize)
+    val (baseB, bandedB) = DedupOps.minhashBanded(
+      refDf, refTextCol, refIdCol, numHashes, bands, shingleSize)
+    val pairs = bandedA.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bandedB.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val withSets = pairs
+      .join(baseA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(baseB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val sa = size(col("sh_a")).cast("double")
+    val sb = size(col("sh_b")).cast("double")
+    withSets
+      .filter(least(sa, sb) >= lit(jaccardThreshold) * greatest(sa, sb))
+      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
+
+/** Exact duplicated-substring removal (the ExactSubstr dedup of Lee et
+  * al., "Deduplicating Training Data Makes Language Models Better",
+  * arXiv:2107.06499, re-expressed relationally): delete every token
+  * covered by a `k`-token shingle that occurs at least `minCount` times
+  * ANYWHERE in the corpus (other documents or elsewhere in the same one),
+  * then reassemble each document from its surviving tokens in order.
+  * Where the paper builds a corpus-wide suffix array, the relational
+  * equivalent counts fixed-length shingles: a duplicated substring of
+  * length >= k is exactly a run of duplicated k-shingles, so coverage
+  * matches suffix-array dedup for substrings >= k tokens (shorter repeats
+  * are deliberately kept). Output text is whitespace-normalized (tokens
+  * re-joined with single spaces).
+  *
+  * Scale shape: one posexplode (map-only), one map-side-combined count on
+  * the shingle key, one semi-join of occurrences against duplicated keys
+  * (AQE splits hot boilerplate keys), one distinct on covered (id, pos),
+  * one anti-join, one groupBy(id) reassembly — every shuffle keys on the
+  * shingle or the doc id; no corpus-wide window, no driver state.
+  * `hashShingles = true` (default) shuffles 8-byte xxhash64 keys instead
+  * of k-token strings — same trade (and same failure mode: a 64-bit
+  * collision over-removes, never corrupts) as [[LineDedupPipe]] hashKey.
+  */
+case class SubstringDedupPipe(
+    textCol: String,
+    idCol: String,
+    k: Int = 5,
+    minCount: Long = 2,
+    hashShingles: Boolean = true,
+    removedCol: String = "n_tokens_removed") extends Pipe {
+  require(k >= 2, "k must be >= 2")
+  require(minCount >= 2, "minCount must be >= 2")
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "k" -> k.toString, "minCount" -> minCount.toString,
+    "hashShingles" -> hashShingles.toString, "removed" -> removedCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val slim = df.select(qcol(idCol).cast("long").as("__sd_id__"),
+      coalesce(qcol(textCol), lit("")).as("__sd_t__"))
+    // base feeds the occurrence explode AND the token explode — checkpoint
+    // once so the tokenization runs a single time (MinHashLSH reasoning)
+    val base = Pipe.widen(slim).select(col("__sd_id__"),
+      split(trim(col("__sd_t__")), "\\s+").as("__sd_tk__"))
+      .localCheckpoint(true)
+    val tk = col("__sd_tk__")
+    val shingle = (i: Column) => {
+      val s = concat_ws(" ", slice(tk, i + 1, lit(k)))
+      if (hashShingles) xxhash64(s) else s
+    }
+    val shArr = when(size(tk) >= k,
+      arrTransform(sequence(lit(0), size(tk) - k), shingle))
+      .otherwise(array().cast(
+        if (hashShingles) "array<bigint>" else "array<string>"))
+    // occurrences are NOT distinct-ed: a doc repeating its own shingle is
+    // a duplicate too (self-repeats count, as in the reference algorithm)
+    val occ = base.select(col("__sd_id__"),
+      posexplode(shArr).as(Seq("__sd_sp__", "__sd_sh__")))
+    val dup = occ.groupBy("__sd_sh__").agg(count(lit(1)).as("__sd_c__"))
+      .filter(col("__sd_c__") >= minCount).select("__sd_sh__")
+    val covered = occ.join(dup, Seq("__sd_sh__"), "left_semi")
+      .select(col("__sd_id__"),
+        explode(sequence(col("__sd_sp__"), col("__sd_sp__") + (k - 1)))
+          .as("__sd_p__"))
+      .distinct()
+    val tokens = base.select(col("__sd_id__"),
+      posexplode(tk).as(Seq("__sd_p__", "__sd_w__")))
+    val rebuilt = tokens
+      .join(covered, Seq("__sd_id__", "__sd_p__"), "left_anti")
+      .groupBy("__sd_id__")
+      .agg(concat_ws(" ", arrTransform(
+        array_sort(collect_list(struct(col("__sd_p__").as("p"),
+          col("__sd_w__").as("v")))),
+        x => x.getField("v"))).as("__sd_clean__"),
+        count(lit(1)).as("__sd_nk__"))
+    df.join(rebuilt, qcol(idCol).cast("long") === col("__sd_id__"), "left")
+      .withColumn(removedCol,
+        (size(split(trim(coalesce(qcol(textCol), lit(""))), "\\s+")) -
+          coalesce(col("__sd_nk__"), lit(0L))).cast("long"))
+      .withColumn(textCol, coalesce(col("__sd_clean__"), lit("")))
+      .drop("__sd_id__", "__sd_clean__", "__sd_nk__")
   }
 }

@@ -1,0 +1,108 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Data-selection + substring/cross-corpus dedup operators (round 6). */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature buckets: hand-computed unigram+bigram hashes") {
+    // tokHash("a") = (7*31+97) % 1000003 = 314; tokHash("b") = 315
+    // uni: 314%64=58, 315%64=59; bi: (314*131+315) % 1000003 % 64 = 41
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = FeatureHashOps.stageTokenHashes(df, "text", "th")
+      .select(FeatureHashOps.featureBuckets(col("th"), 64).as("f"))
+      .as[Seq[Long]].head()
+    assert(out == Seq(58L, 59L, 41L))
+    // single token -> no bigram
+    val one = FeatureHashOps.stageTokenHashes(
+      Seq((1L, "a")).toDF("doc_id", "text"), "text", "th")
+      .select(FeatureHashOps.featureBuckets(col("th"), 64).as("f"))
+      .as[Seq[Long]].head()
+    assert(one == Seq(58L))
+  }
+
+  test("dsir importance weight: target-domain docs score higher") {
+    val raw = Seq(
+      (1L, "market stocks trading finance market stocks"),
+      (2L, "market finance trading stocks economy growth"),
+      (3L, "cats purr softly on warm windowsills"),
+      (4L, "dogs bark loudly at passing strangers")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "stocks finance market trading dividends"),
+      (2L, "trading economy finance market stocks")).toDF("doc_id", "text")
+    val out = ImportanceWeightPipe("text", "doc_id", target, "text",
+      numBuckets = 1024)(raw)
+      .select("doc_id", "dsir_logweight").orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(out.size == 4)
+    // finance docs must outscore the pet docs under a finance target
+    assert(math.min(out(1L), out(2L)) > math.max(out(3L), out(4L)))
+    // deterministic: re-running yields identical fixed-point scores
+    val again = ImportanceWeightPipe("text", "doc_id", target, "text",
+      numBuckets = 1024)(raw)
+      .select("doc_id", "dsir_logweight").orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(again == out)
+  }
+
+  test("hashed linear scorer: uniform weights give exact closed form") {
+    val df = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    // all weights 0.1: logit = bias + 0.1 * n_features (uni + bi)
+    val pos = HashedLinearScorerPipe("text", Seq.fill(64)(0.1), bias = 0.05)(df)
+      .select("doc_id", "quality_logit", "quality_keep").orderBy("doc_id")
+      .collect()
+    assert(pos(0) == Row(1L, 0.35, true)) // 3 features
+    assert(pos(1) == Row(2L, 0.15, true)) // 1 feature
+    val neg = HashedLinearScorerPipe("text", Seq.fill(64)(-0.1), bias = 0.05)(df)
+      .select("quality_logit", "quality_keep").orderBy("doc_id").collect()
+    assert(neg(0) == Row(-0.25, false))
+    assert(neg(1) == Row(-0.05, false))
+  }
+
+  test("substring dedup: cross-doc and self-repeat coverage, k=5") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta epsilon tail2"),
+      (3L, "totally separate words only here"),
+      (4L, "x1 x2 x3 x4 x5 mid x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val out = SubstringDedupPipe("text", "doc_id", k = 5,
+      hashShingles = false)(df)
+      .select("doc_id", "text", "n_tokens_removed").orderBy("doc_id").collect()
+    // the shared 5-gram is deleted from BOTH docs (no canonical survivor —
+    // that is ExactSubstr semantics), private tokens survive in order
+    assert(out(0) == Row(1L, "unique1 tail1", 5L))
+    assert(out(1) == Row(2L, "prefix2 tail2", 5L))
+    assert(out(2) == Row(3L, "totally separate words only here", 0L))
+    // a doc repeating its own 5-gram loses both occurrences
+    assert(out(3) == Row(4L, "mid", 10L))
+  }
+
+  test("substring dedup: hashed shingles produce identical output") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val exact = SubstringDedupPipe("text", "doc_id", k = 5,
+      hashShingles = false)(docs)
+      .select("doc_id", "text", "n_tokens_removed")
+    val hashed = SubstringDedupPipe("text", "doc_id", k = 5,
+      hashShingles = true)(docs)
+      .select("doc_id", "text", "n_tokens_removed")
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+  }
+
+  test("cross-corpus minhash finds the planted leak with exact jaccard") {
+    val train = Seq(
+      (1L, "one two three four five six"),
+      (2L, "totally different content with no overlap at all"),
+      (3L, "yet another unrelated document about gardens")).toDF("doc_id", "text")
+    val evalDf = Seq(
+      (101L, "one two three four five"), // leak: j = 3/4 vs doc 1
+      (102L, "completely novel benchmark question here")).toDF("eval_id", "text")
+    val out = CrossCorpusMinHashPipe("text", "doc_id", evalDf, "text",
+      "eval_id", jaccardThreshold = 0.5)(train)
+      .select("id_a", "id_b", "jaccard").collect()
+    assert(out.toSeq == Seq(Row(1L, 101L, 0.75)))
+  }
+}
