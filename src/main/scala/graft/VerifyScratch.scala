@@ -334,6 +334,16 @@ object VerifyScratch {
     println(s"[26] cross-corpus minhash finds planted leaks -> " +
       s"${ccPlanted == ccExpected}")
 
+    // 27. trainable log-odds weights: two bucket-count aggregates on real
+    // docs, weight vector sized by the hash space, scoring still map-only
+    val (tw, tb) = graft.llm.HashedLinearScorerPipe.trainLogOdds(
+      docs.withColumn("y", col("lang") === "en"), "text", "y", 512)
+    val tScored = graft.llm.HashedLinearScorerPipe("text", tw, tb)(docs)
+    val tPlan = tScored.queryExecution.executedPlan.toString
+    println(s"[27] trained scorer: 512 weights, finite bias, map-only -> " +
+      s"${tw.size == 512 && !tb.isNaN && !tPlan.contains("Exchange") &&
+        tScored.count() == docs.count()}")
+
     spark.stop()
   }
 }

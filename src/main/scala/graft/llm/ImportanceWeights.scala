@@ -162,4 +162,46 @@ object HashedLinearScorerPipe {
     */
   def formulaWeights(numBuckets: Int): Seq[Double] =
     Seq.tabulate(numBuckets)(b => (((b * 13 + 5) % 21) - 10) / 10.0)
+
+  /** Train naive-Bayes log-odds weights over the hashed feature space:
+    * w(b) = log P(b|pos) - log P(b|neg) with add-`smoothing` estimates,
+    * bias = log(nPos/nNeg). Equivalent to a generatively-trained linear
+    * classifier on the same features (the fastText-recipe starting
+    * point); entirely two bucket-count aggregates — at most `numBuckets`
+    * rows ever reach the driver, so training scales with the hash space,
+    * not the corpus.
+    */
+  def trainLogOdds(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int,
+      smoothing: Double = 1.0): (Seq[Double], Double) = {
+    val staged = FeatureHashOps.stageTokenHashes(
+      df.select(qcol(labelCol).cast("boolean").as("__tr_y__"),
+        qcol(textCol).as("__tr_t__")), "__tr_t__", "__tr_th__")
+    val feats = staged.select(col("__tr_y__"),
+      explode(FeatureHashOps.featureBuckets(col("__tr_th__"), numBuckets))
+        .as("__tr_b__"))
+    val counts = feats.groupBy("__tr_b__").agg(
+      sum(when(col("__tr_y__"), 1L).otherwise(0L)).as("p"),
+      sum(when(col("__tr_y__"), 0L).otherwise(1L)).as("n"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (posTot, negTot) = counts.values.foldLeft((0L, 0L)) {
+      case ((p, n), (dp, dn)) => (p + dp, n + dn)
+    }
+    val denomP = posTot + smoothing * numBuckets
+    val denomN = negTot + smoothing * numBuckets
+    val weights = Seq.tabulate(numBuckets) { b =>
+      val (p, n) = counts.getOrElse(b, (0L, 0L))
+      math.log((p + smoothing) / denomP) - math.log((n + smoothing) / denomN)
+    }
+    val rows = df.agg(
+      sum(when(qcol(labelCol).cast("boolean"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val nPos = rows.getLong(0).toDouble
+    val nNeg = rows.getLong(1) - nPos
+    (weights, math.log((nPos + smoothing) / (nNeg + smoothing)))
+  }
 }

@@ -62,6 +62,23 @@ class SelectionSpec extends SparkSpec {
     assert(neg(1) == Row(-0.05, false))
   }
 
+  test("trained log-odds classifier separates a two-vocabulary corpus") {
+    // (the testdata documents draw every lang from ONE shared vocabulary,
+    // so nothing is learnable there — build a separable corpus instead)
+    val posV = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val negV = Vector("uno", "dos", "tres", "cuatro", "cinco")
+    val docs = (0 until 60).map { i =>
+      val v = if (i % 2 == 0) posV else negV
+      val words = (0 until 12).map(j => v((i * 7 + j * 3) % v.size)) :+ "shared"
+      (i.toLong, words.mkString(" "), i % 2 == 0)
+    }.toDF("doc_id", "text", "label")
+    val (w, b) = HashedLinearScorerPipe.trainLogOdds(
+      docs, "text", "label", numBuckets = 1024)
+    val scored = HashedLinearScorerPipe("text", w, b)(docs)
+    val wrong = scored.filter(col("quality_keep") =!= col("label")).count()
+    assert(wrong == 0, s"$wrong of 60 misclassified")
+  }
+
   test("substring dedup: cross-doc and self-repeat coverage, k=5") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon unique1 tail1"),
