@@ -560,6 +560,13 @@ object Queries {
       graft.streaming.EventStream.runDedupStream(s, d,
         Seq("user_id", "event_type"), "30 days")
         .orderBy("user_id", "event_type")),
+    "ev_stream_enrich" -> ((s, d) =>
+      // REAL StreamingQuery: stateless stream-static broadcast join of
+      // the event stream against the customer dimension
+      graft.streaming.EventStream.runEnrichStream(s, d)
+        .select("event_id", "user_id", "event_type", "value",
+          "c_mktsegment", "c_acctbal")
+        .orderBy("event_id")),
     "ev_sessionize" -> ((s, d) =>
       graft.streaming.SessionizePipe(gapSeconds = 1800)(
         graft.streaming.EventStream.readBatch(s, d))
@@ -1353,6 +1360,10 @@ object Queries {
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1,2 ORDER BY ws, event_type",
     "ev_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "ev_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment, c.c_acctbal
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000

@@ -75,6 +75,45 @@ object EventStream {
     runToMemorySink(
       StreamingDedupPipe(keys, watermark = watermark)(readStream(spark, dir)),
       "append")
+
+  /** Stream-static enrichment over the event stream (gate
+    * `ev_stream_enrich`): events joined to the customer dimension inside
+    * a REAL StreamingQuery.
+    */
+  def runEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    runToMemorySink(
+      StreamStaticEnrichPipe(dim, "user_id", "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"))(readStream(spark, dir)),
+      "append")
+  }
+}
+
+/** Stream-static enrichment join: attach dimension attributes to a fact
+  * stream (or batch frame — the pipe is twin-agnostic like every other
+  * streaming pipe here). The static side is re-read per micro-batch by
+  * Structured Streaming, stays broadcast by default (dimensions are small
+  * next to a 100 TB fact feed — the join is then map-only and STATELESS,
+  * no streaming state at all), and a left join keeps facts whose key has
+  * no dimension row yet (late dimension upserts are the static side's
+  * problem, not the stream's).
+  */
+case class StreamStaticEnrichPipe(
+    staticDf: DataFrame,
+    leftKey: String,
+    rightKey: String,
+    staticCols: Seq[String],
+    broadcastStatic: Boolean = true) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("leftKey" -> leftKey, "rightKey" -> rightKey,
+    "cols" -> staticCols.mkString(","),
+    "broadcastStatic" -> broadcastStatic.toString)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val dim = staticDf.select((rightKey +: staticCols).map(qcol): _*)
+    val probe = if (broadcastStatic) broadcast(dim) else dim
+    df.join(probe, qcol(leftKey) === qcol(rightKey), "left")
+      .drop(rightKey)
+  }
 }
 
 /** Exact dedup for at-least-once delivery: duplicate rows (by `keys`)

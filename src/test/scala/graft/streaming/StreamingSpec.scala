@@ -103,4 +103,26 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("stream-static enrichment: stateless broadcast join equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    val pipe = StreamStaticEnrichPipe(dim, "user_id", "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"))
+    val cols = Seq("event_id", "user_id", "event_type", "c_mktsegment")
+    val batch = pipe(EventStream.readBatch(spark, dir))
+      .select(cols.head, cols.tail: _*)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val stream = EventStream.runEnrichStream(spark, dir)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+    // every event user is inside the customer key range -> no null segment
+    assert(!batch.exists(_.contains("null")))
+    // the dimension side must broadcast (stateless join, no shuffle state)
+    val plan = pipe(EventStream.readBatch(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }
