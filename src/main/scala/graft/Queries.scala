@@ -892,6 +892,20 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // ----- dense global row ids + deterministic shard layout -----
+    "u5_assign_row_id" -> ((s, d) =>
+      graft.pipes.AssignRowIdPipe("doc_id")(t(s, d, "documents"))
+        .select("doc_id", "row_idx").orderBy("doc_id")),
+    "sh_shard_assign" -> ((s, d) => {
+      // reproducible shuffled shards: deterministic shuffle slot mixed
+      // with the id into a UNIQUE order key (slot < 2^20, doc_id < 2^20),
+      // then fixed-size shard layout over that order
+      val sh = graft.llm.DeterministicShufflePipe("doc_id")(t(s, d, "documents"))
+        .withColumn("ord", col("shuffle_slot") * 1048576L + col("doc_id"))
+      graft.llm.ShardAssignPipe("ord", 64)(sh)
+        .select("doc_id", "shard_id", "pos_in_shard").orderBy("doc_id")
+    }),
+
     // ----- DSIR importance weighting (target = English subset) -----
     "ir_dsir" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1663,6 +1677,15 @@ object Queries {
         |SELECT w.l_eid AS event_id, w.user_id, epoch_us(w.ts) AS ts_us,
         | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "u5_assign_row_id" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "sh_shard_assign" ->
+      """WITH s AS (SELECT doc_id, (doc_id*131+7) % 1000003 AS s1 FROM documents),
+        |o AS (SELECT doc_id, ((s1*s1+s1) % 1000003) * 1048576 + doc_id AS ord FROM s),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY ord) - 1 AS rk FROM o)
+        |SELECT doc_id, rk // 64 AS shard_id, rk % 64 AS pos_in_shard
+        |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // full replay of the hashed unigram+bigram feature space (char-fold
     // token hash as in ta_fingerprint) and the fixed-point weight table
     "ir_dsir" ->

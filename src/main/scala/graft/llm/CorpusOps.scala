@@ -43,6 +43,39 @@ case class DeterministicShufflePipe(
   }
 }
 
+/** Deterministic shard assignment for training-corpus materialization:
+  * `shardCol` = rank/shardSize and `posCol` = rank%shardSize where rank is
+  * the 0-based global position in `orderCol` order — the layout a training
+  * job reads back as fixed-size shards. Compose after
+  * [[DeterministicShufflePipe]] (ordering by a unique mix of its slot and
+  * the id) for reproducible SHUFFLED shards; write with
+  * `df.repartitionByRange(col(shardCol)).sortWithinPartitions(posCol)`.
+  *
+  * Scale shape: the rank comes from [[graft.pipes.NestingOps
+  * .withGlobalRank]] — range-partitioned sort, per-partition positions,
+  * broadcast offset table; NEVER a corpus-wide single-partition window.
+  * Ties in `orderCol` are only partition-stable; pass a unique order key
+  * for fully deterministic shards.
+  */
+case class ShardAssignPipe(
+    orderCol: String,
+    shardSize: Long,
+    shardCol: String = "shard_id",
+    posCol: String = "pos_in_shard") extends Pipe {
+  require(shardSize > 0, "shardSize must be positive")
+  override def update: Boolean = true
+  override def params = Map("order" -> orderCol, "size" -> shardSize.toString,
+    "shard" -> shardCol, "pos" -> posCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    graft.pipes.NestingOps.withGlobalRank(df, orderCol, "__sh_rank__")
+      // `div`, not `/`: long/long in Column algebra is DOUBLE division,
+      // inexact past 2^53 — integer div is exact at any rank
+      .withColumn(shardCol, expr(s"`__sh_rank__` div ${shardSize}L"))
+      .withColumn(posCol, pmod(col("__sh_rank__"), lit(shardSize)))
+      .drop("__sh_rank__")
+}
+
 /** Per-group corpus profiling: count, mean, min, max, and quantiles of a
   * numeric column — the length/score distribution summaries a curation
   * run reports per language or source.

@@ -95,6 +95,26 @@ object DatasetFingerprint {
       df.queryExecution.analyzed.canonicalized.toString)
 }
 
+/** Dense stable global row ids in `orderCol` order — the reference's
+  * absolute row `idx` (`with_indices=True`, core/pipe.py:277; SURVEY §1.4)
+  * as a first-class operator, for callers that need CONTIGUOUS 0-based
+  * ids (vector-cache keys, shard layouts) rather than the sparse
+  * partition-prefixed ids of [[NestingOps.withRowIdx]].
+  *
+  * Scale-safe by construction: delegates to [[NestingOps.withGlobalRank]]
+  * (range-partitioned sort + broadcast per-partition offsets), never a
+  * corpus-wide single-partition window. Ties in `orderCol` are only
+  * partition-stable; use a unique order column for deterministic ids.
+  */
+case class AssignRowIdPipe(
+    orderCol: String,
+    outputCol: String = "row_idx") extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("order" -> orderCol, "out" -> outputCol)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    NestingOps.withGlobalRank(df, orderCol, outputCol)
+}
+
 /** U3 `concatenate_datasets` (datasets_utils.py:130-147):
   * axis 0 = union rows; axis 1 = zip columns (used to attach new columns
   * after flatten/nest, pipes/nesting.py:316-323).

@@ -37,6 +37,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1) == Row("b", 1L, 10.0, 10, 10, 10.0))
   }
 
+  test("row ids: dense, contiguous, order-correct, layout-invariant") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = graft.pipes.AssignRowIdPipe("doc_id")(docs)
+    val ids = out.orderBy("doc_id").select("row_idx").as[Long].collect()
+    assert(ids.toSeq == ids.indices.map(_.toLong)) // doc_id order == id order
+    val re = graft.pipes.AssignRowIdPipe("doc_id")(docs.repartition(13))
+      .select("doc_id", "row_idx")
+    assert(out.select("doc_id", "row_idx").except(re).count() == 0)
+  }
+
+  test("shard assignment: exact tiling and layout invariance") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pipe = ShardAssignPipe("doc_id", 64)
+    val out = pipe(docs).select("doc_id", "shard_id", "pos_in_shard")
+    val n = docs.count()
+    val sizes = out.groupBy("shard_id").count().orderBy("shard_id")
+      .select("count").as[Long].collect()
+    // every shard full except possibly the last
+    assert(sizes.dropRight(1).forall(_ == 64L))
+    assert(sizes.last == (if (n % 64 == 0) 64L else n % 64))
+    assert(sizes.length == ((n + 63) / 64))
+    // positions tile 0..size-1 within each shard
+    val badPos = pipe(docs).groupBy("shard_id")
+      .agg(min("pos_in_shard").as("lo"), max("pos_in_shard").as("hi"),
+        count(lit(1)).as("c"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("c") - 1).count()
+    assert(badPos == 0)
+    // identical assignment from any input layout
+    val re = pipe(docs.repartition(13)).select("doc_id", "shard_id", "pos_in_shard")
+    assert(out.except(re).count() == 0)
+  }
+
   test("approx quantiles track exact within tolerance on real data") {
     val docs = spark.read.parquet(sf("documents"))
     val ex = CorpusStatsPipe(Seq("lang"), "n_chars", approx = false)(docs)
