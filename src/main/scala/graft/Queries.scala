@@ -560,6 +560,11 @@ object Queries {
       graft.streaming.EventStream.runDedupStream(s, d,
         Seq("user_id", "event_type"), "30 days")
         .orderBy("user_id", "event_type")),
+    "ev_stream_join" -> ((s, d) =>
+      // REAL StreamingQuery: watermarked stream-stream interval join —
+      // the streaming twin of rj_range, same inequality-join oracle shape
+      graft.streaming.EventStream.runStreamStreamJoin(s, d)
+        .orderBy("event_id", "err_id")),
     "ev_stream_enrich" -> ((s, d) =>
       // REAL StreamingQuery: stateless stream-static broadcast join of
       // the event stream against the customer dimension
@@ -1378,6 +1383,12 @@ object Queries {
       """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment, c.c_acctbal
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+    "ev_stream_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type='click'),
+        |w AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS wstart FROM events WHERE event_type='error')
+        |SELECT c.event_id, c.user_id, c.ts_us, w.err_id, w.wstart
+        |FROM c JOIN w ON c.user_id = w.user_id AND c.ts_us >= w.wstart AND c.ts_us <= w.wstart + 1800000000
+        |ORDER BY c.event_id, w.err_id""".stripMargin.replace("\n", " "),
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000

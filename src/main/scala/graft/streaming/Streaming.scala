@@ -87,6 +87,41 @@ object EventStream {
         Seq("c_mktsegment", "c_acctbal"))(readStream(spark, dir)),
       "append")
   }
+
+  /** Watermarked stream-stream interval join (gate `ev_stream_join`): the
+    * streaming twin of [[graft.operators.RangeJoin]] — clicks matched to
+    * same-user error events whose 30-minute incident window contains the
+    * click. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so Structured Streaming can expire state: state
+    * per key is bounded by (watermark + interval), never the stream
+    * length. The batch twin (identical frames, identical condition) is
+    * what the DuckDB inequality-join oracle checks; the gate runs the
+    * streaming plan for real.
+    */
+  def streamStreamIntervalJoin(clicks: DataFrame, errors: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark)
+             else clicks)
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    val e = (if (errors.isStreaming) errors.withWatermark("ts", watermark)
+             else errors)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_uid"),
+        col("ts").as("e_ts"))
+    c.join(e, col("c_uid") === col("e_uid") &&
+      col("c_ts") >= col("e_ts") &&
+      col("c_ts") <= col("e_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_eid").as("event_id"), col("c_uid").as("user_id"),
+        unix_micros(col("c_ts")).as("ts_us"), col("err_id"),
+        unix_micros(col("e_ts")).as("wstart"))
+  }
+
+  def runStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String) =
+      readStream(spark, dir).filter(col("event_type") === tpe)
+    runToMemorySink(
+      streamStreamIntervalJoin(side("click"), side("error")), "append")
+  }
 }
 
 /** Stream-static enrichment join: attach dimension attributes to a fact

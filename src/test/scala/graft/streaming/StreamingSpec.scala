@@ -104,6 +104,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join equals batch inequality join") {
+    val dir = "/root/testdata/sf0.001"
+    def batchSide(tpe: String) =
+      EventStream.readBatch(spark, dir).filter(col("event_type") === tpe)
+    val batch = EventStream.streamStreamIntervalJoin(
+      batchSide("click"), batchSide("error"))
+      .orderBy("event_id", "err_id").collect().map(_.toString).toSeq
+    val stream = EventStream.runStreamStreamJoin(spark, dir)
+      .orderBy("event_id", "err_id").collect().map(_.toString).toSeq
+    assert(stream == batch)
+  }
+
   test("stream-static enrichment: stateless broadcast join equals batch") {
     val dir = "/root/testdata/sf0.001"
     val dim = spark.read.parquet(s"$dir/customer.parquet")
