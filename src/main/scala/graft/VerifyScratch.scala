@@ -344,6 +344,17 @@ object VerifyScratch {
       s"${tw.size == 512 && !tb.isNaN && !tPlan.contains("Exchange") &&
         tScored.count() == docs.count()}")
 
+    // 28. BPE learn + encode on real docs: 6 merges learned, encode is
+    // lossless (subword concat == word concat) and map-only (no Exchange)
+    val bpMerges = graft.text.BpeOps.learn(docs, "text", numMerges = 6)
+    val bp = graft.text.BpeEncodePipe("text", bpMerges)(docs)
+    val bpLossy = bp.filter(
+      concat_ws("", col("bpe_tokens")) =!=
+        concat_ws("", split(trim(col("text")), "\\s+"))).count()
+    val bpPlan = bp.queryExecution.executedPlan.toString
+    println(s"[28] bpe: 6 merges, lossless encode, map-only -> " +
+      s"${bpMerges.size == 6 && bpLossy == 0 && !bpPlan.contains("Exchange")}")
+
     spark.stop()
   }
 }

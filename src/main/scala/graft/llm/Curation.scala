@@ -291,6 +291,9 @@ case class UnigramLogProbPipe(
     "out" -> outputCol, "broadcastVocab" -> broadcastVocab.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    // (three consumers re-run the scan + explode, but an eager widen +
+    // localCheckpoint re-measured SLOWER at sf0.1 — 8.5 s vs 7.5 s — the
+    // materialization job costs more than the two re-reads it saves)
     val toks = df.select(qcol(idCol).as("__ug_id__"),
       explode(TextAnalysisOps.toks(qcol(textCol))).as("__ug_tok__"))
     val total = toks.agg(count(lit(1)).cast("double").as("__ug_n__"))
