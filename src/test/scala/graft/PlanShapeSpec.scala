@@ -60,6 +60,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"fast path joined:\n${p.take(2000)}")
   }
 
+  test("shard assignment moves bulk data via rangepartitioning only") {
+    val p = plan("sh_shard_assign")
+    // one tiny SinglePartition window (the per-partition offset table) is
+    // allowed; bulk rows must move by range partition
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"unexpected single-partition exchanges ($single)")
+    assert(p.contains("rangepartitioning"))
+  }
+
+  test("dsir probe side joins the broadcast weight table") {
+    val p = plan("ir_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table not broadcast:\n${p.take(2000)}")
+  }
+
+  test("hashed classifier gate plans no shuffle before the final sort") {
+    val p = plan("qc_hash_score")
+    // scoring itself is map-only; the single exchange is the gate orderBy
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected exchanges ($exchanges) in:\n${p.take(2000)}")
+  }
+
   test("take_subset small-n plans a topK heap, not a global sort") {
     val p = plan("u1_take_subset")
     assert(p.contains("TakeOrderedAndProject"),
