@@ -56,12 +56,26 @@ object EventStream {
     * verifies the Structured Streaming path end-to-end, not just the
     * batch twin.
     */
-  def runToMemorySink(streamed: DataFrame, outputMode: String): DataFrame = {
+  def runToMemorySink(streamed: DataFrame, outputMode: String,
+      statePartitions: Int = 8): DataFrame = {
     val name = "ev_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // Stateful operators open one state store PER shuffle partition per
+    // batch (a stream-stream join opens four), so the session's batch
+    // shuffle width is pure fixed overhead for a bounded drain — scope it
+    // down for the query's lifetime. The first micro-batch pins the width
+    // in the offset log, so restoring AFTER stop() is safe; queries here
+    // run sequentially (same assumption readBatch documents for
+    // nanosAsLong). At production scale the width is sized to state
+    // volume, not to this local drain.
+    val sess = streamed.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val old = sess.conf.get(key)
+    sess.conf.set(key, statePartitions.toString)
     val q = streamed.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); sess.conf.set(key, old) }
     streamed.sparkSession.table(name)
   }
 
