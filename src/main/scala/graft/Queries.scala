@@ -897,6 +897,15 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // ----- temperature mix + bigram-LM fluency -----
+    "tm_temperature_mix" -> ((s, d) =>
+      graft.llm.TemperatureMixPipe("doc_id", "lang", alpha = 0.5)(
+        t(s, d, "documents"))
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "bg_bigram_nll" -> ((s, d) =>
+      graft.llm.BigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
+        .select("doc_id", "bigram_nll").orderBy("doc_id")),
+
     // ----- dense global row ids + deterministic shard layout -----
     "u5_assign_row_id" -> ((s, d) =>
       graft.pipes.AssignRowIdPipe("doc_id")(t(s, d, "documents"))
@@ -1688,6 +1697,28 @@ object Queries {
         |SELECT w.l_eid AS event_id, w.user_id, epoch_us(w.ts) AS ts_us,
         | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // IEEE sqrt is correctly rounded -> thresholds replay bit-for-bit
+    "tm_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT max(n) AS mx FROM c),
+        |r AS (SELECT lang, CAST(round(sqrt(CAST(n AS DOUBLE) / (SELECT mx FROM m)) * 10000) AS BIGINT) AS thr FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ((d.doc_id*131+7) % 1000003) % 10000 < r.thr ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // add-one-smoothed conditional bigram table replayed in fixed point
+    "bg_bigram_nll" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[ln.i+1] AS p, t[ln.i+2] AS c
+        | FROM tk, LATERAL (SELECT unnest(range(0, greatest(len(t)-1, 0))) AS i) ln),
+        |un AS (SELECT doc_id, unnest(t) AS p FROM tk),
+        |v AS (SELECT count(DISTINCT p) AS vs FROM un),
+        |uc AS (SELECT p, count(*) AS u FROM un GROUP BY p),
+        |bc AS (SELECT p, c, count(*) AS bn FROM bg GROUP BY p, c),
+        |w AS (SELECT bc.p, bc.c, CAST(round(-ln((bc.bn+1) / CAST(uc.u + (SELECT vs FROM v) AS DOUBLE)) * 10000) AS BIGINT) AS f
+        | FROM bc JOIN uc USING (p)),
+        |sc AS (SELECT bg.doc_id, round(CAST(sum(w.f) AS DOUBLE) / (count(*) * 10000.0), 4) AS s
+        | FROM bg JOIN w ON bg.p = w.p AND bg.c = w.c GROUP BY bg.doc_id)
+        |SELECT d.doc_id, coalesce(sc.s, 0) AS bigram_nll
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "u5_assign_row_id" ->
       """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),

@@ -43,6 +43,49 @@ case class DeterministicShufflePipe(
   }
 }
 
+/** Temperature-based source rebalancing (the multilingual-pretraining
+  * `p_s ∝ n_s^alpha` mix of Devlin et al./XLM, arXiv:1901.07291 §3.1,
+  * recast as a deterministic filter): group s keeps rate
+  * `(n_s / n_max)^alpha` — the largest group keeps everything, smaller
+  * groups keep RELATIVELY more as `alpha` drops toward 0 (uniform), and
+  * `alpha = 1` keeps the natural distribution. Rows are kept by the same
+  * engine-reproducible hash-slot filter as [[StratifiedSamplePipe]], so
+  * the surviving set is identical on any cluster size, retry, or engine.
+  *
+  * Scale shape: one map-side-combined count per group (|groups| rows),
+  * rates broadcast back — the 100 TB side is a map-only filter probe.
+  * With `alpha = 0.5` the rate is a bare sqrt (correctly-rounded IEEE),
+  * so external replays are bit-exact.
+  */
+case class TemperatureMixPipe(
+    idCol: String,
+    groupCol: String,
+    alpha: Double = 0.5) extends Pipe {
+  require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+  override def params = Map("id" -> idCol, "group" -> groupCol,
+    "alpha" -> alpha.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val counts = df.groupBy(qcol(groupCol).as("__tm_g__"))
+      .agg(count(lit(1)).as("__tm_n__"))
+    val nmax = counts.agg(max("__tm_n__").as("__tm_max__"))
+    // sqrt (not pow(x, 0.5)) for the default: IEEE-754 sqrt is correctly
+    // rounded, so any engine replays the threshold bit-for-bit; pow is not
+    val ratio = col("__tm_n__").cast("double") / col("__tm_max__")
+    val rate = if (alpha == 0.5) sqrt(ratio)
+               else if (alpha == 1.0) ratio
+               else pow(ratio, alpha)
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col("__tm_g__"),
+        round(rate * 10000).cast("long").as("__tm_thr__"))
+    val slot = pmod(pmod(qcol(idCol).cast("long") * 131 + 7, lit(1000003L)),
+      lit(10000L))
+    df.join(broadcast(rates), qcol(groupCol) === col("__tm_g__"), "left")
+      .filter(slot < coalesce(col("__tm_thr__"), lit(10000L)))
+      .drop("__tm_g__", "__tm_thr__")
+  }
+}
+
 /** Deterministic shard assignment for training-corpus materialization:
   * `shardCol` = rank/shardSize and `posCol` = rank%shardSize where rank is
   * the 0-based global position in `orderCol` order — the layout a training

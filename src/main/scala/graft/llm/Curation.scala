@@ -317,6 +317,68 @@ case class UnigramLogProbPipe(
   }
 }
 
+/** Corpus-derived BIGRAM log-probability scoring — the order-2 upgrade of
+  * [[UnigramLogProbPipe]] (the KenLM-style fluency signal of the CCNet
+  * lineage with the corpus as its own LM): score each document by the
+  * mean negative log of `p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) /
+  * (c(w_{i-1}) + V)` (add-one smoothing over the corpus vocabulary V)
+  * across positions with a predecessor; documents under two tokens score
+  * 0. Low = fluent/typical word ORDER, not just typical words — word
+  * salad with a common vocabulary sails past a unigram score but not
+  * this one.
+  *
+  * Scale shape mirrors the unigram pipe: bigram and unigram count tables
+  * are vocabulary-bounded aggregates, joined into one conditional table
+  * that is BROADCAST; the corpus side is explode + broadcast-probe +
+  * per-doc re-aggregate. Fixed-point (x1e4) per-position terms make the
+  * mean bit-identical on any partitioning and replayable externally.
+  */
+case class BigramLogProbPipe(
+    textCol: String,
+    idCol: String,
+    outputCol: String = "bigram_nll",
+    broadcastTable: Boolean = true) extends Pipe {
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "out" -> outputCol, "broadcastTable" -> broadcastTable.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val staged = df.select(qcol(idCol).as("__bg_id__"),
+      TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))).as("__bg_tk__"))
+    val tk = col("__bg_tk__")
+    // (prev, cur) rows for positions 1..n-1
+    val bigrams = staged.select(col("__bg_id__"),
+      explode(when(size(tk) >= 2,
+        arrTransform(sequence(lit(0), size(tk) - 2), i =>
+          struct(element_at(tk, (i + 1).cast("int")).as("p"),
+            element_at(tk, (i + 2).cast("int")).as("c"))))
+        .otherwise(array().cast("array<struct<p:string,c:string>>")))
+        .as("__bg__"))
+      .select(col("__bg_id__"), col("__bg__.p").as("__bg_p__"),
+        col("__bg__.c").as("__bg_c__"))
+    val unigrams = staged.select(explode(tk).as("__bg_p__"))
+    val vocabSize = unigrams.agg(
+      countDistinct(col("__bg_p__")).as("__bg_v__"))
+    val uniCnt = unigrams.groupBy("__bg_p__")
+      .agg(count(lit(1)).as("__bg_un__"))
+    val biCnt = bigrams.groupBy("__bg_p__", "__bg_c__")
+      .agg(count(lit(1)).as("__bg_bn__"))
+    val table = biCnt.join(uniCnt, Seq("__bg_p__"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("__bg_p__"), col("__bg_c__"),
+        round(-log((col("__bg_bn__") + 1).cast("double") /
+          (col("__bg_un__") + col("__bg_v__")).cast("double")) * 10000)
+          .cast("long").as("__bg_f__"))
+    val probe = if (broadcastTable) broadcast(table) else table
+    // every (prev, cur) a doc probes exists in the table by construction
+    val scored = bigrams.join(probe, Seq("__bg_p__", "__bg_c__"))
+      .groupBy("__bg_id__")
+      .agg(round(sum("__bg_f__") / (count(lit(1)) * 10000d), 4).as("__bg_s__"))
+    df.join(scored, qcol(idCol) === col("__bg_id__"), "left")
+      .withColumn(outputCol, coalesce(col("__bg_s__"), lit(0d)))
+      .drop("__bg_id__", "__bg_s__")
+  }
+}
+
 /** Deterministic stratified sampling for domain/language rebalancing:
   * keep a row iff an engine-reproducible hash of its id falls under the
   * group's rate threshold. A pure filter — no shuffle, no RNG state, and

@@ -7,6 +7,50 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bigram nll: hand-computed conditional scores") {
+    // corpus: "a b", "a c", "x" -> V=4, c(a)=2
+    // nll(a,b) = nll(a,c) = -ln((1+1)/(2+4)) = ln(3); fp = round(ln(3)*1e4)
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val out = BigramLogProbPipe("text", "doc_id")(df)
+      .select("doc_id", "bigram_nll").orderBy("doc_id").collect()
+    val expected = math.round(math.log(3.0) * 10000) / 10000.0
+    assert(out(0) == Row(1L, expected))
+    assert(out(1) == Row(2L, expected))
+    assert(out(2) == Row(3L, 0.0)) // no predecessor positions
+  }
+
+  test("bigram nll: implausible word order scores worse, same vocabulary") {
+    // ordered corpus with strong bigram structure + one word-salad doc
+    // built from the SAME vocabulary: a unigram score cannot separate
+    // them, the conditional bigram score must
+    val ordered = (1L to 40L).map(i => (i, "the cat sat on the mat"))
+    val salad = Seq((100L, "mat the on sat cat the"))
+    val out = BigramLogProbPipe("text", "doc_id")(
+      (ordered ++ salad).toDF("doc_id", "text"))
+      .select("doc_id", "bigram_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(100L) > out(1L) + 0.5,
+      s"salad ${out(100L)} vs ordered ${out(1L)}")
+  }
+
+  test("temperature mix: sqrt rates, largest group kept whole") {
+    val df = (0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 125).map(i => (i.toLong, "small"))
+    val out = TemperatureMixPipe("id", "g", alpha = 0.5)(df.toDF("id", "g"))
+    val kept = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: rate 1.0 -> all 100 survive; small: rate sqrt(0.25)=0.5 ->
+    // exactly the ids whose hash slot < 5000
+    assert(kept("big") == 100L)
+    val expectedSmall = (100 until 125).count(i =>
+      ((i.toLong * 131 + 7) % 1000003) % 10000 < 5000)
+    assert(kept("small") == expectedSmall.toLong)
+    // deterministic under relayout
+    val re = TemperatureMixPipe("id", "g", alpha = 0.5)(
+      df.toDF("id", "g").repartition(7))
+    assert(out.select("id").except(re.select("id")).count() == 0)
+  }
+
   test("repetition stats: hand-computed fractions on known texts") {
     val df = Seq((1L, "a a b"), (2L, "x y x y x"), (3L, "solo")).toDF("doc_id", "text")
     val out = RepetitionStatsPipe("text")(df).orderBy("doc_id")
