@@ -109,6 +109,43 @@ class SelectionSpec extends SparkSpec {
     assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
   }
 
+  test("substring dedup equals a scalar oracle on random tiny-vocab corpora") {
+    // tiny vocab + short docs force dense shingle collisions, self-repeats
+    // and whole-doc wipes — the regimes where coverage logic breaks
+    def scalarOracle(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+      toks.foreach { case (_, ws) =>
+        ws.sliding(k).filter(_.size == k).foreach { sh =>
+          counts(sh) = counts.getOrElse(sh, 0) + 1
+        }
+      }
+      toks.map { case (id, ws) =>
+        val starts = ws.indices.dropRight(k - 1)
+          .filter(s => counts(ws.slice(s, s + k)) >= 2)
+        val covered = starts.flatMap(s => s until s + k).toSet
+        val kept = ws.zipWithIndex.collect { case (w, p) if !covered(p) => w }
+        id -> (kept.mkString(" "), (ws.size - kept.size).toLong)
+      }.toMap
+    }
+    val vocab = Vector("aa", "bb", "cc")
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 12L).map { id =>
+        val n = rnd.nextInt(9) // 0 tokens -> "" edge case included
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = scalarOracle(docs, k = 3)
+      for (hashed <- Seq(false, true)) {
+        val out = SubstringDedupPipe("text", "doc_id", k = 3,
+          hashShingles = hashed)(docs.toDF("doc_id", "text"))
+          .select("doc_id", "text", "n_tokens_removed").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        assert(out == expected, s"seed=$seed hashed=$hashed")
+      }
+    }
+  }
+
   test("cross-corpus minhash finds the planted leak with exact jaccard") {
     val train = Seq(
       (1L, "one two three four five six"),
