@@ -906,6 +906,28 @@ object Queries {
       graft.llm.BigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
         .select("doc_id", "bigram_nll").orderBy("doc_id")),
 
+    // ----- composed selection pipeline v3: the round-6 capstone -----
+    "pp_select_v3" -> ((s, d) => {
+      // the full modern selection flow as ONE chain: duplicated-substring
+      // removal -> DSIR importance weights vs the English target ->
+      // selection floor -> temperature rebalance -> deterministic shuffle
+      // + fixed-size shard layout; the oracle replays every stage
+      val docs = t(s, d, "documents")
+      val deduped = graft.llm.SubstringDedupPipe("text", "doc_id", k = 5,
+        hashShingles = false)(docs)
+      val weighted = graft.llm.ImportanceWeightPipe("text", "doc_id",
+        deduped.filter(col("lang") === "en"), "text")(deduped)
+      val selected = weighted.filter(col("dsir_logweight") > -1.0)
+      val mixed = graft.llm.TemperatureMixPipe("doc_id", "lang",
+        alpha = 0.5)(selected)
+      val shuffled = graft.llm.DeterministicShufflePipe("doc_id")(mixed)
+        .withColumn("ord", col("shuffle_slot") * 1048576L + col("doc_id"))
+      graft.llm.ShardAssignPipe("ord", 32)(shuffled)
+        .select("doc_id", "lang", "n_tokens_removed", "dsir_logweight",
+          "shard_id", "pos_in_shard")
+        .orderBy("doc_id")
+    }),
+
     // ----- dense global row ids + deterministic shard layout -----
     "u5_assign_row_id" -> ((s, d) =>
       graft.pipes.AssignRowIdPipe("doc_id")(t(s, d, "documents"))
@@ -1697,6 +1719,55 @@ object Queries {
         |SELECT w.l_eid AS event_id, w.user_id, epoch_us(w.ts) AS ts_us,
         | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // stage-by-stage replay of the whole selection chain: substring dedup
+    // -> DSIR weights (en target) -> floor -> sqrt-temperature mix ->
+    // quadratic shuffle order -> fixed-size shard layout
+    "pp_select_v3" ->
+      """WITH tk0 AS (SELECT doc_id, lang, string_split_regex(trim(coalesce(text,'')), '\s+') AS toks FROM documents),
+        |occ AS (SELECT doc_id, ln.i AS sp, array_to_string(toks[ln.i+1:ln.i+5], ' ') AS sh
+        | FROM tk0, LATERAL (SELECT unnest(range(0, greatest(len(toks)-4, 0))) AS i) ln),
+        |dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT occ.doc_id, u.p FROM occ JOIN dup USING (sh),
+        | LATERAL (SELECT unnest(range(occ.sp, occ.sp+5)) AS p) u),
+        |tok AS (SELECT doc_id, ln.i - 1 AS p, toks[ln.i] AS w
+        | FROM tk0, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) ln),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        | LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p WHERE cov.p IS NULL),
+        |rb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean, count(*) AS nk FROM kept GROUP BY doc_id),
+        |cl AS (SELECT tk0.doc_id, tk0.lang, coalesce(rb.clean, '') AS text,
+        |  CAST(len(tk0.toks) - coalesce(rb.nk, 0) AS BIGINT) AS n_tokens_removed
+        | FROM tk0 LEFT JOIN rb USING (doc_id)),
+        |tkh AS (SELECT doc_id, lang, n_tokens_removed, list_transform(string_split_regex(trim(coalesce(text,'')), '\s+'),
+        |  t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))),
+        |    (h, c) -> (h*31 + c) % 1000003)) AS th FROM cl),
+        |f AS (SELECT doc_id, lang, unnest(list_transform(th, h -> h % 4096) ||
+        |  CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th)-1),
+        |    i -> ((th[i+1]*131 + th[i+2]) % 1000003) % 4096)
+        |  ELSE CAST([] AS BIGINT[]) END) AS b FROM tkh),
+        |rc AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+        |tc AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+        |rn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |tn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f WHERE lang = 'en'),
+        |w AS (SELECT rc.b, CAST(round((ln((coalesce(tc.c, 0)+1) / ((SELECT n FROM tn)+4096))
+        |  - ln((rc.c+1) / ((SELECT n FROM rn)+4096))) * 10000) AS BIGINT) AS w
+        | FROM rc LEFT JOIN tc USING (b)),
+        |sc AS (SELECT f.doc_id, round(CAST(sum(w.w) AS DOUBLE)/10000, 4) AS s
+        | FROM f JOIN w USING (b) GROUP BY f.doc_id),
+        |wt AS (SELECT cl.doc_id, cl.lang, cl.n_tokens_removed, coalesce(sc.s, 0) AS dsir_logweight
+        | FROM cl LEFT JOIN sc USING (doc_id)),
+        |sel AS (SELECT * FROM wt WHERE dsir_logweight > -1.0),
+        |cnt AS (SELECT lang, count(*) AS n FROM sel GROUP BY lang),
+        |mx AS (SELECT max(n) AS m FROM cnt),
+        |rt AS (SELECT lang, CAST(round(sqrt(CAST(n AS DOUBLE) / (SELECT m FROM mx)) * 10000) AS BIGINT) AS thr FROM cnt),
+        |mix AS (SELECT sel.* FROM sel JOIN rt USING (lang)
+        | WHERE ((sel.doc_id*131+7) % 1000003) % 10000 < rt.thr),
+        |sl AS (SELECT *, (doc_id*131+7) % 1000003 AS s1 FROM mix),
+        |sl2 AS (SELECT *, ((s1*s1 + s1) % 1000003) * 1048576 + doc_id AS ord FROM sl),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ord) - 1 AS rkn FROM sl2)
+        |SELECT doc_id, lang, n_tokens_removed, dsir_logweight,
+        | rkn // 32 AS shard_id, rkn % 32 AS pos_in_shard
+        |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // IEEE sqrt is correctly rounded -> thresholds replay bit-for-bit
     "tm_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
