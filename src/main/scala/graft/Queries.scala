@@ -906,6 +906,19 @@ object Queries {
       graft.llm.BigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
         .select("doc_id", "bigram_nll").orderBy("doc_id")),
 
+    // ----- JSONL interchange round-trip -----
+    "io_jsonl_roundtrip" -> ((s, d) => {
+      // land the corpus as JSONL, read it back with a pinned schema —
+      // values must survive the interchange bit-for-bit (oracle = the
+      // original parquet)
+      val docs = t(s, d, "documents")
+      val path = s"/tmp/graft_io_${math.abs(d.hashCode)}/documents_jsonl"
+      graft.sources.Formats.writeJsonl(docs, path)
+      graft.sources.Formats.readJsonl(s, path, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ----- composed selection pipeline v3: the round-6 capstone -----
     "pp_select_v3" -> ((s, d) => {
       // the full modern selection flow as ONE chain: duplicated-substring
@@ -1719,6 +1732,8 @@ object Queries {
         |SELECT w.l_eid AS event_id, w.user_id, epoch_us(w.ts) AS ts_us,
         | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "io_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     // stage-by-stage replay of the whole selection chain: substring dedup
     // -> DSIR weights (en target) -> floor -> sqrt-temperature mix ->
     // quadratic shuffle order -> fixed-size shard layout

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Line-format and layout utilities around Spark's native sources. The
+  * reference consumes Arrow-backed HF datasets; an engine replacing it
+  * must also land/export the interchange formats a data platform feeds
+  * it — JSONL in particular is the lingua franca of LLM corpora.
+  */
+object Formats {
+
+  /** Write a frame as JSON-lines (one object per row, newline-delimited).
+    * Column values with newlines are JSON-escaped, so the file stays one
+    * record per line regardless of content.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSONL with a PINNED schema. Never let production readers infer:
+    * schema inference scans the data once extra and silently widens types
+    * (int -> bigint, missing field -> null column) per-run — a pinned
+    * StructType makes reads deterministic and one-pass.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Write hive-layout partitioned parquet (`path/col=value/...`).
+    * Partition columns become directory keys: a downstream read filtered
+    * on them prunes entire directories at PLAN time (PartitionFilters in
+    * the scan, zero I/O for pruned values) — the first lever for 100 TB
+    * corpora (partition by source/date/lang; files within a partition
+    * then prune further by min/max stats).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+}

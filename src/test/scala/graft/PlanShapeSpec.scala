@@ -82,6 +82,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"unexpected exchanges ($exchanges) in:\n${p.take(2000)}")
   }
 
+  test("hive-partitioned layout prunes partitions at plan time") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = "/tmp/graft_planshape_partitioned"
+    graft.sources.Formats.writePartitioned(docs, path, Seq("lang"))
+    val filtered = spark.read.parquet(path).filter(col("lang") === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"no partition pruning in:\n${p.take(2000)}")
+    // pruning must be value-preserving too
+    assert(filtered.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("take_subset small-n plans a topK heap, not a global sort") {
     val p = plan("u1_take_subset")
     assert(p.contains("TakeOrderedAndProject"),
