@@ -1773,8 +1773,8 @@ object Queries {
         | FROM cl LEFT JOIN sc USING (doc_id)),
         |sel AS (SELECT * FROM wt WHERE dsir_logweight > -1.0),
         |cnt AS (SELECT lang, count(*) AS n FROM sel GROUP BY lang),
-        |mx AS (SELECT max(n) AS m FROM cnt),
-        |rt AS (SELECT lang, CAST(round(sqrt(CAST(n AS DOUBLE) / (SELECT m FROM mx)) * 10000) AS BIGINT) AS thr FROM cnt),
+        |mx AS (SELECT min(n) AS m FROM cnt),
+        |rt AS (SELECT lang, CAST(round(sqrt(CAST((SELECT m FROM mx) AS DOUBLE) / n) * 10000) AS BIGINT) AS thr FROM cnt),
         |mix AS (SELECT sel.* FROM sel JOIN rt USING (lang)
         | WHERE ((sel.doc_id*131+7) % 1000003) % 10000 < rt.thr),
         |sl AS (SELECT *, (doc_id*131+7) % 1000003 AS s1 FROM mix),
@@ -1783,11 +1783,12 @@ object Queries {
         |SELECT doc_id, lang, n_tokens_removed, dsir_logweight,
         | rkn // 32 AS shard_id, rkn % 32 AS pos_in_shard
         |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // keep rate (n_min/n_s)^(1-alpha): surviving counts ~ n_s^alpha;
     // IEEE sqrt is correctly rounded -> thresholds replay bit-for-bit
     "tm_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |m AS (SELECT max(n) AS mx FROM c),
-        |r AS (SELECT lang, CAST(round(sqrt(CAST(n AS DOUBLE) / (SELECT mx FROM m)) * 10000) AS BIGINT) AS thr FROM c)
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang, CAST(round(sqrt(CAST((SELECT mn FROM m) AS DOUBLE) / n) * 10000) AS BIGINT) AS thr FROM c)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
         |WHERE ((d.doc_id*131+7) % 1000003) % 10000 < r.thr ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     // add-one-smoothed conditional bigram table replayed in fixed point

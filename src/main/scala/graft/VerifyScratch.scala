@@ -355,18 +355,21 @@ object VerifyScratch {
     println(s"[28] bpe: 6 merges, lossless encode, map-only -> " +
       s"${bpMerges.size == 6 && bpLossy == 0 && !bpPlan.contains("Exchange")}")
 
-    // 29. temperature mix on real docs: the largest lang survives whole,
-    // every smaller lang keeps a strictly positive subset, rates broadcast
+    // 29. temperature mix on real docs: the smallest lang survives whole,
+    // the largest is downsampled hardest (counts flatten toward n^alpha),
+    // rates broadcast
     val tmOut = graft.llm.TemperatureMixPipe("doc_id", "lang")(docs)
     val tmIn = docs.groupBy("lang").count().withColumnRenamed("count", "n0")
     val tmKept = tmOut.groupBy("lang").count()
     val tmJoined = tmIn.join(tmKept, Seq("lang"), "left")
       .select(col("lang"), col("n0"), coalesce(col("count"), lit(0L)).as("n1"))
       .collect()
+    val tmMin = tmJoined.minBy(_.getLong(1))
     val tmMax = tmJoined.maxBy(_.getLong(1))
-    val tmOk = tmMax.getLong(2) == tmMax.getLong(1) &&
+    val tmOk = tmMin.getLong(2) == tmMin.getLong(1) &&
+      tmMax.getLong(2) < tmMax.getLong(1) &&
       tmJoined.forall(r => r.getLong(2) > 0 && r.getLong(2) <= r.getLong(1))
-    println(s"[29] temperature mix keeps head whole, tails partial -> " +
+    println(s"[29] temperature mix keeps tail whole, downsamples head -> " +
       s"${tmOk && tmOut.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")}")
 
     // 30. bigram nll on real docs: finite, nonneg, broadcast conditional

@@ -45,12 +45,14 @@ case class DeterministicShufflePipe(
 
 /** Temperature-based source rebalancing (the multilingual-pretraining
   * `p_s ∝ n_s^alpha` mix of Devlin et al./XLM, arXiv:1901.07291 §3.1,
-  * recast as a deterministic filter): group s keeps rate
-  * `(n_s / n_max)^alpha` — the largest group keeps everything, smaller
-  * groups keep RELATIVELY more as `alpha` drops toward 0 (uniform), and
-  * `alpha = 1` keeps the natural distribution. Rows are kept by the same
-  * engine-reproducible hash-slot filter as [[StratifiedSamplePipe]], so
-  * the surviving set is identical on any cluster size, retry, or engine.
+  * recast as a deterministic without-replacement filter): group s keeps
+  * rate `(n_min / n_s)^(1-alpha)`, so surviving counts are
+  * `n_s^alpha * n_min^(1-alpha)` — PROPORTIONAL TO `n_s^alpha`: the
+  * smallest group is kept whole, overrepresented heads are downsampled,
+  * `alpha = 1` keeps the natural distribution and `alpha = 0` flattens
+  * to uniform. Rows are kept by the same engine-reproducible hash-slot
+  * filter as [[StratifiedSamplePipe]], so the surviving set is identical
+  * on any cluster size, retry, or engine.
   *
   * Scale shape: one map-side-combined count per group (|groups| rows),
   * rates broadcast back — the 100 TB side is a map-only filter probe.
@@ -68,14 +70,16 @@ case class TemperatureMixPipe(
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val counts = df.groupBy(qcol(groupCol).as("__tm_g__"))
       .agg(count(lit(1)).as("__tm_n__"))
-    val nmax = counts.agg(max("__tm_n__").as("__tm_max__"))
-    // sqrt (not pow(x, 0.5)) for the default: IEEE-754 sqrt is correctly
-    // rounded, so any engine replays the threshold bit-for-bit; pow is not
-    val ratio = col("__tm_n__").cast("double") / col("__tm_max__")
+    val nmin = counts.agg(min("__tm_n__").as("__tm_min__"))
+    // keep rate (n_min/n_s)^(1-alpha); sqrt (not pow(x, 0.5)) for the
+    // default: IEEE-754 sqrt is correctly rounded, so any engine replays
+    // the threshold bit-for-bit; pow is not
+    val ratio = col("__tm_min__").cast("double") / col("__tm_n__")
     val rate = if (alpha == 0.5) sqrt(ratio)
-               else if (alpha == 1.0) ratio
-               else pow(ratio, alpha)
-    val rates = counts.crossJoin(broadcast(nmax))
+               else if (alpha == 0.0) ratio
+               else if (alpha == 1.0) lit(1.0)
+               else pow(ratio, 1 - alpha)
+    val rates = counts.crossJoin(broadcast(nmin))
       .select(col("__tm_g__"),
         round(rate * 10000).cast("long").as("__tm_thr__"))
     val slot = pmod(pmod(qcol(idCol).cast("long") * 131 + 7, lit(1000003L)),

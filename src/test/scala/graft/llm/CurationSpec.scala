@@ -33,18 +33,22 @@ class CurationSpec extends SparkSpec {
       s"salad ${out(100L)} vs ordered ${out(1L)}")
   }
 
-  test("temperature mix: sqrt rates, largest group kept whole") {
+  test("temperature mix: heads downsampled toward n^alpha, tail kept whole") {
     val df = (0 until 100).map(i => (i.toLong, "big")) ++
       (100 until 125).map(i => (i.toLong, "small"))
     val out = TemperatureMixPipe("id", "g", alpha = 0.5)(df.toDF("id", "g"))
     val kept = out.groupBy("g").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // big: rate 1.0 -> all 100 survive; small: rate sqrt(0.25)=0.5 ->
-    // exactly the ids whose hash slot < 5000
-    assert(kept("big") == 100L)
-    val expectedSmall = (100 until 125).count(i =>
+    // small: rate (25/25)^0.5 = 1.0 -> all survive; big: rate
+    // sqrt(25/100) = 0.5 -> exactly the ids whose hash slot < 5000
+    // (surviving counts ~ n^0.5: 100 -> ~50 vs 25 -> 25, ratio 2 = sqrt(4))
+    assert(kept("small") == 25L)
+    val expectedBig = (0 until 100).count(i =>
       ((i.toLong * 131 + 7) % 1000003) % 10000 < 5000)
-    assert(kept("small") == expectedSmall.toLong)
+    assert(kept("big") == expectedBig.toLong)
+    // alpha = 1 keeps the natural distribution untouched
+    val nat = TemperatureMixPipe("id", "g", alpha = 1.0)(df.toDF("id", "g"))
+    assert(nat.count() == 125L)
     // deterministic under relayout
     val re = TemperatureMixPipe("id", "g", alpha = 0.5)(
       df.toDF("id", "g").repartition(7))
