@@ -76,7 +76,82 @@ class RegistrySpec extends SparkSpec {
     ("ToMediaColumnPipe", () => ToMediaColumnPipe("t"), () => ToMediaColumnPipe("u")),
     ("DecodeMediaStubPipe", () => DecodeMediaStubPipe("m", "id"),
       () => DecodeMediaStubPipe("m", "id", dim = 16)),
-    ("FrameSamplePipe", () => FrameSamplePipe("m"), () => FrameSamplePipe("m", 32)))
+    ("FrameSamplePipe", () => FrameSamplePipe("m"), () => FrameSamplePipe("m", 32)),
+    ("SRPCosineDedupPipe", () => SRPCosineDedupPipe("v", "id"),
+      () => SRPCosineDedupPipe("v", "id", nBits = 32)),
+    ("SubstringDedupPipe", () => SubstringDedupPipe("t", "id"),
+      () => SubstringDedupPipe("t", "id", k = 7)),
+    ("LineDedupPipe", () => LineDedupPipe("t", "id"),
+      () => LineDedupPipe("t", "id", hashKey = true)),
+    ("RepetitionStatsPipe", () => RepetitionStatsPipe("t"),
+      () => RepetitionStatsPipe("u")),
+    ("PiiRedactPipe", () => PiiRedactPipe("t"), () => PiiRedactPipe("u")),
+    ("UrlFilterPipe", () => UrlFilterPipe("t", Seq("x.com")),
+      () => UrlFilterPipe("t", Seq("y.com"))),
+    ("UnigramLogProbPipe", () => UnigramLogProbPipe("t", "id"),
+      () => UnigramLogProbPipe("u", "id")),
+    ("BigramLogProbPipe", () => BigramLogProbPipe("t", "id"),
+      () => BigramLogProbPipe("u", "id")),
+    ("StratifiedSamplePipe", () => StratifiedSamplePipe("id", "g", Seq("a" -> 0.5)),
+      () => StratifiedSamplePipe("id", "g", Seq("a" -> 0.5), defaultRate = 0.7)),
+    ("TemperatureMixPipe", () => TemperatureMixPipe("id", "g"),
+      () => TemperatureMixPipe("id", "g", alpha = 0.25)),
+    ("DeterministicShufflePipe", () => DeterministicShufflePipe("id"),
+      () => DeterministicShufflePipe("id", seed = 9)),
+    ("CorpusStatsPipe", () => CorpusStatsPipe(Seq("g"), "v"),
+      () => CorpusStatsPipe(Seq("g"), "v", approx = false)),
+    ("PackSequencesPipe", () => PackSequencesPipe("c", 256, "id"),
+      () => PackSequencesPipe("c", 512, "id")),
+    ("ShardAssignPipe", () => ShardAssignPipe("o", 64),
+      () => ShardAssignPipe("o", 32)),
+    ("AssignRowIdPipe", () => AssignRowIdPipe("o"), () => AssignRowIdPipe("p")),
+    ("VocabEncodePipe", () => VocabEncodePipe("t", "id", 25),
+      () => VocabEncodePipe("t", "id", 50)),
+    ("ClusterBalancedSamplePipe",
+      () => ClusterBalancedSamplePipe("v", "id",
+        ClusterBalancedSamplePipe.formulaCentroids(4, 8), 10),
+      () => ClusterBalancedSamplePipe("v", "id",
+        ClusterBalancedSamplePipe.formulaCentroids(4, 8), 5)),
+    ("BpeEncodePipe", () => BpeEncodePipe("t", Seq(("a", "b"))),
+      () => BpeEncodePipe("t", Seq(("a", "c")))),
+    ("HashedLinearScorerPipe",
+      () => HashedLinearScorerPipe("t", Seq(0.1, 0.2)),
+      () => HashedLinearScorerPipe("t", Seq(0.1, 0.2), bias = 1.0)),
+    ("GroupTopKPipe",
+      () => graft.operators.GroupTopKPipe(Seq("g"), "v", 3, "id"),
+      () => graft.operators.GroupTopKPipe(Seq("g"), "v", 5, "id")),
+    ("RollingWindowPipe",
+      () => graft.operators.RollingWindowPipe(Seq("k"), "t", "v", 100L),
+      () => graft.operators.RollingWindowPipe(Seq("k"), "t", "v", 200L)),
+    ("SessionizePipe", () => graft.streaming.SessionizePipe(),
+      () => graft.streaming.SessionizePipe(gapSeconds = 60)),
+    ("StreamingDedupPipe", () => graft.streaming.StreamingDedupPipe(Seq("a")),
+      () => graft.streaming.StreamingDedupPipe(Seq("a"), watermark = "1 hour")),
+    ("WindowedEventAgg", () => graft.streaming.WindowedEventAgg(),
+      () => graft.streaming.WindowedEventAgg(windowLength = "2 hours")))
+
+  /** Pipes holding DataFrame references (an eval corpus, a dimension, a
+    * target distribution). They build driver-side plans and are never
+    * shipped in closures, so the java-serialization contract does not
+    * apply — fingerprints must still be stable/instance-independent
+    * (the frames are excluded from params by design, mirroring the
+    * reference's `_no_fingerprint` attrs, fingerprintable.py:118-140).
+    */
+  private lazy val dfRegistry: Seq[(String, () => Pipe, () => Pipe)] = {
+    import spark.implicits._
+    lazy val tiny = Seq((1L, "a")).toDF("doc_id", "text")
+    Seq(
+      ("DecontaminatePipe", () => DecontaminatePipe(tiny, "t", "id"),
+        () => DecontaminatePipe(tiny, "t", "id", ngramSize = 5)),
+      ("ImportanceWeightPipe", () => ImportanceWeightPipe("t", "id", tiny, "text"),
+        () => ImportanceWeightPipe("t", "id", tiny, "text", numBuckets = 64)),
+      ("CrossCorpusMinHashPipe",
+        () => CrossCorpusMinHashPipe("t", "id", tiny, "text", "doc_id"),
+        () => CrossCorpusMinHashPipe("t", "id", tiny, "text", "doc_id", bands = 16)),
+      ("StreamStaticEnrichPipe",
+        () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("text")),
+        () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("doc_id"))))
+  }
 
   private def roundTripSerialize(p: Pipe): Pipe = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -96,13 +171,13 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("fingerprints are deterministic across fresh instances") {
-    registry.foreach { case (name, make, _) =>
+    (registry ++ dfRegistry).foreach { case (name, make, _) =>
       assert(make().fingerprint == make().fingerprint, name)
     }
   }
 
   test("fingerprints change under a parameter change") {
-    registry.foreach { case (name, make, variant) =>
+    (registry ++ dfRegistry).foreach { case (name, make, variant) =>
       assert(make().fingerprint != variant().fingerprint, name)
     }
   }
