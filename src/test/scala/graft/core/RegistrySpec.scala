@@ -187,4 +187,21 @@ class RegistrySpec extends SparkSpec {
       assert(make().fingerprint == roundTripSerialize(make()).fingerprint, name)
     }
   }
+
+  test("excluded frames do not leak into fingerprints (_no_fingerprint)") {
+    // mirrors tests/core/test_fingerprintable.py:118-140: two instances
+    // differing ONLY in a fingerprint-excluded attribute hash equal. The
+    // DataFrame params are the excluded attrs here — data identity enters
+    // cache keys via DatasetFingerprint/CachedStage upstream hashes, not
+    // via the pipe.
+    import spark.implicits._
+    val a = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val b = Seq((2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
+    assert(DecontaminatePipe(a, "t", "id").fingerprint ==
+      DecontaminatePipe(b, "t", "id").fingerprint)
+    assert(ImportanceWeightPipe("t", "id", a, "text").fingerprint ==
+      ImportanceWeightPipe("t", "id", b, "text").fingerprint)
+    assert(CrossCorpusMinHashPipe("t", "id", a, "text", "doc_id").fingerprint ==
+      CrossCorpusMinHashPipe("t", "id", b, "text", "doc_id").fingerprint)
+  }
 }
