@@ -195,4 +195,28 @@ class SearchSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
+
+  test("index cascade honors the reference output contract (test_index.py)") {
+    // mirrors tests/pipes/test_index.py:92-115: dense(k=50) -> topk(k=10)
+    // over vectors, output columns == query columns + {field.idx,
+    // field.score}, result shape [n_queries, 10] — with the reference's
+    // own index_field name ("document")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    def cfg(k: Int, merge: Boolean = true) = SearchConfig(k = k,
+      fillMaskedIndices = false, queryIdCol = Some("qid"),
+      indexField = "document", mergePreviousResults = merge)
+    val out = IndexPipe(Seq(
+      BruteForceDenseEngine(corpus, cfg(50)),
+      TopkEngine(cfg(10, merge = false))))(queries)
+    assert(out.columns.toSet ==
+      queries.columns.toSet ++ Set("document.idx", "document.score"))
+    val shapes = out.select(size(col("`document.idx`")).as("n"))
+      .groupBy("n").count().collect()
+    assert(shapes.length == 1 && shapes(0).getInt(0) == 10,
+      s"expected uniform [n_queries, 10] shape, got ${shapes.mkString(",")}")
+    assert(out.count() == 50)
+  }
 }
