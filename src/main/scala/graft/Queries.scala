@@ -841,6 +841,15 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ----- materialized packs: the frame a trainer consumes -----
+    "pk2_materialize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+      graft.llm.PackMaterializePipe("toks", 256, "doc_id", "doc_id")(docs)
+        .select("pack_id", "n_tokens", "tokens", "doc_ids")
+        .orderBy("pack_id")
+    }),
+
     // ----- cluster-balanced sampling (SemDeDup-style) -----
     "cb_cluster_sample" -> ((s, d) =>
       graft.llm.ClusterBalancedSamplePipe("embedding", "vec_id",
@@ -1692,6 +1701,17 @@ object Queries {
         | CASE WHEN tok_cnt > 0 THEN (prev + tok_cnt - 1) // 256 ELSE prev // 256 END AS pack_last,
         | prev % 256 AS pack_pos
         |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "pk2_materialize" -> scl(
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tk),
+        |p AS (SELECT doc_id, t, CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM c),
+        |e AS (SELECT doc_id, o + ln.i - 1 AS g, t[ln.i] AS tok
+        | FROM p, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) ln),
+        |pk AS (SELECT g // 256 AS pack_id, g, tok, doc_id FROM e)
+        |SELECT pack_id, CAST(count(*) AS INT) AS n_tokens,
+        | list(tok ORDER BY g) AS tokens, list(doc_id ORDER BY g) AS doc_ids
+        |FROM pk GROUP BY pack_id ORDER BY pack_id""".stripMargin.replace("\n", " "),
+      "pack_id" -> "", "n_tokens" -> "", "tokens" -> "s", "doc_ids" -> "i"),
     // nearest formula centroid (argmin squared-L2, first-min tie-break),
     // then per-cluster cap in quadratic-hash order — exact replay
     "cb_cluster_sample" ->

@@ -63,3 +63,54 @@ case class PackSequencesPipe(
     finish(staged, outs).drop(prev)
   }
 }
+
+/** Materialize the packed sequences themselves — the frame a trainer
+  * actually consumes: one row per fixed-size pack with the concatenated
+  * token slice `(pack_id, tokens, doc_ids, n_tokens)`. Documents are laid
+  * end-to-end in `orderCol` order and cut every `seqLen` tokens, so a
+  * pack may span several documents (`doc_ids` carries the per-token
+  * provenance a loss-masking/attention-reset collator needs); every pack
+  * holds exactly `seqLen` tokens except the final ragged one.
+  *
+  * Scale shape: per-doc token counts feed the scale-safe global prefix
+  * sum ([[NestingOps.withGlobalPrefixSum]] — range partition + broadcast
+  * offsets), tokens then explode with exact global positions and shuffle
+  * ONCE on the pack id for reassembly. No corpus-wide window, no driver
+  * state; pack sizes bound the reassembly groups, so no group skew.
+  */
+case class PackMaterializePipe(
+    tokensCol: String,
+    seqLen: Int,
+    orderCol: String,
+    idCol: String) extends Pipe {
+  require(seqLen > 0, "seqLen must be positive")
+  override def params = Map("tokens" -> tokensCol,
+    "seqLen" -> seqLen.toString, "order" -> orderCol, "id" -> idCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val slim = df.select(qcol(idCol).as("__pm_id__"),
+      qcol(orderCol).as("__pm_ord__"), qcol(tokensCol).as("__pm_tk__"))
+      .withColumn("__pm_cnt__", size(col("__pm_tk__")).cast("long"))
+    val offs = NestingOps.withGlobalPrefixSum(
+      slim, "__pm_ord__", "__pm_cnt__", "__pm_off__")
+    val slen = lit(seqLen.toLong)
+    val exploded = offs.select(col("__pm_id__"), col("__pm_off__"),
+      posexplode(col("__pm_tk__")).as(Seq("__pm_p__", "__pm_t__")))
+      .withColumn("__pm_g__", col("__pm_off__") + col("__pm_p__"))
+    val packed = exploded
+      .withColumn("pack_id",
+        ((col("__pm_g__") - pmod(col("__pm_g__"), slen)) / slen).cast("long"))
+    packed.groupBy("pack_id")
+      .agg(
+        arrTransform(array_sort(collect_list(
+          struct(col("__pm_g__").as("g"), col("__pm_t__").as("t")))),
+          x => x.getField("t")).as("tokens"),
+        arrTransform(array_sort(collect_list(
+          struct(col("__pm_g__").as("g"), col("__pm_id__").as("d")))),
+          x => x.getField("d")).as("doc_ids"),
+        count(lit(1)).cast("int").as("n_tokens"))
+  }
+
+  private def arrTransform(c: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.transform(c, f)
+}

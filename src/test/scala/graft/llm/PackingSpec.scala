@@ -50,4 +50,39 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"),
       s"expected range-partitioned prefix sum, got:\n$plan")
   }
+
+  test("materialized packs: hand-computed cross-doc slices") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d", "e")),
+      (3L, Seq("f"))).toDF("doc_id", "toks")
+    val out = PackMaterializePipe("toks", 4, "doc_id", "doc_id")(df)
+      .orderBy("pack_id")
+      .select("pack_id", "n_tokens", "tokens", "doc_ids")
+      .as[(Long, Int, Seq[String], Seq[Long])].collect()
+    // 6 tokens at seqLen 4: pack 0 = [a b c d] (docs 1,1,1,2),
+    // pack 1 = [e f] (docs 2,3), ragged
+    assert(out.toSeq == Seq(
+      (0L, 4, Seq("a", "b", "c", "d"), Seq(1L, 1L, 1L, 2L)),
+      (1L, 2, Seq("e", "f"), Seq(2L, 3L))))
+  }
+
+  test("materialized packs: full packs uniform, layout-invariant on real docs") {
+    val docs = spark.read.parquet(sf("documents"))
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+    val pipe = PackMaterializePipe("toks", 128, "doc_id", "doc_id")
+    val out = pipe(docs)
+    val sizes = out.select("pack_id", "n_tokens")
+      .orderBy("pack_id").collect()
+    // every pack holds exactly seqLen tokens except the last ragged one
+    assert(sizes.dropRight(1).forall(_.getInt(1) == 128))
+    assert(sizes.last.getInt(1) <= 128)
+    // token conservation: sum of pack sizes == corpus token count
+    val total = docs.agg(sum(size(col("toks")))).head().getLong(0)
+    assert(sizes.map(_.getInt(1).toLong).sum == total)
+    // identical layout from any input partitioning
+    val re = pipe(docs.repartition(13)).select("pack_id", "tokens")
+    assert(out.select("pack_id", "tokens").except(re).count() == 0)
+  }
 }
