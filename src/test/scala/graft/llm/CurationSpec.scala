@@ -134,6 +134,35 @@ class CurationSpec extends SparkSpec {
       Seq("doc_id", "text", "tag", "n_lines_removed"))
   }
 
+  test("line dedup equals a scalar oracle on random tiny-vocab corpora") {
+    // tiny line vocabulary forces heavy cross-doc repeats, empty lines,
+    // and whole-doc wipes — the hot-key regimes the AQE-split join handles
+    def scalarOracle(docs: Seq[(Long, String)], max: Long): Map[Long, (String, Long)] = {
+      val lines = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+      val counts = lines.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      lines.map { case (id, ls) =>
+        val kept = ls.filter(l => counts(l) <= max)
+        id -> (kept.mkString("\n"), (ls.size - kept.size).toLong)
+      }.toMap
+    }
+    val lineVocab = Vector("alpha beta", "gamma", "", "delta eps zeta")
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val docs = (0L until 10L).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        id -> Seq.fill(n)(lineVocab(rnd.nextInt(lineVocab.size))).mkString("\n")
+      }
+      val expected = scalarOracle(docs, max = 1)
+      for (hashed <- Seq(false, true)) {
+        val out = LineDedupPipe("text", "doc_id", hashKey = hashed)(
+          docs.toDF("doc_id", "text"))
+          .select("doc_id", "text", "n_lines_removed").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        assert(out == expected, s"seed=$seed hashed=$hashed")
+      }
+    }
+  }
+
   test("line dedup hashKey mode (8-byte shuffle key) equals exact mode") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
