@@ -146,6 +146,29 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: empty frames, empty targets, degenerate groups") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val some = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    // empty input flows through (no crash, zero rows, schema intact)
+    assert(SubstringDedupPipe("text", "doc_id")(empty).count() == 0)
+    assert(ImportanceWeightPipe("text", "doc_id", some, "text")(empty)
+      .count() == 0)
+    // empty TARGET: every bucket smooths to (0+1)/(0+B) — finite scores
+    val wEmptyTgt = ImportanceWeightPipe("text", "doc_id", empty, "text",
+      numBuckets = 64)(some).select("dsir_logweight").as[Double].collect()
+    assert(wEmptyTgt.length == 2 && wEmptyTgt.forall(v => !v.isNaN))
+    // empty eval corpus: no contamination pairs, no crash
+    assert(CrossCorpusMinHashPipe("text", "doc_id", empty, "text", "doc_id")(
+      some).count() == 0)
+    // single group: rate (n/n)^x = 1 -> everything kept at any alpha
+    assert(TemperatureMixPipe("doc_id", "g", alpha = 0.3)(
+      some.withColumn("g", lit("only"))).count() == 2)
+    // BPE learn stops early when no pair reaches minCount
+    val merges = graft.text.BpeOps.learn(
+      Seq((1L, "ab cd")).toDF("doc_id", "text"), "text", numMerges = 50)
+    assert(merges.isEmpty) // every adjacent pair occurs once
+  }
+
   test("cross-corpus minhash finds the planted leak with exact jaccard") {
     val train = Seq(
       (1L, "one two three four five six"),
