@@ -915,6 +915,18 @@ object Queries {
       graft.llm.BigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
         .select("doc_id", "bigram_nll").orderBy("doc_id")),
 
+    // ----- media resize stub (nearest-neighbor byte resample) -----
+    "mm_resize" -> ((s, d) => {
+      // text payload as the media binary (ASCII -> byte pos == char pos,
+      // so the oracle replays the resample on the string side)
+      val media = graft.llm.ToMediaColumnPipe("text")(t(s, d, "documents"))
+      graft.llm.ResizeMediaStubPipe("media", targetBytes = 32)(media)
+        .select(col("doc_id"),
+          col("media_resized").cast("string").as("resized_text"),
+          col("resized_meta.n_bytes").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // ----- JSONL interchange round-trip -----
     "io_jsonl_roundtrip" -> ((s, d) => {
       // land the corpus as JSONL, read it back with a pinned schema —
@@ -1762,6 +1774,16 @@ object Queries {
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
     "io_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // nearest-neighbor resample out[i] = in[floor(i*n/32)], ASCII text so
+    // byte positions equal char positions
+    "mm_resize" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN n > 0 THEN list_aggregate(list_transform(range(0, 32),
+        |   i -> text[CAST((i*n - (i*n) % 32) / 32 AS INT) + 1]), 'string_agg', '')
+        | ELSE '' END AS resized_text,
+        | CAST(CASE WHEN n > 0 THEN 32 ELSE 0 END AS BIGINT) AS n_bytes
+        |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // stage-by-stage replay of the whole selection chain: substring dedup
     // -> DSIR weights (en target) -> floor -> sqrt-temperature mix ->
     // quadratic shuffle order -> fixed-size shard layout

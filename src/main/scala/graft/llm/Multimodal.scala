@@ -93,6 +93,45 @@ case class DecodeMediaStubPipe(
   }
 }
 
+/** Resize a media binary to a fixed byte length by nearest-neighbor
+  * resampling — the 1-D stand-in for image resize (out[i] =
+  * in[floor(i*n/target)], exact integer arithmetic, deterministic in any
+  * engine). Pure binary expressions, map-only; a REAL resampling kernel
+  * (PIL/ffmpeg) drops into [[DecodeMediaStubPipe]]'s mapPartitions shape
+  * instead — this pipe keeps the schema/meta plumbing honest meanwhile.
+  * Emits the resized binary and a refreshed metadata struct.
+  */
+case class ResizeMediaStubPipe(
+    mediaCol: String,
+    targetBytes: Int,
+    outputCol: String = "media_resized",
+    metaCol: String = "resized_meta") extends Pipe {
+  require(targetBytes > 0, "targetBytes must be positive")
+  override def update: Boolean = true
+  override def params = Map("media" -> mediaCol,
+    "target" -> targetBytes.toString, "out" -> outputCol, "meta" -> metaCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val bin = qcol(mediaCol)
+    val n = octet_length(bin)
+    val t = lit(targetBytes)
+    // exact floor(i*n/t): (x - x mod t)/t on an exactly-divisible numerator
+    def fdiv(x: org.apache.spark.sql.Column) =
+      ((x - pmod(x, t)) / t).cast("int")
+    val pieces = org.apache.spark.sql.functions.transform(
+      sequence(lit(0), t - 1), i => bin.substr(fdiv(i * n) + 1, lit(1)))
+    val resized = when(n > 0,
+      aggregate(pieces, lit(Array.empty[Byte]),
+        (acc, x) => concat(acc, x)))
+      .otherwise(lit(Array.empty[Byte]))
+    val meta = struct(
+      lit("resized").as("format"),
+      octet_length(resized).cast("long").as("n_bytes"),
+      lit(targetBytes).as("width"), lit(1).as("height"), lit(1).as("channels"))
+    finish(df, Seq(outputCol -> resized, metaCol -> meta))
+  }
+}
+
 /** Sample fixed-offset "frames" from a media binary (the video analogue:
   * take every strideBytes-th chunk of chunkBytes) as an array of binary
   * chunks + their offsets. Pure expressions — substring on binary.

@@ -80,4 +80,18 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) == "de")
     assert(out(3L) == "und")
   }
+
+  test("resize stub: nearest-neighbor resample, upscale and empty media") {
+    val df = Seq((1L, "abcd"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
+    val media = ToMediaColumnPipe("text")(df)
+    val out = ResizeMediaStubPipe("media", targetBytes = 8)(media)
+      .select(col("doc_id"), col("media_resized").cast("string").as("r"),
+        col("resized_meta.n_bytes").as("nb"))
+      .orderBy("doc_id").collect()
+    // out[i] = in[floor(i*4/8)] -> each char doubled
+    assert(out(0).getString(1) == "aabbccdd" && out(0).getLong(2) == 8L)
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 0L)
+    // upscale of 2 chars to 8: each quadrupled
+    assert(out(2).getString(1) == "xxxxyyyy")
+  }
 }
