@@ -906,6 +906,17 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // ----- weighted corpus interleaving (HF interleave_datasets) -----
+    "il_interleave" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.InterleaveDatasets(Seq(
+        docs.filter(col("lang") === "en").select("doc_id", "lang") -> 3.0,
+        docs.filter(col("lang") =!= "en").select("doc_id", "lang") -> 1.0),
+        "doc_id")
+        .select("doc_id", "lang", "source_idx", "interleave_pos")
+        .orderBy("doc_id")
+    }),
+
     // ----- temperature mix + bigram-LM fluency -----
     "tm_temperature_mix" -> ((s, d) =>
       graft.llm.TemperatureMixPipe("doc_id", "lang", alpha = 0.5)(
@@ -1833,6 +1844,19 @@ object Queries {
         |SELECT doc_id, lang, n_tokens_removed, dsir_logweight,
         | rkn // 32 AS shard_id, rkn % 32 AS pos_in_shard
         |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // replay: per-source dense ranks -> fixed-point inverse-weight keys ->
+    // global rank over the unique (key*1000 + source) order
+    "il_interleave" ->
+      """WITH en AS (SELECT doc_id, lang, 0 AS source_idx,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) * 333333 * 1000 + 0 AS o
+        | FROM documents WHERE lang = 'en'),
+        |re AS (SELECT doc_id, lang, 1 AS source_idx,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) * 1000000 * 1000 + 1 AS o
+        | FROM documents WHERE lang <> 'en'),
+        |u AS (SELECT * FROM en UNION ALL SELECT * FROM re)
+        |SELECT doc_id, lang, source_idx,
+        | row_number() OVER (ORDER BY o) - 1 AS interleave_pos
+        |FROM u ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // keep rate (n_min/n_s)^(1-alpha): surviving counts ~ n_s^alpha;
     // IEEE sqrt is correctly rounded -> thresholds replay bit-for-bit
     "tm_temperature_mix" ->

@@ -123,6 +123,46 @@ case class ShardAssignPipe(
       .drop("__sh_rank__")
 }
 
+/** Deterministic weighted interleaving of multiple corpora — the
+  * at-scale equivalent of HF `datasets.interleave_datasets`: source `s`
+  * with weight `w_s` contributes rows at rate proportional to `w_s` in
+  * the output order. Each source gets dense per-source ranks (the
+  * scale-safe global rank), row r of source s gets the integer key
+  * `(r+1) * round(1e6 / w_s)` (fixed-point inverse weight — exact, no
+  * float ordering ambiguity across engines), and the interleaved order is
+  * ascending `(key, source_idx, orderCol)`. The whole layout is a pure
+  * function of (sources, weights, order) — reproducible on any cluster
+  * size, retry, or engine.
+  *
+  * Emits the union of all sources (by name, missing columns null) plus
+  * `source_idx` and the dense `interleave_pos`. Scale shape: one
+  * range-partitioned rank per source, one union, one final rank — no
+  * single-partition window anywhere.
+  */
+object InterleaveDatasets {
+  def apply(sources: Seq[(DataFrame, Double)], orderCol: String,
+      srcCol: String = "source_idx",
+      posCol: String = "interleave_pos"): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall(_._2 > 0), "weights must be positive")
+    val tagged = sources.zipWithIndex.map { case ((df, w), i) =>
+      val invw = math.round(1e6 / w)
+      graft.pipes.NestingOps.withGlobalRank(df, orderCol, "__il_r__")
+        .withColumn(srcCol, lit(i))
+        .withColumn("__il_key__", (col("__il_r__") + 1) * invw)
+        .drop("__il_r__")
+    }
+    val unioned = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    // final interleave order: key*1000 + source_idx is UNIQUE (per-source
+    // keys are distinct, source_idx < 1000 disambiguates equal keys), so
+    // the rank is fully deterministic with no tie-break column needed
+    val keyed = unioned.withColumn("__il_ord__",
+      col("__il_key__") * 1000 + col(srcCol))
+    graft.pipes.NestingOps.withGlobalRank(keyed, "__il_ord__", posCol)
+      .drop("__il_key__", "__il_ord__")
+  }
+}
+
 /** Per-group corpus profiling: count, mean, min, max, and quantiles of a
   * numeric column — the length/score distribution summaries a curation
   * run reports per language or source.

@@ -69,6 +69,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.except(re).count() == 0)
   }
 
+  test("weighted interleave: hand-computed 2:1 pattern, layout-invariant") {
+    val a = (1L to 6L).map(i => (i, "a")).toDF("id", "tag")
+    val b = (101L to 103L).map(i => (i, "b")).toDF("id", "tag")
+    val out = InterleaveDatasets(Seq(a -> 2.0, b -> 1.0), "id")
+      .orderBy("interleave_pos").select("tag").as[String].collect()
+    // keys A: r*5e5, B: r*1e6; equal keys break to the lower source_idx
+    assert(out.mkString == "aabaabaab")
+    // same layout from any input partitioning
+    val re = InterleaveDatasets(
+      Seq(a.repartition(5) -> 2.0, b.repartition(3) -> 1.0), "id")
+      .select("id", "interleave_pos")
+    val orig = InterleaveDatasets(Seq(a -> 2.0, b -> 1.0), "id")
+      .select("id", "interleave_pos")
+    assert(orig.except(re).count() == 0)
+  }
+
   test("approx quantiles track exact within tolerance on real data") {
     val docs = spark.read.parquet(sf("documents"))
     val ex = CorpusStatsPipe(Seq("lang"), "n_chars", approx = false)(docs)
