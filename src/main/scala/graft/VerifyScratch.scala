@@ -380,6 +380,37 @@ object VerifyScratch {
     println(s"[30] bigram nll finite+nonneg, broadcast table -> " +
       s"${bgBad == 0 && bgOut.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")}")
 
+    // 31. pack materialization on real docs: token conservation + every
+    // pack full except the last; prefix sum stays range-partitioned
+    val pmDocs = docs.withColumn("toks", split(trim(col("text")), "\\s+"))
+    val pm = graft.llm.PackMaterializePipe("toks", 128, "doc_id", "doc_id")(pmDocs)
+    val pmSizes = pm.select("pack_id", "n_tokens").orderBy("pack_id").collect()
+    val pmTotal = pmDocs.agg(sum(size(col("toks")))).head().getLong(0)
+    val pmOk = pmSizes.dropRight(1).forall(_.getInt(1) == 128) &&
+      pmSizes.map(_.getInt(1).toLong).sum == pmTotal &&
+      pm.queryExecution.executedPlan.toString.contains("rangepartitioning")
+    println(s"[31] pack materialization conserves tokens, tiles full -> $pmOk")
+
+    // 32. resize stub: every output exactly targetBytes (non-empty media)
+    val rz = graft.llm.ResizeMediaStubPipe("media", 32)(
+      graft.llm.ToMediaColumnPipe("text")(docs))
+    val rzBad = rz.filter(length(col("text")) > 0 &&
+      octet_length(col("media_resized")) =!= 32).count()
+    println(s"[32] resize stub emits fixed-size media -> ${rzBad == 0}")
+
+    // 33. weighted interleave on real docs: 3:1 en/other — in every
+    // window of 40 consecutive positions, en holds 65-85% of slots
+    val ilv = graft.llm.InterleaveDatasets(Seq(
+      docs.filter(col("lang") === "en").select("doc_id", "lang") -> 3.0,
+      docs.filter(col("lang") =!= "en").select("doc_id", "lang") -> 1.0),
+      "doc_id")
+    val ilvFirst = ilv.filter(col("interleave_pos") < 200)
+      .groupBy(expr("interleave_pos div 40")).agg(
+        avg(when(col("source_idx") === 0, 1.0).otherwise(0.0)).as("frac"))
+      .collect()
+    val ilvOk = ilvFirst.forall(r => r.getDouble(1) > 0.65 && r.getDouble(1) < 0.85)
+    println(s"[33] interleave holds the 3:1 mix in every window -> $ilvOk")
+
     spark.stop()
   }
 }
