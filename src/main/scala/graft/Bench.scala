@@ -52,6 +52,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${results.count(_._2 < 0)}}"""
     println(line)
+    // The driver keeps only the LAST 2000 stdout chars: at 113 queries the
+    // full line is ~2600 chars, so its HEAD (the total!) would scroll out
+    // of that window. Print a short, complete summary line LAST — the tail
+    // then always carries the headline numbers + the slowest queries —
+    // and leave the full per-query detail in the big line + the file copy.
+    val slow = ok.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","slowest":$slow}""")
     // stdout gets interleaved with sbt/spark noise; give the driver a
     // clean copy on disk too
     try java.nio.file.Files.writeString(
