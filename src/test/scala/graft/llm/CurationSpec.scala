@@ -19,6 +19,41 @@ class CurationSpec extends SparkSpec {
     assert(out(2) == Row(3L, 0.0)) // no predecessor positions
   }
 
+  test("bigram nll equals a scalar oracle on random tiny-vocab corpora") {
+    def scalarOracle(docs: Seq[(Long, String)]): Map[Long, Double] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val bi = toks.flatMap(_._2.sliding(2).filter(_.size == 2))
+        .groupBy(identity).view.mapValues(_.size)
+      val v = uni.size
+      toks.map { case (id, ws) =>
+        val terms = ws.sliding(2).filter(_.size == 2).toSeq.map { p =>
+          math.round(-math.log((bi(p) + 1.0) / (uni(p.head) + v)) * 10000)
+        }
+        id -> (if (terms.isEmpty) 0.0
+               else terms.sum.toDouble / terms.size / 10000)
+      }.toMap
+    }
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(200 + seed)
+      val docs = (0L until 10L).map { id =>
+        val n = 1 + rnd.nextInt(7)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = scalarOracle(docs)
+      val out = BigramLogProbPipe("text", "doc_id")(docs.toDF("doc_id", "text"))
+        .select("doc_id", "bigram_nll").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // pipe output is rounded to 4 decimals; the unrounded scalar value
+      // must sit within half a rounding step of it
+      expected.foreach { case (id, raw) =>
+        assert(math.abs(out(id) - raw) <= 0.00005 + 1e-12,
+          s"seed=$seed doc=$id out=${out(id)} raw=$raw")
+      }
+    }
+  }
+
   test("bigram nll: implausible word order scores worse, same vocabulary") {
     // ordered corpus with strong bigram structure + one word-salad doc
     // built from the SAME vocabulary: a unigram score cannot separate
