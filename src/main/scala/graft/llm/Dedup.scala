@@ -172,31 +172,45 @@ object DedupOps {
 
   /** MinHash signature base + band buckets of one corpus: returns
     * (base = (id, sh shingle-hash array), banded = (id, band, bh)), both
-    * eagerly localCheckpoint-ed — base feeds the signature aggregate and
-    * the candidate fetch joins; banded feeds both sides of a band join
+    * eagerly materialized — base feeds the signature aggregate and the
+    * candidate fetch joins; banded feeds both sides of a band join
     * (where a broadcast side defeats ReusedExchange). Permutation
     * coefficients come from a fixed seed, so two calls (e.g. the two
     * corpora of [[CrossCorpusMinHashPipe]]) bucket IDENTICALLY.
+    *
+    * With `cacheDir` set, both frames persist through [[CachedStage]]
+    * keyed by the SOURCE's plan fingerprint + the signature parameters —
+    * the reference's cross-run memoization applied to the expensive
+    * stage: re-running dedup (or contamination checks against a fixed
+    * corpus) skips shingling and signature aggregation entirely.
     */
   def minhashBanded(
       src: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): (DataFrame, DataFrame) = {
+      numHashes: Int, bands: Int, shingleSize: Int,
+      cacheDir: Option[String] = None): (DataFrame, DataFrame) = {
     val r = numHashes / bands
+    def materialize(tag: String, df: => DataFrame): DataFrame = cacheDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          graft.pipes.DatasetFingerprint.of(src),
+          graft.core.Fingerprint.hash(
+            s"minhash:$tag:$textCol:$idCol:$numHashes:$bands:$shingleSize"))
+        graft.core.CachedStage(src.sparkSession, dir, key)(df)
+      case None => df.localCheckpoint(true)
+    }
     val slim = src.select(
       Pipe.qcol(idCol).cast("long").as("id"), Pipe.qcol(textCol).as("__text__"))
-    val base = Pipe.widen(slim)
-      .select(col("id"), shingleHashes(col("__text__"), shingleSize).as("sh"))
-      .localCheckpoint(true)
+    val base = materialize("base", Pipe.widen(slim)
+      .select(col("id"), shingleHashes(col("__text__"), shingleSize).as("sh")))
     val perms = minhashPermutations(col("h"), numHashes)
     val sigs = base.select(col("id"), explode(col("sh")).as("h"))
       .groupBy("id")
       .agg(min(perms.head).as("__m0"),
         perms.tail.zipWithIndex.map { case (p, i) => min(p).as(s"__m${i + 1}") }: _*)
-    val banded = sigs.select(col("id"),
+    val banded = materialize("banded", sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until r).map(j => col(s"__m${b * r + j}")): _*)): _*))
-        .as(Seq("band", "bh")))
-      .localCheckpoint(true)
+        .as(Seq("band", "bh"))))
     (base, banded)
   }
 
@@ -244,11 +258,18 @@ case class MinHashLSHDedupPipe(
     numHashes: Int = 64,
     bands: Int = 32,
     shingleSize: Int = 3,
-    jaccardThreshold: Double = 0.5) extends Pipe {
+    jaccardThreshold: Double = 0.5,
+    /** Persist shingle sets + band buckets via [[graft.core.CachedStage]]
+      * keyed by the corpus fingerprint — re-running dedup on an unchanged
+      * corpus (or with a different threshold, which only affects the
+      * verify stage) skips the expensive signature build entirely.
+      */
+    cacheDir: Option[String] = None) extends Pipe {
   require(numHashes % bands == 0, "bands must divide numHashes")
   override def params = Map("text" -> textCol, "id" -> idCol,
     "numHashes" -> numHashes.toString, "bands" -> bands.toString,
-    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString)
+    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString,
+    "cacheDir" -> cacheDir.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     // Relational lowering (same reasoning as the round-3 simhash rewrite):
@@ -279,7 +300,7 @@ case class MinHashLSHDedupPipe(
     // over numeric-only rows ((id, long[]) ~ 8B/shingle, smaller than the
     // text it came from; banded is 3 longs x bands per doc).
     val (base, banded) = DedupOps.minhashBanded(
-      df, textCol, idCol, numHashes, bands, shingleSize)
+      df, textCol, idCol, numHashes, bands, shingleSize, cacheDir)
     val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))
@@ -559,18 +580,24 @@ case class CrossCorpusMinHashPipe(
     numHashes: Int = 64,
     bands: Int = 32,
     shingleSize: Int = 3,
-    jaccardThreshold: Double = 0.5) extends Pipe {
+    jaccardThreshold: Double = 0.5,
+    /** Cache signatures per corpus fingerprint — the natural fit here:
+      * contamination checks probe a FIXED eval corpus with evolving
+      * training batches, so the eval side's signatures build once ever.
+      */
+    cacheDir: Option[String] = None) extends Pipe {
   require(numHashes % bands == 0, "bands must divide numHashes")
   override def params = Map("text" -> textCol, "id" -> idCol,
     "refText" -> refTextCol, "refId" -> refIdCol,
     "numHashes" -> numHashes.toString, "bands" -> bands.toString,
-    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString)
+    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString,
+    "cacheDir" -> cacheDir.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val (baseA, bandedA) = DedupOps.minhashBanded(
-      df, textCol, idCol, numHashes, bands, shingleSize)
+      df, textCol, idCol, numHashes, bands, shingleSize, cacheDir)
     val (baseB, bandedB) = DedupOps.minhashBanded(
-      refDf, refTextCol, refIdCol, numHashes, bands, shingleSize)
+      refDf, refTextCol, refIdCol, numHashes, bands, shingleSize, cacheDir)
     val pairs = bandedA.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(bandedB.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))

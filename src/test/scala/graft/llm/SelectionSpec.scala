@@ -146,6 +146,27 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("minhash signature cache: second run reads parquet, equal output") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_cache").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pipe = MinHashLSHDedupPipe("text", "doc_id",
+      jaccardThreshold = 0.3, cacheDir = Some(dir))
+    val plain = MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.3)
+    val first = pipe(docs).collect().toSet
+    // the cache dir now holds both materialized stages (base + banded)
+    val caches = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
+    assert(caches.length == 2, caches.mkString(","))
+    // second run hits the cache (stage dirs untouched) and agrees with
+    // both the first run and the uncached pipe
+    val mtimes = caches.map(_.lastModified()).toSeq
+    val second = pipe(docs).collect().toSet
+    assert(caches.map(_.lastModified()).toSeq == mtimes)
+    assert(second == first)
+    assert(plain(docs).collect().toSet == first)
+  }
+
   test("edge cases: empty frames, empty targets, degenerate groups") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val some = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
