@@ -102,6 +102,10 @@ class RegistrySpec extends SparkSpec {
       () => CorpusStatsPipe(Seq("g"), "v", approx = false)),
     ("PackSequencesPipe", () => PackSequencesPipe("c", 256, "id"),
       () => PackSequencesPipe("c", 512, "id")),
+    ("PackMaterializePipe", () => PackMaterializePipe("t", 256, "o", "id"),
+      () => PackMaterializePipe("t", 512, "o", "id")),
+    ("ResizeMediaStubPipe", () => ResizeMediaStubPipe("m", 32),
+      () => ResizeMediaStubPipe("m", 64)),
     ("ShardAssignPipe", () => ShardAssignPipe("o", 64),
       () => ShardAssignPipe("o", 32)),
     ("AssignRowIdPipe", () => AssignRowIdPipe("o"), () => AssignRowIdPipe("p")),
