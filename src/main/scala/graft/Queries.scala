@@ -565,6 +565,22 @@ object Queries {
       // the streaming twin of rj_range, same inequality-join oracle shape
       graft.streaming.EventStream.runStreamStreamJoin(s, d)
         .orderBy("event_id", "err_id")),
+    "ev_stream_curate" -> ((s, d) => {
+      // the SAME llm-curation pipe (PiiRedact) running unchanged inside a
+      // REAL StreamingQuery — the unified batch/stream engine story for
+      // the curation family; planted PII is replayed by the oracle
+      val streamed = graft.streaming.EventStream.readStream(s, d)
+        .withColumn("note", concat(col("props"),
+          lit(" reach user"), col("event_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0")))
+      val out = graft.llm.PiiRedactPipe("note", outputCol = "note_redacted")(
+        streamed)
+      graft.streaming.EventStream.runToMemorySink(
+        out.select("event_id", "n_emails", "n_phones", "n_ips",
+          "note_redacted"), "append")
+        .orderBy("event_id")
+    }),
     "ev_stream_enrich" -> ((s, d) =>
       // REAL StreamingQuery: stateless stream-static broadcast join of
       // the event stream against the customer dimension
@@ -1467,6 +1483,17 @@ object Queries {
       """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment, c.c_acctbal
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+    "ev_stream_curate" ->
+      """WITH p AS (SELECT event_id, props || ' reach user' || event_id || '@example.com or 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS note FROM events)
+        |SELECT event_id,
+        | CAST(len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(note, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        | CAST(len(regexp_extract_all(note, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        | regexp_replace(regexp_replace(regexp_replace(note,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS note_redacted
+        |FROM p ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ev_stream_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type='click'),
         |w AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS wstart FROM events WHERE event_type='error')

@@ -331,9 +331,16 @@ case class SimHashDedupPipe(
     textCol: String,
     idCol: String,
     maxHamming: Int = 3,
-    tokenHash: String = "xxhash64") extends Pipe {
+    tokenHash: String = "xxhash64",
+    /** Persist the (id, signature) frame via [[graft.core.CachedStage]]
+      * keyed by the corpus fingerprint — cross-RUN memoization of the
+      * expensive signature build (the in-run path deliberately does not
+      * checkpoint; see the ReusedExchange note below).
+      */
+    cacheDir: Option[String] = None) extends Pipe {
   override def params = Map("text" -> textCol, "id" -> idCol,
-    "maxHamming" -> maxHamming.toString, "tokenHash" -> tokenHash)
+    "maxHamming" -> maxHamming.toString, "tokenHash" -> tokenHash,
+    "cacheDir" -> cacheDir.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val hf: Column => Column =
@@ -370,7 +377,16 @@ case class SimHashDedupPipe(
     // ReusedExchange on the vote aggregate's shuffle; an eager checkpoint
     // re-measured SLOWER in both r3 and r5 — the materialization job costs
     // more than the one re-read it saves)
-    val withSim = votes.select(col("id"), simExpr.as("sim"))
+    val withSimRaw = votes.select(col("id"), simExpr.as("sim"))
+    val withSim = cacheDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          graft.pipes.DatasetFingerprint.of(df),
+          graft.core.Fingerprint.hash(
+            s"simhash:$textCol:$idCol:$tokenHash"))
+        graft.core.CachedStage(df.sparkSession, dir, key)(withSimRaw)
+      case None => withSimRaw
+    }
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(0xFFFFL)): _*))

@@ -165,6 +165,12 @@ class SelectionSpec extends SparkSpec {
     assert(caches.map(_.lastModified()).toSeq == mtimes)
     assert(second == first)
     assert(plain(docs).collect().toSet == first)
+    // simhash signature cache: cached run == uncached run
+    val shCached = SimHashDedupPipe("text", "doc_id",
+      cacheDir = Some(dir))(docs).collect().toSet
+    assert(shCached == SimHashDedupPipe("text", "doc_id")(docs).collect().toSet)
+    assert(SimHashDedupPipe("text", "doc_id", cacheDir = Some(dir))(docs)
+      .collect().toSet == shCached)
   }
 
   test("edge cases: empty frames, empty targets, degenerate groups") {
