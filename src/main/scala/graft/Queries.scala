@@ -922,6 +922,15 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // ----- contrastive triplet mining over near-dup pairs -----
+    "tp_triplets" -> ((s, d) => {
+      val base = plantedNearDups(s, d)
+      val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
+        jaccardThreshold = 0.5)(base)
+      graft.llm.TripletMiningPipe(base, "doc_id")(pairs)
+        .orderBy("anchor_id", "pos_id")
+    }),
+
     // ----- weighted corpus interleaving (HF interleave_datasets) -----
     "il_interleave" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1871,6 +1880,33 @@ object Queries {
         |SELECT doc_id, lang, n_tokens_removed, dsir_logweight,
         | rkn // 32 AS shard_id, rkn % 32 AS pos_in_shard
         |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // exhaustive-jaccard pairs + dense-rank negative arithmetic, with the
+    // anchor/pos collision fallback replayed via the 3-candidate CASE
+    "tp_triplets" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
+        |mh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
+        |rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM planted),
+        |nn AS (SELECT count(*) AS n FROM planted),
+        |cand AS (SELECT id_a AS anchor_id, id_b AS pos_id,
+        |  (id_a*131 + id_b*31 + 7) % (SELECT n FROM nn) AS s0 FROM mh),
+        |cj AS (SELECT c.anchor_id, c.pos_id, r0.doc_id AS c0, r1.doc_id AS c1, r2.doc_id AS c2
+        | FROM cand c
+        | JOIN rk r0 ON r0.r = c.s0
+        | JOIN rk r1 ON r1.r = (c.s0 + 1) % (SELECT n FROM nn)
+        | JOIN rk r2 ON r2.r = (c.s0 + 2) % (SELECT n FROM nn))
+        |SELECT anchor_id, pos_id,
+        | CASE WHEN c0 <> anchor_id AND c0 <> pos_id THEN c0
+        |      WHEN c1 <> anchor_id AND c1 <> pos_id THEN c1
+        |      ELSE c2 END AS neg_id
+        |FROM cj ORDER BY anchor_id, pos_id""".stripMargin.replace("\n", " "),
     // replay: per-source dense ranks -> fixed-point inverse-weight keys ->
     // global rank over the unique (key*1000 + source) order
     "il_interleave" ->

@@ -173,6 +173,23 @@ class SelectionSpec extends SparkSpec {
       .collect().toSet == shCached)
   }
 
+  test("triplet mining: deterministic negatives, collision fallback") {
+    val corpus = (0L until 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (0L, 1L)).toDF("id_a", "id_b")
+    val out = TripletMiningPipe(corpus, "doc_id")(pairs)
+      .orderBy("anchor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (0,1): s0 = (0+31+7) % 5 = 3 -> c0=3, free -> neg 3
+    assert(out(0) == ((0L, 1L, 3L)))
+    // (2,3): s0 = (262+93+7) % 5 = 2 -> c0=2==anchor, c1=3==pos -> c2=4
+    assert(out(1) == ((2L, 3L, 4L)))
+    // negatives never equal anchor or positive, layout-invariant
+    val re = TripletMiningPipe(corpus.repartition(4), "doc_id")(
+      pairs.repartition(3)).orderBy("anchor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("edge cases: empty frames, empty targets, degenerate groups") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val some = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
