@@ -154,7 +154,9 @@ class RegistrySpec extends SparkSpec {
         () => CrossCorpusMinHashPipe("t", "id", tiny, "text", "doc_id", bands = 16)),
       ("StreamStaticEnrichPipe",
         () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("text")),
-        () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("doc_id"))))
+        () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("doc_id"))),
+      ("TripletMiningPipe", () => TripletMiningPipe(tiny, "doc_id"),
+        () => TripletMiningPipe(tiny, "doc_id", seed = 9)))
   }
 
   private def roundTripSerialize(p: Pipe): Pipe = {
