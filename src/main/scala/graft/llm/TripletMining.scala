@@ -38,6 +38,13 @@ case class TripletMiningPipe(
     val base = pairs.select(col("id_a").cast("long").as("anchor_id"),
       col("id_b").cast("long").as("pos_id"))
       .crossJoin(broadcast(n))
+      // lazy guard (no action at plan build): with fewer than 3 corpus
+      // rows every cyclic candidate collides with the anchor or positive,
+      // so a negative cannot exist — fail loudly instead of emitting junk
+      .filter(when(col("__tm_n__") >= 3, lit(true)).otherwise(
+        raise_error(concat(lit("TripletMiningPipe: corpus has "),
+          col("__tm_n__"),
+          lit(" rows < 3 — no valid negative can exist"))).cast("boolean")))
       .withColumn("__tm_s0__",
         pmod(col("anchor_id") * 131 + col("pos_id") * 31 + seed, col("__tm_n__")))
     def cand(i: Int): Column = pmod(col("__tm_s0__") + i, col("__tm_n__"))

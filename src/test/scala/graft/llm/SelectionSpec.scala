@@ -188,6 +188,14 @@ class SelectionSpec extends SparkSpec {
       pairs.repartition(3)).orderBy("anchor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(re.toSeq == out.toSeq)
+    // a 2-row corpus cannot yield a negative — loud lazy failure
+    val tiny2 = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      TripletMiningPipe(tiny2, "doc_id")(Seq((0L, 1L)).toDF("id_a", "id_b"))
+        .collect()
+    }
+    assert(err.getMessage.contains("no valid negative") ||
+      Option(err.getCause).exists(_.getMessage.contains("no valid negative")))
   }
 
   test("edge cases: empty frames, empty targets, degenerate groups") {
