@@ -25,6 +25,24 @@ object Formats {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** CSV with a header and full quoting — for exporting summaries/reports
+    * to spreadsheet-world, not for corpus interchange (prefer JSONL or
+    * parquet there: CSV has no types and dialects disagree on quoting).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").option("escape", "\"").csv(path)
+
+  /** Read CSV with a PINNED schema (same inference argument as
+    * [[readJsonl]]) and the [[writeCsv]] quoting dialect. `multiLine`
+    * makes quoted embedded newlines round-trip — the trade is that such
+    * files are not line-splittable, one more reason CSV is an export
+    * format here, not a corpus format.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("escape", "\"").option("multiLine", "true").csv(path)
+
   /** Write hive-layout partitioned parquet (`path/col=value/...`).
     * Partition columns become directory keys: a downstream read filtered
     * on them prunes entire directories at PLAN time (PartitionFilters in
