@@ -142,8 +142,9 @@ object VerifyScratch {
     val tiles = offs.sliding(2).forall { case Array(a, b) =>
       b.getLong(1) == a.getLong(1) + a.getLong(2); case _ => true }
     val pplan = packed.queryExecution.executedPlan.toString
-    println(s"[10] packing tiles exactly, range-partitioned -> " +
-      s"${tiles && offs.head.getLong(1) == 0 && pplan.contains("rangepartitioning")}")
+    println(s"[10] packing tiles exactly, RDD-lineage prefix sum -> " +
+      s"${tiles && offs.head.getLong(1) == 0 && pplan.contains("ExistingRDD") &&
+        !pplan.contains("Exchange SinglePartition")}")
 
     // 11. deterministic shuffle on real docs: permutation, layout-stable,
     // and the plan range-partitions on the slot (distributed sort)
@@ -388,7 +389,7 @@ object VerifyScratch {
     val pmTotal = pmDocs.agg(sum(size(col("toks")))).head().getLong(0)
     val pmOk = pmSizes.dropRight(1).forall(_.getInt(1) == 128) &&
       pmSizes.map(_.getInt(1).toLong).sum == pmTotal &&
-      pm.queryExecution.executedPlan.toString.contains("rangepartitioning")
+      pm.queryExecution.executedPlan.toString.contains("ExistingRDD")
     println(s"[31] pack materialization conserves tokens, tiles full -> $pmOk")
 
     // 32. resize stub: every output exactly targetBytes (non-empty media)

@@ -68,69 +68,75 @@ object NestingOps {
   def nestIdx(grp: Column, pos: Column, size: Int): Column = grp * size + pos
 
   /** Scale-safe 0-based global rank by `orderCol`: range-partitioned
-    * distributed sort, per-partition positions, and a tiny per-partition
-    * offset table joined back by broadcast. Replaces
-    * `row_number().over(Window.orderBy(...))`, which moves ALL rows to one
-    * partition (round-1 verdict item 4). Ties in `orderCol` get an
-    * arbitrary-but-stable order within a partition; use a unique order
-    * column for fully deterministic results.
+    * distributed sort + RDD `zipWithIndex` (one counting job over the
+    * sorted partitions, then per-partition offsets applied in place).
+    * Replaces `row_number().over(Window.orderBy(...))`, which moves ALL
+    * rows to one partition (round-1 verdict item 4). Ties in `orderCol`
+    * get an arbitrary-but-stable order within a partition; use a unique
+    * order column for fully deterministic results.
+    *
+    * WHY zipWithIndex and not a `spark_partition_id()` offset join: range
+    * bounds are SAMPLED per exchange instance, and the earlier two-branch
+    * design (window positions in one branch, per-pid counts in another)
+    * only agreed when Catalyst happened to reuse the exchange — when it
+    * planned two exchanges, each sampled its own bounds, pids meant
+    * different row ranges in each branch, and ranks silently collided
+    * (caught by an sf0.1 write-path audit in round 6; `.count()` actions
+    * pruned into a shape that masked it). zipWithIndex's counting job and
+    * the downstream job share ONE RDD lineage, hence one partitioner and
+    * one shuffle — agreement is structural, not best-effort.
     */
   def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pid = "__pid__"
-    val ppos = "__ppos__"
-    // no explicit sortWithinPartitions: the rank window's required
-    // (pid, orderCol) ordering sorts once; an explicit pre-sort made the
-    // executor sort every partition twice (round-3 fusion)
-    val parted = df.repartitionByRange(qcol(orderCol))
-      .withColumn(pid, spark_partition_id())
-    // numPartitions-row aggregate: exclusive prefix-sum of partition
-    // counts, computed from the bare partition (counts don't depend on
-    // positions, so this branch skips the rank window's sort entirely).
-    // The single-partition window below is over ~#partitions rows.
-    val offsets = parted.groupBy(pid).agg(count(lit(1)).as("__cnt__"))
-      .withColumn("__off__", coalesce(
-        sum("__cnt__").over(
-          Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col(pid), col("__off__"))
-    val withPos = parted.withColumn(ppos,
-      row_number().over(Window.partitionBy(pid).orderBy(qcol(orderCol))) - 1)
-    withPos.join(broadcast(offsets), pid)
-      .withColumn(rankCol, col(ppos) + col("__off__"))
-      .drop(pid, ppos, "__off__")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(qcol(orderCol))
+      .sortWithinPartitions(qcol(orderCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(ranked, schema)
   }
 
   /** Scale-safe 0-based EXCLUSIVE global prefix sum of `valueCol` in
     * `orderCol` order — the [[withGlobalRank]] design generalized from
     * counts to sums (rank is the valueCol=1 special case): range-partition
-    * sort, per-partition running sums, broadcast per-partition offsets.
-    * A plain `sum().over(Window.orderBy(...))` would move ALL rows to one
-    * partition. Ties in `orderCol` get an arbitrary-but-stable order; use
-    * a unique order column for fully deterministic results.
+    * sort, one per-partition-sums job (numPartitions values to the
+    * driver), then running sums applied in place on the SAME RDD lineage
+    * — the structural-agreement argument of [[withGlobalRank]] applies
+    * verbatim. A plain `sum().over(Window.orderBy(...))` would move ALL
+    * rows to one partition. Ties in `orderCol` get an arbitrary-but-stable
+    * order; use a unique order column for fully deterministic results.
     */
   def withGlobalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pid = "__pid__"
-    val psum = "__psum__"
-    val v = coalesce(qcol(valueCol).cast("long"), lit(0L))
-    val parted = df.repartitionByRange(qcol(orderCol))
-      .withColumn(pid, spark_partition_id())
-    val offsets = parted.groupBy(pid).agg(sum(v).as("__cnt__"))
-      .withColumn("__off__", coalesce(
-        sum("__cnt__").over(
-          Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col(pid), col("__off__"))
-    // ROWS frame (not the default RANGE): with ties in orderCol a RANGE
-    // frame would include every tie row in "preceding"
-    val withS = parted.withColumn(psum,
-      sum(v).over(Window.partitionBy(pid).orderBy(qcol(orderCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - v)
-    withS.join(broadcast(offsets), pid)
-      .withColumn(outCol, col(psum) + col("__off__"))
-      .drop(pid, psum, "__off__")
+    val spark = df.sparkSession
+    val vc = "__gps_v__"
+    val sorted = df
+      .withColumn(vc, coalesce(qcol(valueCol).cast("long"), lit(0L)))
+      .repartitionByRange(qcol(orderCol))
+      .sortWithinPartitions(qcol(orderCol))
+    val vIdx = sorted.schema.fieldIndex(vc)
+    val rdd = sorted.rdd // ONE instance: both jobs share its partitioner
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val pre = run
+        run += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pre)
+      }
+    }
+    spark.createDataFrame(out, schema).drop(vc)
   }
 
   /** Inverse of [[flattenOnce]]: group by `parent`, re-assemble each array

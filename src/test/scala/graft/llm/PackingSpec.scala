@@ -44,11 +44,14 @@ class PackingSpec extends SparkSpec {
         lag(col("pack_first") * 128 + col("pack_pos") + col("n"), 1, 0L).over(w))
       .filter(col("off") =!= col("prev_end")).count()
     assert(bad == 0)
-    // plan shape: the global prefix sum must not hit a single partition —
-    // no SinglePartition exchange outside the tiny offsets branch
+    // plan shape: the global prefix sum runs inside the zipWithIndex RDD
+    // lineage (surfacing as an ExistingRDD scan) — and nothing may route
+    // the bulk data through a single-partition exchange
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"),
-      s"expected range-partitioned prefix sum, got:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the RDD-lineage prefix sum, got:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in:\n$plan")
   }
 
   test("materialized packs: hand-computed cross-doc slices") {
