@@ -46,6 +46,28 @@ case class PrintBatch(header: String = "", sink: String => Unit = println(_))
   }
 }
 
+/** Zero-cost pipeline observability: attach named metrics (row count,
+  * null counts, sums...) to a frame via Spark's `observe`/CollectMetrics.
+  * Unlike [[PrintBatch]] (which runs its own aggregate job), observed
+  * metrics ride along with whatever action the caller runs — NO extra
+  * pass over the data, which at 100 TB is the difference between "free
+  * accounting" and "double the job". Metrics arrive via the returned
+  * [[org.apache.spark.sql.Observation]] after the first action.
+  */
+object ObserveTap {
+  import org.apache.spark.sql.{Column, Observation}
+
+  /** Attach a row-count (plus optional extra aggregates) observation.
+    * Returns the tapped frame and the Observation to read after an
+    * action: `val (df2, obs) = ObserveTap.attach(df, "post_filter")`.
+    */
+  def attach(df: DataFrame, name: String, extra: Column*): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    val metrics = count(lit(1)).as("rows") +: extra
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+}
+
 /** D2 `PrintContent` (pprint.py:75-127): log the first `n` rows. */
 case class PrintContent(n: Int = 5, header: String = "", sink: String => Unit = println(_))
     extends Pipe {

@@ -36,6 +36,17 @@ class GlobalOrderSpec extends SparkSpec {
     assert(NestingOps.withGlobalPrefixSum(empty, "id", "n", "off").count() == 0)
   }
 
+  test("observe tap: metrics ride the caller's action, no extra job") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (tapped, obs) = ObserveTap.attach(
+      docs.filter(col("lang") === "en"), "en_docs",
+      sum(col("n_chars")).as("chars"))
+    val n = tapped.count() // the ONLY action — metrics piggyback on it
+    assert(obs.get("rows") == n)
+    assert(obs.get("chars") ==
+      docs.filter(col("lang") === "en").agg(sum("n_chars")).head().getLong(0))
+  }
+
   test("write-path determinism: two independent writes agree bit-for-bit") {
     // the regression shape of the range-exchange bug: rank a large-ish
     // frame, WRITE it twice (writes exercised the broken path where
