@@ -178,13 +178,19 @@ case class CorpusStatsPipe(
     valueCol: String,
     quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
     approx: Boolean = true,
-    accuracy: Int = 10000) extends Pipe {
+    accuracy: Int = 10000,
+    /** Also emit the distinct cardinality of this column per group —
+      * HyperLogLog-sketched when `approx` (bounded memory at any group
+      * size), exact `count_distinct` otherwise.
+      */
+    distinctCol: Option[String] = None) extends Pipe {
   require(groupCols.nonEmpty, "CorpusStatsPipe needs at least one group column")
   require(quantiles.forall(p => p >= 0 && p <= 1), "quantiles must be in [0, 1]")
   override def update: Boolean = false
   override def params = Map("group" -> groupCols.mkString(","),
     "value" -> valueCol, "q" -> quantiles.mkString(","),
-    "approx" -> approx.toString, "accuracy" -> accuracy.toString)
+    "approx" -> approx.toString, "accuracy" -> accuracy.toString,
+    "distinct" -> distinctCol.mkString)
 
   private def qname(p: Double): String =
     "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
@@ -198,11 +204,15 @@ case class CorpusStatsPipe(
         else percentile(v, lit(p))
       round(c, 4).as(qname(p))
     }
+    val daggs = distinctCol.toSeq.map { c =>
+      (if (approx) approx_count_distinct(qcol(c))
+       else count_distinct(qcol(c))).as("n_distinct")
+    }
     val aggs = Seq(
       count(v).as("n"),
       round(avg(v), 4).as("mean"),
       min(v).as("min"),
-      max(v).as("max")) ++ qaggs
+      max(v).as("max")) ++ qaggs ++ daggs
     df.groupBy(groupCols.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -85,6 +85,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(orig.except(re).count() == 0)
   }
 
+  test("distinct cardinality: exact value, approx within HLL tolerance") {
+    val docs = spark.read.parquet(sf("documents"))
+    val ex = CorpusStatsPipe(Seq("lang"), "n_chars", approx = false,
+      distinctCol = Some("source"))(docs)
+      .select("lang", "n_distinct").withColumnRenamed("n_distinct", "e")
+    val truth = docs.groupBy("lang")
+      .agg(count_distinct(col("source")).as("t"))
+    assert(ex.join(truth, "lang").filter(col("e") =!= col("t")).count() == 0)
+    val ap = CorpusStatsPipe(Seq("lang"), "n_chars", approx = true,
+      distinctCol = Some("source"))(docs)
+      .select("lang", "n_distinct").withColumnRenamed("n_distinct", "a")
+    val bad = ap.join(truth, "lang")
+      .filter(abs(col("a") - col("t")) > col("t") * 0.1 + 2).count()
+    assert(bad == 0)
+  }
+
   test("approx quantiles track exact within tolerance on real data") {
     val docs = spark.read.parquet(sf("documents"))
     val ex = CorpusStatsPipe(Seq("lang"), "n_chars", approx = false)(docs)
