@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch end-to-end driver for the round-6 curation + as-of-join surface
-  * (RepetitionStats, Decontaminate, PiiRedact, StratifiedSample, AsOfJoin).
+/** Scratch end-to-end driver: 33 labeled checks across the curation,
+  * selection, dedup, packing, streaming, and layout surfaces on real
+  * sf0.001 parquet (the /verify recipe's step 1-2).
   * Run: sbt "runMain graft.VerifyScratch". Not part of the driver contract.
   */
 object VerifyScratch {
