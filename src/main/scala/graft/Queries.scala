@@ -1925,7 +1925,7 @@ object Queries {
     "tm_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c),
-        |r AS (SELECT lang, CAST(round(sqrt(CAST((SELECT mn FROM m) AS DOUBLE) / n) * 10000) AS BIGINT) AS thr FROM c)
+        |r AS (SELECT lang, greatest(CAST(round(sqrt(CAST((SELECT mn FROM m) AS DOUBLE) / n) * 10000) AS BIGINT), 1) AS thr FROM c)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
         |WHERE ((d.doc_id*131+7) % 1000003) % 10000 < r.thr ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     // add-one-smoothed conditional bigram table replayed in fixed point

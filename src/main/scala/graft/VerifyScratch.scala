@@ -413,6 +413,52 @@ object VerifyScratch {
     val ilvOk = ilvFirst.forall(r => r.getDouble(1) > 0.65 && r.getDouble(1) < 0.85)
     println(s"[33] interleave holds the 3:1 mix in every window -> $ilvOk")
 
+    // 34. resize on a 2.2MB binary: source positions exact past the int32
+    // product range (pre-fix i*n wrapped negative, ADVICE r6)
+    {
+      import spark.implicits._
+      val nBytes = 2200000
+      val big = Array.tabulate[Byte](nBytes)(i => ((i / 8192) % 251).toByte)
+      val t = 1024
+      val out = graft.llm.ResizeMediaStubPipe("media", t)(
+        Seq((1L, big)).toDF("doc_id", "media"))
+        .select("media_resized").head().getAs[Array[Byte]](0)
+      val ok = out.length == t && (0 until t by 61).forall { i =>
+        out(i) == big((i.toLong * nBytes / t).toInt) }
+      println(s"[34] resize exact past int32 product range -> $ok")
+    }
+
+    // 35. temperature mix with a NULL group: null rows are rate-filtered
+    // like any group (pre-fix the === join let them pass whole, ADVICE r6)
+    {
+      val withNull = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")).as("lang"))
+      val tmN = graft.llm.TemperatureMixPipe("doc_id", "lang")(withNull)
+      val nullIn = withNull.filter(col("lang").isNull).count()
+      val nullKept = tmN.filter(col("lang").isNull).count()
+      println(s"[35] null group rate-filtered ($nullKept/$nullIn kept) -> " +
+        s"${nullKept > 0 && nullKept < nullIn}")
+    }
+
+    // 36. interleave guards: weight > 2e6 (zero fixed-point inverse) raises
+    {
+      val raised = try {
+        graft.llm.InterleaveDatasets(
+          Seq(docs.select("doc_id") -> 3e6), "doc_id"); false
+      } catch { case _: IllegalArgumentException => true }
+      println(s"[36] interleave rejects weight > 2e6 -> $raised")
+    }
+
+    // 37. hashed scorer trainLogOdds on an EMPTY frame: no NPE (ADVICE r6)
+    {
+      val empty = docs.filter(col("doc_id") < 0)
+        .select(col("text"), (col("doc_id") > 2).as("y"))
+      val (w, b) = graft.llm.HashedLinearScorerPipe.trainLogOdds(
+        empty, "text", "y", numBuckets = 64)
+      val ok = w.size == 64 && !b.isNaN && !b.isInfinite
+      println(s"[37] empty-frame training returns finite weights -> $ok")
+    }
+
     spark.stop()
   }
 }

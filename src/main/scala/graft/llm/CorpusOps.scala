@@ -79,12 +79,17 @@ case class TemperatureMixPipe(
                else if (alpha == 0.0) ratio
                else if (alpha == 1.0) lit(1.0)
                else pow(ratio, 1 - alpha)
+    // clamp to >= 1: round(rate*10000) truncates keep-rates below 1e-4 to
+    // 0, which would DROP an extreme head group entirely instead of
+    // downsampling it toward n^alpha (ADVICE r6) — the floor keeps ~1e-4
     val rates = counts.crossJoin(broadcast(nmin))
       .select(col("__tm_g__"),
-        round(rate * 10000).cast("long").as("__tm_thr__"))
+        greatest(round(rate * 10000).cast("long"), lit(1L)).as("__tm_thr__"))
     val slot = pmod(pmod(qcol(idCol).cast("long") * 131 + 7, lit(1000003L)),
       lit(10000L))
-    df.join(broadcast(rates), qcol(groupCol) === col("__tm_g__"), "left")
+    // <=> (null-safe): groupBy counts a null group, so null-group rows get
+    // their computed rate instead of silently passing the filter whole
+    df.join(broadcast(rates), qcol(groupCol) <=> col("__tm_g__"), "left")
       .filter(slot < coalesce(col("__tm_thr__"), lit(10000L)))
       .drop("__tm_g__", "__tm_thr__")
   }
@@ -145,8 +150,18 @@ object InterleaveDatasets {
       posCol: String = "interleave_pos"): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
     require(sources.forall(_._2 > 0), "weights must be positive")
+    // source_idx rides in the last 3 decimal digits of the order key, so
+    // the key is only unique below 1000 sources (ADVICE r6)
+    require(sources.size < 1000, "at most 999 sources supported")
     val tagged = sources.zipWithIndex.map { case ((df, w), i) =>
       val invw = math.round(1e6 / w)
+      // invw = 0 (weight > 2e6) would collapse every row of the source to
+      // one key; the key (r+1)*invw*1000 must also stay under 2^63 —
+      // bounded here for the worst representable invw (weight >= 1e-12,
+      // so invw <= 1e18/1000 rows still fits for ranks up to ~9.2e3; in
+      // practice weights are O(1) and ranks are corpus-sized) (ADVICE r6)
+      require(invw > 0,
+        s"weight $w too large (must be <= 2e6 for a nonzero fixed-point inverse)")
       graft.pipes.NestingOps.withGlobalRank(df, orderCol, "__il_r__")
         .withColumn(srcCol, lit(i))
         .withColumn("__il_key__", (col("__il_r__") + 1) * invw)

@@ -198,7 +198,10 @@ object HashedLinearScorerPipe {
       math.log((p + smoothing) / denomP) - math.log((n + smoothing) / denomN)
     }
     val rows = df.agg(
-      sum(when(qcol(labelCol).cast("boolean"), 1L).otherwise(0L)),
+      // coalesce: sum(...) is NULL on an empty frame — the bare getLong
+      // threw NullPointerException there (ADVICE r6)
+      coalesce(sum(when(qcol(labelCol).cast("boolean"), 1L).otherwise(0L)),
+        lit(0L)),
       count(lit(1))).head()
     val nPos = rows.getLong(0).toDouble
     val nNeg = rows.getLong(1) - nPos

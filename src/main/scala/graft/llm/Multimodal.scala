@@ -113,13 +113,20 @@ case class ResizeMediaStubPipe(
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val bin = qcol(mediaCol)
-    val n = octet_length(bin)
+    val n = octet_length(bin).cast("long")
     val t = lit(targetBytes)
-    // exact floor(i*n/t): (x - x mod t)/t on an exactly-divisible numerator
+    val tL = lit(targetBytes.toLong)
+    // exact floor(i*n/t) in LONG then DECIMAL arithmetic: i and n are both
+    // < 2^31 so the widened product fits a long (the previous int×int
+    // product wrapped silently past 2^31 — media larger than
+    // ~2GB/targetBytes bytes resampled from garbage positions); the
+    // exactly-divisible numerator is divided as decimal(38,0) because
+    // long/long Column division is DOUBLE arithmetic, inexact past 2^53
     def fdiv(x: org.apache.spark.sql.Column) =
-      ((x - pmod(x, t)) / t).cast("int")
+      ((x - pmod(x, tL)).cast("decimal(38,0)") / tL.cast("decimal(38,0)"))
+        .cast("int")
     val pieces = org.apache.spark.sql.functions.transform(
-      sequence(lit(0), t - 1), i => bin.substr(fdiv(i * n) + 1, lit(1)))
+      sequence(lit(0), t - 1), i => bin.substr(fdiv(i.cast("long") * n) + 1, lit(1)))
     val resized = when(n > 0,
       aggregate(pieces, lit(Array.empty[Byte]),
         (acc, x) => concat(acc, x)))

@@ -93,13 +93,13 @@ case class PackMaterializePipe(
       .withColumn("__pm_cnt__", size(col("__pm_tk__")).cast("long"))
     val offs = NestingOps.withGlobalPrefixSum(
       slim, "__pm_ord__", "__pm_cnt__", "__pm_off__")
-    val slen = lit(seqLen.toLong)
     val exploded = offs.select(col("__pm_id__"), col("__pm_off__"),
       posexplode(col("__pm_tk__")).as(Seq("__pm_p__", "__pm_t__")))
       .withColumn("__pm_g__", col("__pm_off__") + col("__pm_p__"))
     val packed = exploded
-      .withColumn("pack_id",
-        ((col("__pm_g__") - pmod(col("__pm_g__"), slen)) / slen).cast("long"))
+      // `div`, not `/`: long/long Column division is DOUBLE arithmetic,
+      // inexact past 2^53 — same fix as ShardAssignPipe (ADVICE r6)
+      .withColumn("pack_id", expr(s"`__pm_g__` div ${seqLen}L"))
     packed.groupBy("pack_id")
       .agg(
         arrTransform(array_sort(collect_list(

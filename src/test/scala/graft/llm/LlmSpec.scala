@@ -94,4 +94,20 @@ class LlmSpec extends SparkSpec {
     // upscale of 2 chars to 8: each quadrupled
     assert(out(2).getString(1) == "xxxxyyyy")
   }
+
+  test("resize stub: exact source positions past the int32 product range") {
+    // 2.2MB source × index 1023 pushes i*n past 2^31 — the pre-fix int
+    // product wrapped negative and substr read from the end (ADVICE r6)
+    val n = 2200000
+    val bytes = Array.tabulate[Byte](n)(i => ((i / 8192) % 251).toByte)
+    val df = Seq((1L, bytes)).toDF("doc_id", "media")
+    val t = 1024
+    val out = ResizeMediaStubPipe("media", targetBytes = t)(df)
+      .select("media_resized").head().getAs[Array[Byte]](0)
+    assert(out.length == t)
+    (0 until t by 97).foreach { i =>
+      val src = (i.toLong * n / t).toInt
+      assert(out(i) == bytes(src), s"position $i should sample source $src")
+    }
+  }
 }
