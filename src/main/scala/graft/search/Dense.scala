@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object BruteForceDenseEngine {
   /** Max corpus rows to broadcast (~tens of MB at typical embedding dims).
-    * Above the cap the cross join runs partitioned — correct but
-    * quadratic; use [[IVFDenseEngine]] for large corpora.
+    * Above the cap the cross join would run partitioned — correct but
+    * quadratic — so the engine refuses unless `allowCartesian` is set;
+    * use [[IVFDenseEngine]] for large corpora.
     */
   val BroadcastRowCap: Long = 500000L
 }
@@ -34,15 +35,31 @@ case class BruteForceDenseEngine(
     corpus: DataFrame,
     config: SearchConfig = SearchConfig(),
     corpusIdxCol: String = "idx",
-    corpusVecCol: String = "vector") extends SearchEngine {
+    corpusVecCol: String = "vector",
+    /** Above [[BruteForceDenseEngine.BroadcastRowCap]] corpus rows the
+      * plan degrades to a partitioned cartesian — correct but quadratic,
+      * a scale trap for configs ported from the reference (where `dense`
+      * IS the ANN engine, search/dense.py:28). The engine REFUSES to plan
+      * it unless explicitly opted in here (registry name `dense_exact`);
+      * use `dense_ivf` / `ivf_pq` for large corpora instead.
+      */
+    allowCartesian: Boolean = false) extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString,
-    "indexField" -> config.indexField, "engine" -> "dense_bruteforce")
+    "indexField" -> config.indexField, "engine" -> "dense_bruteforce",
+    "allowCartesian" -> allowCartesian.toString)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    if (n > BruteForceDenseEngine.BroadcastRowCap && !allowCartesian)
+      throw new IllegalStateException(
+        s"BruteForceDenseEngine over $n corpus rows (> broadcast cap " +
+          s"${BruteForceDenseEngine.BroadcastRowCap}) would plan a partitioned " +
+          "cartesian product. Use an ANN engine ('dense_ivf', 'ivf_pq') at " +
+          "this scale, or opt into the exact quadratic scan explicitly with " +
+          "allowCartesian=true (registry name 'dense_exact').")
     val qv = qcol(s"${config.queryField}.vector")
     val cSel = corpus.select(
       col(corpusIdxCol).cast("long").as("idx"),
@@ -91,7 +108,10 @@ case class IVFDenseEngine(
   import org.apache.spark.ml.functions.array_to_vector
 
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
-    "nprobe" -> nprobe.toString, "engine" -> "dense_ivf")
+    "nprobe" -> nprobe.toString, "engine" -> "dense_ivf",
+    // seed participates in the state-cache key: engines differing only in
+    // seed must not share persisted centroids
+    "seed" -> kmeansSeed.toString)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)

@@ -90,12 +90,26 @@ object AutoSearchEngine {
       groupKey: String = "group",
       roundScores: Option[Int] = None): Map[String, Factory] = Map(
     "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
+    // the explicit opt-in for exact search over a >cap corpus: plans the
+    // quadratic partitioned cartesian the bare `dense` refuses
+    "dense_exact" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol,
+      corpusVecCol, allowCartesian = true)),
     "dense_ivf" -> ((c, cfg) => IVFDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
     "dense_pq" -> ((c, cfg) => PQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+    // the reference's default dense factory shape: learned rotation
+    // (OPQ/PCAR) ahead of the product quantizer
+    "opq_pq" -> ((c, cfg) => PQDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      rotate = true)),
     "ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+    // the reference's FULL default factory: OPQ rotation + IVF pruning +
+    // PQ codes (vector_base/utils/faiss.py:30-87)
+    "opq_ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      rotate = true)),
     "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
       roundScores = roundScores)),
     "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,

@@ -36,20 +36,55 @@ case class PQDenseEngine(
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
     kmeansSeed: Long = 42L,
-    fixedCodebooks: Option[Seq[Seq[Seq[Double]]]] = None) extends SearchEngine {
+    fixedCodebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+    /** OPQ-style pre-rotation (reference default factory `OPQ/PCAR +
+      * IVF<n> + PQ`, vector_base/utils/faiss.py:30-87): learn an
+      * ORTHOGONAL rotation (PCA + eigenvalue allocation, Ge et al. CVPR'13
+      * parametric OPQ) and quantize in the rotated space. Orthogonality
+      * preserves inner products, so scores are unchanged semantically —
+      * but decorrelated, variance-balanced subspaces quantize with less
+      * error, which is the recall win on correlated dims. Queries are
+      * rotated by the same matrix at search time. Registry name `opq_pq`.
+      */
+    rotate: Boolean = false,
+    fixedRotation: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
 
   override def params = Map("k" -> config.k.toString, "m" -> m.toString,
     "codebookSize" -> codebookSize.toString, "engine" -> "dense_pq",
-    "fixedBooks" -> fixedCodebooks.isDefined.toString)
+    "fixedBooks" -> fixedCodebooks.isDefined.toString,
+    "rotate" -> rotate.toString,
+    "fixedRotation" -> fixedRotation.map(_.hashCode.toString).getOrElse(""))
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
 
   lazy val dim: Int =
     corpus.select(size(qcol(corpusVecCol))).head().getInt(0)
+
+  /** Row i = the unit vector the i-th ROTATED dimension projects onto. */
+  lazy val rotation: Option[Seq[Seq[Double]]] =
+    fixedRotation.orElse(
+      if (rotate) Some(OPQ.fitRotation(corpus, corpusVecCol, m, dim)) else None)
+
+  /** Apply the learned rotation to a vector column (identity when none) —
+    * also used by [[IVFPQDenseEngine]] to rotate queries before ADC.
+    */
+  def rotated(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rotation match {
+      case Some(r) => arrTransform(typedLit(r), row =>
+        aggregate(zip_with(row, v, (a, b) => a * b.cast("double")),
+          lit(0d), (acc, x) => acc + x))
+      case None => v
+    }
+
+  /** Corpus with the rotation applied (identity when none). */
+  private lazy val rcorpus: DataFrame = rotation match {
+    case Some(_) => corpus.withColumn(corpusVecCol, rotated(col(corpusVecCol)))
+    case None => corpus
+  }
 
   /** codebooks(j)(c) = sub-centroid as doubles; codes = (idx, __c0..__c{m-1}). */
   lazy val (codebooks: Seq[Seq[Seq[Double]]], codes: DataFrame) = build()
@@ -66,7 +101,7 @@ case class PQDenseEngine(
         // subspace, squared L2 to each centroid of the literal codebook,
         // argmin with first-occurrence (= lowest code) tie-break — the
         // arithmetic an external engine replays bit-for-bit.
-        val codesDf = corpus.select(
+        val codesDf = rcorpus.select(
           col(corpusIdxCol).cast("long").as("idx") +:
             (0 until m).map { j =>
               val sub = arrTransform(
@@ -82,7 +117,7 @@ case class PQDenseEngine(
   }
 
   private def buildTrained(dsub: Int): (Seq[Seq[Seq[Double]]], DataFrame) = {
-    val prepared = corpus.select(
+    val prepared = rcorpus.select(
       col(corpusIdxCol).cast("long").as("idx") +:
         (0 until m).map(j =>
           array_to_vector(arrTransform(
@@ -103,7 +138,9 @@ case class PQDenseEngine(
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val dsub = dim / m
-    val qv = qcol(s"${config.queryField}.vector")
+    // queries rotate through the same matrix as the corpus (identity when
+    // no rotation); inner products are preserved by orthogonality
+    val qv = rotated(qcol(s"${config.queryField}.vector"))
     // ADC tables: per query row and subspace, dot products against the
     // codebook literal (codebooks are tiny driver-side state: m·k·dsub
     // doubles — the reference ships them inside the FAISS index blob)
@@ -122,6 +159,55 @@ case class PQDenseEngine(
         (0 until m).map(j => element_at(col(s"__t$j"), col(s"__c$j") + 1))
           .reduce(_ + _).as("score"))
     SearchEngine.collapseTopK(stamped, scored, rowId, config.k)
+  }
+}
+
+/** OPQ-style rotation learning (the public parametric solution of Ge et
+  * al., "Optimized Product Quantization", CVPR 2013 §4: PCA-decorrelate,
+  * then allocate components to subspaces balancing the PRODUCT of
+  * eigenvalues per subspace). The rotation is d×d orthogonal — a
+  * permutation of the PCA basis — so inner-product search in the rotated
+  * space is exact; only the quantization error changes (down, on
+  * correlated dims).
+  *
+  * Scale shape: `spark.ml.feature.PCA` computes a d×d covariance by
+  * map-side aggregation (one pass, no shuffle of rows) and eigendecomposes
+  * on the driver — d is the embedding dim (64 here), so driver state is
+  * O(d²) regardless of corpus size.
+  */
+object OPQ {
+  def fitRotation(
+      corpus: DataFrame, vecCol: String, m: Int, dim: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = corpus.select(array_to_vector(
+      arrTransform(col(vecCol), _.cast("double"))).as("features"))
+    val model = new PCA().setK(dim).setInputCol("features")
+      .setOutputCol("__pca__").fit(prepared)
+    val pc = model.pc // d×k, column c = component c (desc variance)
+    val ev = model.explainedVariance.toArray
+    // eigenvalue allocation = balanced partition of Σ(-log λ) across
+    // subspaces (equal log-products ⇔ equal information per codebook).
+    // Greedy LPT: process components by DESCENDING -log λ (ascending
+    // variance — the tiny eigenvalues carry the extreme weights) and drop
+    // each into the non-full subspace with the smallest accumulated sum.
+    // The naive "descending λ into the min-product bucket" degenerates for
+    // λ < 1: every log is negative, so the bucket just filled always has
+    // the minimum product and swallows ALL the heavy components — the
+    // exact imbalance the allocation exists to fix.
+    val dsub = dim / m
+    val negLog = (0 until dim).map(c => -math.log(math.max(ev(c), 1e-12)))
+    val buckets = Array.fill(m)(List.empty[Int])
+    val acc = Array.fill(m)(0.0)
+    (0 until dim).sortBy(c => -negLog(c)).foreach { c =>
+      val open = (0 until m).filter(buckets(_).size < dsub)
+      val dst = open.minBy(acc)
+      buckets(dst) = buckets(dst) :+ c
+      acc(dst) += negLog(c)
+    }
+    // row i of the rotation = the PCA component assigned to output dim i
+    // (components sorted desc-variance within each subspace)
+    buckets.toSeq.flatMap(_.sorted).map(c => (0 until dim).map(r => pc(r, c)))
   }
 }
 
@@ -164,20 +250,29 @@ case class IVFPQDenseEngine(
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
     kmeansSeed: Long = 42L,
-    fixedCodebooks: Option[Seq[Seq[Seq[Double]]]] = None) extends SearchEngine {
+    fixedCodebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+    /** OPQ pre-rotation on the FINE quantizer (registry `opq_ivf_pq` —
+      * the reference's full default factory `OPQ + IVF<n> + PQ`). The
+      * coarse quantizer prunes in RAW space (valid: rotation preserves
+      * inner products, so nearest-centroid structure is unchanged; only
+      * the PQ codes + ADC tables live in the rotated basis).
+      */
+    rotate: Boolean = false) extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
     "codebookSize" -> codebookSize.toString, "engine" -> "ivf_pq",
-    "fixedBooks" -> fixedCodebooks.isDefined.toString)
+    "fixedBooks" -> fixedCodebooks.isDefined.toString,
+    "rotate" -> rotate.toString)
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
     config, corpusIdxCol, corpusVecCol, kmeansSeed)
 
-  /** Fine quantizer (codebooks + codes). */
+  /** Fine quantizer (codebooks + codes), optionally in the rotated basis. */
   lazy val pq: PQDenseEngine = PQDenseEngine(corpus, m, codebookSize,
-    config, corpusIdxCol, corpusVecCol, kmeansSeed, fixedCodebooks)
+    config, corpusIdxCol, corpusVecCol, kmeansSeed, fixedCodebooks,
+    rotate = rotate)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
@@ -191,11 +286,13 @@ case class IVFPQDenseEngine(
     val probed = ivf.probes(stamped, rowId)
     // ADC tables per (query, subspace) — computed on the probe frame so
     // the code join below carries only (rowId, cid, tables)
+    // queries enter the fine quantizer's basis (identity when unrotated)
+    val rqv = pq.rotated(col("__qv__"))
     val withTables = probed.select(
       col(rowId) +: col("cid") +: (0 until m).map { j =>
         val book = typedLit(pq.codebooks(j))
         arrTransform(book, c =>
-          SearchEngine.dot(slice(col("__qv__"), j * dsub + 1, dsub), c))
+          SearchEngine.dot(slice(rqv, j * dsub + 1, dsub), c))
           .as(s"__t$j")
       }: _*)
     val c =

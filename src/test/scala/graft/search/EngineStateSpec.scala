@@ -47,6 +47,26 @@ class EngineStateSpec extends SparkSpec {
     val r2 = e2(queries).select("qid", "`index.idx`")
       .collect().map(_.toString).sorted.toSeq
     assert(r1 == r2)
+    // DEFINITIVE cache-hit proof: an engine over a ZEROED corpus but the
+    // same stateDir + fingerprint serves the ORIGINAL vectors (scores from
+    // cached state, in-memory corpus untouched) — a refit would score
+    // everything 0. Same zeroed corpus under a NEW fingerprint refits and
+    // does score 0 (the cache-miss path).
+    val zeroed = corpus.withColumn("vector",
+      org.apache.spark.sql.functions.transform(col("vector"), _ => lit(0.0f)))
+    val hit = IVFDenseEngine(zeroed, nlist = 10, nprobe = 6,
+      config = SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid")),
+      stateDir = Some(dir), corpusFingerprint = "emb-t")
+    val rHit = hit(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rHit == r1, "reload must serve persisted state, not refit")
+    val miss = IVFDenseEngine(zeroed, nlist = 10, nprobe = 6,
+      config = SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid")),
+      stateDir = Some(dir), corpusFingerprint = "emb-zeroed")
+    val missScores = miss(queries)
+      .select(explode(col("`index.score`")).as("sc"))
+      .agg(max(abs(col("sc")))).head().getDouble(0)
+    assert(missScores == 0.0, "new fingerprint must refit from the zeroed corpus")
   }
 
   test("group lookup persists and reloads") {
