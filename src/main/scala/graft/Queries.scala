@@ -37,6 +37,44 @@ object Queries {
     s"$p:${sum.getLength}:$mtime"
   }
 
+  /** Pinned public-style merge table for the bp_bpe_encode gate: covers a
+    * chained merge (ta + b reads the output of t + a) and an a==b merge
+    * (g,g — the greedy-pass run-parity case, "agg" -> [gg, a... ]).
+    */
+  private val bpePinnedMerges: Seq[(String, String)] =
+    Seq(("t", "a"), ("ta", "b"), ("t", "h"), ("g", "g"))
+
+  /** DuckDB replay of [[graft.text.BpeEncodePipe]] with a FIXED merge
+    * table — an INDEPENDENT algorithm: where Spark encodes each word as a
+    * nested aggregate fold, the oracle runs each merge as one
+    * window-function pass (gaps-and-islands over match positions, parity
+    * selection within an island = the left-to-right greedy, consumed-row
+    * deletion). Positions keep their original char offsets, so ordering
+    * survives every pass.
+    */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    val passes = merges.zipWithIndex.map { case ((a, b), k0) =>
+      val k = k0 + 1
+      val prev = s"t${k - 1}"
+      s"""p$k AS (SELECT doc_id, wi, pos, s, lead(s) OVER (PARTITION BY doc_id, wi ORDER BY pos) AS nxt FROM $prev),
+         |m$k AS (SELECT doc_id, wi, pos, s, (s = '$a' AND nxt IS NOT DISTINCT FROM '$b') AS mt FROM p$k),
+         |i$k AS (SELECT doc_id, wi, pos, s, mt, CASE WHEN mt THEN pos - row_number() OVER (PARTITION BY doc_id, wi, mt ORDER BY pos) END AS isl FROM m$k),
+         |s$k AS (SELECT doc_id, wi, pos, s, (mt AND ((row_number() OVER (PARTITION BY doc_id, wi, isl ORDER BY pos) - 1) % 2 = 0)) AS sel FROM i$k),
+         |c$k AS (SELECT doc_id, wi, pos, s, sel, coalesce(lag(sel) OVER (PARTITION BY doc_id, wi ORDER BY pos), false) AS consumed FROM s$k),
+         |t$k AS (SELECT doc_id, wi, pos, CASE WHEN sel THEN '$a$b' ELSE s END AS s FROM c$k WHERE NOT consumed)"""
+        .stripMargin
+    }.mkString(",\n")
+    val n = merges.size
+    s"""WITH w0 AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS ws FROM documents),
+       |wx AS (SELECT doc_id, wj.i AS wi, ws[wj.i+1] AS word FROM w0, LATERAL (SELECT unnest(range(0, len(ws))) AS i) wj WHERE length(ws[wj.i+1]) > 0),
+       |t0 AS (SELECT doc_id, wi, cj.i AS pos, substr(word, CAST(cj.i AS INT), 1) AS s FROM wx, LATERAL (SELECT unnest(range(1, length(word)+1)) AS i) cj),
+       |$passes,
+       |agg AS (SELECT doc_id, list(s ORDER BY wi, pos) AS bpe_tokens, CAST(count(*) AS INT) AS n_bpe_tokens FROM t$n GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.bpe_tokens, CAST([] AS VARCHAR[])) AS bpe_tokens, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** lineitem rows with a unique total-order key (l_linenumber <= 7). */
   private def liOrd(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
@@ -225,6 +263,13 @@ object Queries {
     "t1_tokenizer" -> ((s, d) =>
       graft.text.TokenizerPipe()(t(s, d, "documents").select("doc_id", "text"))
         .select("doc_id", "input_ids", "attention_mask", "offset_mapping")
+        .orderBy("doc_id")),
+    "bp_bpe_encode" -> ((s, d) =>
+      // FIXED merge table (learn-loops stay spec-only; encode is pure
+      // expression logic, so it gets a real gate)
+      graft.text.BpeEncodePipe("text", bpePinnedMerges)(
+        t(s, d, "documents").select("doc_id", "text"))
+        .select("doc_id", "bpe_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
     "t2_passages" -> ((s, d) => {
       val toks = graft.text.TokenizerPipe()(t(s, d, "documents").select("doc_id", "text"))
@@ -1513,6 +1558,9 @@ object Queries {
         | list_transform(range(1, len(toks)+1), i -> [CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0) AS INT), CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0)+length(toks[i]) AS INT)]) AS offset_mapping
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
         "doc_id" -> "", "input_ids" -> "i", "attention_mask" -> "i", "offset_mapping" -> "ii"),
+    "bp_bpe_encode" ->
+      scl(bpeOracleSql(bpePinnedMerges),
+        "doc_id" -> "", "bpe_tokens" -> "s", "n_bpe_tokens" -> ""),
     "t2_passages" ->
       scl("""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, text,

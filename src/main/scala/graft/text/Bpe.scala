@@ -124,3 +124,18 @@ case class BpeEncodePipe(
       .drop("__bp_sub__")
   }
 }
+
+object BpeEncodePipe {
+  /** Encode with a FROZEN public tokenizer: load a merges.txt (priority =
+    * line order) via [[PretrainedVocab.loadMerges]] instead of re-learning
+    * — the import path for applying a published tokenizer's merge table.
+    */
+  def fromPretrained(
+      spark: org.apache.spark.sql.SparkSession,
+      textCol: String,
+      mergesPath: String,
+      outputCol: String = "bpe_tokens",
+      countCol: String = "n_bpe_tokens"): BpeEncodePipe =
+    BpeEncodePipe(textCol, PretrainedVocab.loadMerges(spark, mergesPath),
+      outputCol, countCol)
+}

@@ -90,3 +90,18 @@ case class TokenizerPipe(
   private def transform_col(c: Column, f: Column => Column): Column =
     org.apache.spark.sql.functions.transform(c, f)
 }
+
+object TokenizerPipe {
+  /** Tokenize with a FROZEN public vocab (vocab.json / vocab JSONL via
+    * [[PretrainedVocab.loadVocab]]): known tokens map to their published
+    * ids, unknown tokens fall back to the rolling-hash id space.
+    */
+  def fromPretrained(
+      spark: org.apache.spark.sql.SparkSession,
+      vocabPath: String,
+      key: String = "text",
+      field: Option[String] = None,
+      maxLength: Option[Int] = None): TokenizerPipe =
+    TokenizerPipe(key = key, field = field, maxLength = maxLength,
+      vocab = PretrainedVocab.loadVocab(spark, vocabPath))
+}

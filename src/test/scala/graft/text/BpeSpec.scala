@@ -47,6 +47,53 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("aa", "a", "aa", "aa"))
   }
 
+  test("pretrained merges import: file round-trip, encode identical to learned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = BpeOps.learn(docs, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val path = s"$dir/merges.txt"
+    PretrainedVocab.saveMerges(spark, path, merges)
+    // the file is the public shape: #version header + "a b" lines in order
+    val lines = scala.io.Source.fromFile(path).getLines().toList
+    assert(lines.head.startsWith("#version"))
+    assert(lines.tail == merges.map { case (a, b) => s"$a $b" })
+    val imported = PretrainedVocab.loadMerges(spark, path)
+    assert(imported == merges)
+    // byte-identical encode: learned table vs imported table
+    val learned = BpeEncodePipe("text", merges)(docs)
+      .select("doc_id", "bpe_tokens").collect().map(_.toString).sorted.toSeq
+    val frozen = BpeEncodePipe.fromPretrained(spark, "text", path)(docs)
+      .select("doc_id", "bpe_tokens").collect().map(_.toString).sorted.toSeq
+    assert(learned == frozen)
+    // malformed line fails loudly, not by silent mis-split
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.txt"), "a b c\n")
+    intercept[IllegalArgumentException] {
+      PretrainedVocab.loadMerges(spark, s"$dir/bad.txt")
+    }
+  }
+
+  test("pretrained vocab import: json + jsonl, frozen ids override the hash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    val vocab = Map("the" -> 0, "cat" -> 1, "sat" -> 2)
+    // JSONL round-trip through our writer
+    PretrainedVocab.saveVocab(spark, s"$dir/vocab.jsonl", vocab)
+    assert(PretrainedVocab.loadVocab(spark, s"$dir/vocab.jsonl") == vocab)
+    // classic single-object vocab.json
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/vocab.json"),
+      """{"the": 0, "cat": 1, "sat": 2}""")
+    assert(PretrainedVocab.loadVocab(spark, s"$dir/vocab.json") == vocab)
+    // frozen ids apply; unknown tokens fall back to the hash space
+    val df = Seq((1L, "the cat sat quickly")).toDF("doc_id", "text")
+    val ids = TokenizerPipe.fromPretrained(spark, s"$dir/vocab.jsonl")(df)
+      .select("input_ids").as[Seq[Int]].head()
+    assert(ids.take(3) == Seq(0, 1, 2))
+    val hashId = TokenizerPipe()(df).select("input_ids").as[Seq[Int]].head()(3)
+    assert(ids(3) == hashId, "unknown token keeps the rolling-hash id")
+  }
+
   test("encode matches the scalar oracle and is lossless on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
