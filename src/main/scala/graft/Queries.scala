@@ -1271,6 +1271,10 @@ object Queries {
       """WITH planted AS (SELECT * FROM documents UNION ALL SELECT doc_id+10000, text, lang, source, n_chars FROM documents WHERE doc_id < 100)
         |SELECT min(doc_id) AS doc_id, text, arg_min(lang, doc_id) AS lang, arg_min(source, doc_id) AS source, arg_min(n_chars, doc_id) AS n_chars, count(*) AS dup_count
         |FROM planted GROUP BY text ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // exact inverted-index Jaccard (NOT a MinHash replay): |∩| from the
+    // shared-shingle count, |∪| = na + nb − |∩|. Complete for any
+    // threshold > 0 (a qualifying pair shares ≥ 1 shingle), so unlike the
+    // old all-pairs cross join it is exact AND tractable at sf0.1+.
     "dd_minhash_lsh" ->
       """WITH planted AS (SELECT doc_id, text FROM documents UNION ALL
         | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
@@ -1279,9 +1283,13 @@ object Queries {
         |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
         |  ELSE [text] END) AS s
         | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS j
-        | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |  shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE AS j
+        | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "dd_ngram_jaccard" ->
       """WITH planted AS (SELECT doc_id, text, lang || '/' || substr(trim(text), 1, 8) AS blk FROM documents UNION ALL
@@ -1307,6 +1315,7 @@ object Queries {
         |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.15
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // pair generation shares dd_minhash_lsh's exact inverted-index shape
     "dd_clusters" ->
       """WITH RECURSIVE planted AS (SELECT doc_id, text FROM documents UNION ALL
         | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
@@ -1315,9 +1324,13 @@ object Queries {
         |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
         |  ELSE [text] END) AS s
         | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
-        |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b
+        | WHERE shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE >= 0.5),
         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |reach(u, v) AS (SELECT u, v FROM edges UNION SELECT u, u FROM edges
         | UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
@@ -1442,10 +1455,13 @@ object Queries {
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "u1_take_subset" ->
       "SELECT * FROM part ORDER BY (p_partkey * 2654435761) % 1000003, p_partkey LIMIT 500",
-    // replays SimHashDedupPipe(tokenHash=poly61) exhaustively: tokenId
+    // replays SimHashDedupPipe(tokenHash=poly61) exactly: tokenId
     // polynomial fold -> two multiply+rotate-xor mixing steps -> 61-bit
-    // per-bit majority votes -> all-pairs Hamming <= 3 (the banded pipe's
-    // recall is exact there by pigeonhole over 4x16-bit bands)
+    // per-bit majority votes -> Hamming <= 3 verified on full signatures.
+    // Candidates come from 16-bit band equality — COMPLETE by pigeonhole
+    // (4 disjoint bands cover 61 bits; <= 3 diffs leave one band clean) —
+    // so the result equals the old all-pairs join at any scale, sf0.1+
+    // tractable.
     "dd_simhash" ->
       """WITH planted AS (SELECT doc_id, text FROM documents
         | UNION ALL SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
@@ -1458,10 +1474,13 @@ object Queries {
         |s2 AS (SELECT doc_id, list_transform(l, x -> (x*3 + 7) % 2305843009213693951) AS l FROM s1),
         |sg AS (SELECT doc_id, list_transform(l, x -> xor(x, (x % 17592186044416) * 131072 + x // 17592186044416)) AS sigs FROM s2),
         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 61), b ->
-        |  CASE WHEN list_sum(list_transform(sigs, s -> CASE WHEN (s // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sim FROM sg)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |  CASE WHEN list_sum(list_transform(sigs, s -> CASE WHEN (s // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sim FROM sg),
+        |bnd AS (SELECT doc_id, sim, z.b AS b, (sim // (1::BIGINT << CAST(z.b*16 AS INT))) % 65536 AS bv
+        | FROM sim, LATERAL (SELECT unnest(range(0, 4)) AS b) z),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
+        | FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "s3_bm25" ->
       scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
@@ -1657,6 +1676,11 @@ object Queries {
         "vec_id" -> "", "vector" -> "d"),
     // SRP-LSH: exhaustive replay is exact because recall is pigeonhole-
     // exact at hamming <= bands-1 and signatures are formula-deterministic
+    // exact SRP replay; candidates from 4-bit band equality over the
+    // 16-bit signature — COMPLETE by pigeonhole (4 disjoint bands, <= 3
+    // differing bits leave one band clean), hamming verified on the full
+    // signature and cosine on raw vectors, so the result equals the old
+    // all-pairs join while staying sf0.1-tractable
     "dd_srp_cosine" ->
       """WITH raw AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |base AS (SELECT id, v FROM raw
@@ -1667,14 +1691,20 @@ object Queries {
         |    v[t+1] * ((((b*37 + t*11) % 21) - 10) / 10.0))) > 0
         |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg
         | FROM base),
-        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(bit_count(xor(CAST(a.sg AS BIGINT), CAST(b.sg AS BIGINT))) AS BIGINT) AS hamming,
+        |bnd AS (SELECT id, CAST(sg AS BIGINT) AS sg, z.b AS b,
+        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*4 AS INT))) % 16 AS bv
+        | FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS b) z),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb
+        | FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
+        |ham AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        | FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+        |pairs AS (SELECT id_a, id_b, hamming,
         |  list_sum(list_transform(range(0,64), t -> a.v[t+1]*b.v[t+1]))
         |   / (sqrt(list_sum(list_transform(range(0,64), t -> a.v[t+1]*a.v[t+1])))
         |    * sqrt(list_sum(list_transform(range(0,64), t -> b.v[t+1]*b.v[t+1])))) AS cosine
-        | FROM sig a JOIN sig b ON a.id < b.id)
+        | FROM ham JOIN sig a ON a.id = ham.id_a JOIN sig b ON b.id = ham.id_b)
         |SELECT id_a, id_b, hamming, round(cosine,4) AS cosine FROM pairs
-        |WHERE hamming <= 3 AND cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+        |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "pp_clean_pipeline" ->
       """WITH base AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id+10000, text, lang FROM documents WHERE doc_id < 50),
         |s AS (SELECT doc_id, text, lang, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM base),
@@ -1993,9 +2023,13 @@ object Queries {
         |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
         |  ELSE [text] END) AS s
         | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
-        |mh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cnd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |mh AS (SELECT id_a, id_b
+        | FROM cnd JOIN szs sa ON sa.doc_id = cnd.id_a JOIN szs sb ON sb.doc_id = cnd.id_b
+        | WHERE shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE >= 0.5),
         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM planted),
         |nn AS (SELECT count(*) AS n FROM planted),
         |cand AS (SELECT id_a AS anchor_id, id_b AS pos_id,

@@ -17,7 +17,7 @@ class EngineStateSpec extends SparkSpec {
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
-    def engine() = BM25Engine(docs,
+    def engine(c: org.apache.spark.sql.DataFrame = docs) = BM25Engine(c,
       SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid")),
       corpusIdxCol = "doc_id", corpusTextCol = "text",
       stateDir = Some(dir), corpusFingerprint = "docs-t")
@@ -28,6 +28,12 @@ class EngineStateSpec extends SparkSpec {
     val r2 = engine()(queries).select("qid", "`index.idx`")
       .collect().map(_.toString).sorted.toSeq
     assert(r1 == r2)
+    // definitive cache-hit proof: an instance over an EMPTIED corpus but
+    // the same stateDir + fingerprint still answers from the persisted
+    // postings — a recompute would return no hits at all
+    val r3 = engine(docs.filter(col("doc_id") < 0))(queries)
+      .select("qid", "`index.idx`").collect().map(_.toString).sorted.toSeq
+    assert(r3 == r1, "reload must serve persisted stats, not recompute")
   }
 
   test("IVF centroids/tagged persist; cold engine skips the KMeans fit") {
@@ -75,7 +81,8 @@ class EngineStateSpec extends SparkSpec {
       (col("l_orderkey") * 10 + col("l_linenumber")).as("idx"), col("l_orderkey"))
     val queries = spark.read.parquet(sf("orders")).limit(20)
       .select(col("o_orderkey").as("qid"), col("o_orderkey").as("query.l_orderkey"))
-    def engine() = GroupLookupEngine(li, "l_orderkey",
+    def engine(c: org.apache.spark.sql.DataFrame = li) = GroupLookupEngine(
+      c, "l_orderkey",
       SearchConfig(k = 8, fillMaskedIndices = false, queryIdCol = Some("qid")),
       stateDir = Some(dir), corpusFingerprint = "li-t")
     val r1 = engine()(queries).select("qid", "`index.idx`")
@@ -84,5 +91,10 @@ class EngineStateSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(r1 == r2)
     assert(new java.io.File(dir).listFiles().nonEmpty)
+    // cache-hit proof (as BM25): emptied corpus + same fingerprint still
+    // serves the persisted lookup frame
+    val r3 = engine(li.filter(col("idx") < 0))(queries)
+      .select("qid", "`index.idx`").collect().map(_.toString).sorted.toSeq
+    assert(r3 == r1, "reload must serve the persisted lookup, not recompute")
   }
 }
