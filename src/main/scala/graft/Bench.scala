@@ -21,7 +21,13 @@ object Bench {
     // Two timed executions per query, reporting the min: single-shot
     // timings on a shared host showed 10x stall outliers landing on
     // arbitrary queries; min-of-2 measures the operator, not the host.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset (the sf1 scale smoke times only the slow set):
+    // SPARK_GRAFT_ONLY="a,b,c"; unset = full driver contract
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         // isolate queries: drop leftover persisted/localCheckpoint blocks
         // from earlier queries so block-manager pressure from one query

@@ -1680,24 +1680,25 @@ object Queries {
     // 16-bit signature — COMPLETE by pigeonhole (4 disjoint bands, <= 3
     // differing bits leave one band clean), hamming verified on the full
     // signature and cosine on raw vectors, so the result equals the old
-    // all-pairs join while staying sf0.1-tractable
+    // all-pairs join while staying sf0.1-tractable. 48 bits / 6 bands of
+    // 8 (256 buckets per band) mirror the pipe's scale-sane defaults.
     "dd_srp_cosine" ->
       """WITH raw AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |base AS (SELECT id, v FROM raw
         | UNION ALL SELECT id+10000, list_transform(range(0,64), t -> v[t+1] + ((t % 5) - 2) * 0.01) FROM raw WHERE id < 30),
         |sig AS (SELECT id, v,
-        | list_sum(list_transform(range(0,16), b ->
+        | list_sum(list_transform(range(0,48), b ->
         |  CASE WHEN list_sum(list_transform(range(0,64), t ->
         |    v[t+1] * ((((b*37 + t*11) % 21) - 10) / 10.0))) > 0
         |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg
         | FROM base),
         |bnd AS (SELECT id, CAST(sg AS BIGINT) AS sg, z.b AS b,
-        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*4 AS INT))) % 16 AS bv
-        | FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS b) z),
+        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*8 AS INT))) % 256 AS bv
+        | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb
         | FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
         |ham AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        | FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+        | FROM cand WHERE bit_count(xor(sa, sb)) <= 5),
         |pairs AS (SELECT id_a, id_b, hamming,
         |  list_sum(list_transform(range(0,64), t -> a.v[t+1]*b.v[t+1]))
         |   / (sqrt(list_sum(list_transform(range(0,64), t -> a.v[t+1]*a.v[t+1])))

@@ -516,13 +516,21 @@ case class EmbeddingCosineDedupPipe(
   * the signature base is localCheckpoint-ed once (three consumers).
   * Reference counterpart: the dedup role FAISS range-search plays in
   * embedding pipelines (warp_pipes/search/vector_base/, by capability).
+  *
+  * SIZE nBits FOR THE CORPUS: expected bucket occupancy is
+  * `n / 2^(nBits/bands)`, and candidate volume per band grows with
+  * occupancy² — the 10x scale smoke measured the old 16/4 default
+  * (16 buckets per band) going 38x superlinear at 20k vectors. The
+  * 48/6 default keeps 256 buckets per band (and a tighter
+  * maxHamming/nBits angle bound at the same pigeonhole guarantee);
+  * raise nBits further for corpora past ~10^7 vectors.
   */
 case class SRPCosineDedupPipe(
     vecCol: String,
     idCol: String,
-    nBits: Int = 16,
-    bands: Int = 4,
-    maxHamming: Int = 3,
+    nBits: Int = 48,
+    bands: Int = 6,
+    maxHamming: Int = 5,
     minCosine: Double = 0.9) extends Pipe {
   require(nBits % bands == 0, "bands must divide nBits")
   require(nBits <= 62, "signature must fit a long")

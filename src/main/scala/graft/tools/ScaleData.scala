@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a 10x ("sf1") replica of the sf0.1 testdata for the scale smoke
+  * — `runMain graft.tools.ScaleData [srcDir] [dstDir] [factor]`.
+  *
+  * Straight unioning would be adversarial for the dedup/ANN gates (every
+  * row would gain factor-1 exact duplicates), so each replica is made
+  * semantically DISTINCT while keeping the marginal distributions:
+  *
+  *   - documents: ids offset by k*10^7; the word multiset is kept but each
+  *     replica permutes word order by a per-(replica, position, word) hash
+  *     — 3-shingles across replicas share ~nothing, so near-dup pair
+  *     counts scale like real data growth, not like copies;
+  *   - embeddings: ids offset; vectors circular-shifted by k components —
+  *     norms and component distributions identical, cross-replica cosine
+  *     decorrelated;
+  *   - events: user_id offset by k*10^7 (sessions/joins scale by user),
+  *     timestamps untouched.
+  *
+  * Replica 0 is the ORIGINAL data unchanged, so every gate's id-scoped
+  * query set (vec_id < 10, doc_id < 50 plants, ...) still hits real rows.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
+      // (the same conf EventStream.readBatch sets — the replica is written
+      // as plain BIGINT nanos, which readBatch's `ts div 1000` handles
+      // identically)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val off = 10000000L
+
+    def replicas(k0: DataFrame => DataFrame, mut: (DataFrame, Int) => DataFrame,
+        base: DataFrame): DataFrame =
+      (0 until factor).map { k =>
+        if (k == 0) k0(base) else mut(base, k)
+      }.reduce(_.unionByName(_))
+
+    // documents: replica k re-tags ~20% of word OCCURRENCES (hash-chosen
+    // per (word, position, replica)) and permutes word order. Tagging
+    // changes the word BAG — required because SimHash is order-blind, so
+    // a pure permutation leaves signatures identical and every doc would
+    // gain factor-1 signature-duplicates; 20% tagging also caps
+    // cross-replica 3-shingle Jaccard at ~0.8^3/(2-0.8^3) ≈ 0.34 < the
+    // 0.5 near-dup threshold.
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docsOut = replicas(
+      identity,
+      (df, k) => df.select(
+        (col("doc_id") + k * off).as("doc_id"),
+        array_join(
+          expr(s"""transform(
+            array_sort(
+              transform(split(trim(text), '\\\\s+'),
+                (w, i) -> struct(hash(w, i, $k) as h,
+                  CASE WHEN hash(w, i, $k * 31) % 5 = 0
+                       THEN concat(w, '$k') ELSE w END as w))),
+            s -> s.w)"""), " ").as("text"),
+        col("lang"), col("source"), col("n_chars")),
+      docs)
+    docsOut.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // embeddings: replica k circular-shifts the vector by k components
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embOut = replicas(
+      identity,
+      (df, k) => df.select(
+        (col("vec_id") + k * off).as("vec_id"),
+        expr(s"slice(embedding, ${k + 1}, size(embedding) - $k) || slice(embedding, 1, $k)")
+          .as("embedding"),
+        col("label")),
+      emb)
+    embOut.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // events: replica k shifts the user space (and keeps event_id unique).
+    // Written as a single FILE named events.parquet — the streaming
+    // source's pathGlobFilter matches file names, so a directory-shaped
+    // events.parquet would read as an EMPTY stream.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evOut = replicas(
+      identity,
+      (df, k) => df
+        .withColumn("user_id", col("user_id") + k * off)
+        .withColumn("event_id", col("event_id") + k * off),
+      ev)
+    val evTmp = s"$dst/_events_tmp"
+    evOut.coalesce(1).write.mode("overwrite").parquet(evTmp)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(evTmp))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val evDst = new org.apache.hadoop.fs.Path(s"$dst/events.parquet")
+    if (fs.exists(evDst)) fs.delete(evDst, true)
+    fs.rename(part, evDst)
+    fs.delete(new org.apache.hadoop.fs.Path(evTmp), true)
+
+    // remaining tables pass through unchanged (the smoke's slow queries
+    // only scale on documents/embeddings/events)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    Seq("documents", "embeddings", "events").foreach { t =>
+      println(s"[scaledata] $t: " +
+        spark.read.parquet(s"$dst/$t.parquet").count())
+    }
+    spark.stop()
+  }
+}
