@@ -78,7 +78,7 @@ class RegistrySpec extends SparkSpec {
       () => DecodeMediaStubPipe("m", "id", dim = 16)),
     ("FrameSamplePipe", () => FrameSamplePipe("m"), () => FrameSamplePipe("m", 32)),
     ("SRPCosineDedupPipe", () => SRPCosineDedupPipe("v", "id"),
-      () => SRPCosineDedupPipe("v", "id", nBits = 32)),
+      () => SRPCosineDedupPipe("v", "id", nBits = 24)),
     ("SubstringDedupPipe", () => SubstringDedupPipe("t", "id"),
       () => SubstringDedupPipe("t", "id", k = 7)),
     ("LineDedupPipe", () => LineDedupPipe("t", "id"),
