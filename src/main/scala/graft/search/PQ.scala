@@ -47,7 +47,17 @@ case class PQDenseEngine(
       * rotated by the same matrix at search time. Registry name `opq_pq`.
       */
     rotate: Boolean = false,
-    fixedRotation: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
+    fixedRotation: Option[Seq[Seq[Double]]] = None,
+    /** Persist the engine state — rotation matrix, codebooks, and the
+      * encoded codes frame — under fingerprint-keyed parquet (the same
+      * lifecycle as [[IVFDenseEngine]]/[[BM25Engine]]; reference engine
+      * state dirs, pipes/index.py:65-99). Each piece loads independently;
+      * a partially-warm dir stays consistent because every recompute
+      * (PCA fit, seeded KMeans, expression encode) is deterministic for
+      * the same corpus + params.
+      */
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
@@ -64,10 +74,30 @@ case class PQDenseEngine(
   lazy val dim: Int =
     corpus.select(size(qcol(corpusVecCol))).head().getInt(0)
 
-  /** Row i = the unit vector the i-th ROTATED dimension projects onto. */
+  private def persisted(frame: String)(compute: => DataFrame): DataFrame =
+    stateDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          corpusFingerprint, fingerprint, frame)
+        graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
+      case None => compute
+    }
+
+  /** Row i = the unit vector the i-th ROTATED dimension projects onto.
+    * With `stateDir` the learned matrix round-trips a tiny (i, row)
+    * parquet frame — reloads skip the PCA fit.
+    */
   lazy val rotation: Option[Seq[Seq[Double]]] =
     fixedRotation.orElse(
-      if (rotate) Some(OPQ.fitRotation(corpus, corpusVecCol, m, dim)) else None)
+      if (!rotate) None
+      else Some {
+        val spark = corpus.sparkSession
+        persisted("rotation") {
+          spark.createDataFrame(
+            OPQ.fitRotation(corpus, corpusVecCol, m, dim)
+              .zipWithIndex.map { case (row, i) => (i, row) }).toDF("i", "r")
+        }.orderBy("i").collect().map(_.getSeq[Double](1).toIndexedSeq).toSeq
+      })
 
   /** Apply the learned rotation to a vector column (identity when none) —
     * also used by [[IVFPQDenseEngine]] to rotate queries before ADC.
@@ -92,48 +122,60 @@ case class PQDenseEngine(
   private def build(): (Seq[Seq[Seq[Double]]], DataFrame) = {
     require(dim % m == 0, s"m=$m must divide vector dim=$dim")
     val dsub = dim / m
-    fixedCodebooks match {
-      case Some(books) =>
-        require(books.size == m && books.forall(b =>
-          b.size == codebookSize && b.forall(_.size == dsub)),
+    val books = fixedCodebooks match {
+      case Some(b) =>
+        require(b.size == m && b.forall(bk =>
+          bk.size == codebookSize && bk.forall(_.size == dsub)),
           s"fixedCodebooks must be m=$m x codebookSize=$codebookSize x dsub=$dsub")
-        // Nearest-centroid encoding as pure expressions (no KMeans): per
-        // subspace, squared L2 to each centroid of the literal codebook,
-        // argmin with first-occurrence (= lowest code) tie-break — the
-        // arithmetic an external engine replays bit-for-bit.
-        val codesDf = rcorpus.select(
-          col(corpusIdxCol).cast("long").as("idx") +:
-            (0 until m).map { j =>
-              val sub = arrTransform(
-                slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double"))
-              val dists = arrTransform(typedLit(books(j)), c =>
-                aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-                  lit(0d), (acc, v) => acc + v))
-              (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$j")
-            }: _*)
-        (books, codesDf)
-      case None => buildTrained(dsub)
+        b
+      case None => loadOrTrainBooks(dsub)
     }
+    // ONE encode path for trained and fixed books: per subspace, squared
+    // L2 to each centroid of the literal codebook, argmin with
+    // first-occurrence (= lowest code) tie-break — the arithmetic an
+    // external engine replays bit-for-bit, the same nearest-centroid rule
+    // KMeans.predict applies, and (key for state reload) codes never
+    // depend on the fitted model object, so cached books encode without
+    // a refit.
+    val codesDf = persisted("codes") {
+      rcorpus.select(
+        col(corpusIdxCol).cast("long").as("idx") +:
+          (0 until m).map { j =>
+            val sub = arrTransform(
+              slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double"))
+            val dists = arrTransform(typedLit(books(j)), c =>
+              aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+                lit(0d), (acc, v) => acc + v))
+            (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$j")
+          }: _*)
+    }
+    (books, codesDf)
   }
 
-  private def buildTrained(dsub: Int): (Seq[Seq[Seq[Double]]], DataFrame) = {
-    val prepared = rcorpus.select(
-      col(corpusIdxCol).cast("long").as("idx") +:
+  /** Per-subspace KMeans codebooks, round-tripped through a (j, c,
+    * center) parquet frame when `stateDir` is set — reloads skip all m
+    * fits.
+    */
+  private def loadOrTrainBooks(dsub: Int): Seq[Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
+    val rows = persisted("books") {
+      val prepared = rcorpus.select(
         (0 until m).map(j =>
           array_to_vector(arrTransform(
             slice(qcol(corpusVecCol), j * dsub + 1, dsub), _.cast("double")))
             .as(s"__f$j")): _*)
-    var enc = prepared
-    val books = (0 until m).map { j =>
-      val model = new KMeans().setK(codebookSize).setSeed(kmeansSeed + j)
-        .setMaxIter(20).setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
-        .fit(prepared)
-      enc = model.transform(enc)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
-    }
-    val codesDf = enc.select(
-      col("idx") +: (0 until m).map(j => col(s"__c$j")): _*)
-    (books, codesDf)
+      val trained = (0 until m).flatMap { j =>
+        val model = new KMeans().setK(codebookSize).setSeed(kmeansSeed + j)
+          .setMaxIter(20).setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
+          .fit(prepared)
+        model.clusterCenters.zipWithIndex.map { case (v, c) =>
+          (j, c, v.toArray.toSeq) }
+      }
+      spark.createDataFrame(trained).toDF("j", "c", "center")
+    }.orderBy("j", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    (0 until m).map(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3.toIndexedSeq).toSeq)
   }
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
@@ -257,7 +299,12 @@ case class IVFPQDenseEngine(
       * inner products, so nearest-centroid structure is unchanged; only
       * the PQ codes + ADC tables live in the rotated basis).
       */
-    rotate: Boolean = false) extends SearchEngine {
+    rotate: Boolean = false,
+    /** Persist both quantizers' state (coarse centroids + tagged lists,
+      * fine codebooks + codes + rotation) under one dir.
+      */
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
@@ -267,12 +314,14 @@ case class IVFPQDenseEngine(
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
-    config, corpusIdxCol, corpusVecCol, kmeansSeed)
+    config, corpusIdxCol, corpusVecCol, kmeansSeed,
+    stateDir = stateDir, corpusFingerprint = corpusFingerprint)
 
   /** Fine quantizer (codebooks + codes), optionally in the rotated basis. */
   lazy val pq: PQDenseEngine = PQDenseEngine(corpus, m, codebookSize,
     config, corpusIdxCol, corpusVecCol, kmeansSeed, fixedCodebooks,
-    rotate = rotate)
+    rotate = rotate,
+    stateDir = stateDir, corpusFingerprint = corpusFingerprint)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)

@@ -75,6 +75,47 @@ class EngineStateSpec extends SparkSpec {
     assert(missScores == 0.0, "new fingerprint must refit from the zeroed corpus")
   }
 
+  test("OPQ-PQ state (rotation + books + codes) persists; reload skips all fits") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    def engine(c: org.apache.spark.sql.DataFrame = corpus) =
+      PQDenseEngine(c, m = 8, codebookSize = 16, config = cfg, rotate = true,
+        stateDir = Some(dir), corpusFingerprint = "emb-pq")
+    val r1 = engine()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    // three state frames on disk: rotation, books, codes
+    val frames = new java.io.File(dir).listFiles().count(!_.getName.startsWith("_"))
+    assert(frames == 3, s"expected 3 persisted state frames, found $frames")
+    // cache-hit proof: a zeroed corpus under the same fingerprint serves
+    // the ORIGINAL rotation/books/codes (a refit would rotate nothing and
+    // score every candidate identically); the reloaded rotation matrix
+    // matches the learned one exactly
+    val zeroed = corpus.withColumn("vector",
+      org.apache.spark.sql.functions.transform(col("vector"), _ => lit(0.0f)))
+    val hit = engine(zeroed)
+    assert(hit.rotation.get == engine().rotation.get)
+    val rHit = hit(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rHit == r1, "reload must serve persisted state, not refit")
+    // composed engine: one dir persists coarse + fine state (5 frames:
+    // centroids, tagged, rotation, books, codes)
+    val dir2 = Files.createTempDirectory("graft-ivfpq").toString
+    def composed() = IVFPQDenseEngine(corpus, nlist = 8, nprobe = 8,
+      m = 8, codebookSize = 16, config = cfg, rotate = true,
+      stateDir = Some(dir2), corpusFingerprint = "emb-ivfpq")
+    val c1 = composed()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    val n2 = new java.io.File(dir2).listFiles().count(!_.getName.startsWith("_"))
+    assert(n2 == 5, s"expected 5 persisted state frames, found $n2")
+    val c2 = composed()(queries).select("qid", "`index.idx`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(c1 == c2)
+  }
+
   test("group lookup persists and reloads") {
     val dir = Files.createTempDirectory("graft-gl").toString
     val li = spark.read.parquet(sf("lineitem")).select(
