@@ -835,6 +835,28 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s12_ivfpq_residual" -> ((s, d) => {
+      // FAISS-style residual IVF-PQ, made fully deterministic: formula
+      // centroids (argmin-L2 tagging, no KMeans) + formula codebooks over
+      // the residuals + nprobe = nlist. score = q·centroid (exact) +
+      // ADC(q, residual codes) — the DuckDB oracle replays every term.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.IVFPQDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        nlist = 8, nprobe = 8, m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        residual = true,
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     // ----- curation: repetition / decontamination / PII / stratified -----
     "cu_repetition" -> ((s, d) =>
       graft.llm.RepetitionStatsPipe("text")(t(s, d, "documents"))
@@ -1771,6 +1793,35 @@ object Queries {
         |sc AS (SELECT qs.qid, codes.vec_id AS idx,
         |  list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
         |    qs.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM qs CROSS JOIN codes),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // residual IVF-PQ: cid = argmin-L2 over formula centroids; codes =
+    // argmin-L2 over formula books of rv = v - centroid[cid]; score =
+    // q·centroid + ADC(q, codes) — every term replayed
+    "s12_ivfpq_residual" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |res AS (SELECT vec_id, cid, list_transform(range(0,64), t -> v[t+1] - (((cid*29 + t*13) % 17) - 8) * 0.05) AS rv FROM cd),
+        |codes AS (SELECT vec_id, cid, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM res),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((codes.cid*29 + t*13) % 17) - 8) * 0.05)))
+        |  + list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |      qs.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
         | FROM qs CROSS JOIN codes),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"

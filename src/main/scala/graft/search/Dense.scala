@@ -102,7 +102,13 @@ case class IVFDenseEngine(
       * dirs (pipes/index.py:65-99). Cache hits skip the KMeans fit.
       */
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** Caller-supplied centroids (nlist x dim): tagging becomes a pure
+      * argmin-L2 expression (no KMeans), making the whole engine
+      * DETERMINISTIC and externally replayable — the coarse-quantizer
+      * analogue of [[PQDenseEngine]]'s `fixedCodebooks`.
+      */
+    fixedCentroids: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
@@ -111,7 +117,8 @@ case class IVFDenseEngine(
     "nprobe" -> nprobe.toString, "engine" -> "dense_ivf",
     // seed participates in the state-cache key: engines differing only in
     // seed must not share persisted centroids
-    "seed" -> kmeansSeed.toString)
+    "seed" -> kmeansSeed.toString,
+    "fixedCents" -> fixedCentroids.isDefined.toString)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
@@ -143,19 +150,44 @@ case class IVFDenseEngine(
         case None => compute
       }
     val centsDf = persisted("centroids") {
-      spark.createDataFrame(
-        fitted.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-          .toSeq).toDF("cid", "centroid")
+      fixedCentroids match {
+        case Some(cents) =>
+          require(cents.size == nlist,
+            s"fixedCentroids must have nlist=$nlist rows (got ${cents.size})")
+          spark.createDataFrame(
+            cents.zipWithIndex.map { case (v, i) => (i, v) }).toDF("cid", "centroid")
+        case None =>
+          spark.createDataFrame(
+            fitted.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+              .toSeq).toDF("cid", "centroid")
+      }
     }
     val taggedDf = persisted("tagged") {
-      fitted.transform(prepared)
-        .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
+      fixedCentroids match {
+        case Some(cents) =>
+          // argmin-L2 tagging as pure expressions, lowest-cid tie-break —
+          // externally replayable, no fit
+          val v = org.apache.spark.sql.functions.transform(
+            col("__cv__"), _.cast("double"))
+          val dists = org.apache.spark.sql.functions.transform(
+            typedLit(cents), c =>
+              aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+                lit(0d), (acc, d) => acc + d))
+          prepared.select(col("idx"), col("__cv__"),
+            (array_position(dists, array_min(dists)) - 1).cast("int").as("cid"))
+        case None =>
+          fitted.transform(prepared)
+            .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
+      }
     }
     (centsDf, taggedDf)
   }
 
-  /** `(rowId, __qv__, cid)` — each query row paired with its `nprobe`
-    * nearest centroid ids (the probe step, reusable by [[IVFPQDenseEngine]]).
+  /** `(rowId, __qv__, cid, __cscore__)` — each query row paired with its
+    * `nprobe` nearest centroid ids and the query·centroid score (the
+    * probe step, reusable by [[IVFPQDenseEngine]]; `__cscore__` is the
+    * exact coarse term of the residual-ADC decomposition
+    * `q·x = q·centroid + q·residual`).
     */
   def probes(stamped: DataFrame, rowId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -167,7 +199,7 @@ case class IVFDenseEngine(
       .withColumn("__cscore__", SearchEngine.dot(col("__qv__"), col("centroid")))
       .withColumn("__crank__", row_number().over(probeW))
       .filter(col("__crank__") <= nprobe)
-      .select(col(rowId), col("__qv__"), col("cid"))
+      .select(col(rowId), col("__qv__"), col("cid"), col("__cscore__"))
   }
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
@@ -177,4 +209,15 @@ case class IVFDenseEngine(
         SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))
     SearchEngine.collapseTopK(stamped, exploded, rowId, config.k)
   }
+}
+
+object IVFDenseEngine {
+  /** Deterministic formula centroids for gates/specs: component t of
+    * centroid c is `(((c*29 + t*13) mod 17) - 8) * 0.05` — integer
+    * arithmetic then one multiply, replayable in any engine (the coarse
+    * analogue of [[PQDenseEngine.formulaCodebooks]]).
+    */
+  def formulaCentroids(nlist: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nlist).map(c => (0 until dim).map(t =>
+      (((c * 29 + t * 13) % 17) - 8) * 0.05))
 }

@@ -110,6 +110,11 @@ object AutoSearchEngine {
     "opq_ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       rotate = true)),
+    // FAISS-faithful residual variant: codes quantize x - centroid[cid],
+    // scores decompose q·centroid + ADC
+    "ivf_pq_resid" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      residual = true)),
     "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
       roundScores = roundScores)),
     "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,

@@ -304,24 +304,50 @@ case class IVFPQDenseEngine(
       * fine codebooks + codes + rotation) under one dir.
       */
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** FAISS-style per-list residual encoding: PQ codes quantize
+      * `r = x − centroid[cid]` instead of raw x, and scores decompose as
+      * `q·x = q·centroid (exact, from the probe) + q·r (ADC)`. Residuals
+      * have far smaller spread than raw vectors — each inverted list's
+      * members share their centroid — so the same m·codebookSize budget
+      * quantizes with less error (the recall win the non-residual
+      * divergence note documented). Composes with `rotate` (the rotation
+      * is learned on residuals).
+      */
+    residual: Boolean = false,
+    fixedCentroids: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
     "codebookSize" -> codebookSize.toString, "engine" -> "ivf_pq",
     "fixedBooks" -> fixedCodebooks.isDefined.toString,
-    "rotate" -> rotate.toString)
+    "rotate" -> rotate.toString, "residual" -> residual.toString,
+    "fixedCents" -> fixedCentroids.isDefined.toString)
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
     config, corpusIdxCol, corpusVecCol, kmeansSeed,
-    stateDir = stateDir, corpusFingerprint = corpusFingerprint)
+    stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+    fixedCentroids = fixedCentroids)
+
+  /** The frame the fine quantizer encodes: raw corpus, or per-list
+    * residuals (idx, __rv__ = x − centroid[cid]).
+    */
+  private lazy val fineCorpus: DataFrame =
+    if (!residual) corpus
+    else ivf.tagged.join(broadcast(ivf.centroids), Seq("cid"))
+      .select(col("idx"),
+        zip_with(arrTransform(col("__cv__"), _.cast("double")), col("centroid"),
+          (x, c) => x - c).as("__rv__"))
 
   /** Fine quantizer (codebooks + codes), optionally in the rotated basis. */
-  lazy val pq: PQDenseEngine = PQDenseEngine(corpus, m, codebookSize,
-    config, corpusIdxCol, corpusVecCol, kmeansSeed, fixedCodebooks,
+  lazy val pq: PQDenseEngine = PQDenseEngine(fineCorpus, m, codebookSize,
+    config, if (residual) "idx" else corpusIdxCol,
+    if (residual) "__rv__" else corpusVecCol, kmeansSeed, fixedCodebooks,
     rotate = rotate,
-    stateDir = stateDir, corpusFingerprint = corpusFingerprint)
+    stateDir = stateDir,
+    corpusFingerprint =
+      if (residual) s"$corpusFingerprint-resid" else corpusFingerprint)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
@@ -338,7 +364,7 @@ case class IVFPQDenseEngine(
     // queries enter the fine quantizer's basis (identity when unrotated)
     val rqv = pq.rotated(col("__qv__"))
     val withTables = probed.select(
-      col(rowId) +: col("cid") +: (0 until m).map { j =>
+      col(rowId) +: col("cid") +: col("__cscore__") +: (0 until m).map { j =>
         val book = typedLit(pq.codebooks(j))
         arrTransform(book, c =>
           SearchEngine.dot(slice(rqv, j * dsub + 1, dsub), c))
@@ -347,10 +373,12 @@ case class IVFPQDenseEngine(
     val c =
       if (n <= PQDenseEngine.BroadcastCodeRowCap) broadcast(taggedCodes)
       else taggedCodes
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__t$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    // residual decomposition: exact coarse term + ADC over the residual
+    val score = if (residual) col("__cscore__") + adc else adc
     val scored = withTables.join(c, Seq("cid"))
-      .select(col(rowId), col("idx"),
-        (0 until m).map(j => element_at(col(s"__t$j"), col(s"__c$j") + 1))
-          .reduce(_ + _).as("score"))
+      .select(col(rowId), col("idx"), score.as("score"))
     SearchEngine.collapseTopK(stamped, scored, rowId, config.k)
   }
 }
