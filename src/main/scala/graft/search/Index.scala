@@ -106,12 +106,13 @@ object AutoSearchEngine {
     "ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
     // the reference's FULL default factory: OPQ rotation + IVF pruning +
-    // PQ codes (vector_base/utils/faiss.py:30-87)
+    // residual PQ codes (vector_base/utils/faiss.py:30-87; FAISS
+    // IndexIVFPQ encodes residuals by default — by_residual=true)
     "opq_ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      rotate = true)),
-    // FAISS-faithful residual variant: codes quantize x - centroid[cid],
-    // scores decompose q·centroid + ADC
+      rotate = true, residual = true)),
+    // residual-only variant: codes quantize x - centroid[cid], scores
+    // decompose q·centroid + ADC
     "ivf_pq_resid" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       residual = true)),

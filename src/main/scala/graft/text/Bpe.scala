@@ -115,9 +115,12 @@ case class BpeEncodePipe(
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val subwords = flatten(arrTransform(
       BpeOps.words(qcol(textCol)), w => BpeOps.encodeWord(w, merges)))
+    // widen: the per-word merge folds are interpreted HOF work — on a
+    // small file's 1-2 input splits they serialize (the bench measured
+    // 13 s at sf0.1 on 2 tasks); spread across cores first
     // stage the subword array once; size() referencing a staged column
     // cannot re-trigger the nested merge folds (HOF-inline hazard)
-    val staged = df.withColumn("__bp_sub__", subwords)
+    val staged = Pipe.widen(df).withColumn("__bp_sub__", subwords)
     finish(staged, Seq(
       outputCol -> col("__bp_sub__"),
       countCol -> size(col("__bp_sub__")).cast("int")))

@@ -268,6 +268,13 @@ class SearchSpec extends SparkSpec {
       m = 8, codebookSize = 64, config = cfg, residual = true))
     info(s"recall@10: raw-codes=$raw residual=$resid")
     assert(resid > raw, s"residual recall@10 = $resid not above raw $raw")
+    // the registry's full default-factory shape (OPQ rotation learned on
+    // residuals + residual codes) stays in the residual engine's recall
+    // band — the composition is sound, not just constructible
+    val combined = recallOf(IVFPQDenseEngine(corpus, nlist = 16, nprobe = 16,
+      m = 8, codebookSize = 64, config = cfg, residual = true, rotate = true))
+    info(s"recall@10: opq+residual=$combined")
+    assert(combined > raw, s"opq+residual recall@10 = $combined not above raw $raw")
   }
 
   test("IVF recall@10 >= 0.9 vs brute force") {
