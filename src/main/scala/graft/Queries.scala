@@ -261,8 +261,10 @@ object Queries {
 
     // ----- text (T1-T2) -----
     "t1_tokenizer" -> ((s, d) =>
-      graft.text.TokenizerPipe()(t(s, d, "documents").select("doc_id", "text"))
-        .select("doc_id", "input_ids", "attention_mask", "offset_mapping")
+      graft.text.TokenizerPipe(returnTokenTypeIds = true)(
+        t(s, d, "documents").select("doc_id", "text"))
+        .select("doc_id", "input_ids", "attention_mask", "token_type_ids",
+          "offset_mapping")
         .orderBy("doc_id")),
     "bp_bpe_encode" -> ((s, d) =>
       // FIXED merge table (learn-loops stay spec-only; encode is pure
@@ -1596,9 +1598,10 @@ object Queries {
         |SELECT doc_id,
         | list_transform(toks, t -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003) AS INT)) AS input_ids,
         | list_transform(toks, t -> 1) AS attention_mask,
+        | list_transform(toks, t -> 0) AS token_type_ids,
         | list_transform(range(1, len(toks)+1), i -> [CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0) AS INT), CAST(coalesce(list_sum(list_transform(toks[1:i-1], s -> length(s)+1)),0)+length(toks[i]) AS INT)]) AS offset_mapping
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
-        "doc_id" -> "", "input_ids" -> "i", "attention_mask" -> "i", "offset_mapping" -> "ii"),
+        "doc_id" -> "", "input_ids" -> "i", "attention_mask" -> "i", "token_type_ids" -> "i", "offset_mapping" -> "ii"),
     "bp_bpe_encode" ->
       scl(bpeOracleSql(bpePinnedMerges),
         "doc_id" -> "", "bpe_tokens" -> "s", "n_bpe_tokens" -> ""),

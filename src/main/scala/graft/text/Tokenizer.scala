@@ -32,12 +32,18 @@ case class TokenizerPipe(
     maxLength: Option[Int] = None,
     vocabSize: Int = 1000003,
     returnOffsetsMapping: Boolean = true,
-    vocab: Map[String, Int] = Map.empty) extends Pipe {
+    vocab: Map[String, Int] = Map.empty,
+    /** Emit `token_type_ids` (all zeros — single-sequence segment ids, the
+      * HF convention; reference `return_token_type_ids`,
+      * pipes/tokenizer.py:23).
+      */
+    returnTokenTypeIds: Boolean = false) extends Pipe {
 
   override def update: Boolean = true
   override def params = Map(
     "key" -> key, "field" -> field.mkString, "maxLength" -> maxLength.mkString,
     "vocabSize" -> vocabSize.toString, "offsets" -> returnOffsetsMapping.toString,
+    "tokenTypes" -> returnTokenTypeIds.toString,
     "vocab" -> vocab.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
 
   private def fp: String = field.map(_ + ".").getOrElse("")
@@ -82,6 +88,8 @@ case class TokenizerPipe(
     val outs = Seq(
       s"${fp}input_ids" -> transform_col(toks, tokenId),
       s"${fp}attention_mask" -> transform_col(toks, _ => lit(1))) ++
+      (if (returnTokenTypeIds)
+        Seq(s"${fp}token_type_ids" -> transform_col(toks, _ => lit(0))) else Nil) ++
       (if (returnOffsetsMapping) Seq(s"${fp}offset_mapping" -> offsets) else Nil)
     finish(df, outs)
   }
