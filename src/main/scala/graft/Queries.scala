@@ -37,6 +37,27 @@ object Queries {
     s"$p:${sum.getLength}:$mtime"
   }
 
+  /** Exact inverted-index Jaccard pair oracle over the planted-near-dup
+    * corpus — shared by dd_minhash_lsh (batch) and ev_stream_neardup
+    * (streaming twin, identical pair semantics within one drain).
+    */
+  private val minhashPairOracle: String =
+    """WITH planted AS (SELECT doc_id, text FROM documents UNION ALL
+      | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+      | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+      |  ELSE [text] END) AS s
+      | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
+      |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+      |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b,
+      |  shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE AS j
+      | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b)
+      |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** Pinned public-style merge table for the bp_bpe_encode gate: covers a
     * chained merge (ta + b reads the output of t + a) and an a==b merge
     * (g,g — the greedy-pass run-parity case, "agg" -> [gg, a... ]).
@@ -549,6 +570,14 @@ object Queries {
         jaccardThreshold = 0.5)(plantedNearDups(s, d))
       graft.llm.DedupOps.connectedComponents(pairs).orderBy("id")
     }),
+    "ev_stream_neardup" -> ((s, d) =>
+      // REAL StreamingQuery: near-dup pairs discovered on the document
+      // stream (flatMapGroupsWithState over band buckets); pair set
+      // equals the batch LSH semantics the shared oracle replays
+      graft.streaming.EventStream.runNearDedupStream(s, d)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
     "l5_to_tensor" -> ((s, d) =>
       ToTensorPipe(Seq("nums"))(liNums(s, d)).orderBy("l_orderkey")),
     "s3b_bm25_aux" -> ((s, d) => {
@@ -1299,22 +1328,10 @@ object Queries {
     // shared-shingle count, |∪| = na + nb − |∩|. Complete for any
     // threshold > 0 (a qualifying pair shares ≥ 1 shingle), so unlike the
     // old all-pairs cross join it is exact AND tractable at sf0.1+.
-    "dd_minhash_lsh" ->
-      """WITH planted AS (SELECT doc_id, text FROM documents UNION ALL
-        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
-        | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
-        |  ELSE [text] END) AS s
-        | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
-        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
-        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b,
-        |  shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE AS j
-        | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b)
-        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "dd_minhash_lsh" -> minhashPairOracle,
+    // the STREAMING twin discovers the same pair set inside one drain
+    // (eviction semantics are the multi-batch spec's job)
+    "ev_stream_neardup" -> minhashPairOracle,
     "dd_ngram_jaccard" ->
       """WITH planted AS (SELECT doc_id, text, lang || '/' || substr(trim(text), 1, 8) AS blk FROM documents UNION ALL
         | SELECT doc_id+10000, mtext, lang || '/' || substr(trim(mtext), 1, 8)

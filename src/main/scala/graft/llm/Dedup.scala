@@ -71,15 +71,38 @@ object DedupOps {
     * per shingle beats 64 seeded xxhash64 rounds in both codegen and
     * interpreted paths, and keeps the generated aggregate method small.
     */
-  def minhashPermutations(h: Column, numHashes: Int): Seq[Column] = {
-    val p = 2147483647L // 2^31 - 1
+  /** Fixed-seed (a, b) coefficient pairs shared by every minhash surface
+    * (batch relational, streaming array form) so all of them bucket
+    * identically.
+    */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(0x5eed5eed)
-    val hp = pmod(h, lit(p))
     (0 until numHashes).map { _ =>
-      val a = 1L + rnd.nextInt(Int.MaxValue - 1).toLong
-      val b = rnd.nextInt(Int.MaxValue).toLong
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong)
+    }
+  }
+
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+
+  def minhashPermutations(h: Column, numHashes: Int): Seq[Column] = {
+    val p = MinhashPrime
+    val hp = pmod(h, lit(p))
+    minhashCoeffs(numHashes).map { case (a, b) =>
       pmod(hp * lit(a) + lit(b), lit(p))
     }
+  }
+
+  /** Array-form minhash signature over a shingle-hash array, same linear
+    * permutations (and therefore the same buckets) as
+    * [[minhashPermutations]] — for map-only contexts (a stream row) where
+    * the relational explode+groupBy form would be a stateful aggregate.
+    */
+  def minhashSignatureLinear(sh: Column, numHashes: Int): Column = {
+    val p = MinhashPrime
+    array(minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(arrTransform(sh, x => pmod(pmod(x, lit(p)) * a + b, lit(p))))
+    }: _*)
   }
 
   /** 64-bit SimHash over per-token hash values: bit b is set when the

@@ -136,6 +136,44 @@ object EventStream {
     runToMemorySink(
       streamStreamIntervalJoin(side("click"), side("error")), "append")
   }
+
+  /** Streaming read of any single-file fixture table (schema pinned from
+    * a batch read; the glob filter matches FILE names, so the table must
+    * be one file, as the driver fixtures are).
+    */
+  def readStreamTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/$table.parquet").schema)
+      .format("parquet")
+      .option("pathGlobFilter", s"$table.parquet")
+      .load(dir)
+
+  /** Near-dup pairs discovered ON THE STREAM (gate `ev_stream_neardup`):
+    * documents (with the dd_minhash_lsh plants, stream-unioned) flow
+    * through [[StreamingNearDedup]] inside a REAL StreamingQuery; event
+    * time is synthesized from doc_id so the single drain holds every doc
+    * inside one watermark window and the pair set equals the batch LSH
+    * semantics the DuckDB oracle replays (watermark EVICTION is the
+    * multi-batch spec's job — an oracle can't see state internals).
+    */
+  def runNearDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readStreamTable(spark, dir, "documents").select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val mutated = readStreamTable(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
+          .as("text"))
+    // +1 day: a row whose event time is EXACTLY the initial watermark (0,
+    // the epoch) is filtered as late before the stateful operator — doc 0
+    // silently lost every pair until the timeline moved off the origin
+    val planted = raw.unionByName(mutated)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    runToMemorySink(
+      StreamingNearDedup(planted, "text", "doc_id", "ts",
+        watermark = "10 hours").toDF(),
+      "append")
+  }
 }
 
 /** Stream-static enrichment join: attach dimension attributes to a fact

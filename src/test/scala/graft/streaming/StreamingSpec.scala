@@ -137,4 +137,42 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("streaming near-dedup pairs within the window, evicts past the watermark") {
+    implicit val sctx = spark.sqlContext
+    // same text = jaccard 1.0; watermark 1 hour
+    val mem = MemoryStream[(Long, String, String)]
+    def toDf(m: MemoryStream[(Long, String, String)]) =
+      m.toDF().toDF("doc_id", "text", "t")
+        .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val pairs = StreamingNearDedup(toDf(mem), "text", "doc_id", "ts",
+      watermark = "1 hour")
+    val q = pairs.toDF().writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two near-dups close together -> pair (1,2)
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog again",
+        "2024-01-01 00:10:00"))
+      mem.addData((2L, "the quick brown fox jumps over the lazy dog again",
+        "2024-01-01 00:20:00"))
+      q.processAllAvailable()
+      // batch 2: a far-future unrelated doc advances the watermark hours
+      // past batch 1's members
+      mem.addData((3L, "completely different words entirely unrelated content",
+        "2024-01-01 09:00:00"))
+      q.processAllAvailable()
+      // batch 3: same text as docs 1/2 — but their state is EVICTED, so
+      // only the in-window twin (5) pairs with it
+      mem.addData((4L, "the quick brown fox jumps over the lazy dog again",
+        "2024-01-01 09:30:00"))
+      mem.addData((5L, "the quick brown fox jumps over the lazy dog again",
+        "2024-01-01 09:40:00"))
+      q.processAllAvailable()
+      val out = spark.table("nd_out")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 2L), (4L, 5L)),
+        s"expected {(1,2),(4,5)}, got $out")
+    } finally q.stop()
+  }
 }
