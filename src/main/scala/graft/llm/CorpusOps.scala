@@ -156,15 +156,23 @@ object InterleaveDatasets {
     val tagged = sources.zipWithIndex.map { case ((df, w), i) =>
       val invw = math.round(1e6 / w)
       // invw = 0 (weight > 2e6) would collapse every row of the source to
-      // one key; the key (r+1)*invw*1000 must also stay under 2^63 —
-      // bounded here for the worst representable invw (weight >= 1e-12,
-      // so invw <= 1e18/1000 rows still fits for ranks up to ~9.2e3; in
-      // practice weights are O(1) and ranks are corpus-sized) (ADVICE r6)
+      // one key (ADVICE r6)
       require(invw > 0,
         s"weight $w too large (must be <= 2e6 for a nonzero fixed-point inverse)")
+      // the order key (r+1)*invw*1000 + src must stay under 2^63, so the
+      // largest representable rank is 2^63/(invw*1000) - 2 — ~9.2e12 rows
+      // at weight 1 and ~9.2e9 at weight 1e-3. Checked per ROW and raised
+      // loudly: with ANSI off the multiply would wrap silently and
+      // corrupt the interleave order (ADVICE r6)
+      val maxRank = Long.MaxValue / (invw * 1000L) - 2L
       graft.pipes.NestingOps.withGlobalRank(df, orderCol, "__il_r__")
         .withColumn(srcCol, lit(i))
-        .withColumn("__il_key__", (col("__il_r__") + 1) * invw)
+        .withColumn("__il_key__",
+          when(col("__il_r__") <= maxRank, (col("__il_r__") + 1) * invw)
+            .otherwise(raise_error(concat(
+              lit(s"interleave key overflow: source $i (weight $w) rank "),
+              col("__il_r__"),
+              lit(s" exceeds max $maxRank — use a larger weight or fewer rows")))))
         .drop("__il_r__")
     }
     val unioned = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
