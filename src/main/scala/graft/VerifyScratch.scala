@@ -347,15 +347,20 @@ object VerifyScratch {
         tScored.count() == docs.count()}")
 
     // 28. BPE learn + encode on real docs: 6 merges learned, encode is
-    // lossless (subword concat == word concat) and map-only (no Exchange)
+    // lossless (subword concat == word concat) and map-only — the only
+    // exchange allowed is the deliberate round-robin widen that spreads
+    // the interpreted merge folds (13 s -> 1.3 s at sf0.1); no KEYED
+    // shuffle (hash/range) may appear
     val bpMerges = graft.text.BpeOps.learn(docs, "text", numMerges = 6)
     val bp = graft.text.BpeEncodePipe("text", bpMerges)(docs)
     val bpLossy = bp.filter(
       concat_ws("", col("bpe_tokens")) =!=
         concat_ws("", split(trim(col("text")), "\\s+"))).count()
     val bpPlan = bp.queryExecution.executedPlan.toString
-    println(s"[28] bpe: 6 merges, lossless encode, map-only -> " +
-      s"${bpMerges.size == 6 && bpLossy == 0 && !bpPlan.contains("Exchange")}")
+    println(s"[28] bpe: 6 merges, lossless encode, no keyed shuffle -> " +
+      s"${bpMerges.size == 6 && bpLossy == 0 &&
+        !bpPlan.contains("hashpartitioning") &&
+        !bpPlan.contains("rangepartitioning")}")
 
     // 29. temperature mix on real docs: the smallest lang survives whole,
     // the largest is downsampled hardest (counts flatten toward n^alpha),
@@ -457,6 +462,70 @@ object VerifyScratch {
         empty, "text", "y", numBuckets = 64)
       val ok = w.size == 64 && !b.isNaN && !b.isInfinite
       println(s"[37] empty-frame training returns finite weights -> $ok")
+    }
+
+    // 38. registry-built OPQ + residual default factory on real embeddings:
+    // sane top-1 (every query's nearest neighbor is itself)
+    {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.AutoSearchEngine("opq_ivf_pq", corpus,
+        graft.search.SearchConfig(k = 3, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      val hits = eng(queries)
+        .select(col("qid"), element_at(col("`index.idx`"), 1).as("top1"))
+        .collect()
+      val selfTop = hits.count(r => r.getLong(0) == r.getLong(1))
+      println(s"[38] opq_ivf_pq registry engine: $selfTop/10 self-top1 -> " +
+        s"${selfTop >= 8}")
+    }
+
+    // 39. dense scale trap: bare name refuses above the cap, dense_exact
+    // opts in (the r6-verdict config-port hazard)
+    {
+      val big = spark.range(graft.search.BruteForceDenseEngine.BroadcastRowCap + 1)
+        .select(col("id").as("idx"), array(lit(1.0f)).as("vector"))
+      import spark.implicits._
+      val queries = Seq((0L, Seq(1.0f))).toDF("qid", "query.vector")
+      val cfg = graft.search.SearchConfig(k = 1, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val refused = try {
+        graft.search.AutoSearchEngine("dense", big, cfg)(queries); false
+      } catch { case e: IllegalStateException => e.getMessage.contains("dense_ivf") }
+      val optIn = graft.search.AutoSearchEngine("dense_exact", big, cfg)(queries)
+        .columns.contains("index.idx")
+      println(s"[39] dense refuses cartesian, dense_exact opts in -> " +
+        s"${refused && optIn}")
+    }
+
+    // 40. pretrained tokenizer lifecycle on real docs: learn -> export ->
+    // import -> encode equals the learned path byte-for-byte
+    {
+      val merges = graft.text.BpeOps.learn(docs.select("doc_id", "text"), "text", 4)
+      val dir = java.nio.file.Files.createTempDirectory("vs-bpe").toString
+      graft.text.PretrainedVocab.saveMerges(spark, s"$dir/merges.txt", merges)
+      val learned = graft.text.BpeEncodePipe("text", merges)(docs)
+        .select("doc_id", "bpe_tokens").collect().map(_.toString).sorted.toSeq
+      val frozen = graft.text.BpeEncodePipe.fromPretrained(
+        spark, "text", s"$dir/merges.txt")(docs)
+        .select("doc_id", "bpe_tokens").collect().map(_.toString).sorted.toSeq
+      println(s"[40] pretrained merges round-trip encode identical -> " +
+        s"${learned == frozen && merges.size == 4}")
+    }
+
+    // 41. streaming near-dedup determinism: two full drains over the same
+    // planted corpus produce the identical pair set
+    {
+      val d1 = graft.streaming.EventStream.runNearDedupStream(spark, sf)
+        .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b").collect().map(_.toString).sorted.toSeq
+      val d2 = graft.streaming.EventStream.runNearDedupStream(spark, sf)
+        .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b").collect().map(_.toString).sorted.toSeq
+      println(s"[41] streaming near-dedup rerun-identical (${d1.size} pairs) -> " +
+        s"${d1 == d2 && d1.nonEmpty}")
     }
 
     spark.stop()
