@@ -159,6 +159,10 @@ object InterleaveDatasets {
       // one key (ADVICE r6)
       require(invw > 0,
         s"weight $w too large (must be <= 2e6 for a nonzero fixed-point inverse)")
+      // invw*1000 must itself fit a long, or maxRank below would be
+      // computed from a wrapped product and let keys overflow silently
+      require(invw <= Long.MaxValue / 1000L,
+        s"weight $w too small (fixed-point inverse $invw overflows the key space)")
       // the order key (r+1)*invw*1000 + src must stay under 2^63, so the
       // largest representable rank is 2^63/(invw*1000) - 2 — ~9.2e12 rows
       // at weight 1 and ~9.2e9 at weight 1e-3. Checked per ROW and raised

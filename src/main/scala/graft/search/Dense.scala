@@ -118,7 +118,8 @@ case class IVFDenseEngine(
     // seed participates in the state-cache key: engines differing only in
     // seed must not share persisted centroids
     "seed" -> kmeansSeed.toString,
-    "fixedCents" -> fixedCentroids.isDefined.toString)
+    // content hash: different fixed centroids must not share a state key
+    "fixedCents" -> fixedCentroids.map(_.hashCode.toString).getOrElse(""))
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)

@@ -64,7 +64,11 @@ case class PQDenseEngine(
 
   override def params = Map("k" -> config.k.toString, "m" -> m.toString,
     "codebookSize" -> codebookSize.toString, "engine" -> "dense_pq",
-    "fixedBooks" -> fixedCodebooks.isDefined.toString,
+    // CONTENT hashes, not isDefined: two engines with different fixed
+    // state must not share a persisted-cache key (and the seed must
+    // split trained-state keys — the IVF lesson applied here too)
+    "fixedBooks" -> fixedCodebooks.map(_.hashCode.toString).getOrElse(""),
+    "seed" -> kmeansSeed.toString,
     "rotate" -> rotate.toString,
     "fixedRotation" -> fixedRotation.map(_.hashCode.toString).getOrElse(""))
 
@@ -320,9 +324,10 @@ case class IVFPQDenseEngine(
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
     "codebookSize" -> codebookSize.toString, "engine" -> "ivf_pq",
-    "fixedBooks" -> fixedCodebooks.isDefined.toString,
+    "fixedBooks" -> fixedCodebooks.map(_.hashCode.toString).getOrElse(""),
+    "seed" -> kmeansSeed.toString,
     "rotate" -> rotate.toString, "residual" -> residual.toString,
-    "fixedCents" -> fixedCentroids.isDefined.toString)
+    "fixedCents" -> fixedCentroids.map(_.hashCode.toString).getOrElse(""))
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
@@ -346,8 +351,13 @@ case class IVFPQDenseEngine(
     if (residual) "__rv__" else corpusVecCol, kmeansSeed, fixedCodebooks,
     rotate = rotate,
     stateDir = stateDir,
+    // residual codes are a function of the COARSE quantizer too (the
+    // residual corpus is x - centroid[cid]) — its fingerprint must be in
+    // the fine cache key, or changing nlist/seed/fixedCentroids would
+    // silently reuse stale residual codes against fresh centroid scores
     corpusFingerprint =
-      if (residual) s"$corpusFingerprint-resid" else corpusFingerprint)
+      if (residual) s"$corpusFingerprint-resid-${ivf.fingerprint}"
+      else corpusFingerprint)
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)

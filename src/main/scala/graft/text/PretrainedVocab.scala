@@ -30,49 +30,72 @@ object PretrainedVocab {
     finally in.close()
   }
 
-  /** Load a merges.txt: `"a b"` per line in priority order. Lines that are
-    * blank, `#`-comments, or the `#version` header are skipped; a line
-    * with anything but exactly two space-separated symbols is an error
-    * (silently mis-splitting a merge table corrupts every encoding after
-    * it).
+  /** Load a merges.txt: `"a b"` per line in priority order. Only a
+    * LEADING `#version` line is a header — byte-level BPE tables learned
+    * on code legitimately contain merges whose first symbol starts with
+    * `#` (e.g. `"# #"`), so a blanket comment filter would silently drop
+    * merges and shift every later priority. Blank lines are skipped; any
+    * other line that is not exactly two space-separated symbols is an
+    * error (silently mis-splitting a merge table corrupts every encoding
+    * after it).
     */
-  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
-    readLines(spark, path)
-      .filterNot(l => l.isEmpty || l.startsWith("#"))
-      .map { l =>
-        l.split(" ", -1) match {
-          case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
-          case _ => throw new IllegalArgumentException(
-            s"malformed merges line '$l' in $path (expected 'a b')")
-        }
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val all = readLines(spark, path)
+    val body = all match {
+      case head +: rest if head.startsWith("#version") => rest
+      case other => other
+    }
+    body.filterNot(_.isEmpty).map { l =>
+      l.split(" ", -1) match {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"malformed merges line '$l' in $path (expected 'a b')")
       }
+    }
+  }
 
-  /** Load a vocab file: either ONE JSON object `{token: id, ...}`
-    * (the classic vocab.json) or JSONL with `{"token": ..., "id": ...}`
-    * rows — distinguished by the first non-blank character sequence
-    * parsing as a complete object per line or not.
+  /** Load a vocab file: either ONE JSON object `{token: id, ...}` (the
+    * classic vocab.json) or JSONL with `{"token": ..., "id": ...}` rows.
+    * Detection is by PARSING, not string prefixes: it is JSONL iff every
+    * line parses as an object carrying token+id fields; otherwise the
+    * whole content must parse as a single all-integer object — anything
+    * else (near-miss rows, concatenated objects, non-integer ids) raises
+    * instead of silently producing a garbage vocab.
     */
   def loadVocab(spark: SparkSession, path: String): Map[String, Int] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def tryParse(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try Some(mapper.readTree(s)) catch { case _: Exception => None }
     val lines = readLines(spark, path).filterNot(_.trim.isEmpty)
-    def entries(node: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Int)] = {
-      val it = node.fields()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
-      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue.asInt) }
-      buf.toSeq
-    }
-    val isJsonl = lines.size > 1 ||
-      (lines.size == 1 && lines.head.trim.startsWith("{\"token\""))
-    if (isJsonl && lines.forall(l => l.trim.startsWith("{") && l.trim.endsWith("}"))
-        && mapper.readTree(lines.head).has("token")) {
-      lines.map { l =>
-        val n = mapper.readTree(l)
-        require(n.has("token") && n.has("id"),
-          s"JSONL vocab row missing token/id in $path: $l")
+    require(lines.nonEmpty, s"empty vocab file $path")
+    val rowNodes = lines.map(l => tryParse(l.trim))
+    val isJsonl = rowNodes.forall(_.exists(n =>
+      n.isObject && n.has("token") && n.has("id")))
+    if (isJsonl) {
+      rowNodes.flatten.map { n =>
+        require(n.get("id").isIntegralNumber,
+          s"non-integer id in JSONL vocab $path: $n")
         n.get("token").asText() -> n.get("id").asInt()
       }.toMap
     } else {
-      entries(mapper.readTree(lines.mkString("\n"))).toMap
+      val content = lines.mkString("\n")
+      // strict single-document parse: trailing concatenated objects are
+      // an error, not silently ignored
+      val parser = mapper.getFactory.createParser(content)
+      val node = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](parser)
+      require(parser.nextToken() == null,
+        s"trailing content after the vocab object in $path")
+      require(node != null && node.isObject,
+        s"vocab file $path is neither token/id JSONL nor a JSON object")
+      val it = node.fields()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      while (it.hasNext) {
+        val e = it.next()
+        require(e.getValue.isIntegralNumber,
+          s"non-integer id for token '${e.getKey}' in $path")
+        buf += (e.getKey -> e.getValue.asInt)
+      }
+      buf.toMap
     }
   }
 

@@ -68,7 +68,7 @@ object ScaleData {
             s -> s.w)"""), " ").as("text"),
         col("lang"), col("source"), col("n_chars")),
       docs)
-    docsOut.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    writeSingleFile(spark, docsOut, s"$dst/documents.parquet")
 
     // embeddings: replica k circular-shifts the vector by k components
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -82,10 +82,7 @@ object ScaleData {
       emb)
     embOut.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // events: replica k shifts the user space (and keeps event_id unique).
-    // Written as a single FILE named events.parquet — the streaming
-    // source's pathGlobFilter matches file names, so a directory-shaped
-    // events.parquet would read as an EMPTY stream.
+    // events: replica k shifts the user space (and keeps event_id unique)
     val ev = spark.read.parquet(s"$src/events.parquet")
     val evOut = replicas(
       identity,
@@ -93,16 +90,7 @@ object ScaleData {
         .withColumn("user_id", col("user_id") + k * off)
         .withColumn("event_id", col("event_id") + k * off),
       ev)
-    val evTmp = s"$dst/_events_tmp"
-    evOut.coalesce(1).write.mode("overwrite").parquet(evTmp)
-    val fs = new org.apache.hadoop.fs.Path(dst)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(evTmp))
-      .map(_.getPath).find(_.getName.startsWith("part-")).get
-    val evDst = new org.apache.hadoop.fs.Path(s"$dst/events.parquet")
-    if (fs.exists(evDst)) fs.delete(evDst, true)
-    fs.rename(part, evDst)
-    fs.delete(new org.apache.hadoop.fs.Path(evTmp), true)
+    writeSingleFile(spark, evOut, s"$dst/events.parquet")
 
     // remaining tables pass through unchanged (the smoke's slow queries
     // only scale on documents/embeddings/events)
@@ -116,5 +104,24 @@ object ScaleData {
         spark.read.parquet(s"$dst/$t.parquet").count())
     }
     spark.stop()
+  }
+
+  /** Write as ONE parquet FILE at `path` (not a Spark directory): the
+    * stream-read tables (documents, events) go through a
+    * `pathGlobFilter` that matches file NAMES, so a directory-shaped
+    * `<table>.parquet` would read as an empty stream.
+    */
+  private def writeSingleFile(
+      spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val dstPath = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dstPath)) fs.delete(dstPath, true)
+    fs.rename(part, dstPath)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

@@ -116,6 +116,36 @@ class EngineStateSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("fixed-state CONTENT participates in the cache key") {
+    // two engines differing only in fixed codebook contents must not
+    // share persisted codes (an isDefined-only key silently served one
+    // engine the other's codes)
+    val dir = Files.createTempDirectory("graft-pqkey").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    def engine(books: Seq[Seq[Seq[Double]]]) =
+      PQDenseEngine(corpus, m = 8, codebookSize = 16, config = cfg,
+        fixedCodebooks = Some(books), stateDir = Some(dir),
+        corpusFingerprint = "emb-key")
+    val booksA = PQDenseEngine.formulaCodebooks(8, 16, 8)
+    val booksB = booksA.map(_.map(_.map(v => -v))) // same shape, different content
+    val rA = engine(booksA)(queries).select("qid", "`index.idx`", "`index.score`")
+      .collect().map(_.toString).sorted.toSeq
+    val rB = engine(booksB)(queries).select("qid", "`index.idx`", "`index.score`")
+      .collect().map(_.toString).sorted.toSeq
+    // B ran with warm A-state on disk: with content-hashed keys it still
+    // encodes with ITS books — a no-cache run must agree exactly
+    val rBCold = PQDenseEngine(corpus, m = 8, codebookSize = 16, config = cfg,
+      fixedCodebooks = Some(booksB))(queries)
+      .select("qid", "`index.idx`", "`index.score`")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rB == rBCold, "different fixed books must not share cached codes")
+    assert(rA != rB, "sanity: the two codebooks rank differently")
+  }
+
   test("group lookup persists and reloads") {
     val dir = Files.createTempDirectory("graft-gl").toString
     val li = spark.read.parquet(sf("lineitem")).select(

@@ -72,6 +72,13 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PretrainedVocab.loadMerges(spark, s"$dir/bad.txt")
     }
+    // only a LEADING #version line is a header: a '#'-symbol merge (byte-
+    // level BPE tables learned on code contain them) must survive
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/hash.txt"),
+      "#version: 0.2\n# #\na b\n")
+    assert(PretrainedVocab.loadMerges(spark, s"$dir/hash.txt") ==
+      Seq(("#", "#"), ("a", "b")))
   }
 
   test("pretrained vocab import: json + jsonl, frozen ids override the hash") {
@@ -85,6 +92,28 @@ class BpeSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/vocab.json"),
       """{"the": 0, "cat": 1, "sat": 2}""")
     assert(PretrainedVocab.loadVocab(spark, s"$dir/vocab.json") == vocab)
+    // a near-miss JSONL row (space after the brace) still parses as JSONL
+    // by content, not by string prefix
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/spaced.jsonl"),
+      """{ "token": "the", "id": 0 }""" + "\n" +
+        """{ "token": "cat", "id": 1 }""" + "\n")
+    assert(PretrainedVocab.loadVocab(spark, s"$dir/spaced.jsonl") ==
+      Map("the" -> 0, "cat" -> 1))
+    // concatenated objects and non-integer ids raise instead of silently
+    // mis-parsing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/concat.json"),
+      """{"a": 1}{"b": 2}""")
+    intercept[IllegalArgumentException] {
+      PretrainedVocab.loadVocab(spark, s"$dir/concat.json")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/badid.json"),
+      """{"a": "x"}""")
+    intercept[IllegalArgumentException] {
+      PretrainedVocab.loadVocab(spark, s"$dir/badid.json")
+    }
     // frozen ids apply; unknown tokens fall back to the hash space
     val df = Seq((1L, "the cat sat quickly")).toDF("doc_id", "text")
     val ids = TokenizerPipe.fromPretrained(spark, s"$dir/vocab.jsonl")(df)
