@@ -88,39 +88,54 @@ object AutoSearchEngine {
       corpusVecCol: String = "vector",
       corpusTextCol: String = "text",
       groupKey: String = "group",
-      roundScores: Option[Int] = None): Map[String, Factory] = Map(
+      roundScores: Option[Int] = None,
+      /** Engine-state dir + corpus fingerprint, threaded to every engine
+        * with persisted state (the reference registry receives cache dirs
+        * from the Index orchestrator the same way, pipes/index.py:65-99).
+        */
+      stateDir: Option[String] = None,
+      corpusFingerprint: String = ""): Map[String, Factory] = Map(
     "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
     // the explicit opt-in for exact search over a >cap corpus: plans the
     // quadratic partitioned cartesian the bare `dense` refuses
     "dense_exact" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol,
       corpusVecCol, allowCartesian = true)),
     "dense_ivf" -> ((c, cfg) => IVFDenseEngine(c, config = cfg,
-      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "dense_pq" -> ((c, cfg) => PQDenseEngine(c, config = cfg,
-      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     // the reference's default dense factory shape: learned rotation
     // (OPQ/PCAR) ahead of the product quantizer
     "opq_pq" -> ((c, cfg) => PQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      rotate = true)),
+      rotate = true,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
-      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol)),
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     // the reference's FULL default factory: OPQ rotation + IVF pruning +
     // residual PQ codes (vector_base/utils/faiss.py:30-87; FAISS
     // IndexIVFPQ encodes residuals by default — by_residual=true)
     "opq_ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      rotate = true, residual = true)),
+      rotate = true, residual = true,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     // residual-only variant: codes quantize x - centroid[cid], scores
     // decompose q·centroid + ADC
     "ivf_pq_resid" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      residual = true)),
+      residual = true,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
-      roundScores = roundScores)),
+      roundScores = roundScores,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "bm25" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
-      roundScores = roundScores)),
-    "lookup" -> ((c, cfg) => GroupLookupEngine(c, groupKey, cfg, corpusIdxCol)),
+      roundScores = roundScores,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+    "lookup" -> ((c, cfg) => GroupLookupEngine(c, groupKey, cfg, corpusIdxCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "topk" -> ((c, cfg) => TopkEngine(cfg)))
 
   def apply(name: String, corpus: DataFrame, cfg: SearchConfig = SearchConfig(),
@@ -130,7 +145,9 @@ object AutoSearchEngine {
       corpusVecCol = opts.getOrElse("vecCol", "vector"),
       corpusTextCol = opts.getOrElse("textCol", "text"),
       groupKey = opts.getOrElse("groupKey", "group"),
-      roundScores = opts.get("roundScores").map(_.toInt))
+      roundScores = opts.get("roundScores").map(_.toInt),
+      stateDir = opts.get("stateDir"),
+      corpusFingerprint = opts.getOrElse("fingerprint", ""))
     reg.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown engine '$name'; known: ${reg.keys.toSeq.sorted.mkString(", ")}"))(

@@ -116,6 +116,27 @@ class EngineStateSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("registry-built engines thread stateDir and reload persisted state") {
+    val dir = Files.createTempDirectory("graft-auto").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val cfg = SearchConfig(k = 5, fillMaskedIndices = false, queryIdCol = Some("qid"))
+    val opts = Map("stateDir" -> dir, "fingerprint" -> "emb-auto")
+    val r1 = AutoSearchEngine("dense_ivf", corpus, cfg, opts)(queries)
+      .select("qid", "`index.idx`").collect().map(_.toString).sorted.toSeq
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "registry engine must have persisted state")
+    // the cache-hit observable: a zeroed corpus under the same
+    // stateDir/fingerprint serves the original persisted vectors
+    val zeroed = corpus.withColumn("vector",
+      org.apache.spark.sql.functions.transform(col("vector"), _ => lit(0.0f)))
+    val r2 = AutoSearchEngine("dense_ivf", zeroed, cfg, opts)(queries)
+      .select("qid", "`index.idx`").collect().map(_.toString).sorted.toSeq
+    assert(r2 == r1, "registry-built engine must reload persisted state")
+  }
+
   test("fixed-state CONTENT participates in the cache key") {
     // two engines differing only in fixed codebook contents must not
     // share persisted codes (an isDefined-only key silently served one
