@@ -45,7 +45,13 @@ case class IndexBuilder(
     corpusFingerprint: String,
     corpusIdxCol: String = "idx",
     corpusInputCol: String = "embedding",
-    config: SearchConfig = SearchConfig()) {
+    config: SearchConfig = SearchConfig(),
+    /** Registry name of the dense engine over the cached vectors —
+      * `dense` (exact, refuses past the broadcast cap) by default;
+      * `dense_ivf` / `opq_ivf_pq` / ... for large corpora, with their
+      * state persisted under `cacheDir` keyed by the corpus fingerprint.
+      */
+    engineName: String = "dense") {
 
   import org.apache.spark.sql.functions.col
 
@@ -56,10 +62,11 @@ case class IndexBuilder(
       datasetFingerprint = corpusFingerprint)(corpus)
 
   /** Dense engine over the cached corpus vectors, state persisted. */
-  lazy val denseEngine: BruteForceDenseEngine =
-    BruteForceDenseEngine(
+  lazy val denseEngine: SearchEngine =
+    AutoSearchEngine(engineName,
       corpusWithVectors.select(col(corpusIdxCol).as("idx"), col("vector")),
-      config)
+      config,
+      Map("stateDir" -> cacheDir, "fingerprint" -> corpusFingerprint))
 
   /** Attach cached query vectors and fold through the engines (dense
     * first unless other engines are supplied).

@@ -224,6 +224,11 @@ case class PQDenseEngine(
 object OPQ {
   def fitRotation(
       corpus: DataFrame, vecCol: String, m: Int, dim: Int): Seq[Seq[Double]] = {
+    // checked here too (not only in build()): rotation fits lazily before
+    // the encode path, and dsub = 0 would crash the allocation loop with
+    // an inscrutable empty.minBy instead of this message
+    require(m > 0 && dim % m == 0,
+      s"m=$m must divide vector dim=$dim for the subspace split")
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.functions.array_to_vector
     val prepared = corpus.select(array_to_vector(

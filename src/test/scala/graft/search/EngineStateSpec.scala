@@ -137,6 +137,41 @@ class EngineStateSpec extends SparkSpec {
     assert(r2 == r1, "registry-built engine must reload persisted state")
   }
 
+  test("IndexBuilder with an ANN engine name persists vectors + engine state") {
+    // the de-trap made the old hardcoded brute engine throw past the cap
+    // with no escape hatch; the builder now routes through the registry
+    val dir = Files.createTempDirectory("graft-ib").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // 8-dim model output (the registry PQ default m=8 must divide it)
+    val model = graft.predict.LinearModel(
+      Seq.tabulate(8)(i => Seq.tabulate(64)(t =>
+        if (t % 8 == i) 1.0 else 0.0)), Seq.fill(8)(0.0))
+    val idx = IndexBuilder(
+      emb.select(col("vec_id").as("idx"), col("embedding")),
+      model, dir, "emb-ib-ann",
+      config = SearchConfig(k = 5, fillMaskedIndices = false,
+        queryIdCol = Some("qid")),
+      engineName = "opq_ivf_pq")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val r1 = idx.query(queries, "qid", "embedding")
+      .select("qid", "`index.idx`").collect().map(_.toString).sorted.toSeq
+    assert(r1.size == 5)
+    // vector cache + coarse/fine engine state all landed under cacheDir
+    val frames = new java.io.File(dir).listFiles().count(!_.getName.startsWith("_"))
+    assert(frames >= 6, s"expected vector cache + 5 engine state frames, got $frames")
+    // a FRESH builder over the same dir reproduces from persisted state
+    val r2 = IndexBuilder(
+      emb.select(col("vec_id").as("idx"), col("embedding")),
+      model, dir, "emb-ib-ann",
+      config = SearchConfig(k = 5, fillMaskedIndices = false,
+        queryIdCol = Some("qid")),
+      engineName = "opq_ivf_pq")
+      .query(queries, "qid", "embedding")
+      .select("qid", "`index.idx`").collect().map(_.toString).sorted.toSeq
+    assert(r2 == r1)
+  }
+
   test("fixed-state CONTENT participates in the cache key") {
     // two engines differing only in fixed codebook contents must not
     // share persisted codes (an isDefined-only key silently served one
