@@ -58,6 +58,17 @@ object Queries {
       | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b)
       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Exact n-gram contamination oracle — shared by cu_decontaminate
+    * (batch) and ev_stream_decontam (stateless streaming twin).
+    */
+  private val decontaminateOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) ELSE [] END) AS g FROM tok),
+      |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id < 30),
+      |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN ev USING (g))
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
   /** Pinned public-style merge table for the bp_bpe_encode gate: covers a
     * chained merge (ta + b reads the output of t + a) and an a==b merge
     * (g,g — the greedy-pass run-parity case, "agg" -> [gg, a... ]).
@@ -900,6 +911,11 @@ object Queries {
         "text", "doc_id", ngramSize = 4)(docs)
         .select("doc_id", "contaminated").orderBy("doc_id")
     }),
+    "ev_stream_decontam" -> ((s, d) =>
+      // REAL StreamingQuery: stateless per-row n-gram overlap against the
+      // static eval corpus — same flags as the batch pipe and oracle
+      graft.streaming.EventStream.runDecontaminateStream(s, d)
+        .select("doc_id", "contaminated").orderBy("doc_id")),
     "cu_pii" -> ((s, d) => {
       // plant deterministic email/phone/IP on every 3rd doc; the oracle
       // replays the planting and RE2-compatible redaction verbatim
@@ -1860,13 +1876,8 @@ object Queries {
         | round(CASE WHEN coalesce(nbg,0) > 0 THEN top/nbg ELSE 0 END, 4) AS top_bigram_frac,
         | round(CASE WHEN coalesce(nbg,0) > 0 THEN dup/nbg ELSE 0 END, 4) AS dup_bigram_frac
         |FROM tok LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    "cu_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) ELSE [] END) AS g FROM tok),
-        |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id < 30),
-        |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN ev USING (g))
-        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    "cu_decontaminate" -> decontaminateOracle,
+    "ev_stream_decontam" -> decontaminateOracle,
     "cu_pii" ->
       """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
         | THEN text || ' contact user' || doc_id || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'

@@ -148,6 +148,20 @@ object EventStream {
       .option("pathGlobFilter", s"$table.parquet")
       .load(dir)
 
+  /** Decontamination on the stream (gate `ev_stream_decontam`): arriving
+    * documents flagged against the static eval corpus inside a REAL
+    * StreamingQuery — stateless per-row overlap, so append mode emits
+    * every row exactly once.
+    */
+  def runDecontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = readStreamTable(spark, dir, "documents").select("doc_id", "text")
+    val eval = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 30).select("doc_id", "text")
+    runToMemorySink(
+      StreamingDecontaminate(docs, eval, "text", "doc_id", ngramSize = 4),
+      "append")
+  }
+
   /** Near-dup pairs discovered ON THE STREAM (gate `ev_stream_neardup`):
     * documents (with the dd_minhash_lsh plants, stream-unioned) flow
     * through [[StreamingNearDedup]] inside a REAL StreamingQuery; event

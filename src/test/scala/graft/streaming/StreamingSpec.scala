@@ -138,6 +138,28 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("streaming decontamination flags equal the batch pipe's") {
+    implicit val sctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") < 10)
+    val batch = graft.llm.DecontaminatePipe(eval, "text", "doc_id", 4)(docs)
+      .select("doc_id", "contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.as[(Long, String)].collect().toIndexedSeq: _*)
+    val streamIn = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDecontaminate(streamIn, eval, "text", "doc_id", 4)
+      .writeStream.format("memory").queryName("dc_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val stream = spark.table("dc_out").select("doc_id", "contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    q.stop()
+    assert(stream == batch)
+    assert(batch.exists(_.contains("true")) && batch.exists(_.contains("false")))
+  }
+
   test("streaming near-dedup pairs within the window, evicts past the watermark") {
     implicit val sctx = spark.sqlContext
     // same text = jaccard 1.0; watermark 1 hour
