@@ -37,13 +37,21 @@ case class TokenizerPipe(
       * HF convention; reference `return_token_type_ids`,
       * pipes/tokenizer.py:23).
       */
-    returnTokenTypeIds: Boolean = false) extends Pipe {
+    returnTokenTypeIds: Boolean = false,
+    /** `(bosId, eosId)`: wrap every sequence in special tokens (reference
+      * `add_special_tokens`, pipes/tokenizer.py:25; HF single-sequence
+      * convention): `input_ids = bos +: ids :+ eos`, attention 1s,
+      * token types 0s, offsets `(0, 0)` for both specials. `maxLength`
+      * is the TOTAL budget including the two specials, as in HF.
+      */
+    specialTokens: Option[(Int, Int)] = None) extends Pipe {
 
   override def update: Boolean = true
   override def params = Map(
     "key" -> key, "field" -> field.mkString, "maxLength" -> maxLength.mkString,
     "vocabSize" -> vocabSize.toString, "offsets" -> returnOffsetsMapping.toString,
     "tokenTypes" -> returnTokenTypeIds.toString,
+    "specials" -> specialTokens.map { case (b, e) => s"$b,$e" }.mkString,
     "vocab" -> vocab.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
 
   private def fp: String = field.map(_ + ".").getOrElse("")
@@ -74,7 +82,10 @@ case class TokenizerPipe(
     // not serialize on a small file's 1-2 input splits
     val df = Pipe.widen(df0)
     val raw = filter(split(trim(qcol(inKey)), "\\s+"), t => length(t) > 0)
-    val toks = maxLength.fold(raw)(m => slice(raw, 1, m))
+    // specials consume 2 slots of the maxLength budget (HF semantics)
+    val budget = maxLength.map(m =>
+      if (specialTokens.isDefined) math.max(m - 2, 0) else m)
+    val toks = budget.fold(raw)(m => slice(raw, 1, m))
     val offsets = aggregate(
       toks,
       struct(lit(0).as("pos"),
@@ -85,12 +96,22 @@ case class TokenizerPipe(
           array(array(acc.getField("pos"),
             acc.getField("pos") + length(t)))).as("offs")),
       acc => acc.getField("offs"))
+    def wrapped(core: Column, bosVal: Column, eosVal: Column): Column =
+      specialTokens.fold(core)(_ =>
+        concat(array(bosVal), core, array(eosVal)))
+    val zeroOff = array(lit(0), lit(0))
     val outs = Seq(
-      s"${fp}input_ids" -> transform_col(toks, tokenId),
-      s"${fp}attention_mask" -> transform_col(toks, _ => lit(1))) ++
+      s"${fp}input_ids" -> wrapped(transform_col(toks, tokenId),
+        lit(specialTokens.map(_._1).getOrElse(0)),
+        lit(specialTokens.map(_._2).getOrElse(0))),
+      s"${fp}attention_mask" -> wrapped(transform_col(toks, _ => lit(1)),
+        lit(1), lit(1))) ++
       (if (returnTokenTypeIds)
-        Seq(s"${fp}token_type_ids" -> transform_col(toks, _ => lit(0))) else Nil) ++
-      (if (returnOffsetsMapping) Seq(s"${fp}offset_mapping" -> offsets) else Nil)
+        Seq(s"${fp}token_type_ids" -> wrapped(transform_col(toks, _ => lit(0)),
+          lit(0), lit(0))) else Nil) ++
+      (if (returnOffsetsMapping)
+        Seq(s"${fp}offset_mapping" -> wrapped(offsets, zeroOff, zeroOff))
+       else Nil)
     finish(df, outs)
   }
 

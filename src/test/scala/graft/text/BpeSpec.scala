@@ -123,6 +123,24 @@ class BpeSpec extends SparkSpec {
     assert(ids(3) == hashId, "unknown token keeps the rolling-hash id")
   }
 
+  test("special tokens wrap ids/mask/types/offsets with the maxLength budget") {
+    val df = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val base = TokenizerPipe(returnTokenTypeIds = true)(df)
+      .select("input_ids").as[Seq[Int]].head()
+    val out = TokenizerPipe(returnTokenTypeIds = true, maxLength = Some(5),
+      specialTokens = Some((101, 102)))(df)
+      .select("input_ids", "attention_mask", "token_type_ids", "offset_mapping")
+      .head()
+    val ids = out.getSeq[Int](0)
+    // budget 5 = bos + 3 tokens + eos (4th word truncated, HF semantics)
+    assert(ids == 101 +: base.take(3) :+ 102, s"ids=$ids")
+    assert(out.getSeq[Int](1) == Seq.fill(5)(1))
+    assert(out.getSeq[Int](2) == Seq.fill(5)(0))
+    val offs = out.getSeq[scala.collection.Seq[Int]](3).map(_.toSeq)
+    assert(offs.head == Seq(0, 0) && offs.last == Seq(0, 0))
+    assert(offs(1) == Seq(0, 2) && offs(3) == Seq(6, 8))
+  }
+
   test("encode matches the scalar oracle and is lossless on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
