@@ -25,6 +25,12 @@ object Bench {
     // SPARK_GRAFT_ONLY="a,b,c"; unset = full driver contract
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled name must not silently shrink the measured subset
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the query registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -515,6 +515,56 @@ object VerifyScratch {
         s"${learned == frozen && merges.size == 4}")
     }
 
+    // 42. PQ/IVF persisted-state keys use full-width content digests:
+    // different fixed state -> different key, same content -> same key,
+    // and the digest is wider than a 32-bit hashCode rendering
+    {
+      val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val bookA = Some(Seq(Seq(Seq(1.0, 2.0)), Seq(Seq(3.0, 4.0))))
+      val bookB = Some(Seq(Seq(Seq(1.0, 2.0)), Seq(Seq(3.0, 5.0))))
+      def key(b: Option[Seq[Seq[Seq[Double]]]]) =
+        graft.search.PQDenseEngine(corpus, fixedCodebooks = b)
+          .params("fixedBooks")
+      val (ka, ka2, kb) = (key(bookA), key(bookA), key(bookB))
+      println(s"[42] PQ state key is a content digest (len=${ka.length}) -> " +
+        s"${ka == ka2 && ka != kb && ka.length == 16 &&
+          ka.forall(c => c.isDigit || ('a' to 'f').contains(c))}")
+    }
+
+    // 43. single-line minified vocab.json whose tokens include the words
+    // "token"/"id" parses as a vocab object; a genuine 1-row JSONL still
+    // takes the JSONL branch (the ADVICE misdetection)
+    {
+      val dir = java.nio.file.Files.createTempDirectory("vs-vocab").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/minified.json"),
+        """{"the": 0, "token": 1, "id": 2, "cat": 3}""")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/onerow.jsonl"),
+        """{"token": "the", "id": 0}""" + "\n")
+      val mini = graft.text.PretrainedVocab.loadVocab(spark, s"$dir/minified.json")
+      val onerow = graft.text.PretrainedVocab.loadVocab(spark, s"$dir/onerow.jsonl")
+      println(s"[43] minified vocab.json vs 1-row JSONL disambiguated -> " +
+        s"${mini == Map("the" -> 0, "token" -> 1, "id" -> 2, "cat" -> 3) &&
+          onerow == Map("the" -> 0)}")
+    }
+
+    // 44. tokenizer total-budget contract: maxLength=1 with specials is a
+    // loud refusal; maxLength=2 on real docs emits exactly [bos, eos]
+    {
+      val refused = try {
+        graft.text.TokenizerPipe(maxLength = Some(1),
+          specialTokens = Some((101, 102))); false
+      } catch { case _: IllegalArgumentException => true }
+      val out = graft.text.TokenizerPipe(maxLength = Some(2),
+        specialTokens = Some((101, 102)))(docs.limit(5))
+      val ids = out.select("input_ids").collect()
+        .map(_.getSeq[Int](0).toSeq)
+      println(s"[44] specials budget: maxLength=1 refused, maxLength=2 -> " +
+        s"${refused && ids.nonEmpty && ids.forall(_ == Seq(101, 102))}")
+    }
+
     // 41. streaming near-dedup determinism: two full drains over the same
     // planted corpus produce the identical pair set
     {

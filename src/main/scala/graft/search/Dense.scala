@@ -119,7 +119,8 @@ case class IVFDenseEngine(
     // seed must not share persisted centroids
     "seed" -> kmeansSeed.toString,
     // content hash: different fixed centroids must not share a state key
-    "fixedCents" -> fixedCentroids.map(_.hashCode.toString).getOrElse(""))
+    "fixedCents" -> fixedCentroids.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)

@@ -66,11 +66,15 @@ case class PQDenseEngine(
     "codebookSize" -> codebookSize.toString, "engine" -> "dense_pq",
     // CONTENT hashes, not isDefined: two engines with different fixed
     // state must not share a persisted-cache key (and the seed must
-    // split trained-state keys — the IVF lesson applied here too)
-    "fixedBooks" -> fixedCodebooks.map(_.hashCode.toString).getOrElse(""),
+    // split trained-state keys — the IVF lesson applied here too).
+    // Full-width digests, not 32-bit hashCode: a hashCode collision
+    // between two fixed states would silently serve wrong cached codes.
+    "fixedBooks" -> fixedCodebooks.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
     "seed" -> kmeansSeed.toString,
     "rotate" -> rotate.toString,
-    "fixedRotation" -> fixedRotation.map(_.hashCode.toString).getOrElse(""))
+    "fixedRotation" -> fixedRotation.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
@@ -329,10 +333,12 @@ case class IVFPQDenseEngine(
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
     "codebookSize" -> codebookSize.toString, "engine" -> "ivf_pq",
-    "fixedBooks" -> fixedCodebooks.map(_.hashCode.toString).getOrElse(""),
+    "fixedBooks" -> fixedCodebooks.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
     "seed" -> kmeansSeed.toString,
     "rotate" -> rotate.toString, "residual" -> residual.toString,
-    "fixedCents" -> fixedCentroids.map(_.hashCode.toString).getOrElse(""))
+    "fixedCents" -> fixedCentroids.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,

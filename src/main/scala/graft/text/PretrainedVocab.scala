@@ -69,8 +69,15 @@ object PretrainedVocab {
     val lines = readLines(spark, path).filterNot(_.trim.isEmpty)
     require(lines.nonEmpty, s"empty vocab file $path")
     val rowNodes = lines.map(l => tryParse(l.trim))
+    // A minified single-line vocab.json can itself contain tokens literally
+    // named "token" and "id" (true of real GPT-2/RoBERTa vocabs) — the
+    // whole object then has both fields and would masquerade as one JSONL
+    // row. Disambiguate on the 1-line case by the field TYPES: a JSONL row
+    // carries a textual `token`, a vocab object maps every token to an int.
     val isJsonl = rowNodes.forall(_.exists(n =>
-      n.isObject && n.has("token") && n.has("id")))
+      n.isObject && n.has("token") && n.has("id"))) &&
+      (lines.length > 1 ||
+        rowNodes.head.exists(n => n.get("token").isTextual))
     if (isJsonl) {
       rowNodes.flatten.map { n =>
         require(n.get("id").isIntegralNumber,

@@ -46,6 +46,12 @@ case class TokenizerPipe(
       */
     specialTokens: Option[(Int, Int)] = None) extends Pipe {
 
+  // maxLength is the TOTAL budget including the two specials; a budget
+  // that cannot even hold bos+eos would silently emit 2 > maxLength
+  // tokens — refuse loudly instead (HF raises here too)
+  require(specialTokens.isEmpty || maxLength.forall(_ >= 2),
+    s"maxLength=$maxLength cannot hold the two special tokens")
+
   override def update: Boolean = true
   override def params = Map(
     "key" -> key, "field" -> field.mkString, "maxLength" -> maxLength.mkString,

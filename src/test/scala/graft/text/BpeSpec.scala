@@ -100,6 +100,21 @@ class BpeSpec extends SparkSpec {
         """{ "token": "cat", "id": 1 }""" + "\n")
     assert(PretrainedVocab.loadVocab(spark, s"$dir/spaced.jsonl") ==
       Map("the" -> 0, "cat" -> 1))
+    // a minified SINGLE-LINE vocab.json whose tokens include the literal
+    // words "token" and "id" (true of real GPT-2/RoBERTa vocabs) must go
+    // through the single-object parse, not masquerade as one JSONL row
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/minified.json"),
+      """{"the": 0, "token": 1, "id": 2, "cat": 3}""")
+    assert(PretrainedVocab.loadVocab(spark, s"$dir/minified.json") ==
+      Map("the" -> 0, "token" -> 1, "id" -> 2, "cat" -> 3))
+    // ...while a legitimate one-row JSONL file (textual `token`) still
+    // takes the JSONL branch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/onerow.jsonl"),
+      """{"token": "the", "id": 0}""" + "\n")
+    assert(PretrainedVocab.loadVocab(spark, s"$dir/onerow.jsonl") ==
+      Map("the" -> 0))
     // concatenated objects and non-integer ids raise instead of silently
     // mis-parsing
     java.nio.file.Files.writeString(
@@ -139,6 +154,11 @@ class BpeSpec extends SparkSpec {
     val offs = out.getSeq[scala.collection.Seq[Int]](3).map(_.toSeq)
     assert(offs.head == Seq(0, 0) && offs.last == Seq(0, 0))
     assert(offs(1) == Seq(0, 2) && offs(3) == Seq(6, 8))
+    // a total budget that cannot hold bos+eos is a loud contract error,
+    // not 2 silently-emitted tokens
+    intercept[IllegalArgumentException] {
+      TokenizerPipe(maxLength = Some(1), specialTokens = Some((101, 102)))
+    }
   }
 
   test("encode matches the scalar oracle and is lossless on real docs") {
