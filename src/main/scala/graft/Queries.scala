@@ -899,6 +899,27 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s13_faiss_factory" -> ((s, d) => {
+      // a reference-style FAISS factory string builds the engine: IVF8 +
+      // PQ8x4 (m=8, nbits=4 -> codebookSize 16), nprobe=nlist and fixed
+      // formula codebooks so the result is the deterministic exhaustive
+      // ADC ranking — hash-identical to s11's oracle, proving the string
+      // path constructs the same engine as the explicit constructor
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.FaissFactory.parse("IVF8,PQ8x4").build(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        opts = Map("nprobe" -> "8", "residual" -> "false"),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     // ----- curation: repetition / decontamination / PII / stratified -----
     "cu_repetition" -> ((s, d) =>
       graft.llm.RepetitionStatsPipe("text")(t(s, d, "documents"))
@@ -1817,6 +1838,26 @@ object Queries {
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     // nprobe=nlist IVF-PQ == PQ ADC: same oracle as s10
     "s11_ivfpq_exact" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (SELECT vec_id, v, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      v[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      v[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |    qs.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM qs CROSS JOIN codes),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // factory-string-built IVF8,PQ8x4 with nprobe=nlist + fixed books ==
+    // the exhaustive ADC ranking: the SAME oracle as s10/s11 verbatim
+    "s13_faiss_factory" ->
       scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |codes AS (SELECT vec_id, v, list_transform(range(0,8), j ->
         |  list_position(

@@ -155,9 +155,18 @@ object AutoSearchEngine {
       roundScores = opts.get("roundScores").map(_.toInt),
       stateDir = opts.get("stateDir"),
       corpusFingerprint = opts.getOrElse("fingerprint", ""))
-    reg.getOrElse(name,
-      throw new IllegalArgumentException(
-        s"unknown engine '$name'; known: ${reg.keys.toSeq.sorted.mkString(", ")}"))(
-      corpus, cfg)
+    reg.get(name) match {
+      case Some(factory) => factory(corpus, cfg)
+      // a reference config's FAISS factory string ("OPQ32,IVF4096,PQ32")
+      // drops in as the engine name — parsed nlist/m/nbits override the
+      // registry defaults (see FaissFactory for the grammar + mapping)
+      case None if FaissFactory.looksLikeFactory(name) =>
+        FaissFactory.parse(name).build(corpus, cfg, opts)
+      case None =>
+        throw new IllegalArgumentException(
+          s"unknown engine '$name'; known: " +
+            s"${reg.keys.toSeq.sorted.mkString(", ")}, or a FAISS factory " +
+            "string like 'OPQ32,IVF4096,PQ32'")
+    }
   }
 }
