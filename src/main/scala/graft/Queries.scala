@@ -920,6 +920,37 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s14_lexical_dense_cascade" -> ((s, d) => {
+      // the reference user guide's documented end-user flow
+      // (user_guide/src/examples/index.py:46-63): elasticsearch(k=100) →
+      // dense(k=3) with merge_previous_results — a BM25 recall stage, an
+      // exact dense scorer, and the offset-merge (A-only: s_a + min(B);
+      // B-only: s_b + min(A); both: s_a + s_b), resized to the final k=3.
+      // Corpus = documents ⋈ embeddings on id, so every item has both a
+      // text and a vector, as the reference's dataset does.
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("idx"), col("text"),
+          col("embedding").as("vector"))
+      val queries = corpus.filter(col("idx") < 10)
+        .select(col("idx").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
+          col("vector").as("query.vector"))
+      val bm25 = graft.search.BM25Engine(corpus,
+        graft.search.SearchConfig(k = 100, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+      val dense = graft.search.BruteForceDenseEngine(
+        corpus.select(col("idx"), col("vector")),
+        graft.search.SearchConfig(k = 3, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      graft.search.IndexPipe(Seq(bm25, dense))(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     // ----- curation: repetition / decontamination / PII / stratified -----
     "cu_repetition" -> ((s, d) =>
       graft.llm.RepetitionStatsPipe("text")(t(s, d, "documents"))
@@ -1874,6 +1905,38 @@ object Queries {
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // BM25(k=100) -> dense(k=3) cascade: replay bm25 top-100 (rounded, the
+    // engine's roundScores), dense exact top-3, then the offset-merge —
+    // merged = coalesce(bm, min_bm) + coalesce(dense, min_dense) over the
+    // index union (algebraically identical to the engine's shift/sum/
+    // unshift) — ranked desc with idx tie-break, cut to 3
+    "s14_lexical_dense_cascade" ->
+      scl("""WITH corp AS (SELECT d.doc_id AS idx, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |c AS (SELECT idx, string_split(trim(text), ' ') AS toks FROM corp),
+        |dl AS (SELECT idx, len(toks) AS len FROM c),
+        |post AS (SELECT idx, term, count(*) AS tf FROM (SELECT idx, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT idx) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT idx AS qid, toks[1:5] AS qtoks FROM c WHERE idx < 10),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+        |bm_sc AS (SELECT qt.qid, post.idx AS idx,
+        |  round(sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ),4) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.idx = dl.idx CROSS JOIN tot GROUP BY 1,2),
+        |bm AS (SELECT qid, idx, score FROM (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM bm_sc) WHERE r <= 100),
+        |qv AS (SELECT idx AS qid, v AS qv FROM corp WHERE idx < 10),
+        |de_sc AS (SELECT qv.qid, corp.idx, list_dot_product(qv.qv, corp.v) AS score FROM qv CROSS JOIN corp),
+        |de AS (SELECT qid, idx, score FROM (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM de_sc) WHERE r <= 3),
+        |mn AS (SELECT qid, min(score) AS minb FROM bm GROUP BY 1),
+        |md AS (SELECT qid, min(score) AS mind FROM de GROUP BY 1),
+        |u AS (SELECT coalesce(b.qid, d2.qid) AS qid, coalesce(b.idx, d2.idx) AS idx, b.score AS bs, d2.score AS ds
+        |  FROM bm b FULL OUTER JOIN de d2 ON b.qid = d2.qid AND b.idx = d2.idx),
+        |mg AS (SELECT u.qid, u.idx, coalesce(u.bs, mn.minb) + coalesce(u.ds, md.mind) AS score
+        |  FROM u JOIN mn ON u.qid = mn.qid JOIN md ON u.qid = md.qid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM mg)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 3 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     // residual IVF-PQ: cid = argmin-L2 over formula centroids; codes =
     // argmin-L2 over formula books of rv = v - centroid[cid]; score =
