@@ -589,6 +589,13 @@ object Queries {
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    "ev_stream_neardup_unique" -> ((s, d) =>
+      // the pair dedup runs INSIDE the StreamingQuery (two chained
+      // stateful operators: band-bucket fMGWS → watermark-scoped pair
+      // dedup) — the sink table is already unique, same oracle
+      graft.streaming.EventStream.runNearDedupUniqueStream(s, d)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
     "l5_to_tensor" -> ((s, d) =>
       ToTensorPipe(Seq("nums"))(liNums(s, d)).orderBy("l_orderkey")),
     "s3b_bm25_aux" -> ((s, d) => {
@@ -1400,6 +1407,7 @@ object Queries {
     // the STREAMING twin discovers the same pair set inside one drain
     // (eviction semantics are the multi-batch spec's job)
     "ev_stream_neardup" -> minhashPairOracle,
+    "ev_stream_neardup_unique" -> minhashPairOracle,
     "dd_ngram_jaccard" ->
       """WITH planted AS (SELECT doc_id, text, lang || '/' || substr(trim(text), 1, 8) AS blk FROM documents UNION ALL
         | SELECT doc_id+10000, mtext, lang || '/' || substr(trim(mtext), 1, 8)

@@ -40,7 +40,48 @@ object StreamingNearDedup {
       tsMicros: Long, ts: java.sql.Timestamp)
   case class Member(id: Long, sh: Seq[Long], tsMicros: Long)
   case class Bucket(members: Seq[Member])
-  case class Pair(id_a: Long, id_b: Long, jaccard: Double)
+  /** `ts` is the finding arrival's event time: the same pair found by
+    * several bands carries the SAME ts, so a downstream watermark-scoped
+    * dedup (see [[unique]]) sees exact duplicates within one delay bound.
+    */
+  case class Pair(id_a: Long, id_b: Long, jaccard: Double,
+      ts: java.sql.Timestamp)
+
+  /** The per-band duplicate emissions removed INSIDE the streaming query:
+    * chains a second stateful operator — a watermark-scoped key dedup on
+    * (id_a, id_b) — onto the pair stream, making the "compose a
+    * downstream dedup" contract executable rather than advisory. Every
+    * band's copy of a pair carries the identical finding-arrival `ts`, so
+    * any watermark ≥ the source's delay bound catches them all; dedup
+    * state is (pair-rate × window) keys, watermark-expired, never the
+    * stream length. On a batch frame the same call degenerates to a plain
+    * key dedup (`withWatermark` is a no-op and
+    * `dropDuplicatesWithinWatermark` deduplicates the whole frame).
+    */
+  def unique(pairs: Dataset[Pair], watermark: String = "1 hour"): DataFrame =
+    pairs.toDF()
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+
+  /** Run `body` (a streaming-query start + drain over a [[unique]] plan)
+    * with Spark's global-watermark correctness check disabled. The checker
+    * refuses ANY stateful operator downstream of flatMapGroupsWithState,
+    * because an arbitrary user function COULD emit event times older than
+    * the watermark — rows the downstream operator would silently drop as
+    * late. This pipeline provably cannot: every pair is stamped with the
+    * FINDING ARRIVAL's event time ([[Pair.ts]]), and that arrival just
+    * passed the upstream watermark filter, so pair event times are always
+    * >= (watermark - delay) and are never late for the chained dedup.
+    * Session-conf mutation, restored on exit — single-writer assumption,
+    * same caveat as the drain helpers' shuffle-width scoping.
+    */
+  def withChainedStatefulQuery[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
 
   def apply(
       df: DataFrame,
@@ -112,7 +153,8 @@ object StreamingNearDedup {
                 val inter = aset.intersect(mset).size
                 val j = inter.toDouble / (aset.size + mset.size - inter)
                 if (j >= jaccardThreshold && a.id != m.id)
-                  out += Pair(math.min(a.id, m.id), math.max(a.id, m.id), j)
+                  out += Pair(math.min(a.id, m.id), math.max(a.id, m.id), j,
+                    a.ts)
               }
               members = Member(a.id, a.sh, a.tsMicros) :: members
             }

@@ -188,6 +188,32 @@ object EventStream {
         watermark = "10 hours").toDF(),
       "append")
   }
+
+  /** [[runNearDedupStream]] with the pair dedup INSIDE the StreamingQuery:
+    * two chained stateful operators (band-bucket flatMapGroupsWithState →
+    * watermark-scoped `dropDuplicatesWithinWatermark` on the pair keys),
+    * so the emitted table is already unique — the executable form of the
+    * per-band-emission contract (gate `ev_stream_neardup_unique`).
+    */
+  def runNearDedupUniqueStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readStreamTable(spark, dir, "documents").select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val mutated = readStreamTable(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
+          .as("text"))
+    val planted = raw.unionByName(mutated)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    StreamingNearDedup.withChainedStatefulQuery(spark) {
+      runToMemorySink(
+        StreamingNearDedup.unique(
+          StreamingNearDedup(planted, "text", "doc_id", "ts",
+            watermark = "10 hours"),
+          watermark = "10 hours"),
+        "append")
+    }
+  }
 }
 
 /** Stream-static enrichment join: attach dimension attributes to a fact

@@ -197,4 +197,37 @@ class StreamingSpec extends SparkSpec {
         s"expected {(1,2),(4,5)}, got $out")
     } finally q.stop()
   }
+
+  test("streaming near-dedup unique: chained in-query dedup emits each pair once") {
+    implicit val sctx = spark.sqlContext
+    // identical text -> identical signatures -> the pair is found by ALL
+    // 32 bands; the chained dropDuplicatesWithinWatermark must reduce
+    // those emissions to exactly one row per pair, inside the query
+    val mem = MemoryStream[(Long, String, String)]
+    val streamIn = mem.toDF().toDF("doc_id", "text", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val uq = StreamingNearDedup.unique(
+      StreamingNearDedup(streamIn, "text", "doc_id", "ts",
+        watermark = "1 hour"),
+      watermark = "1 hour")
+    StreamingNearDedup.withChainedStatefulQuery(spark) {
+      val q = uq.writeStream.format("memory").queryName("ndu_out")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, "the quick brown fox jumps over the lazy dog again",
+          "2024-01-01 00:10:00"))
+        mem.addData((2L, "the quick brown fox jumps over the lazy dog again",
+          "2024-01-01 00:20:00"))
+        q.processAllAvailable()
+        // a second batch: doc 3 pairs with BOTH in-window members
+        mem.addData((3L, "the quick brown fox jumps over the lazy dog again",
+          "2024-01-01 00:30:00"))
+        q.processAllAvailable()
+        val rows = spark.table("ndu_out").select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows.sorted == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+          s"expected each pair exactly once, got $rows")
+      } finally q.stop()
+    }
+  }
 }
