@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * `maxEvalNgrams` bounds the literal (a plan carrying millions of
   * strings is a driver/codegen hazard, not a data-plane one); past the
-  * cap, decontaminate in batch where the relational form applies.
+  * cap the pipe DEGRADES instead of failing: a batch frame falls back to
+  * the relational semi-join (the batch pipe's shuffled form) in-plan, and
+  * a stream is run through [[runOverCapToParquet]] — the same relational
+  * flag applied per micro-batch via `foreachBatch`, with the eval n-gram
+  * frame computed once and persisted across batches.
   */
 object StreamingDecontaminate {
   def apply(
@@ -36,9 +40,18 @@ object StreamingDecontaminate {
     val evalNg = evalDf.select(explode(ngrams(col(textCol))).as("__ng__"))
       .distinct().limit(maxEvalNgrams + 1)
       .collect().map(_.getString(0)).toSeq
-    require(evalNg.size <= maxEvalNgrams,
-      s"eval corpus has more than $maxEvalNgrams distinct $ngramSize-grams; " +
-        "use the batch DecontaminatePipe (relational semi-join) instead")
+    if (evalNg.size > maxEvalNgrams) {
+      // over the literal cap: degrade to the relational batch shape
+      // (identical flags; the n-grams live in a frame, not the plan)
+      require(!df.isStreaming,
+        s"eval corpus has more than $maxEvalNgrams distinct $ngramSize-grams" +
+          " — a stream cannot carry the relational flag in-plan (the" +
+          " semi-join's per-doc aggregation needs streaming state);" +
+          " run it via StreamingDecontaminate.runOverCapToParquet," +
+          " the foreachBatch form of the same fallback")
+      return graft.llm.DecontaminatePipe(evalDf, textCol, idCol, ngramSize,
+        flagCol = flagCol, broadcastEval = false)(df)
+    }
     // spread the interpreted per-row n-gram HOF work across cores — on
     // the stream source's single file split it serializes (the recurring
     // widen hazard; measured 31.8 -> 3.9 s at sf1, 3.8 -> 1.9 s at sf0.1)
@@ -50,5 +63,59 @@ object StreamingDecontaminate {
     wide.withColumn(flagCol,
       coalesce(arrays_overlap(ngrams(col(textCol)), typedLit(evalNg)),
         lit(false)))
+  }
+
+  /** The over-cap STREAM fallback: run the stream through `foreachBatch`,
+    * applying the batch pipe's relational semi-join per micro-batch and
+    * appending the flagged rows to `outDir` as parquet (at ingestion
+    * scale that is where a flagged stream lands anyway). The eval n-gram
+    * frame is exploded/deduped ONCE and persisted for the query's
+    * lifetime — each micro-batch pays only its own explode + shuffled
+    * semi-join + flag join-back, never a re-scan of the eval corpus.
+    * Flags are identical to [[apply]] (same tokenizer, same windows).
+    * Drains the stream to completion and returns the written frame.
+    *
+    * Scale: zero streaming state (every batch is a self-contained
+    * relational job); eval n-grams bound executor memory only through
+    * the shuffle, not a broadcast/literal — any eval size that a batch
+    * decontamination could handle works here too.
+    */
+  def runOverCapToParquet(
+      df: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      ngramSize: Int = 3,
+      flagCol: String = "contaminated"): DataFrame = {
+    require(df.isStreaming, "runOverCapToParquet is the streaming fallback;" +
+      " a batch frame over the cap degrades inside apply() already")
+    val spark = df.sparkSession
+    // stage the token array before building n-grams (the HOF-inline
+    // hazard: the split would otherwise re-evaluate per n-gram)
+    def ngramRows(src: DataFrame, extra: Seq[Column]): DataFrame =
+      src.withColumn("__dc_tk__",
+          graft.llm.TextAnalysisOps.toks(col(textCol)))
+        .select(extra :+ explode(graft.llm.CurationOps.wordNgrams(
+          col("__dc_tk__"), ngramSize)).as("__ng__"): _*)
+    val evalNg = ngramRows(evalDf, Nil).distinct().persist()
+    try {
+      evalNg.count() // materialize once, before the first batch
+      val q = df.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val wide = batch.repartition(
+            spark.sparkContext.defaultParallelism)
+          val hits = ngramRows(wide, Seq(col(idCol).as("__cid__")))
+            .join(evalNg, Seq("__ng__"), "left_semi")
+            .select("__cid__").distinct()
+          wide.join(hits, col(idCol) === col("__cid__"), "left")
+            .withColumn(flagCol, col("__cid__").isNotNull)
+            .drop("__cid__")
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outDir)
+    } finally evalNg.unpersist()
   }
 }

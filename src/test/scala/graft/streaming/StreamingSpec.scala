@@ -160,6 +160,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_.contains("true")) && batch.exists(_.contains("false")))
   }
 
+  test("over-cap decontamination degrades to the relational fallback with identical flags") {
+    implicit val sctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val eval = docs.filter(col("doc_id") < 8)
+    // reference flags: the in-plan literal path, cap comfortably high
+    val expected = StreamingDecontaminate(docs, eval, "text", "doc_id", 4)
+      .select("doc_id", "contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.exists(_.contains("true")) &&
+      expected.exists(_.contains("false")))
+    // batch frame over a tiny cap: apply() itself degrades to the
+    // relational semi-join — same flags, no literal in the plan
+    val batchFallback = StreamingDecontaminate(docs, eval, "text", "doc_id", 4,
+      maxEvalNgrams = 5)
+      .select("doc_id", "contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    assert(batchFallback == expected)
+    // a STREAM over the cap refuses in-plan with a pointer at the
+    // foreachBatch fallback...
+    val mem = MemoryStream[(Long, String)]
+    val streamIn = mem.toDF().toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      StreamingDecontaminate(streamIn, eval, "text", "doc_id", 4,
+        maxEvalNgrams = 5)
+    }
+    assert(err.getMessage.contains("runOverCapToParquet"))
+    // ...and the fallback itself produces the identical flags
+    mem.addData(docs.as[(Long, String)].collect().toIndexedSeq: _*)
+    val outDir = java.nio.file.Files.createTempDirectory("dc-fb").toString + "/out"
+    val fb = StreamingDecontaminate.runOverCapToParquet(
+      streamIn, eval, "text", "doc_id", outDir, 4)
+      .select("doc_id", "contaminated")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fb == expected)
+  }
+
   test("streaming near-dedup pairs within the window, evicts past the watermark") {
     implicit val sctx = spark.sqlContext
     // same text = jaccard 1.0; watermark 1 hour
