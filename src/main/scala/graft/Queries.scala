@@ -937,9 +937,13 @@ object Queries {
       // text and a vector, as the reference's dataset does.
       val docs = t(s, d, "documents")
       val emb = t(s, d, "embeddings")
+      // both engines take several actions over the corpus (BM25 stats
+      // build + score join; dense count + scan) — materialize the join
+      // once instead of recomputing it per action
       val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("idx"), col("text"),
           col("embedding").as("vector"))
+        .localCheckpoint()
       val queries = corpus.filter(col("idx") < 10)
         .select(col("idx").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),

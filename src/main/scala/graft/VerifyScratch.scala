@@ -578,6 +578,53 @@ object VerifyScratch {
         s"${d1 == d2 && d1.nonEmpty}")
     }
 
+    // 45. BM25 build-side stats persist without a stateDir (the
+    // build-once/query-many contract): postings report a storage level
+    // and fillRange's stats.n equals the corpus row count
+    {
+      val eng = graft.search.BM25Engine(docs,
+        graft.search.SearchConfig(k = 5, queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text")
+      val lvl = eng.stats.postings.storageLevel
+      val nOk = eng.stats.n == docs.count()
+      println(s"[45] bm25 stats persisted (useMemory=${lvl.useMemory} " +
+        s"useDisk=${lvl.useDisk}) n=${eng.stats.n} -> ${lvl.useMemory && lvl.useDisk && nOk}")
+    }
+
+    // 46. SRP hamming-early candidate pruning: planted near-copies on the
+    // real embeddings (the dd_srp_cosine shape at a third scale) emit
+    // exactly the planted pairs, and the executed plan filters on
+    // bit_count strictly deeper than the vector-fetch joins
+    {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val raw = emb.select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val plantedV = raw.unionByName(raw.filter(col("vec_id") < 30).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding")))
+      val out = graft.llm.SRPCosineDedupPipe("embedding", "vec_id")(plantedV)
+      val rows = out.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (0L until 30L).map(i => (i, i + 10000)).sorted
+      // structural: the hamming (bit_count) predicate must evaluate over
+      // signature-only inputs — Catalyst pushes it into the band join
+      // condition itself — never downstream of a vector-fetch join (the
+      // old plan filtered after v_a/v_b were already shuffled)
+      val hamInputs = out.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("bit_count") =>
+          f.children.flatMap(_.output)
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("bit_count")) =>
+          j.children.flatMap(_.output)
+      }
+      val planOk = hamInputs.nonEmpty &&
+        hamInputs.forall(!_.exists(_.name.startsWith("v_")))
+      println(s"[46] srp planted pairs=${rows.size} hammingBelowVectorJoin=$planOk " +
+        s"-> ${rows == want && planOk}")
+    }
+
     spark.stop()
   }
 }

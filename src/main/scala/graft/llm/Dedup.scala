@@ -579,23 +579,26 @@ case class SRPCosineDedupPipe(
       .localCheckpoint(true)
     val r = nBits / bands
     val mask = (1L << r) - 1
-    val banded = base.select(col("id"),
+    // Candidate volume per band grows with bucket occupancy² while
+    // hamming survivors stay near-linear, so the signature (8 bytes)
+    // rides the band join and hamming prunes BEFORE the pair dedup and
+    // before any vector is shuffled; only survivors fetch vectors.
+    val banded = base.select(col("id"), col("sg"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sg"), b * r).bitwiseAND(mask)): _*))
         .as(Seq("band", "bh")))
-    val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
+    val pairs = banded.select(col("band"), col("bh"),
+        col("id").as("id_a"), col("sg").as("sg_a"))
+      .join(banded.select(col("band"), col("bh"),
+        col("id").as("id_b"), col("sg").as("sg_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a"),
-        col("sg").as("sg_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("sg").as("sg_b")), Seq("id_b"))
       .withColumn("hamming",
         bit_count(col("sg_a").bitwiseXOR(col("sg_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", DedupOps.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("hamming"), col("cosine"))

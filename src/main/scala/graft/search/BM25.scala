@@ -79,8 +79,9 @@ case class BM25Engine(
         t => regexp_replace(t, lit("[\\p{Punct}]"), lit(""))),
       t => length(t) > 0)
 
-  private lazy val n: Long = corpus.count()
-  protected def fillRange: Option[Long] = Some(n)
+  // fillRange reuses the stats totals (docs count == corpus rows) so the
+  // masked-fill path costs no extra corpus scan
+  protected def fillRange: Option[Long] = Some(stats.n)
 
   /** Build-side statistics; small relative to the corpus, reusable across
     * query batches, and (with `stateDir`) persisted across engine
@@ -97,13 +98,19 @@ case class BM25Engine(
     lazy val postingsRaw = base
       .select(Seq(col("docId"), posexplode(col("toks")).as(Seq("pos", "term"))): _*)
       .groupBy("term", "docId").agg(count(lit(1)).as("tf"))
+    // Without a stateDir the stats frames are still the engine's
+    // build-once/query-many index: the totals action, the dfreq
+    // aggregation, and every score join would otherwise re-tokenize the
+    // corpus per action. MEMORY_AND_DISK keeps one materialization (and
+    // spills, never OOMs, when postings outgrow executor memory at scale).
     def persisted(frame: String)(compute: => DataFrame): DataFrame =
       stateDir match {
         case Some(dir) =>
           val key = graft.core.Fingerprint.combine(
             corpusFingerprint, fingerprint, frame)
           graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
-        case None => compute
+        case None =>
+          compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val docs = persisted("docs")(docsRaw)
     val postingsAll = persisted("postings")(postingsRaw)
