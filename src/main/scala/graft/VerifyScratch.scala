@@ -625,6 +625,26 @@ object VerifyScratch {
         s"-> ${rows == want && planOk}")
     }
 
+    // 47. SimHash hamming-early pruning: the bit_count predicate sits
+    // BELOW the pair-dedup aggregate (candidates pruned before the
+    // dedup shuffle), and output on real docs is non-empty with
+    // hamming <= 3
+    {
+      val simBase = docs.select(col("doc_id"), col("text"))
+      val sh = graft.llm.SimHashDedupPipe("text", "doc_id",
+        tokenHash = "poly61")(simBase.unionByName(
+        simBase.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 10000).as("doc_id"), col("text"))))
+      val rows = sh.collect()
+      val hamOk = rows.nonEmpty && rows.forall(_.getInt(2) <= 3)
+      val aggs = sh.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.toString.contains("bit_count") => a
+      }
+      println(s"[47] simhash pairs=${rows.length} hammingBelowDedupAgg=" +
+        s"${aggs.nonEmpty} -> ${hamOk && aggs.nonEmpty}")
+    }
+
     spark.stop()
   }
 }

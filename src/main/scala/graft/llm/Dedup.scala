@@ -418,12 +418,16 @@ case class SimHashDedupPipe(
       col("id").as("id_a"), col("sim").as("sim_a"))
     val right = banded.select(col("band"), col("bh"),
       col("id").as("id_b"), col("sim").as("sim_b"))
+    // hamming prunes BEFORE the pair-dedup shuffle (Catalyst folds the
+    // bit_count predicate into the band-join condition, as in
+    // SRPCosineDedupPipe): candidates grow with bucket occupancy² while
+    // hamming survivors stay near the true-pair count
     left.join(right, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
 
