@@ -226,11 +226,17 @@ object DedupOps {
     val base = materialize("base", Pipe.widen(slim)
       .select(col("id"), shingleHashes(col("__text__"), shingleSize).as("sh")))
     val perms = minhashPermutations(col("h"), numHashes)
+    // `n` (shingle-set size, = count of exploded rows since sh is a set)
+    // rides the signature aggregate for free and lets callers prune
+    // candidates on the lossless size-ratio bound BEFORE fetching sets
+    // (tag bumped to v2: the banded schema gained a column and a stale
+    // cache would load without it)
     val sigs = base.select(col("id"), explode(col("sh")).as("h"))
       .groupBy("id")
       .agg(min(perms.head).as("__m0"),
-        perms.tail.zipWithIndex.map { case (p, i) => min(p).as(s"__m${i + 1}") }: _*)
-    val banded = materialize("banded", sigs.select(col("id"),
+        (perms.tail.zipWithIndex.map { case (p, i) => min(p).as(s"__m${i + 1}") } :+
+          count(lit(1)).as("n")): _*)
+    val banded = materialize("banded:v2", sigs.select(col("id"), col("n"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until r).map(j => col(s"__m${b * r + j}")): _*)): _*))
         .as(Seq("band", "bh"))))
@@ -324,20 +330,24 @@ case class MinHashLSHDedupPipe(
     // text it came from; banded is 3 longs x bands per doc).
     val (base, banded) = DedupOps.minhashBanded(
       df, textCol, idCol, numHashes, bands, shingleSize, cacheDir)
-    val pairs = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+    // lossless size prune AT the band join — jaccard <=
+    // min(|A|,|B|)/max(|A|,|B|), and |sh| rides banded as one long — so
+    // over-threshold-impossible pairs never reach the dedup shuffle or
+    // the shingle-set fetch (Catalyst folds the bound into the join
+    // condition, as in the simhash/SRP hamming prune)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pairs = banded.select(col("band"), col("bh"),
+        col("id").as("id_a"), col("n").as("n_a"))
+      .join(banded.select(col("band"), col("bh"),
+        col("id").as("id_b"), col("n").as("n_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b") &&
+        least(na, nb) >= lit(jaccardThreshold) * greatest(na, nb))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val withSets = pairs
+    pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    // lossless size prune: jaccard <= min(|A|,|B|)/max(|A|,|B|)
-    val sa = size(col("sh_a")).cast("double")
-    val sb = size(col("sh_b")).cast("double")
-    withSets
-      .filter(least(sa, sb) >= lit(jaccardThreshold) * greatest(sa, sb))
       .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -652,18 +662,20 @@ case class CrossCorpusMinHashPipe(
       df, textCol, idCol, numHashes, bands, shingleSize, cacheDir)
     val (baseB, bandedB) = DedupOps.minhashBanded(
       refDf, refTextCol, refIdCol, numHashes, bands, shingleSize, cacheDir)
-    val pairs = bandedA.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(bandedB.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
+    // same lossless size-ratio prune at the band join as
+    // MinHashLSHDedupPipe: impossible pairs never fetch shingle sets
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pairs = bandedA.select(col("band"), col("bh"),
+        col("id").as("id_a"), col("n").as("n_a"))
+      .join(bandedB.select(col("band"), col("bh"),
+        col("id").as("id_b"), col("n").as("n_b")), Seq("band", "bh"))
+      .filter(least(na, nb) >= lit(jaccardThreshold) * greatest(na, nb))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val withSets = pairs
+    pairs
       .join(baseA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(baseB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    val sa = size(col("sh_a")).cast("double")
-    val sb = size(col("sh_b")).cast("double")
-    withSets
-      .filter(least(sa, sb) >= lit(jaccardThreshold) * greatest(sa, sb))
       .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
