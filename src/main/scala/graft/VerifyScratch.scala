@@ -302,13 +302,17 @@ object VerifyScratch {
     println(s"[23] dsir: en-target mean(en) > mean(other), broadcast table -> " +
       s"${iwMeans(true) > iwMeans(false) && iwPlan.contains("BroadcastHashJoin")}")
 
-    // 24. hashed linear scorer is map-only: no Exchange anywhere in the
-    // scoring plan (weight vector rides as a literal)
+    // 24. hashed linear scorer is map-only: the only Exchange allowed is
+    // Pipe.widen's deliberate round-robin past a narrow scan (weight
+    // vector rides as a literal — no join/aggregate shuffle)
+    def onlyWidenExchanges(p: String): Boolean =
+      "Exchange".r.findAllIn(p).size ==
+        "Exchange RoundRobinPartitioning".r.findAllIn(p).size
     val hls = graft.llm.HashedLinearScorerPipe("text",
       graft.llm.HashedLinearScorerPipe.formulaWeights(4096))(docs)
     val hlsPlan = hls.queryExecution.executedPlan.toString
     println(s"[24] hashed scorer map-only (no Exchange) -> " +
-      s"${!hlsPlan.contains("Exchange") && hls.count() == docs.count()}")
+      s"${onlyWidenExchanges(hlsPlan) && hls.count() == docs.count()}")
 
     // 25. substring dedup on real docs + planted boilerplate: every 5th
     // doc loses >= the 7 planted tokens; clean docs keep token counts
@@ -343,7 +347,7 @@ object VerifyScratch {
     val tScored = graft.llm.HashedLinearScorerPipe("text", tw, tb)(docs)
     val tPlan = tScored.queryExecution.executedPlan.toString
     println(s"[27] trained scorer: 512 weights, finite bias, map-only -> " +
-      s"${tw.size == 512 && !tb.isNaN && !tPlan.contains("Exchange") &&
+      s"${tw.size == 512 && !tb.isNaN && onlyWidenExchanges(tPlan) &&
         tScored.count() == docs.count()}")
 
     // 28. BPE learn + encode on real docs: 6 merges learned, encode is

@@ -69,7 +69,9 @@ case class RepetitionStatsPipe(textCol: String) extends Pipe {
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     // Stage each expensive array as a (multiply-referenced) output column
     // so CollapseProject cannot inline it into a per-element lambda.
-    val staged = df
+    // Widened: the run-scan HOFs are interpreted and the input may plan
+    // a single scan task (one-row-group parquet).
+    val staged = Pipe.widen(df)
       .withColumn("__rs_toks__", TextAnalysisOps.toks(qcol(textCol)))
       .withColumn("__rs_bg__",
         array_sort(CurationOps.wordNgrams(col("__rs_toks__"), 2)))
@@ -123,15 +125,18 @@ case class DecontaminatePipe(
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val evalNg = ngramRows(evalDf, Nil).distinct()
     val probe = if (broadcastEval) broadcast(evalNg) else evalNg
-    val hits = ngramRows(df, Seq(qcol(idCol).as("__cid__")))
+    // widen the train side: the n-gram HOF probe is map-only and would
+    // otherwise run on the input's (possibly single) scan tasks
+    val wide = Pipe.widen(df)
+    val hits = ngramRows(wide, Seq(qcol(idCol).as("__cid__")))
       .join(probe, Seq("__ng__"), "left_semi")
       .select(col("__cid__")).distinct()
     if (flagOnly)
-      df.join(hits, qcol(idCol) === col("__cid__"), "left")
+      wide.join(hits, qcol(idCol) === col("__cid__"), "left")
         .withColumn(flagCol, col("__cid__").isNotNull)
         .drop("__cid__")
     else
-      df.join(hits, qcol(idCol) === col("__cid__"), "left_anti")
+      wide.join(hits, qcol(idCol) === col("__cid__"), "left_anti")
   }
 }
 
@@ -157,7 +162,9 @@ case class PiiRedactPipe(
     val redacted = patterns.foldLeft(text) { case (acc, (_, regex, tag)) =>
       regexp_replace(acc, lit(regex), lit(tag))
     }
-    finish(df, counts :+ (outputCol -> redacted))
+    // codegen'd but still bounded by the input's scan tasks — widen past
+    // a single-row-group file's one split
+    finish(Pipe.widen(df), counts :+ (outputCol -> redacted))
   }
 }
 
@@ -291,10 +298,13 @@ case class UnigramLogProbPipe(
     "out" -> outputCol, "broadcastVocab" -> broadcastVocab.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    // (three consumers re-run the scan + explode, but an eager widen +
-    // localCheckpoint re-measured SLOWER at sf0.1 — 8.5 s vs 7.5 s — the
-    // materialization job costs more than the two re-reads it saves)
-    val toks = df.select(qcol(idCol).as("__ug_id__"),
+    // (three consumers re-run the scan + explode — an eager
+    // widen+localCheckpoint re-measured SLOWER at sf0.1, 8.5 s vs 7.5 s:
+    // the MATERIALIZATION job costs more than the two re-reads it saves.
+    // A plain widen is different: no materialization, each re-run just
+    // explodes 32-way instead of on the input's single scan task)
+    val wide = Pipe.widen(df)
+    val toks = wide.select(qcol(idCol).as("__ug_id__"),
       explode(TextAnalysisOps.toks(qcol(textCol))).as("__ug_tok__"))
     val total = toks.agg(count(lit(1)).cast("double").as("__ug_n__"))
     val vocabRaw = toks.groupBy("__ug_tok__")
@@ -311,7 +321,7 @@ case class UnigramLogProbPipe(
       .agg(round(
         sum(round(col("__ug_nll__") * 10000).cast("long")) /
           (count(lit(1)) * 10000d), 4).as("__ug_score__"))
-    df.join(scored, qcol(idCol) === col("__ug_id__"), "left")
+    wide.join(scored, qcol(idCol) === col("__ug_id__"), "left")
       .withColumn(outputCol, coalesce(col("__ug_score__"), lit(0d)))
       .drop("__ug_id__", "__ug_score__")
   }
@@ -342,7 +352,9 @@ case class BigramLogProbPipe(
     "out" -> outputCol, "broadcastTable" -> broadcastTable.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val staged = df.select(qcol(idCol).as("__bg_id__"),
+    // widened for the same reason as the unigram pipe (see note there)
+    val wide = Pipe.widen(df)
+    val staged = wide.select(qcol(idCol).as("__bg_id__"),
       TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))).as("__bg_tk__"))
     val tk = col("__bg_tk__")
     // (prev, cur) rows for positions 1..n-1
@@ -373,7 +385,7 @@ case class BigramLogProbPipe(
     val scored = bigrams.join(probe, Seq("__bg_p__", "__bg_c__"))
       .groupBy("__bg_id__")
       .agg(round(sum("__bg_f__") / (count(lit(1)) * 10000d), 4).as("__bg_s__"))
-    df.join(scored, qcol(idCol) === col("__bg_id__"), "left")
+    wide.join(scored, qcol(idCol) === col("__bg_id__"), "left")
       .withColumn(outputCol, coalesce(col("__bg_s__"), lit(0d)))
       .drop("__bg_id__", "__bg_s__")
   }

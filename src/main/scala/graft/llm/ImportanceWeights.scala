@@ -87,7 +87,10 @@ case class ImportanceWeightPipe(
   }
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val raw = featRows(df, textCol, Some(idCol))
+    // widen the corpus side: the char-fold feature HOFs are interpreted
+    // and otherwise run on the input's (possibly single) scan tasks
+    val wide = Pipe.widen(df)
+    val raw = featRows(wide, textCol, Some(idCol))
     val tgt = featRows(targetDf, targetTextCol, None)
     val rawCnt = raw.groupBy("__iw_b__").agg(count(lit(1)).as("__iw_rc__"))
     val tgtCnt = tgt.groupBy("__iw_b__").agg(count(lit(1)).as("__iw_tc__"))
@@ -108,7 +111,7 @@ case class ImportanceWeightPipe(
     val scored = raw.join(probe, Seq("__iw_b__"))
       .groupBy("__iw_id__")
       .agg(round(sum("__iw_w__") / 10000d, 4).as("__iw_s__"))
-    df.join(scored, qcol(idCol).cast("long") === col("__iw_id__"), "left")
+    wide.join(scored, qcol(idCol).cast("long") === col("__iw_id__"), "left")
       .withColumn(outputCol, coalesce(col("__iw_s__"), lit(0d)))
       .drop("__iw_id__", "__iw_s__")
   }
@@ -144,7 +147,9 @@ case class HashedLinearScorerPipe(
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val wfp = typedLit(weights.map(w => math.round(w * 10000)))
-    val staged = FeatureHashOps.stageTokenHashes(df, textCol, "__hl_th__")
+    // widen: the char-fold + weight-lookup HOFs are interpreted
+    val staged =
+      FeatureHashOps.stageTokenHashes(Pipe.widen(df), textCol, "__hl_th__")
       .withColumn("__hl_f__",
         FeatureHashOps.featureBuckets(col("__hl_th__"), weights.size))
     val fp = aggregate(col("__hl_f__"), lit(math.round(bias * 10000)),

@@ -45,7 +45,9 @@ case class LanguageIdPipe(textCol: String, outputCol: String = "lang_pred")
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
     // foldRight means earlier-listed langs overwrite later ones on ties
-    finish(df, Seq(outputCol -> pred))
+    // (widen: the stopword-hit HOFs are interpreted; single-row-group
+    // parquet plans one task — no-op at real input split counts)
+    finish(Pipe.widen(df), Seq(outputCol -> pred))
   }
 }
 
@@ -78,7 +80,7 @@ case class QualityScorePipe(textCol: String) extends Pipe {
       "digit_ratio" -> round(digitRatio, 4),
       "upper_ratio" -> round(upperRatio, 4),
       "quality" -> round(greatest(least(raw, lit(1d)), lit(0d)), 4))
-    finish(df, outs.map { case (k, c) => k -> (c: Column) })
+    finish(Pipe.widen(df), outs.map { case (k, c) => k -> (c: Column) })
   }
 }
 
@@ -96,7 +98,7 @@ case class TokenCountPipe(textCol: String) extends Pipe {
       "word_tokens" -> size(filter(split(text, "[^A-Za-z0-9]+"),
         t => length(t) > 0)).cast("int"),
       "est_bpe_tokens" -> ceil(length(text) / 4d).cast("int"))
-    finish(df, outs.map { case (k, c) => k -> (c: Column) })
+    finish(Pipe.widen(df), outs.map { case (k, c) => k -> (c: Column) })
   }
 }
 
@@ -121,6 +123,9 @@ case class FingerprintPipe(textCol: String, outputCol: String = "fingerprint")
     val tokens = TextAnalysisOps.toks(qcol(textCol))
     val fp = aggregate(arrTransform(tokens, t => tokHash(t)), lit(0L),
       (h, t) => pmod(h * 131 + t, lit(1000000007L)))
-    finish(df, Seq(outputCol -> fp))
+    // the per-char fold is interpreted HOF work: parallelize past the
+    // input's file splits (single-row-group parquet scans one task; at
+    // real scale inputs carry >= parallelism splits and this no-ops)
+    finish(Pipe.widen(df), Seq(outputCol -> fp))
   }
 }

@@ -77,9 +77,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("hashed classifier gate plans no shuffle before the final sort") {
     val p = plan("qc_hash_score")
-    // scoring itself is map-only; the single exchange is the gate orderBy
+    // scoring itself is map-only: allowed exchanges are the gate orderBy
+    // (rangepartitioning) and Pipe.widen's deliberate round-robin
+    // repartition past a narrow scan; any hashpartitioning exchange means
+    // the scorer grew a join/aggregate shuffle
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"unexpected exchanges ($exchanges) in:\n${p.take(2000)}")
+    val allowed = ("Exchange rangepartitioning".r.findAllIn(p).size
+      + "Exchange RoundRobinPartitioning".r.findAllIn(p).size)
+    assert(exchanges <= allowed,
+      s"unexpected exchanges ($exchanges vs allowed $allowed) in:\n${p.take(2000)}")
   }
 
   test("hive-partitioned layout prunes partitions at plan time") {
