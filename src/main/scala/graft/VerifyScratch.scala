@@ -649,6 +649,36 @@ object VerifyScratch {
         s"${aggs.nonEmpty} -> ${hamOk && aggs.nonEmpty}")
     }
 
+    // 48. Pipe.widen in LineDedup/VocabEncode/ResizeMediaStub: a
+    // single-partition input is redistributed (RoundRobin exchange in the
+    // plan) before the heavy map stage, and results match the unwidened
+    // (already-wide) path value-for-value
+    {
+      val narrow = docs.coalesce(1)
+      val wideIn = docs.repartition(8)
+      type DF = org.apache.spark.sql.DataFrame
+      def run(f: DF => DF, in: DF, cols: Seq[String]) =
+        f(in).select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+      val cases: Seq[(String, DF => DF, Seq[String])] = Seq(
+        ("line_dedup", graft.llm.LineDedupPipe("text", "doc_id")(_),
+          Seq("doc_id", "text", "n_lines_removed")),
+        ("vocab_encode", graft.llm.VocabEncodePipe("text", "doc_id",
+          vocabSize = 25)(_), Seq("doc_id", "token_ids", "n_oov")),
+        ("resize_stub", (df: DF) =>
+          graft.llm.ResizeMediaStubPipe("media", targetBytes = 32)(
+            graft.llm.ToMediaColumnPipe("text")(df)),
+          Seq("doc_id", "resized_meta")))
+      val results = cases.map { case (label, f, cols) =>
+        val a = run(f, narrow, cols)
+        val b = run(f, wideIn, cols)
+        val plan = f(narrow).queryExecution.executedPlan.toString
+        val widened = plan.contains("RoundRobinPartitioning")
+        (label, a == b && widened)
+      }
+      println(s"[48] widen narrow-scan pipes ${results.map(r => s"${r._1}=${r._2}")
+        .mkString(" ")} -> ${results.forall(_._2)}")
+    }
+
     spark.stop()
   }
 }

@@ -247,7 +247,10 @@ case class LineDedupPipe(
     "hashKey" -> hashKey.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val exploded = df.select(qcol(idCol).as("__ld_id__"),
+    // widen: the line explode otherwise runs on the input's (possibly
+    // single) scan tasks before any shuffle redistributes
+    val wide = Pipe.widen(df)
+    val exploded = wide.select(qcol(idCol).as("__ld_id__"),
       posexplode(split(coalesce(qcol(textCol), lit("")), "\n"))
         .as(Seq("__ld_pos__", "__ld_line__")))
     // exact mode keys on the line itself (no duplicated column in the
@@ -268,7 +271,7 @@ case class LineDedupPipe(
             struct(col("__ld_pos__").as("p"), col("__ld_line__").as("v"))))),
           x => x.getField("v"))).as("__ld_clean__"),
         sum(when(keep, 0L).otherwise(1L)).as("__ld_removed__"))
-    df.join(rebuilt, qcol(idCol) === col("__ld_id__"), "left")
+    wide.join(rebuilt, qcol(idCol) === col("__ld_id__"), "left")
       .withColumn(textCol, coalesce(col("__ld_clean__"), lit("")))
       .withColumn(removedCol, coalesce(col("__ld_removed__"), lit(0L)))
       .drop("__ld_id__", "__ld_clean__", "__ld_removed__")

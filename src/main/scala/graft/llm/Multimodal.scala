@@ -131,11 +131,13 @@ case class ResizeMediaStubPipe(
       aggregate(pieces, lit(Array.empty[Byte]),
         (acc, x) => concat(acc, x)))
       .otherwise(lit(Array.empty[Byte]))
+    // the per-byte resample HOF is interpreted — widen past narrow scans
+    val wide = graft.core.Pipe.widen(df)
     val meta = struct(
       lit("resized").as("format"),
       octet_length(resized).cast("long").as("n_bytes"),
       lit(targetBytes).as("width"), lit(1).as("height"), lit(1).as("channels"))
-    finish(df, Seq(outputCol -> resized, metaCol -> meta))
+    finish(wide, Seq(outputCol -> resized, metaCol -> meta))
   }
 }
 

@@ -52,10 +52,13 @@ case class VocabEncodePipe(
     "prebuilt" -> prebuilt.isDefined.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    // widen: the tokenize+explode map stage otherwise runs on the input's
+    // (possibly single) scan tasks
+    val wide = graft.core.Pipe.widen(df)
     val vocab = broadcast(
-      prebuilt.getOrElse(VocabOps.build(df, textCol, vocabSize))
+      prebuilt.getOrElse(VocabOps.build(wide, textCol, vocabSize))
         .select(col("token"), col("id")))
-    val toks = df.select(qcol(idCol).as("__vb_id__"),
+    val toks = wide.select(qcol(idCol).as("__vb_id__"),
       posexplode(TextAnalysisOps.toks(qcol(textCol)))
         .as(Seq("__vb_pos__", "token")))
     val enc = toks.join(vocab, Seq("token"), "left")
@@ -67,7 +70,7 @@ case class VocabEncodePipe(
           x => x.getField("v")).as("__vb_ids__"),
         sum(when(col("id").isNull, 1).otherwise(0)).cast("int")
           .as("__vb_oov__"))
-    df.join(enc, qcol(idCol) === col("__vb_id__"), "left")
+    wide.join(enc, qcol(idCol) === col("__vb_id__"), "left")
       .withColumn(outputCol,
         coalesce(col("__vb_ids__"), array().cast("array<bigint>")))
       .withColumn(oovCountCol, coalesce(col("__vb_oov__"), lit(0)))
