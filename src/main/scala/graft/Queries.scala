@@ -679,9 +679,9 @@ object Queries {
 
     // ----- events / relational headliners -----
     "ev_window_agg" -> ((s, d) => {
-      // events.parquet stores TIMESTAMP(NANOS); the shared reader owns the
-      // nanosAsLong legacy conf and the EXACT integer ns->us downcast
-      // (a double `/1000` here would be off by ±1 us at epoch-nanos scale)
+      // the shared reader adapts to events.parquet's physical ts encoding
+      // (TIMESTAMP(NANOS), bare INT64 epoch-nanos, TIMESTAMP_NTZ micros,
+      // or TIMESTAMP) — see EventStream.adaptTs
       graft.streaming.EventStream.readBatch(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))

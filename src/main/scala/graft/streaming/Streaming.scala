@@ -13,41 +13,109 @@ import org.apache.spark.sql.functions._
   * correctness baseline.
   */
 object EventStream {
+  import org.apache.hadoop.fs.Path
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-  /** Batch read of the events table (TIMESTAMP(NANOS) downcast to micros).
-    *
-    * `nanosAsLong` is a SESSION-level legacy conf with no per-read option,
-    * so it must be set here; this is safe under concurrent queries only
-    * because every events reader routes through this method (or
-    * [[readStream]]) and always sets the same value — the conf is never
-    * toggled back, so no query can observe a stale flip.
+  /** Physical encoding of the events `ts` column, decided from the parquet
+    * FOOTER, not from Spark's inferred schema: a TIMESTAMP(NANOS) column
+    * cannot even be loaded by Spark without the session-level
+    * `nanosAsLong` legacy conf, so the footer is the only place the
+    * decision can be made without mutating session state for everyone.
+    * A 100 TB lake has mixed writers (arrow/pandas default to micros,
+    * older feeds carry nanos or raw INT64 epochs) — the reader adapts to
+    * the file, never the other way around.
     */
+  private sealed trait TsEncoding
+  private case object TsNanosLong extends TsEncoding // INT64 TIMESTAMP(NANOS) or bare INT64 epoch-nanos
+  private case object TsNative extends TsEncoding    // TIMESTAMP(MICROS/MILLIS) (tz or ntz) / INT96
+
+  private def tsEncoding(spark: SparkSession, file: String): TsEncoding = {
+    val in = HadoopInputFile.fromPath(new Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return TsNative
+      val ts = schema.getType(schema.getFieldIndex("ts"))
+      ts.getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          TsNanosLong
+        case _: TimestampLogicalTypeAnnotation => TsNative
+        case _ if ts.isPrimitive &&
+            ts.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT64 =>
+          // bare INT64, no annotation: documented as epoch-nanos (the
+          // shape a nanosAsLong reader round-trips through a long writer)
+          TsNanosLong
+        case _ => TsNative // INT96 et al: Spark reads these natively
+      }
+    } finally reader.close()
+  }
+
+  /** Set the `nanosAsLong` legacy conf ONLY when the file actually needs
+    * it (TIMESTAMP(NANOS) is unreadable without it). The conf is
+    * session-level with no per-read option; setting it is safe under
+    * concurrent queries because it is never toggled back and it has no
+    * effect on non-NANOS columns.
+    */
+  private def prepareSession(spark: SparkSession, file: String): TsEncoding = {
+    val enc = tsEncoding(spark, file)
+    if (enc == TsNanosLong)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enc
+  }
+
+  /** Normalize the raw `ts` column to session TimestampType micros,
+    * whatever the file carried:
+    *   - LongType (TIMESTAMP(NANOS) under nanosAsLong, or bare INT64
+    *     epoch-nanos): integer `ts div 1000`, not double `/ 1000` —
+    *     epoch-nanos ~1.7e18 exceeds a double's 53-bit mantissa, so the
+    *     float path could be off by ±1 us; DuckDB truncates ns->us
+    *     exactly and the oracle must agree;
+    *   - TIMESTAMP_NTZ (arrow/pandas default): cast to the session
+    *     timestamp type — value-preserving because every graft session
+    *     pins spark.sql.session.timeZone=UTC (Verify/Bench/specs), which
+    *     matches how DuckDB reads the same naive column;
+    *   - TIMESTAMP: already the session type.
+    */
+  private def adaptTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        sys.error(s"events.ts: unsupported type $other — expected " +
+          "INT64 epoch-nanos, TIMESTAMP(NANOS), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+
+  /** Batch read of the events table, schema-adaptive (see [[adaptTs]]). */
   def readBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not double `/`: epoch-nanos ~1.7e18 exceeds a double's
-    // 53-bit mantissa, so (ts / 1000).cast("long") could be off by ±1 us;
-    // DuckDB truncates ns->us exactly and the oracle must agree.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    prepareSession(spark, s"$dir/events.parquet")
+    adaptTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Streaming read over the event parquet files. The schema must be
-    * pinned to the RAW file schema (ts = epoch-nanos long under
-    * nanosAsLong) — pinning the post-transform schema would make the
-    * parquet reader reject the nanos column — and the same ns->us
-    * downcast as [[readBatch]] is applied on top, so batch and stream
-    * plans see identical frames.
+    * pinned to the RAW file schema (pinning the post-transform schema
+    * would make the parquet reader reject a nanos column) and the same
+    * [[adaptTs]] normalization as [[readBatch]] is applied on top, so
+    * batch and stream plans see identical frames.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prepareSession(spark, s"$dir/events.parquet")
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source only accepts directories; filter the
     // events file out of the shared fixtures dir by name
-    spark.readStream.schema(raw)
+    adaptTs(spark.readStream.schema(raw)
       .format("parquet")
       .option("pathGlobFilter", "events.parquet")
-      .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .load(dir))
   }
 
   /** Execute a streaming frame as a REAL StreamingQuery (memory sink, one

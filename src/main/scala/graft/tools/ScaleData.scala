@@ -30,10 +30,10 @@ object ScaleData {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
-      // (the same conf EventStream.readBatch sets — the replica is written
-      // as plain BIGINT nanos, which readBatch's `ts div 1000` handles
-      // identically)
+      // legacy-source tolerance: a TIMESTAMP(NANOS) events source reads as
+      // epoch-nanos long (written back as bare INT64, which
+      // EventStream.adaptTs treats as nanos); the conf is a no-op for the
+      // current micros-encoded fixtures, whose ts passes through unchanged
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
