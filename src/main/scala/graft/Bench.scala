@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema preflight: LOUD on drift but non-fatal here — timings for
+    // unaffected queries are still worth recording (the affected ones
+    // report the -1 sentinel), unlike Verify where drift must fail fast
+    try Preflight.run(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] PREFLIGHT FAILED: ${e.getMessage}")
+    }
     // JVM/codegen warmup so the first measured query doesn't absorb
     // cluster start + whole-stage-codegen compilation costs
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)

@@ -111,7 +111,7 @@ object ScaleData {
     * `pathGlobFilter` that matches file NAMES, so a directory-shaped
     * `<table>.parquet` would read as an empty stream.
     */
-  private def writeSingleFile(
+  private[graft] def writeSingleFile(
       spark: SparkSession, df: DataFrame, path: String): Unit = {
     val tmp = path + "_tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
