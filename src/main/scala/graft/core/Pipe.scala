@@ -110,11 +110,71 @@ object Pipe {
     * No-op on already-wide inputs (at 100 TB a scan has thousands of
     * splits, so this never down-shuffles) and on streaming frames (whose
     * partitioning the source owns).
+    *
+    * The partition count comes from [[estimatePartitions]] over the
+    * LOGICAL plan: the previous `df.rdd.getNumPartitions` forced a full
+    * physical-planning pass (plus an RDD lineage) per widened pipe just
+    * to read a number the planner would derive again for the real action.
     */
   def widen(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
       val par = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+      if (estimatePartitions(df) < par) df.repartition(par) else df
     }
+
+  /** Partition-count estimate from the logical plan — no physical
+    * planning. Mirrors how partitioning propagates through the physical
+    * tree: shuffle-inducing operators emit `spark.sql.shuffle.partitions`
+    * (AQE may coalesce lower, but never below what widen needs to know:
+    * "session-width already"), repartition/coalesce pin their own count,
+    * file scans split by Spark's size formula, checkpointed RDDs carry
+    * their materialized count, unions concatenate, map-like nodes inherit
+    * the widest child. Unknown leaves report session width so widen never
+    * adds a shuffle it cannot justify (the conservative direction: a
+    * missed widen costs a narrow stage; a wrong widen costs an exchange
+    * at 100 TB).
+    */
+  private def estimatePartitions(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val shufflePart =
+      try spark.conf.get("spark.sql.shuffle.partitions").toLong
+      catch { case _: NumberFormatException => par }
+    def bytesConf(key: String, dflt: Long): Long =
+      try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get(key))
+      catch { case _: Throwable => dflt }
+    val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+    def scanSplits(rel: HadoopFsRelation): Long = {
+      // Spark's own split sizing (FilePartition.maxSplitBytes): small
+      // totals bin at openCost, large totals at maxPartitionBytes
+      val total = math.max(rel.location.sizeInBytes, 1L)
+      val maxSplit = math.min(maxPartitionBytes,
+        math.max(openCost, total / math.max(par, 1L)))
+      math.max(1L, (total + maxSplit - 1) / math.max(maxSplit, 1L))
+    }
+    def est(plan: LogicalPlan): Long = plan match {
+      case Repartition(n, true, _) => n.toLong
+      case Repartition(n, false, child) => math.min(n.toLong, est(child)) // coalesce
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.map(_.toLong).getOrElse(shufflePart)
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Deduplicate =>
+        shufflePart
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => scanSplits(fs)
+        case _ => par
+      }
+      case l: LogicalRDD => l.rdd.getNumPartitions.toLong // already materialized
+      case _: LocalRelation | _: OneRowRelation => 1L
+      case u: Union => u.children.map(est).sum
+      case n if n.children.nonEmpty => n.children.map(est).max
+      case _ => par // unknown leaf: assume session-wide
+    }
+    est(df.queryExecution.logical)
+  }
 }
