@@ -927,6 +927,49 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s15_sq8_dense" -> ((s, d) => {
+      // FAISS "SQ8" factory (IndexScalarQuantizer QT_8bit) through the
+      // registry's factory-string path: per-dim min/max train + 8-bit
+      // codes + ADC are all DETERMINISTIC, so the oracle replays
+      // train → encode → ADC → top-k from the raw table with no
+      // fixed-state injection (the only dense gate with that property)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.AutoSearchEngine("SQ8",
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        opts = Map("stateDir" -> "/tmp/graft-cache/sq",
+          "fingerprint" -> tableFp(s, d, "embeddings")))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s16_ivf_sq8" -> ((s, d) => {
+      // "IVF8,SQ8" (IndexIVFScalarQuantizer) with nprobe = nlist: every
+      // inverted list is probed, so the candidate set is total and the
+      // flat-SQ oracle stays exact despite KMeans nondeterminism in the
+      // list assignment (the s1 trick); scores carry no coarse term
+      // (non-residual SQ codes against global stats)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.AutoSearchEngine("IVF8,SQ8",
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 8, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        opts = Map("nprobe" -> "8",
+          "stateDir" -> "/tmp/graft-cache/ivfsq",
+          "fingerprint" -> tableFp(s, d, "embeddings")))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s14_lexical_dense_cascade" -> ((s, d) => {
       // the reference user guide's documented end-user flow
       // (user_guide/src/examples/index.py:46-63): elasticsearch(k=100) →
@@ -1323,6 +1366,23 @@ object Queries {
     }.mkString(", ")
     s"SELECT $sel FROM ($inner) __scl"
   }
+
+  /** DuckDB replay of [[graft.search.SQDenseEngine]]: train (per-dim
+    * min/max), encode (round half-up, clamp to [0,255], constant dims
+    * encode 0), ADC (`qmin + qd·codes`), top-k with idx tie-break.
+    */
+  private def sqOracle(k: Int, qmax: Int): String = scl(
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |d AS (SELECT generate_subscripts(ev, 1) AS p, unnest(ev) AS x FROM v),
+      |st AS (SELECT p, min(x) AS mn, max(x) - min(x) AS df FROM d GROUP BY p),
+      |stl AS (SELECT list(mn ORDER BY p) AS vmin, list(df ORDER BY p) AS vdiff FROM st),
+      |cd AS (SELECT vec_id, list_transform(range(1, length(ev)+1), i -> CASE WHEN vdiff[i] <= 0 THEN CAST(0 AS DOUBLE) ELSE least(greatest(round((ev[i]-vmin[i])/vdiff[i]*255, 0), 0), 255) END) AS codes FROM v, stl),
+      |qs AS (SELECT vec_id AS qid, list_dot_product(ev, vmin) AS qmin, list_transform(range(1, length(ev)+1), i -> ev[i]*vdiff[i]/255) AS qd FROM v, stl WHERE vec_id < $qmax),
+      |sc AS (SELECT qs.qid, cd.vec_id AS idx, qs.qmin + list_dot_product(qs.qd, cd.codes) AS score FROM qs CROSS JOIN cd),
+      |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+      |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+      |FROM rk WHERE r <= $k GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+    "qid" -> "", "index.idx" -> "i", "index.score" -> "d")
 
   val oracleSql: Map[String, String] = Map(
     "c1_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
@@ -1918,6 +1978,13 @@ object Queries {
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // flat SQ8: the oracle replays the engine end-to-end — per-dim
+    // min/max train over the corpus, 8-bit encode (round half-up, clamp,
+    // constant dims -> 0), ADC score qmin + qd·codes, top-k
+    "s15_sq8_dense" -> sqOracle(k = 10, qmax = 10),
+    // IVF8,SQ8 with nprobe = nlist: candidate set is total, so the SAME
+    // flat-SQ replay is exact (KMeans only picks list assignment)
+    "s16_ivf_sq8" -> sqOracle(k = 8, qmax = 8),
     // BM25(k=100) -> dense(k=3) cascade: replay bm25 top-100 (rounded, the
     // engine's roundScores), dense exact top-3, then the offset-merge —
     // merged = coalesce(bm, min_bm) + coalesce(dense, min_dense) over the

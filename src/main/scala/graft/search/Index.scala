@@ -135,6 +135,15 @@ object AutoSearchEngine {
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       residual = true,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+    // FAISS IndexScalarQuantizer QT_8bit (factory "SQ8"): deterministic
+    // per-dim min/max train, 1-byte-per-dim codes, ADC scan
+    "dense_sq" -> ((c, cfg) => SQDenseEngine(c, cfg, corpusIdxCol, corpusVecCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+    // FAISS IndexIVFScalarQuantizer (factory "IVF<n>,SQ8"): coarse pruning
+    // over the SQ codes
+    "ivf_sq" -> ((c, cfg) => IVFSQDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
       roundScores = roundScores,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),

@@ -36,9 +36,27 @@ class FaissFactorySpec extends SparkSpec {
   }
 
   test("rejects garbage and out-of-grammar strings loudly") {
-    for (bad <- Seq("IVF4096", "PQ32,IVF16", "IVFx,Flat", "OPQ32,PQ32",
-        "IVF16,PQ32x99", "", "dense_ivf"))
+    // bare IVF (no fine stage), wrong component order, non-numeric nlist,
+    // absurd nbits, empty, a registry name, non-8-bit SQ variants, and a
+    // preproc ahead of SQ8 (dropping the rotation would change scores)
+    for (bad <- Seq("IVF4096", "PQ32,IVF16", "IVFx,Flat",
+        "IVF16,PQ32x99", "", "dense_ivf", "SQ4", "SQ6", "SQfp16",
+        "IVF16,SQ4", "OPQ8,SQ8", "PCAR64,IVF16,SQ8", "Flat,IVF16"))
       intercept[IllegalArgumentException](parse(bad))
+  }
+
+  test("parses flat (non-IVF) and SQ8 factory shapes") {
+    assert(parse("Flat").registryName == "dense")
+    val pqFlat = parse("PQ16x4")
+    assert(pqFlat.nlist == 0 && pqFlat.pq.get.m == 16 &&
+      pqFlat.pq.get.codebookSize == 16 && pqFlat.registryName == "dense_pq")
+    assert(parse("OPQ8,PQ8").registryName == "opq_pq")
+    val sqFlat = parse("SQ8")
+    assert(sqFlat.nlist == 0 && sqFlat.sq && sqFlat.pq.isEmpty &&
+      sqFlat.registryName == "dense_sq")
+    val ivfSq = parse("IVF256,SQ8")
+    assert(ivfSq.nlist == 256 && ivfSq.sq &&
+      ivfSq.registryName == "ivf_sq")
   }
 
   test("factory string drops into AutoSearchEngine and builds the parsed engine") {

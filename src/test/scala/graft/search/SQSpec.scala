@@ -1,0 +1,82 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar-quantization engines: encode/ADC mechanics, recall under
+  * 8-bit distortion, IVF pruning equivalence at nprobe = nlist, and the
+  * persisted-state lifecycle.
+  */
+class SQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.read.parquet(sf("embeddings"))
+    .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+
+  private def queries(n: Int) = spark.read.parquet(sf("embeddings"))
+    .filter(col("vec_id") < n)
+    .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+
+  private val cfg = SearchConfig(k = 10, fillMaskedIndices = false,
+    queryIdCol = Some("qid"))
+
+  private def topIdx(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select(col("qid").cast("long"), col("`index.idx`"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+  test("SQ8 codes are in [0,255] and self-match scores stay near 1") {
+    val eng = SQDenseEngine(corpus, cfg)
+    val range = eng.codes
+      .select(min(array_min(col("codes"))), max(array_max(col("codes"))))
+      .head
+    assert(range.getInt(0) >= 0 && range.getInt(1) <= 255)
+    // unit-normalized embeddings: the quantized self-dot must stay close
+    // to 1 (8-bit per-dim error is ~vdiff/510 per component)
+    val self = eng(queries(5))
+      .select(col("qid").cast("long"), element_at(col("`index.idx`"), 1),
+        element_at(col("`index.score`"), 1))
+      .as[(Long, Long, Double)].collect()
+    self.foreach { case (qid, top, score) =>
+      assert(top == qid, s"query $qid should self-match, got $top")
+      assert(math.abs(score - 1.0) < 0.05, s"self score $score far from 1")
+    }
+  }
+
+  test("SQ8 recall@10 vs brute force is high on real embeddings") {
+    val exact = topIdx(BruteForceDenseEngine(corpus, cfg)(queries(10)))
+    val sq = topIdx(SQDenseEngine(corpus, cfg)(queries(10)))
+    val recalls = exact.keys.toSeq.map { qid =>
+      sq(qid).toSet.intersect(exact(qid).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 $mean below 0.8: $recalls")
+  }
+
+  test("IVF,SQ8 with nprobe = nlist equals flat SQ8 exactly") {
+    val flat = SQDenseEngine(corpus, cfg)(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    val ivf = IVFSQDenseEngine(corpus, nlist = 6, nprobe = 6, cfg)(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    assert(ivf == flat)
+  }
+
+  test("persisted SQ state reloads into a fresh engine with equal results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq-state").toString
+    val fp = "sqspec-corpus"
+    val a = SQDenseEngine(corpus, cfg, stateDir = Some(dir),
+      corpusFingerprint = fp)
+    val ra = topIdx(a(queries(5)))
+    // fresh instance over the same dir: build() must find both parquet
+    // frames (stats + codes) and answer without recomputing
+    val b = SQDenseEngine(corpus, cfg, stateDir = Some(dir),
+      corpusFingerprint = fp)
+    assert(topIdx(b(queries(5))) == ra)
+    val persisted = new java.io.File(dir).listFiles()
+    assert(persisted != null && persisted.length >= 2,
+      s"expected stats+codes state dirs under $dir")
+  }
+}
