@@ -679,6 +679,29 @@ object VerifyScratch {
         .mkString(" ")} -> ${results.forall(_._2)}")
     }
 
+    // 49. SQ8 plan shape: with the corpus under the code-row cap, the ADC
+    // scan broadcasts the codes (BroadcastNestedLoopJoin, NO partitioned
+    // CartesianProduct), and the min/max train aggregates with a partial
+    // (map-side) combine ahead of the positional shuffle
+    {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.SQDenseEngine(emb,
+        graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      val searchPlan = eng(qs).queryExecution.executedPlan.toString
+      val broadcastScan = searchPlan.contains("BroadcastNestedLoopJoin") &&
+        !searchPlan.contains("CartesianProduct")
+      val statsPlan = eng.stats.queryExecution.executedPlan.toString
+      val partialAgg = statsPlan.contains("partial_min") ||
+        statsPlan.contains("HashAggregate")
+      println(s"[49] sq8 broadcastScan=$broadcastScan partialTrainAgg=$partialAgg " +
+        s"-> ${broadcastScan && partialAgg}")
+    }
+
     spark.stop()
   }
 }
