@@ -970,6 +970,34 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s17_lsh_dense" -> ((s, d) => {
+      // LSH-bucketed retrieval by registry name (the dedup family's SRP
+      // signatures + band buckets pointed at top-k): candidates are
+      // bucket-mates only, exact dot ranks them — fully deterministic
+      // (formula hyperplanes), so the oracle replays sign/band/score
+      // end-to-end. A query may have fewer than k bucket-mates, so the
+      // -1/-inf resize padding is dropped before the dump (the oracle
+      // lists only real candidates)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.AutoSearchEngine("dense_lsh",
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        opts = Map("stateDir" -> "/tmp/graft-cache/lsh",
+          "fingerprint" -> tableFp(s, d, "embeddings")))
+      val pairs = filter(
+        zip_with(q("index.idx"), q("index.score"),
+          (i, sc) => struct(i.as("i"), sc.as("s"))),
+        p => p.getField("i") >= 0)
+      eng(queries)
+        .select(col("qid"),
+          transform(pairs, _.getField("i")).as("index.idx"),
+          transform(pairs, p => round(p.getField("s"), 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s14_lexical_dense_cascade" -> ((s, d) => {
       // the reference user guide's documented end-user flow
       // (user_guide/src/examples/index.py:46-63): elasticsearch(k=100) →
@@ -1985,6 +2013,27 @@ object Queries {
     // IVF8,SQ8 with nprobe = nlist: candidate set is total, so the SAME
     // flat-SQ replay is exact (KMeans only picks list assignment)
     "s16_ivf_sq8" -> sqOracle(k = 8, qmax = 8),
+    // LSH retrieval: replay the SRP signature formula (shared with
+    // dd_srp_cosine), 6 bands of 8 bits, candidates = shared-bucket rows,
+    // exact dot, top-10 with idx tie-break — no padding (the gate drops it)
+    "s17_lsh_dense" ->
+      scl("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |sig AS (SELECT vec_id,
+        | list_sum(list_transform(range(0,48), b ->
+        |  CASE WHEN list_sum(list_transform(range(1, length(ev)+1), t ->
+        |    ev[t] * ((((b*37 + (t-1)*11) % 21) - 10) / 10.0))) > 0
+        |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg FROM v),
+        |bnd AS (SELECT vec_id, z.b AS b,
+        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*8 AS INT))) % 256 AS bv
+        | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS idx
+        | FROM bnd q JOIN bnd c ON q.b = c.b AND q.bv = c.bv WHERE q.vec_id < 10),
+        |sc AS (SELECT cand.qid, cand.idx, list_dot_product(a.ev, b.ev) AS score
+        | FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v b ON b.vec_id = cand.idx),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     // BM25(k=100) -> dense(k=3) cascade: replay bm25 top-100 (rounded, the
     // engine's roundScores), dense exact top-3, then the offset-merge —
     // merged = coalesce(bm, min_bm) + coalesce(dense, min_dense) over the

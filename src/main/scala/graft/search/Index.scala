@@ -144,6 +144,12 @@ object AutoSearchEngine {
     "ivf_sq" -> ((c, cfg) => IVFSQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+    // FAISS IndexLSH by capability: SRP signatures + band buckets; finds
+    // HIGH-cosine neighbors only (near-duplicate retrieval), may return
+    // fewer than k rows — general ANN belongs to dense_ivf / ivf_pq
+    "dense_lsh" -> ((c, cfg) => LSHDenseEngine(c, config = cfg,
+      corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "elasticsearch" -> ((c, cfg) => BM25Engine(c, cfg, corpusIdxCol, corpusTextCol,
       roundScores = roundScores,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),

@@ -1,0 +1,113 @@
+package graft.search
+
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{transform => arrTransform, _}
+
+/** LSH-bucketed dense retrieval (FAISS `IndexLSH` by capability; registry
+  * `dense_lsh`) — the SEARCH twin of the dedup family's
+  * [[graft.llm.SRPCosineDedupPipe]]: the same signed-random-projection
+  * signatures and band buckets, pointed at top-k retrieval instead of
+  * pair emission.
+  *
+  * Build: each corpus vector gets an `nBits`-bit signature of hyperplane
+  * signs; hyperplanes come from the SAME deterministic integer formula as
+  * the dedup pipe (component t of plane b is `(((b*37+t*11) mod 21)-10)/10`)
+  * so an external oracle replays signatures bit-for-bit. Search: a query
+  * signs itself the same way, candidates are corpus rows sharing ANY of
+  * the `bands` signature bands (equi-join on (band, bucket) — bucketed,
+  * NEVER an all-pairs product), survivors score with the exact
+  * double-precision dot and collapse to top-k.
+  *
+  * Retrieval semantics: candidates share a band ⇒ this engine finds
+  * HIGH-cosine neighbors (near-duplicate retrieval — dedup-adjacent
+  * dedup/version lookup); recall for far neighbors collapses by design,
+  * and a query may return FEWER than k rows (use `dense_ivf`/`ivf_pq` for
+  * general ANN). Bucket occupancy `n / 2^(nBits/bands)` is the sizing
+  * knob, exactly as documented on the dedup pipe.
+  *
+  * Scale shape: the banded corpus frame carries (band, bucket, idx) longs
+  * only; candidate vectors are fetched back by idx AFTER bucket pruning,
+  * so shuffle volume follows candidates (near-linear), not n².
+  */
+case class LSHDenseEngine(
+    corpus: DataFrame,
+    nBits: Int = 48,
+    bands: Int = 6,
+    config: SearchConfig = SearchConfig(),
+    corpusIdxCol: String = "idx",
+    corpusVecCol: String = "vector",
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
+  require(nBits % bands == 0, "bands must divide nBits")
+  require(nBits <= 62, "signature must fit a long")
+
+  override def params = Map("k" -> config.k.toString, "engine" -> "dense_lsh",
+    "nBits" -> nBits.toString, "bands" -> bands.toString)
+
+  private lazy val n: Long = corpus.count()
+  protected def fillRange: Option[Long] = Some(n)
+
+  private lazy val dim: Int =
+    corpus.select(size(qcol(corpusVecCol))).head().getInt(0)
+
+  /** Signature bits as one long; same formula as SRPCosineDedupPipe. */
+  private def sigExpr(vec: Column): Column = {
+    val planes: Seq[Seq[Double]] = Seq.tabulate(nBits)(b =>
+      Seq.tabulate(dim)(t => (((b * 37 + t * 11) % 21) - 10) / 10.0))
+    (0 until nBits).map { b =>
+      val dot = aggregate(
+        zip_with(arrTransform(vec, _.cast("double")), typedLit(planes(b)),
+          (x, p) => x * p),
+        lit(0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** `(idx, sg)` — persisted under the fingerprint cache. */
+  lazy val signatures: DataFrame = {
+    val spark = corpus.sparkSession
+    val compute = corpus.select(qcol(corpusIdxCol).cast("long").as("idx"),
+      sigExpr(qcol(corpusVecCol)).as("sg"))
+    stateDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          corpusFingerprint, fingerprint, "lshsigs")
+        graft.core.CachedStage(spark, dir, key)(compute)
+      case None => compute
+    }
+  }
+
+  private def banded(sigs: DataFrame): DataFrame = {
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    sigs.select(col("idx"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sg"), b * r).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bh")))
+  }
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    val qv = qcol(s"${config.queryField}.vector")
+    val qsig = stamped.select(col(rowId), qv.as("__qv__"))
+      .withColumn("sg", sigExpr(col("__qv__")))
+    val qBanded = qsig.select(col(rowId), col("__qv__"), col("sg"))
+      .select(col(rowId), col("__qv__"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sg"), b * (nBits / bands))
+            .bitwiseAND((1L << (nBits / bands)) - 1)): _*))
+          .as(Seq("band", "bh")))
+    // candidates: any shared band bucket; dedup (rowId, idx) BEFORE the
+    // vector fetch so multi-band collisions don't multiply the join
+    val cands = qBanded
+      .join(banded(signatures), Seq("band", "bh"))
+      .select(col(rowId), col("__qv__"), col("idx"))
+      .dropDuplicates(rowId, "idx")
+    val vecs = corpus.select(qcol(corpusIdxCol).cast("long").as("idx"),
+      qcol(corpusVecCol).as("__cv__"))
+    val scored = cands.join(vecs, Seq("idx"))
+      .select(col(rowId), col("idx"),
+        SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))
+    SearchEngine.collapseTopK(stamped, scored, rowId, config.k)
+  }
+}

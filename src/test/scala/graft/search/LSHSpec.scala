@@ -1,0 +1,75 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LSH-bucketed retrieval: bucket-mate candidate semantics, self-match,
+  * agreement with the dedup family's SRP signatures, and state reload.
+  */
+class LSHSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.read.parquet(sf("embeddings"))
+    .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+
+  private val cfg = SearchConfig(k = 10, fillMaskedIndices = false,
+    queryIdCol = Some("qid"))
+
+  private def queries(n: Int) = spark.read.parquet(sf("embeddings"))
+    .filter(col("vec_id") < n)
+    .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+
+  test("every query self-matches at rank 1 (identical signature shares all bands)") {
+    val out = LSHDenseEngine(corpus, config = cfg)(queries(6))
+      .select(col("qid").cast("long"), element_at(col("`index.idx`"), 1))
+      .as[(Long, Long)].collect()
+    out.foreach { case (qid, top) => assert(top == qid) }
+  }
+
+  test("a near-duplicate of a corpus vector is retrieved as a bucket-mate") {
+    // perturb vector 3 far below the quantization that flips sign bits:
+    // its signature equals vector 3's, so every band collides and the
+    // exact-dot ranking puts vec 3 at the top
+    val qv = spark.read.parquet(sf("embeddings")).filter(col("vec_id") === 3)
+      .select(lit(99999L).as("qid"),
+        transform(col("embedding"), v => v + lit(1e-6f)).as("query.vector"))
+    val out = LSHDenseEngine(corpus, config = cfg)(qv)
+      .select(element_at(col("`index.idx`"), 1)).head.getLong(0)
+    assert(out == 3L)
+  }
+
+  test("candidates are exactly the band bucket-mates of the dedup-family signature") {
+    val eng = LSHDenseEngine(corpus, config = cfg)
+    // independent signature recomputation with the documented formula
+    // (shared with SRPCosineDedupPipe) diffed against the engine state
+    val dim = 64
+    val planes = Seq.tabulate(48)(b =>
+      Seq.tabulate(dim)(t => (((b * 37 + t * 11) % 21) - 10) / 10.0))
+    val sigExpr = (0 until 48).map { b =>
+      val dot = aggregate(
+        zip_with(transform(col("vector"), _.cast("double")),
+          typedLit(planes(b)), (x, p) => x * p),
+        lit(0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val expected = corpus.select(col("idx").cast("long").as("idx"),
+      sigExpr.as("sg"))
+    val diff = eng.signatures.as("a").join(expected.as("b"), "idx")
+      .filter(col("a.sg") =!= col("b.sg")).count()
+    assert(diff == 0)
+  }
+
+  test("persisted signatures reload into a fresh engine with equal results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-state").toString
+    val fp = "lshspec-corpus"
+    val a = LSHDenseEngine(corpus, config = cfg, stateDir = Some(dir),
+      corpusFingerprint = fp)
+    val ra = a(queries(5)).select(col("qid").cast("long"), col("`index.idx`"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = LSHDenseEngine(corpus, config = cfg, stateDir = Some(dir),
+      corpusFingerprint = fp)
+    val rb = b(queries(5)).select(col("qid").cast("long"), col("`index.idx`"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(ra == rb)
+  }
+}
