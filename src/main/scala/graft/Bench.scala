@@ -1,4 +1,5 @@
 package graft
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,6 +86,25 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench.json"), line)
     catch { case _: Throwable => }
+    // The driver's BENCH_r{N}.json keeps only a 2000-char stdout TAIL, so
+    // per-query history beyond the 5 slowest is lost round-over-round
+    // (the r9 riser triage had to reach back to r5 for s3c/l6 baselines).
+    // Persist the COMPLETE per-query map in-repo: bench_full_r<N>.json,
+    // N = round (SPARK_GRAFT_ROUND override, else 1 + latest BENCH_r<N>).
+    try {
+      val repo = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        val prior = java.nio.file.Files.list(repo).iterator().asScala
+          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).toSeq
+        if (prior.isEmpty) 1 else prior.max + 1
+      }
+      java.nio.file.Files.writeString(
+        repo.resolve(f"bench_full_r$round%02d.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map persist failed: $e")
+    }
     spark.stop()
   }
 }

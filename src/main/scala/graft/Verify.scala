@@ -15,8 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail FAST (before any dump) when a fixture schema breaks a reader
-    // assumption — a broken correctness run must name the drifted table
-    Preflight.run(spark, sfDir)
+    // assumption — a broken correctness run must name the drifted table.
+    // Subset runs (`only`) tolerate MISSING tables (partial fixture dirs
+    // verify what they have); schema DRIFT stays fatal either way.
+    Preflight.run(spark, sfDir, strict = only.isEmpty)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

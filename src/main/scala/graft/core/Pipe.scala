@@ -150,6 +150,17 @@ object Pipe {
       catch { case _: Throwable => dflt }
     val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
     val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+    // "-1" (auto-broadcast disabled) is not a byte string — handle it
+    // before byteStringAsBytes, which would throw and mask it as 10MB
+    val autoBcThreshold: Long = {
+      val raw =
+        try spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        catch { case _: Throwable => "10MB" }
+      if (raw.trim.startsWith("-")) -1L
+      else
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        catch { case _: Throwable => 10L << 20 }
+    }
     def scanSplits(rel: HadoopFsRelation): Long = {
       // Spark's own split sizing (FilePartition.maxSplitBytes): small
       // totals bin at openCost, large totals at maxPartitionBytes
@@ -163,7 +174,28 @@ object Pipe {
       case Repartition(n, false, child) => math.min(n.toLong, est(child)) // coalesce
       case r: RepartitionByExpression =>
         r.optNumPartitions.map(_.toLong).getOrElse(shufflePart)
-      case _: Aggregate | _: Join | _: Sort | _: Window | _: Deduplicate =>
+      case j: Join =>
+        // a broadcast-hash join shuffles NOTHING and inherits the streamed
+        // side's partitioning — treating it as a shuffle would report
+        // session width for e.g. small-file-scan ⋈ broadcast(tiny) plans
+        // and widen() would skip the repartition they need (r9 advice).
+        // Broadcast-ability mirrors the planner's test: an explicit hint,
+        // or logical stats under autoBroadcastJoinThreshold.
+        def hintedBc(h: Option[HintInfo]): Boolean =
+          h.exists(_.strategy.contains(BROADCAST))
+        def sizedBc(p: LogicalPlan): Boolean = autoBcThreshold > 0 &&
+          (try p.stats.sizeInBytes <= autoBcThreshold
+           catch { case _: Throwable => false })
+        val leftBc = hintedBc(j.hint.leftHint) || sizedBc(j.left)
+        val rightBc = hintedBc(j.hint.rightHint) || sizedBc(j.right)
+        if (rightBc && !leftBc) est(j.left)
+        else if (leftBc && !rightBc) est(j.right)
+        // both broadcastable: the planner streams ONE side but which is
+        // its pick — report the wider child (the conservative direction:
+        // an overestimate skips a widen, never adds a wrong exchange)
+        else if (leftBc && rightBc) math.max(est(j.left), est(j.right))
+        else shufflePart
+      case _: Aggregate | _: Sort | _: Window | _: Deduplicate =>
         shufflePart
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => scanSplits(fs)

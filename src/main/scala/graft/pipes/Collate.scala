@@ -86,41 +86,85 @@ case class ToTensorPipe(keys: Seq[String], elementType: String = "double")
     finish(df, keys.map(k => k -> qcol(k).cast(s"array<$elementType>")))
 }
 
+/** Padding scope for [[PaddingPipe]]: what population the "max length"
+  * aggregate ranges over.
+  */
+sealed trait PadScope { def tag: String }
+object PadScope {
+  /** Corpus-global max (one 1-row aggregate broadcast back). Simple and
+    * gate-stable, but on a 100 TB corpus ONE pathological document
+    * inflates EVERY row's arrays to its length — use [[PerGroup]] there.
+    */
+  case object Global extends PadScope { val tag = "global" }
+
+  /** The reference's actual semantics (collate.py:137-178 pads to the max
+    * of the ~100-row collate BATCH, never the corpus): pad within
+    * `floor(global_rank / batchSize)` groups of `orderCol` order. One
+    * outlier then inflates only its own batch — write amplification is
+    * bounded by batchSize, not corpus size.
+    */
+  final case class PerGroup(batchSize: Int, orderCol: String) extends PadScope {
+    require(batchSize > 0, "batchSize must be positive")
+    def tag = s"perGroup($batchSize,$orderCol)"
+  }
+}
+
 /** L6 `Padding` (collate.py:137-178): right-pad each matched array column to
-  * the global max length. Fill values: `padTokenId` for `*input_ids`, 0 for
+  * the scope's max length. Fill values: `padTokenId` for `*input_ids`, 0 for
   * `*attention_mask`/masks, overridable per key via `specialPaddingTokens`
   * (mirrors `special_padding_tokens`).
   *
-  * Scale note: the "batch max" is a 1-row aggregate broadcast back via
-  * crossJoin — no window over a single partition, no skew.
+  * Scale notes: in [[PadScope.Global]] mode the max is a 1-row aggregate
+  * broadcast back via crossJoin — no window over a single partition, no
+  * skew. In [[PadScope.PerGroup]] mode the rank comes from the scale-safe
+  * single-lineage [[NestingOps.withGlobalRank]] and the per-batch max is a
+  * window partitioned by batch id — one hash shuffle on `__grp__`, each
+  * partition-group exactly batchSize rows (no skew by construction).
   */
 case class PaddingPipe(
     keys: Seq[String],
     padTokenId: Int = 0,
-    specialPaddingTokens: Map[String, Int] = Map.empty) extends Pipe {
+    specialPaddingTokens: Map[String, Int] = Map.empty,
+    scope: PadScope = PadScope.Global) extends Pipe {
   override def params = Map(
     "keys" -> keys.sorted.mkString(","),
     "padTokenId" -> padTokenId.toString,
-    "special" -> specialPaddingTokens.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+    "special" -> specialPaddingTokens.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+    "scope" -> scope.tag)
   override def update: Boolean = true
 
   private def fillFor(key: String): Int =
     specialPaddingTokens.getOrElse(key,
       if (key.endsWith("attention_mask") || key.endsWith("mask")) 0 else padTokenId)
 
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val lens = keys.map(k => coalesce(max(size(qcol(k))), lit(0)))
-    val maxes = df.agg(
-      (if (lens.size == 1) lens.head else greatest(lens: _*)).as("__maxlen__"))
-    val joined = df.crossJoin(broadcast(maxes))
+  private def padTo(df: DataFrame, maxLen: Column): DataFrame = {
     val outs = keys.map { k =>
       val fill = lit(fillFor(k))
       val elemType = df.schema(k).dataType.asInstanceOf[ArrayType].elementType
       k -> concat(qcol(k),
-        array_repeat(fill.cast(elemType), (col("__maxlen__") - size(qcol(k))).cast("int")))
+        array_repeat(fill.cast(elemType), (maxLen - size(qcol(k))).cast("int")))
     }
-    val overlaid = finish(joined, outs)
-    overlaid.drop("__maxlen__")
+    finish(df, outs)
+  }
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val lens = keys.map(k => coalesce(max(size(qcol(k))), lit(0)))
+    scope match {
+      case PadScope.Global =>
+        val maxes = df.agg(
+          (if (lens.size == 1) lens.head else greatest(lens: _*)).as("__maxlen__"))
+        padTo(df.crossJoin(broadcast(maxes)), col("__maxlen__"))
+          .drop("__maxlen__")
+      case PadScope.PerGroup(batchSize, orderCol) =>
+        val ranked = NestingOps.withGlobalRank(df, orderCol, "__rank__")
+          .withColumn("__grp__", (col("__rank__") / batchSize).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__grp__")
+        val grpLens = keys.map(k => coalesce(max(size(qcol(k))).over(w), lit(0)))
+        val withMax = ranked.withColumn("__maxlen__",
+          if (grpLens.size == 1) grpLens.head else greatest(grpLens: _*))
+        padTo(withMax, col("__maxlen__"))
+          .drop("__rank__", "__grp__", "__maxlen__")
+    }
   }
 }
 

@@ -72,6 +72,16 @@ case class BM25Engine(
     "roundScores" -> roundScores.mkString,
     "maxDfFraction" -> maxDfFraction.mkString, "engine" -> "bm25")
 
+  /** The persisted frames are raw postings/dfreq/docs statistics — every
+    * scoring knob (k1/b/aux/temperature/rounding) and even maxDfFraction
+    * (applied on LOAD, after the persisted frames) is query-time: none of
+    * them may fork the persisted index. filterKey stays build-affecting
+    * (the docs frame carries the `__filter__` column).
+    */
+  override protected def queryTimeParams: Set[String] = Set(
+    "k", "k1", "b", "auxWeight", "temperature", "roundScores",
+    "maxDfFraction")
+
   /** Whitespace tokens with punctuation stripped (reference `_tokenize`). */
   def tokens(text: Column): Column =
     filter(
@@ -106,9 +116,8 @@ case class BM25Engine(
     def persisted(frame: String)(compute: => DataFrame): DataFrame =
       stateDir match {
         case Some(dir) =>
-          val key = graft.core.Fingerprint.combine(
-            corpusFingerprint, fingerprint, frame)
-          graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
+          graft.core.CachedStage(corpus.sparkSession, dir,
+            buildStateKey(corpusFingerprint, frame))(compute)
         case None =>
           compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }

@@ -146,9 +146,8 @@ case class IVFDenseEngine(
     def persisted(frame: String)(compute: => DataFrame): DataFrame =
       stateDir match {
         case Some(dir) =>
-          val key = graft.core.Fingerprint.combine(
-            corpusFingerprint, fingerprint, frame)
-          graft.core.CachedStage(spark, dir, key)(compute)
+          graft.core.CachedStage(spark, dir,
+            buildStateKey(corpusFingerprint, frame))(compute)
         case None => compute
       }
     val centsDf = persisted("centroids") {

@@ -49,6 +49,24 @@ trait SearchEngine extends Pipe {
   final def idxKey: String = s"${config.indexField}.idx"
   final def scoreKey: String = s"${config.indexField}.score"
 
+  /** Params that are QUERY-TIME knobs: engines differing only in these
+    * must hit the SAME persisted build state, not re-persist a duplicate
+    * copy under a forked key (k only truncates the ranking; nprobe only
+    * selects how many of the already-built lists are probed). Engines
+    * with more scoring-only params (BM25's k1/b/..., LSH's bands)
+    * override this.
+    */
+  protected def queryTimeParams: Set[String] = Set("k", "nprobe")
+
+  /** Cache key for persisted build state: corpus identity + the
+    * build-affecting subset of params + the state frame's name. Unlike
+    * the full pipe [[fingerprint]], this deliberately EXCLUDES
+    * [[queryTimeParams]].
+    */
+  protected final def buildStateKey(corpusFp: String, frame: String): String =
+    graft.core.Fingerprint.combine(corpusFp,
+      graft.core.Fingerprint.ofStruct(name, params -- queryTimeParams), frame)
+
   /** Number of indexable items (for masked-index fill range); None
     * disables filling regardless of config.
     */

@@ -36,9 +36,8 @@ case class GroupLookupEngine(
       .agg(sort_array(collect_list(col(corpusIdxCol).cast("long"))).as("__members__"))
     stateDir match {
       case Some(dir) =>
-        val key = graft.core.Fingerprint.combine(
-          corpusFingerprint, fingerprint, "lookup")
-        graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
+        graft.core.CachedStage(corpus.sparkSession, dir,
+          buildStateKey(corpusFingerprint, "lookup"))(compute)
       case None => compute
     }
   }

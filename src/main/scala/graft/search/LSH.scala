@@ -45,11 +45,22 @@ case class LSHDenseEngine(
   override def params = Map("k" -> config.k.toString, "engine" -> "dense_lsh",
     "nBits" -> nBits.toString, "bands" -> bands.toString)
 
+  /** `bands` only re-slices the persisted signatures at query time (the
+    * signature bits depend on nBits alone), so it must not fork the
+    * signature cache either.
+    */
+  override protected def queryTimeParams: Set[String] = Set("k", "bands")
+
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
 
   private lazy val dim: Int =
-    corpus.select(size(qcol(corpusVecCol))).head().getInt(0)
+    corpus.select(size(qcol(corpusVecCol))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => sys.error(
+        "dense_lsh: empty corpus — cannot infer the vector dimension " +
+          "the hyperplanes are built for")
+    }
 
   /** Signature bits as one long; same formula as SRPCosineDedupPipe. */
   private def sigExpr(vec: Column): Column = {
@@ -71,9 +82,8 @@ case class LSHDenseEngine(
       sigExpr(qcol(corpusVecCol)).as("sg"))
     stateDir match {
       case Some(dir) =>
-        val key = graft.core.Fingerprint.combine(
-          corpusFingerprint, fingerprint, "lshsigs")
-        graft.core.CachedStage(spark, dir, key)(compute)
+        graft.core.CachedStage(spark, dir,
+          buildStateKey(corpusFingerprint, "lshsigs"))(compute)
       case None => compute
     }
   }
@@ -89,7 +99,18 @@ case class LSHDenseEngine(
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val qv = qcol(s"${config.queryField}.vector")
-    val qsig = stamped.select(col(rowId), qv.as("__qv__"))
+    // the hyperplanes are baked for `dim` components: a query vector of a
+    // different length would be silently truncated/zero-extended by
+    // zip_with into WRONG signatures and scores — fail loudly instead
+    // (assert_true returns null on success, so the when() passes the
+    // vector through unchanged)
+    val qvChecked = when(
+      assert_true(size(qv) === dim,
+        concat(lit("dense_lsh: query vector length "),
+          size(qv).cast("string"),
+          lit(s" != corpus dim $dim"))).isNull,
+      qv)
+    val qsig = stamped.select(col(rowId), qvChecked.as("__qv__"))
       .withColumn("sg", sigExpr(col("__qv__")))
     val qBanded = qsig.select(col(rowId), col("__qv__"), col("sg"))
       .select(col(rowId), col("__qv__"),

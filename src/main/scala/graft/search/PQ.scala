@@ -85,9 +85,8 @@ case class PQDenseEngine(
   private def persisted(frame: String)(compute: => DataFrame): DataFrame =
     stateDir match {
       case Some(dir) =>
-        val key = graft.core.Fingerprint.combine(
-          corpusFingerprint, fingerprint, frame)
-        graft.core.CachedStage(corpus.sparkSession, dir, key)(compute)
+        graft.core.CachedStage(corpus.sparkSession, dir,
+          buildStateKey(corpusFingerprint, frame))(compute)
       case None => compute
     }
 

@@ -50,11 +50,64 @@ object EventStream {
         case _ if ts.isPrimitive &&
             ts.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT64 =>
           // bare INT64, no annotation: documented as epoch-nanos (the
-          // shape a nanosAsLong reader round-trips through a long writer)
+          // shape a nanosAsLong reader round-trips through a long writer).
+          // The unit claim is UNVERIFIABLE from the schema alone — a
+          // writer emitting epoch-micros/-millis as plain INT64 would be
+          // silently off by 1e3/1e6 (the exact drift class the footer
+          // probe exists to catch) — so sanity-check the footer's column
+          // MIN/MAX statistics against the plausible epoch-nanos range
+          // (1973..2096 ≈ [1e17, 4e18]) and fail LOUDLY on a mismatch
+          // instead of corrupting every downstream timestamp.
+          probeNanosMagnitude(reader)
           TsNanosLong
         case _ => TsNative // INT96 et al: Spark reads these natively
       }
     } finally reader.close()
+  }
+
+  /** Plausible-epoch-nanos bounds: 1e17 ns ≈ 1973-03, 4e18 ns ≈ 2096-09.
+    * Epoch-micros for the same era sit near 1.7e15 and millis near 1.7e12
+    * — three-plus orders below the floor — so a stats range outside these
+    * bounds means the bare column is NOT nanos and must not be read as
+    * such.
+    */
+  private val NanosFloor = 1e17.toLong
+  private val NanosCeil = 4e18.toLong
+
+  /** Value-plausibility probe for a bare INT64 `ts` (metadata-only: reads
+    * the footer's column-chunk min/max statistics, never data pages).
+    * Chunks without statistics are skipped — absence of evidence is not
+    * drift — but any chunk whose range falls outside the nanos window
+    * fails the read loudly with the unit it looks like instead.
+    */
+  private def probeNanosMagnitude(reader: ParquetFileReader): Unit = {
+    import scala.jdk.CollectionConverters._
+    for {
+      block <- reader.getFooter.getBlocks.asScala
+      chunk <- block.getColumns.asScala
+      if chunk.getPath.toDotString == "ts"
+      stats = chunk.getStatistics
+      if stats != null && !stats.isEmpty && stats.hasNonNullValue
+    } {
+      val mn = stats.genericGetMin match { case l: java.lang.Long => l.longValue }
+      val mx = stats.genericGetMax match { case l: java.lang.Long => l.longValue }
+      if (mn < NanosFloor || mx > NanosCeil) {
+        val looksLike =
+          if (mx in1e (1e15, 1e17)) "epoch-MICROS"
+          else if (mx in1e (1e12, 1e15)) "epoch-MILLIS"
+          else if (mx in1e (1e9, 1e12)) "epoch-SECONDS"
+          else "an unknown unit"
+        sys.error(
+          s"events.ts: bare INT64 column with stats range [$mn, $mx] is " +
+            s"outside the plausible epoch-nanos window [$NanosFloor, " +
+            s"$NanosCeil] — it looks like $looksLike. Refusing to read " +
+            "it as nanos; fix the writer or annotate the column.")
+      }
+    }
+  }
+
+  private implicit class LongRangeOps(private val v: Long) {
+    def in1e(lo: Double, hi: Double): Boolean = v >= lo.toLong && v < hi.toLong
   }
 
   /** Set the `nanosAsLong` legacy conf ONLY when the file actually needs

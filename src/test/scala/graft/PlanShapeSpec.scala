@@ -28,6 +28,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"))
   }
 
+  test("perGroup padding shuffles by batch id, never through one partition") {
+    val p = plan("l6b_padding_batch")
+    // global rank is the zipWithIndex lineage (rangepartitioning), the
+    // per-batch max is a window hash-partitioned on __grp__ — a
+    // SinglePartition window here would mean the global-max scale hazard
+    // snuck back in under the perGroup flag
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in perGroup padding:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(__grp__"),
+      s"expected the batch-max window keyed on __grp__ in:\n${p.take(2000)}")
+  }
+
   test("join-agg headliner broadcasts the small side") {
     val p = plan("q3_order_revenue")
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),

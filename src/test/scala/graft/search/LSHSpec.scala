@@ -59,6 +59,45 @@ class LSHSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("a query vector of the wrong length fails loudly, never silently truncates") {
+    val badQ = spark.read.parquet(sf("embeddings")).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"),
+        slice(col("embedding"), 1, 10).as("query.vector"))
+    val e = intercept[Exception] {
+      LSHDenseEngine(corpus, config = cfg)(badQ).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("query vector length")), e.toString)
+  }
+
+  test("an empty corpus fails with a readable message, not NoSuchElementException") {
+    val e = intercept[RuntimeException] {
+      LSHDenseEngine(corpus.filter(col("idx") < 0), config = cfg)(queries(2))
+        .collect()
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
+
+  test("changing only k (or bands) reuses the SAME persisted signature state") {
+    // k and bands are query-time knobs: the signature cache must not fork
+    // per value (r9 advice) — one state entry serves them all
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-key").toString
+    val fp = "lshspec-kinv"
+    LSHDenseEngine(corpus, config = cfg.copy(k = 5), stateDir = Some(dir),
+      corpusFingerprint = fp).signatures.count()
+    LSHDenseEngine(corpus, config = cfg.copy(k = 10), stateDir = Some(dir),
+      corpusFingerprint = fp).signatures.count()
+    LSHDenseEngine(corpus, bands = 3, config = cfg, stateDir = Some(dir),
+      corpusFingerprint = fp).signatures.count()
+    val entries = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(entries.length == 1, entries.map(_.getName).mkString(","))
+    // while nBits IS build-affecting and must fork
+    LSHDenseEngine(corpus, nBits = 24, bands = 3, config = cfg,
+      stateDir = Some(dir), corpusFingerprint = fp).signatures.count()
+    assert(new java.io.File(dir).listFiles().count(_.isDirectory) == 2)
+  }
+
   test("persisted signatures reload into a fresh engine with equal results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-state").toString
     val fp = "lshspec-corpus"

@@ -63,6 +63,42 @@ class EventEncodingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("the nanos variant really is BARE INT64 (no logical annotation) in the footer") {
+    // pin the encoding the 'nanos' variants exercise: a LongType ts column
+    // writes as plain INT64 with NO logical-type annotation — i.e. the
+    // spec's nanos coverage IS the bare-epoch-long branch of tsEncoding,
+    // not the TIMESTAMP(NANOS)-annotated one (r9 verdict item 7)
+    val dir = writeVariant("bare",
+      _.withColumn("ts", col("us") * 1000L).drop("us"))
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      val ts = schema.getType(schema.getFieldIndex("ts"))
+      assert(ts.asPrimitiveType().getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+      assert(ts.getLogicalTypeAnnotation == null)
+    } finally reader.close()
+    assert(microsOf(EventStream.readBatch(spark, dir)) ==
+      baseMicros.map(r => (r._1, r._2)))
+  }
+
+  test("bare INT64 ts in a non-nanos unit fails LOUDLY instead of silently drifting") {
+    // epoch-MICROS written as plain INT64 (~1.7e15, three orders below the
+    // nanos floor): the footer-stats magnitude probe must refuse the read
+    // and name the unit it looks like — the silent-1000x drift class the
+    // r9 advice flagged
+    val microsDir = writeVariant("micros", _.withColumn("ts", col("us")).drop("us"))
+    val e = intercept[RuntimeException](EventStream.readBatch(spark, microsDir))
+    assert(e.getMessage.contains("epoch-MICROS"), e.getMessage)
+    val millisDir = writeVariant("millis",
+      _.withColumn("ts", (col("us") / 1000L).cast("long")).drop("us"))
+    val e2 = intercept[RuntimeException](EventStream.readBatch(spark, millisDir))
+    assert(e2.getMessage.contains("epoch-MILLIS"), e2.getMessage)
+  }
+
   test("readStream agrees with readBatch on both drifted encodings") {
     for (dir <- Seq(
         writeVariant("snanos",
