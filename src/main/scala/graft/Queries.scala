@@ -1088,6 +1088,75 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s19_rrf_fusion" -> ((s, d) => {
+      // rank-only fusion of HETEROGENEOUS engines (BM25 log-idf sums vs
+      // raw dot products — incomparable score scales where the S6
+      // sum_scores merge is unsound): fused = Σ_e 1/(60 + rank_e), the
+      // oracle replays both rankings rank-for-rank. The fusion itself is a
+      // per-row Column program over the two ranked arrays — zero shuffles
+      // beyond what the engines already own.
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("idx"), col("text"),
+          col("embedding").as("vector"))
+        .localCheckpoint()
+      val queries = corpus.filter(col("idx") < 10)
+        .select(col("idx").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
+          col("vector").as("query.vector"))
+      val bm25 = graft.search.BM25Engine(corpus,
+        graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+      val dense = graft.search.BruteForceDenseEngine(
+        corpus.select(col("idx"), col("vector")),
+        graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      graft.search.RRFFusionPipe(Seq(bm25, dense),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        rrfK = 60.0, roundScores = Some(6))(queries)
+        .select(col("qid"), q("index.idx"), q("index.score"))
+        .orderBy("qid")
+    }),
+
+    // ----- data layout / incremental maintenance ------------------------
+    "zo_zorder" -> ((s, d) => {
+      // the z-value layout key: 8-bit × 2-dim Morton interleave over
+      // bucketed (custkey, orderkey). ORDER BY zval IS the order
+      // ZOrder.layout's range exchange writes, so the oracle verifies the
+      // exact curve the clustering would lay on disk.
+      t(s, d, "orders").select(col("o_orderkey"),
+        graft.operators.ZOrder.zvalue(
+          Seq(col("o_custkey") % 256, col("o_orderkey") % 256), 8).as("zval"))
+        .orderBy("zval", "o_orderkey")
+    }),
+    "mg_upsert" -> ((s, d) => {
+      // CDC MERGE: updates (%7, status→'U', price+10), deletes (%13),
+      // inserts (key+1e8) — disjoint by construction, one change row per
+      // key. Anti-join + union: the base side never shuffles when the
+      // change set broadcasts.
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = base
+        .filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") % 13 =!= 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit(false).as("__del__"))
+      val deletes = base.filter(col("o_orderkey") % 13 === 5)
+        .withColumn("__del__", lit(true))
+      val inserts = base.filter(col("o_orderkey") % 11 === 2)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), lit(false).as("__del__"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.UpsertMerge(base, changes, Seq("o_orderkey"),
+        deleteCol = Some("__del__"))
+        .orderBy("o_orderkey")
+    }),
+
     // ----- curation: repetition / decontamination / PII / stratified -----
     "cu_repetition" -> ((s, d) =>
       graft.llm.RepetitionStatsPipe("text")(t(s, d, "documents"))
@@ -2159,6 +2228,50 @@ object Queries {
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 5 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // RRF: both rankings replayed rank-for-rank (BM25 ranks on the
+    // 4-rounded score exactly as the engine does; dense on the raw dot),
+    // fused = sum(1/(60+r)) over the engines that returned the candidate
+    "s19_rrf_fusion" ->
+      scl("""WITH corp AS (SELECT d.doc_id AS idx, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |c AS (SELECT idx, string_split(trim(text), ' ') AS toks FROM corp),
+        |dl AS (SELECT idx, len(toks) AS len FROM c),
+        |post AS (SELECT idx, term, count(*) AS tf FROM (SELECT idx, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT idx) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |qq AS (SELECT idx AS qid, toks[1:5] AS qtoks FROM c WHERE idx < 10),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM qq),
+        |bm_sc AS (SELECT qt.qid, post.idx AS idx,
+        |  round(sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ),4) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.idx = dl.idx CROSS JOIN tot GROUP BY 1,2),
+        |br AS (SELECT qid, idx, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM bm_sc),
+        |qv AS (SELECT idx AS qid, v AS qv FROM corp WHERE idx < 10),
+        |de_sc AS (SELECT qv.qid, c2.idx, list_dot_product(qv.qv, c2.v) AS score FROM qv CROSS JOIN corp c2),
+        |dr AS (SELECT qid, idx, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM de_sc),
+        |fu AS (SELECT qid, idx, sum(1.0/(60+r)) AS score FROM (
+        |  SELECT qid, idx, r FROM br WHERE r <= 20 UNION ALL SELECT qid, idx, r FROM dr WHERE r <= 20) GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM fu),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,6) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "zo_zorder" ->
+      """SELECT o_orderkey, CAST(list_sum(list_transform(range(8), j ->
+        |  (((o_custkey % 256) >> j) & 1) * (CAST(1 AS BIGINT) << (2*j)) +
+        |  (((o_orderkey % 256) >> j) & 1) * (CAST(1 AS BIGINT) << (2*j+1)))) AS BIGINT) AS zval
+        |FROM orders ORDER BY zval, o_orderkey""".stripMargin.replace("\n", " "),
+    "mg_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |ch AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, false AS del
+        |   FROM base WHERE o_orderkey%7=3 AND o_orderkey%13<>5
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, true FROM base WHERE o_orderkey%13=5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'N', o_totalprice, false FROM base WHERE o_orderkey%11=2),
+        |kept AS (SELECT b.* FROM base b LEFT JOIN (SELECT DISTINCT o_orderkey AS ck FROM ch) c ON b.o_orderkey = c.ck WHERE c.ck IS NULL)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM kept
+        |UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ch WHERE NOT del
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
     // residual IVF-PQ: cid = argmin-L2 over formula centroids; codes =
     // argmin-L2 over formula books of rv = v - centroid[cid]; score =
     // q·centroid + ADC(q, codes) — every term replayed

@@ -702,6 +702,48 @@ object VerifyScratch {
         s"-> ${broadcastScan && partialAgg}")
     }
 
+    // [50] r10 ops: RRF fusion / z-order layout / upsert merge
+    {
+      import graft.core.Pipe.qcol
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("idx"), col("text"),
+          col("embedding").as("vector")).localCheckpoint()
+      val qs = corpus.filter(col("idx") < 3)
+        .select(col("idx").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
+          col("vector").as("query.vector"))
+      val cfg = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val bm25 = graft.search.BM25Engine(corpus, cfg.copy(k = 10),
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+      val dense = graft.search.BruteForceDenseEngine(
+        corpus.select(col("idx"), col("vector")), cfg.copy(k = 10))
+      val fused = graft.search.RRFFusionPipe(Seq(bm25, dense), cfg)(qs)
+      val frows = fused.select(col("qid"), qcol("index.idx")).orderBy("qid").collect()
+      // self-doc on top (rank 1 in both engines), k honored
+      val selfTop = frows.forall(r => r.getSeq[Long](1).head == r.getLong(0)) &&
+        frows.forall(_.getSeq[Long](1).length == 5)
+      println(s"[50] rrf selfTop=$selfTop rows=${frows.length} -> " +
+        s"${selfTop && frows.length == 3}")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+      val z = graft.operators.ZOrder.layout(ord,
+        Seq(col("o_custkey") % 256, col("o_orderkey") % 256), 8, 8)
+      val zplan = z.queryExecution.executedPlan.toString
+      val oneRange = "rangepartitioning".r.findAllIn(zplan.toLowerCase).size == 1
+      println(s"[51] zorder layout single range exchange -> $oneRange")
+      val base = ord.select("o_orderkey", "o_custkey", "o_totalprice")
+      val changes = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val merged = graft.operators.UpsertMerge(base, changes, Seq("o_orderkey"))
+      val mplan = merged.queryExecution.executedPlan.toString
+      val bcast = mplan.contains("BroadcastHashJoin") && mplan.contains("LeftAnti")
+      val counts = (base.count(), merged.count())
+      println(s"[52] upsert broadcastAnti=$bcast rowsPreserved=" +
+        s"${counts._1 == counts._2} -> ${bcast && counts._1 == counts._2}")
+    }
+
     spark.stop()
   }
 }

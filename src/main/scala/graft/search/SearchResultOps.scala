@@ -90,6 +90,38 @@ object SearchResultOps {
     */
   def append(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
 
+  /** Reciprocal-rank fusion of N ranked idx arrays (one per engine):
+    * fused(i) = Σ_e 1 / (rrfK + rank_e(i)) over the engines that returned
+    * candidate `i`, with rank_e the 1-based position in engine e's array.
+    * Scores are IGNORED by design — RRF is a rank-only combiner
+    * (Cormack/Clarke/Buettcher, SIGIR'09), which is what makes it robust
+    * to engines with incomparable score scales (BM25 vs cosine).
+    *
+    * Like [[merge]], this is a pure per-row Column program over already-
+    * ranked arrays: zero shuffles, composes into whatever stage produced
+    * the engine results. O(k² · engines) per row with k in the tens.
+    *
+    * Returns (idx, score) sorted by fused score desc, idx asc.
+    */
+  def rrf(sides: Seq[Column], rrfK: Double): (Column, Column) = {
+    val contribs = sides.map { idx =>
+      filter(
+        transform(idx, (i, pos) =>
+          struct(i.as("idx"), (lit(1d) / (lit(rrfK) + pos + 1)).as("score"))),
+        p => p.getField("idx") =!= -1L)
+    }
+    val all = concat(contribs: _*)
+    val uniq = array_distinct(transform(all, _.getField("idx")))
+    val entries = transform(uniq, i => struct(
+      i.as("idx"),
+      aggregate(
+        filter(all, p => p.getField("idx") === i),
+        lit(0d),
+        (acc, p) => acc + p.getField("score")).as("score")))
+    val sorted = sortEntries(entries)
+    (entriesIdx(sorted), entriesScore(sorted))
+  }
+
   /** Replace negative (padding) indices by a pseudo-random valid id in
     * [0, n). The reference uses true randint (result.py:265-271) — here the
     * fill is a seeded hash of (row id, position) so results are
