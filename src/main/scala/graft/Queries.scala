@@ -1121,6 +1121,35 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s20_maxsim_rerank" -> ((s, d) => {
+      // ColBERT two-stage serving shape: brute dense recall (k=20) over
+      // the base vector → MaxSim late-interaction re-rank (k=5) over
+      // per-token vectors. The multi-vector corpus is synthesized
+      // deterministically (base embedding + circular shifts) so the
+      // oracle replays every max/sum term exactly.
+      def shl(c: org.apache.spark.sql.Column, p: Int) =
+        concat(slice(c, lit(p + 1), size(c) - p), slice(c, lit(1), lit(p)))
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").cast("long").as("idx"),
+        col("embedding").as("vector"))
+      val mv = emb.select(col("vec_id").cast("long").as("idx"),
+        array(col("embedding"), shl(col("embedding"), 1),
+          shl(col("embedding"), 2)).as("vectors"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("qid"),
+          col("embedding").as("query.vector"),
+          array(col("embedding"), shl(col("embedding"), 1)).as("query.vectors"))
+      val dense = graft.search.BruteForceDenseEngine(corpus,
+        graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      val maxsim = graft.search.MaxSimEngine(mv,
+        graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+          queryIdCol = Some("qid")), roundScores = Some(4))
+      graft.search.IndexPipe(Seq(dense, maxsim))(queries)
+        .select(col("qid"), q("index.idx"), q("index.score"))
+        .orderBy("qid")
+    }),
+
     // ----- data layout / incremental maintenance ------------------------
     "zo_zorder" -> ((s, d) => {
       // the z-value layout key: 8-bit × 2-dim Morton interleave over
@@ -2254,6 +2283,22 @@ object Queries {
         |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,6) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
         |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // MaxSim: dense recall ranks replayed, then every max/sum term of the
+    // late-interaction score over the shift-synthesized multi-vectors
+    "s20_maxsim_rerank" ->
+      scl("""WITH corp AS (SELECT vec_id AS idx, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mv AS (SELECT idx, [v, v[2:] || v[1:1], v[3:] || v[1:2]] AS dvs FROM corp),
+        |qs AS (SELECT idx AS qid, v AS qv, [v, v[2:] || v[1:1]] AS qvs FROM corp WHERE idx < 10),
+        |de_sc AS (SELECT qs.qid, c.idx, list_dot_product(qs.qv, c.v) AS score FROM qs CROSS JOIN corp c),
+        |dr AS (SELECT qid, idx FROM (SELECT qid, idx, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM de_sc) WHERE r <= 20),
+        |ms AS (SELECT dr.qid, dr.idx, round(list_sum(list_transform(q2.qvs, qv -> list_max(list_transform(mv.dvs, dv -> list_dot_product(qv, dv))))), 4) AS score
+        |  FROM dr JOIN mv ON dr.idx = mv.idx JOIN qs q2 ON dr.qid = q2.qid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM ms),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(score ORDER BY r) AS ls FROM rk WHERE r <= 5 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(5 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(5 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "zo_zorder" ->

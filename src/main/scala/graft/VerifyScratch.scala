@@ -744,6 +744,32 @@ object VerifyScratch {
         s"${counts._1 == counts._2} -> ${bcast && counts._1 == counts._2}")
     }
 
+    // [53] maxsim re-rank: candidate join scored with nested HOFs, no UDF
+    {
+      import graft.core.Pipe.qcol
+      def shl(c: org.apache.spark.sql.Column, p: Int) =
+        concat(slice(c, lit(p + 1), size(c) - p), slice(c, lit(1), lit(p)))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val corpus = emb.select(col("vec_id").cast("long").as("idx"),
+        col("embedding").as("vector"))
+      val mv = emb.select(col("vec_id").cast("long").as("idx"),
+        array(col("embedding"), shl(col("embedding"), 1)).as("vectors"))
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("qid"),
+          col("embedding").as("query.vector"),
+          array(col("embedding"), shl(col("embedding"), 1)).as("query.vectors"))
+      val cfg = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val out = graft.search.IndexPipe(Seq(
+        graft.search.BruteForceDenseEngine(corpus, cfg.copy(k = 10)),
+        graft.search.MaxSimEngine(mv, cfg)))(qs)
+      val rows = out.select(col("qid"), qcol("index.idx")).orderBy("qid").collect()
+      val selfTop = rows.forall(r => r.getSeq[Long](1).head == r.getLong(0))
+      val plan = out.queryExecution.executedPlan.toString
+      val noUdf = !plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf")
+      println(s"[53] maxsim selfTop=$selfTop noUdf=$noUdf -> ${selfTop && noUdf}")
+    }
+
     spark.stop()
   }
 }
