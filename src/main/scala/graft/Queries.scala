@@ -1150,7 +1150,39 @@ object Queries {
         .orderBy("qid")
     }),
 
-    // ----- data layout / incremental maintenance ------------------------
+    "s21_bm25_incremental" -> ((s, d) => {
+      // additive index maintenance: stats built on the even/odd halves
+      // INDEPENDENTLY, merged with BM25Stats.merge — exactly the
+      // full-rebuild statistics (disjoint doc ids), so the oracle is the
+      // plain full-corpus replay. The 100 TB path: the base side's frames
+      // load from the persisted state dir; only the delta is tokenized.
+      val docs = t(s, d, "documents")
+      val cfg = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      def half(c: DataFrame) = graft.search.BM25Engine(c, cfg,
+        corpusIdxCol = "doc_id", corpusTextCol = "text")
+      val merged = graft.search.BM25Stats.merge(
+        half(docs.filter(col("doc_id") % 2 === 0)).stats,
+        half(docs.filter(col("doc_id") % 2 === 1)).stats)
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+      graft.search.BM25Engine(docs, cfg, corpusIdxCol = "doc_id",
+        corpusTextCol = "text", roundScores = Some(4),
+        fixedStats = Some(merged))(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    // ----- data layout / incremental maintenance / profiling -------------
+    "pr_profile" -> ((s, d) =>
+      // one aggregate pass: row/null/exact-distinct/min/max for every
+      // profiled column (multiple count-distincts plan ONE scan + Expand)
+      graft.pipes.ProfilePipe(
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))(
+        t(s, d, "lineitem"))
+        .orderBy("col_name")),
     "zo_zorder" -> ((s, d) => {
       // the z-value layout key: 8-bit × 2-dim Morton interleave over
       // bucketed (custkey, orderkey). ORDER BY zval IS the order
@@ -2285,6 +2317,36 @@ object Queries {
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // incremental merge == full rebuild (disjoint halves), so the oracle
+    // is the identical full-corpus BM25 replay as s3
+    "s21_bm25_incremental" ->
+      scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM c WHERE doc_id < 20),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "pr_profile" ->
+      """WITH t AS (SELECT * FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(*)-count(l_orderkey) AS n_null,
+        |  count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS VARCHAR) AS min_s, CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM t
+        |UNION ALL SELECT 'l_linenumber', count(*), count(*)-count(l_linenumber),
+        |  count(DISTINCT l_linenumber), CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM t
+        |UNION ALL SELECT 'l_returnflag', count(*), count(*)-count(l_returnflag),
+        |  count(DISTINCT l_returnflag), CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM t
+        |UNION ALL SELECT 'l_linestatus', count(*), count(*)-count(l_linestatus),
+        |  count(DISTINCT l_linestatus), CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM t
+        |ORDER BY col_name""".stripMargin.replace("\n", " "),
     // MaxSim: dense recall ranks replayed, then every max/sum term of the
     // late-interaction score over the shift-synthesized multi-vectors
     "s20_maxsim_rerank" ->

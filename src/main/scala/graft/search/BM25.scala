@@ -64,13 +64,21 @@ case class BM25Engine(
       * pipes/index.py:65-99), rebuilt on [[graft.core.CachedStage]].
       */
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** Inject pre-built statistics instead of building from `corpus` —
+      * the incremental-maintenance path: [[BM25Stats.merge]] of a
+      * persisted base index with a freshly-built delta yields EXACTLY the
+      * full-rebuild statistics, so a 100 TB corpus is never re-tokenized
+      * to add a day's documents. `corpus` is ignored when set.
+      */
+    fixedStats: Option[BM25Stats] = None) extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "k1" -> k1.toString,
     "b" -> b.toString, "auxWeight" -> auxWeight.toString,
     "temperature" -> temperature.mkString, "filterKey" -> filterKey.mkString,
     "roundScores" -> roundScores.mkString,
-    "maxDfFraction" -> maxDfFraction.mkString, "engine" -> "bm25")
+    "maxDfFraction" -> maxDfFraction.mkString, "engine" -> "bm25",
+    "fixedStats" -> fixedStats.isDefined.toString)
 
   /** The persisted frames are raw postings/dfreq/docs statistics — every
     * scoring knob (k1/b/aux/temperature/rounding) and even maxDfFraction
@@ -97,7 +105,9 @@ case class BM25Engine(
     * query batches, and (with `stateDir`) persisted across engine
     * instances.
     */
-  lazy val stats: BM25Stats = {
+  lazy val stats: BM25Stats = fixedStats.getOrElse(builtStats)
+
+  private lazy val builtStats: BM25Stats = {
     lazy val base = corpus.select(
       Seq(col(corpusIdxCol).cast("long").as("docId"),
         tokens(qcol(corpusTextCol)).as("toks")) ++
@@ -202,3 +212,33 @@ case class BM25Engine(
 case class BM25Stats(
     postings: DataFrame, dfreq: DataFrame, docs: DataFrame,
     n: Long, avgdl: Double)
+
+object BM25Stats {
+  import org.apache.spark.sql.functions._
+
+  /** Additive index maintenance: merge two independently-built statistic
+    * sets over DISJOINT doc-id sets into the statistics a full rebuild
+    * over the union would produce — exactly:
+    *   - postings/docs rows are unions (doc ids disjoint ⇒ no regroup);
+    *   - per-term document frequencies add (distinct doc counts over
+    *     disjoint sets);
+    *   - totals are re-aggregated from the merged docs frame, so
+    *     n/avgdl are the same count/avg the full build computes (not a
+    *     weighted-mean approximation — integer len sum, one division).
+    *
+    * This is the O(delta) index-update path at 100 TB: the base side's
+    * frames come from the persisted state dir, only the delta corpus is
+    * tokenized. The docs frames must agree on carrying (or not) the
+    * filterKey column.
+    */
+  def merge(a: BM25Stats, b: BM25Stats): BM25Stats = {
+    val postings = a.postings.unionByName(b.postings)
+    val dfreq = a.dfreq.withColumnRenamed("df", "__dfa__")
+      .join(b.dfreq.withColumnRenamed("df", "__dfb__"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__dfa__"), lit(0L)) + coalesce(col("__dfb__"), lit(0L))).as("df"))
+    val docs = a.docs.unionByName(b.docs)
+    val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl")).collect()(0)
+    BM25Stats(postings, dfreq, docs, totals.getLong(0), totals.getDouble(1))
+  }
+}
