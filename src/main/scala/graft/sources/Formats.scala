@@ -52,4 +52,29 @@ object Formats {
     */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Small-file compaction: write parquet with the file COUNT steered by
+    * the optimizer's size estimate — `ceil(plan bytes / targetFileBytes)`
+    * round-robin partitions, so a million-file ingest directory rewrites
+    * into evenly-sized files and a filter-heavy stage's tiny output
+    * doesn't shatter into one file per shuffle partition (the two chronic
+    * 100 TB layout failures: too many small files kills the driver's
+    * listing and per-task overhead; too few giant files kills read
+    * parallelism).
+    *
+    * `repartition(n)` (a round-robin exchange), deliberately not
+    * `coalesce(n)`: coalesce merges whole input partitions and inherits
+    * their skew — compaction exists to REMOVE layout skew, which is worth
+    * one shuffle of the written bytes. The plan estimate is uncompressed,
+    * so actual files land under target — the safe direction (never an
+    * unsplittable-row-group monster). Returns the file count chosen.
+    */
+  def writeCompacted(
+      df: DataFrame, path: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).toInt
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
 }

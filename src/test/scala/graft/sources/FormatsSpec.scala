@@ -36,4 +36,26 @@ class FormatsSpec extends SparkSpec {
       .withColumn("text", coalesce(col("text"), lit("")))
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("compaction steers file count by the plan's size estimate") {
+    // ~100 rows x ~1 KB, shattered over 16 partitions; a small byte
+    // target must REDUCE the file count to ceil(bytes/target) and the
+    // rewrite must preserve content exactly
+    val df = spark.range(100).repartition(16)
+      .select(col("id"), concat_ws("", array_repeat(lit("x"), 1000)).as("pad"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / BigInt(4)).toLong + 1
+    val n = Formats.writeCompacted(df, s"$tmp/k", target)
+    assert(n >= 2 && n <= 5, s"expected ~4 files, got $n (est $bytes)")
+    val files = new java.io.File(s"$tmp/k").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == n, s"wrote $files files, planned $n")
+    val back = spark.read.parquet(s"$tmp/k")
+    assert(back.count() == 100 && back.agg(sum("id")).head().getLong(0) == 4950)
+  }
+
+  test("compaction floors at one file for tiny frames") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    assert(Formats.writeCompacted(df, s"$tmp/one") == 1)
+  }
 }
