@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class UpsertStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed change batches equal sequential batch merges") {
+    val dir = java.nio.file.Files.createTempDirectory("ups").toString
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    StreamingUpsert.seed(base, s"$dir/t")
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, Boolean)]
+    val q = StreamingUpsert.run(
+      mem.toDF.toDF("k", "s", "v", "del"),
+      s"$dir/t", Seq("k"), Some("del"), s"$dir/ckpt")
+
+    // batch 0: update 2, insert 4
+    mem.addData((2L, "B", 21.0, false), (4L, "d", 40.0, false))
+    q.processAllAvailable()
+    val afterB0 = StreamingUpsert.latest(spark, s"$dir/t").get
+      .orderBy("k").collect().toSeq
+    assert(afterB0 == Seq(Row(1L, "a", 10.0), Row(2L, "B", 21.0),
+      Row(3L, "c", 30.0), Row(4L, "d", 40.0)))
+
+    // batch 1: delete 1, update the row batch 0 inserted
+    mem.addData((1L, "a", 10.0, true), (4L, "D", 41.0, false))
+    q.processAllAvailable()
+    q.stop()
+    val afterB1 = StreamingUpsert.latest(spark, s"$dir/t").get
+      .orderBy("k").collect().toSeq
+    assert(afterB1 == Seq(Row(2L, "B", 21.0), Row(3L, "c", 30.0),
+      Row(4L, "D", 41.0)))
+
+    // versions are immutable history: batch-0 state is still readable
+    val v0 = spark.read.parquet(s"$dir/t/v0").orderBy("k").collect().toSeq
+    assert(v0 == afterB0)
+  }
+
+  test("run before seed fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ups2").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingUpsert.run(mem.toDF.toDF("k", "s"),
+      s"$dir/t", Seq("k"), None, s"$dir/ckpt")
+    mem.addData((1L, "x"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("seed") ||
+      e.getCause.getMessage.contains("seed"))
+    q.stop()
+  }
+}
