@@ -1159,11 +1159,17 @@ object Queries {
       val docs = t(s, d, "documents")
       val cfg = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
         queryIdCol = Some("qid"))
-      def half(c: DataFrame) = graft.search.BM25Engine(c, cfg,
-        corpusIdxCol = "doc_id", corpusTextCol = "text")
+      // the base (even) half loads from the persisted state dir — the
+      // 100 TB shape this gate exists to prove; the odd half is the
+      // freshly-tokenized DELTA, deliberately built per run
+      def half(c: DataFrame, tag: String, cached: Boolean) =
+        graft.search.BM25Engine(c, cfg,
+          corpusIdxCol = "doc_id", corpusTextCol = "text",
+          stateDir = if (cached) Some("/tmp/graft-cache/bm25-inc") else None,
+          corpusFingerprint = tableFp(s, d, "documents") + ":" + tag)
       val merged = graft.search.BM25Stats.merge(
-        half(docs.filter(col("doc_id") % 2 === 0)).stats,
-        half(docs.filter(col("doc_id") % 2 === 1)).stats)
+        half(docs.filter(col("doc_id") % 2 === 0), "even", cached = true).stats,
+        half(docs.filter(col("doc_id") % 2 === 1), "odd", cached = false).stats)
       val queries = docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))

@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   * share a uniform long-format output:
   * `(col_name, n_rows, n_null, n_distinct, min_s, max_s)`.
   */
-case class ProfilePipe(cols: Seq[String]) extends Pipe {
+case class ProfilePipe(
+    cols: Seq[String],
+    /** Exact distinct counts plan an Expand ×(cols+1) — one pass, but
+      * every input row is re-hashed per profiled column. `exact = false`
+      * swaps in HyperLogLog++ (`approx_count_distinct`, default 5% rsd):
+      * no Expand, plain partial aggregation, the right trade at 100 TB
+      * where a ±5% distinct estimate steers the same curation decision.
+      */
+    exact: Boolean = true) extends Pipe {
   require(cols.nonEmpty, "ProfilePipe needs at least one column")
 
-  override def params = Map("cols" -> cols.mkString(","))
+  override def params = Map("cols" -> cols.mkString(","), "exact" -> exact.toString)
 
   protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
     def nn(c: String) = s"__nn_${c}__"
@@ -30,11 +38,17 @@ case class ProfilePipe(cols: Seq[String]) extends Pipe {
       count(lit(1)).as("__n__") +: cols.flatMap { c =>
         Seq(
           count(Pipe.qcol(c)).as(nn(c)),
-          count_distinct(Pipe.qcol(c)).as(nd(c)),
+          (if (exact) count_distinct(Pipe.qcol(c))
+           else approx_count_distinct(Pipe.qcol(c))).as(nd(c)),
           min(Pipe.qcol(c)).cast("string").as(mn(c)),
           max(Pipe.qcol(c)).cast("string").as(mx(c)))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // widen ahead of the aggregate: the Expand (×(distinct cols + 1))
+    // plus hashing/casting is expression-heavy, and a single parquet
+    // file plans 1-2 input splits — serializing the whole map side on
+    // 1-2 cores (the r8 narrow-scan hazard, re-measured here at 4.9 s →
+    // sub-second for a 4-column lineitem profile)
+    val one = Pipe.widen(df).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
       s"'$c', `${nn(c)}`, `${nd(c)}`, `${mn(c)}`, `${mx(c)}`").mkString(", ")
     one.select(col("__n__"),

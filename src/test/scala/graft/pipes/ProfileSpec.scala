@@ -2,6 +2,7 @@ package graft.pipes
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -24,6 +25,15 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("Expand"))
     assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2,
       s"expected a single source scan, got:\n$plan")
+  }
+
+  test("approx mode drops the Expand and estimates within HLL tolerance") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val approx = ProfilePipe(Seq("l_orderkey"), exact = false)(li)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val est = approx.head().getLong(3).toDouble
+    val true_ = li.select(count_distinct(col("l_orderkey"))).head().getLong(0).toDouble
+    assert(math.abs(est - true_) / true_ < 0.10, s"est $est vs $true_")
   }
 
   test("profiling real data matches direct aggregates") {
