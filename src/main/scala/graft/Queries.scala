@@ -1181,7 +1181,31 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "dd_keep_best" -> ((s, d) => {
+      // duplicate-cluster RESOLUTION policy: clusters from the planted
+      // LSH pairs, survivor = longest member (token count), ties by min
+      // id; never-matched docs are singleton clusters and always survive
+      val base = plantedNearDups(s, d)
+      val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
+        jaccardThreshold = 0.5)(base)
+      val clusters = graft.llm.DedupOps.connectedComponents(pairs)
+      graft.llm.DedupOps.resolveKeepBest(
+        base.withColumn("score", size(split(col("text"), " "))),
+        clusters, "doc_id", "score")
+        .select(col("doc_id"), col("cluster"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // ----- data layout / incremental maintenance / profiling -------------
+    "qa_quantiles" -> ((s, d) =>
+      // exact mode: Spark `percentile`'s linear interpolation replays
+      // bit-for-bit as DuckDB quantile_cont (approx mode is the
+      // bounded-memory 100 TB default, spec-covered)
+      graft.pipes.GroupQuantilesPipe("lang", "len", Seq(0.5, 0.9, 0.99),
+        exact = true)(
+        t(s, d, "documents").withColumn("len", size(split(col("text"), " "))))
+        .select(col("lang"), col("quantiles"), col("n"))
+        .orderBy("lang")),
     "pr_profile" -> ((s, d) =>
       // one aggregate pass: row/null/exact-distinct/min/max for every
       // profiled column (multiple count-distincts plan ONE scan + Expand)
@@ -2342,6 +2366,34 @@ object Queries {
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "dd_keep_best" ->
+      """WITH RECURSIVE planted AS (SELECT doc_id, text FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b
+        | WHERE shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges UNION SELECT u, u FROM edges
+        | UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u),
+        |scored AS (SELECT p.doc_id AS id, coalesce(cc.cluster, p.doc_id) AS cluster,
+        |  len(string_split(p.text, ' ')) AS score
+        | FROM planted p LEFT JOIN cc ON p.doc_id = cc.id),
+        |rk AS (SELECT id, cluster, score, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id) AS r FROM scored)
+        |SELECT id AS doc_id, cluster, (r = 1) AS kept FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "qa_quantiles" ->
+      scl("""SELECT lang, quantile_cont(len(string_split(text, ' ')), [0.5, 0.9, 0.99]) AS quantiles,
+        |count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+        "lang" -> "", "quantiles" -> "d", "n" -> ""),
     "pr_profile" ->
       """WITH t AS (SELECT * FROM lineitem)
         |SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(*)-count(l_orderkey) AS n_null,

@@ -193,6 +193,30 @@ object DedupOps {
     labels
   }
 
+  /** Duplicate-cluster RESOLUTION policy: after clustering, keep exactly
+    * one document per cluster — the one with the best `scoreCol` (quality
+    * score, length, recency rank...), ties broken by ascending id so the
+    * survivor set is deterministic. Documents absent from `clusters`
+    * (never matched any pair) are their own singleton cluster and always
+    * survive.
+    *
+    * Returns `docs` + `cluster` + `kept: boolean` (flagging instead of
+    * filtering — the caller chooses to drop, quarantine, or audit). One
+    * shuffle on the cluster id; near-dup clusters are small, so no skew.
+    */
+  def resolveKeepBest(
+      docs: DataFrame, clusters: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val joined = docs
+      .join(clusters.select(col("id").as("__cid__"), col("cluster")),
+        qcol(idCol) === col("__cid__"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), qcol(idCol)))
+      .drop("__cid__")
+    val w = Window.partitionBy("cluster")
+      .orderBy(qcol(scoreCol).desc, qcol(idCol).asc)
+    joined.withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** MinHash signature base + band buckets of one corpus: returns
     * (base = (id, sh shingle-hash array), banded = (id, band, bh)), both
     * eagerly materialized — base feeds the signature aggregate and the

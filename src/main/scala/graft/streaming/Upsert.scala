@@ -65,6 +65,33 @@ object StreamingUpsert {
     }
   }
 
+  /** Drop all but the `keep` newest versions — never the one `_LATEST`
+    * points at. Returns the deleted version names. Versions order as
+    * `vinit` < `v0` < `v1` < ...; run it on whatever cadence bounds the
+    * table's storage ≤ keep × table size.
+    */
+  def vacuum(spark: SparkSession, stateDir: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, "vacuum must keep at least one version")
+    val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = path(s"$stateDir/_LATEST")
+    val current =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      }
+    def ordinal(v: String): Long =
+      if (v == "vinit") -1L else v.drop(1).toLong
+    val versions = fs.listStatus(path(stateDir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n == "vinit" || n.matches("v\\d+"))
+      .sortBy(ordinal)
+    val doomed = versions.dropRight(keep).filterNot(current.contains)
+    doomed.foreach(v => fs.delete(path(s"$stateDir/$v"), true))
+    doomed
+  }
+
   private def commit(df: DataFrame, stateDir: String, version: String): Unit = {
     df.write.mode("overwrite").parquet(s"$stateDir/$version")
     val fs = path(stateDir).getFileSystem(

@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keep-best survivor per cluster, singletons survive, ties by id") {
+    val docs = Seq(
+      (1L, 10), (2L, 30), (3L, 30), // cluster {1,2,3}: 2 and 3 tie on score
+      (4L, 5), // singleton: not in any pair
+      (5L, 7), (6L, 2)) // cluster {5,6}
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster")
+    val out = DedupOps.resolveKeepBest(docs, clusters, "doc_id", "score")
+      .select("doc_id", "cluster", "kept").orderBy("doc_id").collect().toSeq
+    assert(out == Seq(
+      Row(1L, 1L, false), Row(2L, 1L, true), Row(3L, 1L, false),
+      Row(4L, 4L, true), Row(5L, 5L, true), Row(6L, 5L, false)))
+  }
+
+  test("exactly one survivor per cluster on real planted near-dups") {
+    val docs = spark.read.parquet(sf("documents"))
+      .withColumn("score", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    val pairs = MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5)(docs)
+    val clusters = DedupOps.connectedComponents(pairs)
+    val out = DedupOps.resolveKeepBest(docs, clusters, "doc_id", "score")
+    val perCluster = out.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("kept"), 1).otherwise(0)).as("k"))
+    assert(perCluster.filter(org.apache.spark.sql.functions.col("k") =!= 1).count() == 0)
+    assert(out.count() == docs.count())
+  }
+}

@@ -39,6 +39,13 @@ class UpsertStreamSpec extends SparkSpec {
     // versions are immutable history: batch-0 state is still readable
     val v0 = spark.read.parquet(s"$dir/t/v0").orderBy("k").collect().toSeq
     assert(v0 == afterB0)
+
+    // vacuum keeps the newest `keep` versions, never the pointed one
+    val deleted = StreamingUpsert.vacuum(spark, s"$dir/t", keep = 1)
+    assert(deleted.toSet == Set("vinit", "v0"))
+    assert(StreamingUpsert.latest(spark, s"$dir/t").get
+      .orderBy("k").collect().toSeq == afterB1)
+    assert(!new java.io.File(s"$dir/t/v0").exists())
   }
 
   test("run before seed fails loudly") {
