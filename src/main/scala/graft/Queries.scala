@@ -1181,6 +1181,53 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s22_jaccard_search" -> ((s, d) => {
+      // the dedup family's n-gram Jaccard as a QUERY operator: top-k
+      // corpus docs overlapping the query text — the per-example
+      // contamination lookup. Inverted-shingle equi-join; candidates
+      // share >= 1 shingle, never a cross product.
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("query.text"))
+      val eng = graft.search.JaccardEngine(docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text", roundScores = Some(4))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+    "s23_weighted_fusion" -> ((s, d) => {
+      // convex-combination hybrid: per-engine min-max normalization over
+      // the returned list, fused 0.7·bm25 + 0.3·dense — the magnitude-
+      // preserving sibling of s19's rank-only RRF
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("idx"), col("text"),
+          col("embedding").as("vector"))
+        .localCheckpoint()
+      val queries = corpus.filter(col("idx") < 10)
+        .select(col("idx").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
+          col("vector").as("query.vector"))
+      val bm25 = graft.search.BM25Engine(corpus,
+        graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+      val dense = graft.search.BruteForceDenseEngine(
+        corpus.select(col("idx"), col("vector")),
+        graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
+          queryIdCol = Some("qid")))
+      graft.search.WeightedFusionPipe(Seq(bm25, dense), Seq(0.7, 0.3),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        roundScores = Some(6))(queries)
+        .select(col("qid"), q("index.idx"), q("index.score"))
+        .orderBy("qid")
+    }),
     "dd_keep_best" -> ((s, d) => {
       // duplicate-cluster RESOLUTION policy: clusters from the planted
       // LSH pairs, survivor = longest member (token count), ties by min
@@ -2362,6 +2409,64 @@ object Queries {
         |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
         |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    "s22_jaccard_search" ->
+      scl("""WITH c AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s FROM c),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |q0 AS (SELECT doc_id AS qid, array_to_string(toks[1:8], ' ') AS qtext FROM c WHERE doc_id < 20),
+        |qt AS (SELECT qid, qtext, string_split(trim(qtext), ' ') AS toks FROM q0),
+        |qsh AS (SELECT qid, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [qtext] END) AS s FROM qt),
+        |qsz AS (SELECT qid, len(s) AS qn FROM qsh),
+        |qinv AS (SELECT qid, unnest(s) AS g FROM qsh),
+        |shr AS (SELECT qid, inv.doc_id AS idx, count(*) AS shd FROM qinv JOIN inv USING (g) GROUP BY 1, 2),
+        |sc AS (SELECT shr.qid, shr.idx, round(shd::DOUBLE / (qsz.qn + szs.n - shd)::DOUBLE, 4) AS score
+        | FROM shr JOIN qsz USING (qid) JOIN szs ON szs.doc_id = shr.idx),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(score ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // weighted fusion: both rankings replayed, each normalized min-max
+    // WITHIN its returned top-20 list, fused 0.7/0.3
+    "s23_weighted_fusion" ->
+      scl("""WITH corp AS (SELECT d.doc_id AS idx, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |c AS (SELECT idx, string_split(trim(text), ' ') AS toks FROM corp),
+        |dl AS (SELECT idx, len(toks) AS len FROM c),
+        |post AS (SELECT idx, term, count(*) AS tf FROM (SELECT idx, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT idx) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |qq AS (SELECT idx AS qid, toks[1:5] AS qtoks FROM c WHERE idx < 10),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM qq),
+        |bm_sc AS (SELECT qt.qid, post.idx AS idx,
+        |  round(sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ),4) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.idx = dl.idx CROSS JOIN tot GROUP BY 1,2),
+        |bm AS (SELECT qid, idx, score FROM (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM bm_sc) WHERE r <= 20),
+        |bmn AS (SELECT qid, min(score) AS mn, max(score) AS mx FROM bm GROUP BY 1),
+        |bc AS (SELECT bm.qid, bm.idx,
+        |  0.7 * (CASE WHEN bmn.mx > bmn.mn THEN (bm.score - bmn.mn)/(bmn.mx - bmn.mn) ELSE 1.0 END) AS score
+        |  FROM bm JOIN bmn USING (qid)),
+        |qv AS (SELECT idx AS qid, v AS qv FROM corp WHERE idx < 10),
+        |de_sc AS (SELECT qv.qid, c2.idx, list_dot_product(qv.qv, c2.v) AS score FROM qv CROSS JOIN corp c2),
+        |de AS (SELECT qid, idx, score FROM (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM de_sc) WHERE r <= 20),
+        |dmn AS (SELECT qid, min(score) AS mn, max(score) AS mx FROM de GROUP BY 1),
+        |dc AS (SELECT de.qid, de.idx,
+        |  0.3 * (CASE WHEN dmn.mx > dmn.mn THEN (de.score - dmn.mn)/(dmn.mx - dmn.mn) ELSE 1.0 END) AS score
+        |  FROM de JOIN dmn USING (qid)),
+        |fu AS (SELECT qid, idx, sum(score) AS score FROM (
+        |  SELECT * FROM bc UNION ALL SELECT * FROM dc) GROUP BY 1, 2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM fu),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,6) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
         |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),

@@ -25,6 +25,52 @@ import org.apache.spark.sql.functions.{col, round, transform => arrTransform}
   * renamed away before the next engine runs, so no engine ever sees (or
   * merges with) a previous engine's results.
   */
+/** Min-max weighted (convex-combination) fusion — the hybrid-search
+  * sibling of [[RRFFusionPipe]] that keeps score MAGNITUDES: each
+  * engine's scores normalize to [0, 1] within its returned list, then
+  * candidates sum `weight · normalized` across engines
+  * ([[SearchResultOps.minMaxFuse]]). Same execution shape as RRF: one
+  * pass per engine, per-row fusion, zero extra shuffles.
+  */
+case class WeightedFusionPipe(
+    engines: Seq[SearchEngine],
+    weights: Seq[Double],
+    config: SearchConfig = SearchConfig(),
+    roundScores: Option[Int] = None) extends Pipe {
+  require(engines.nonEmpty && engines.size == weights.size,
+    s"need one weight per engine (${engines.size} engines, ${weights.size} weights)")
+
+  override def children: Seq[Pipe] = engines
+  override def update: Boolean = true
+  override def params: Map[String, String] = Map(
+    "weights" -> weights.mkString(","), "k" -> config.k.toString,
+    "engines" -> engines.map(_.name).mkString(","))
+
+  private def idxKey = s"${config.indexField}.idx"
+  private def scoreKey = s"${config.indexField}.score"
+
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    var cur = df
+    val sides = engines.zipWithIndex.map { case (e, i) =>
+      val (pi, ps) = (s"__wf${i}_idx__", s"__wf${i}_score__")
+      cur = e(cur)
+      cur = cur
+        .withColumn(pi, Pipe.qcol(e.idxKey).cast("array<long>"))
+        .withColumn(ps, Pipe.qcol(e.scoreKey).cast("array<double>"))
+        .drop(Pipe.qcol(e.idxKey)).drop(Pipe.qcol(e.scoreKey))
+      (pi, ps)
+    }
+    val (fIdx, fScore) = SearchResultOps.minMaxFuse(
+      sides.zip(weights).map { case ((pi, ps), w) => (col(pi), col(ps), w) })
+    val (rIdx, rScore) = SearchResultOps.resize(fIdx, fScore, config.k)
+    val outScore = roundScores.fold(rScore)(p => arrTransform(rScore, v => round(v, p)))
+    cur
+      .withColumn(idxKey, rIdx)
+      .withColumn(scoreKey, outScore)
+      .drop(sides.flatMap(s => Seq(s._1, s._2)): _*)
+  }
+}
+
 case class RRFFusionPipe(
     engines: Seq[SearchEngine],
     config: SearchConfig = SearchConfig(),

@@ -150,6 +150,11 @@ object AutoSearchEngine {
     "dense_lsh" -> ((c, cfg) => LSHDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+    // n-gram Jaccard lexical search (the contamination-lookup metric as
+    // a query operator); inverted shingle index persisted under stateDir
+    "jaccard" -> ((c, cfg) => JaccardEngine(c, cfg, corpusIdxCol, corpusTextCol,
+      roundScores = roundScores,
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     // ColBERT-style late-interaction re-ranker: corpusVecCol holds the
     // PER-TOKEN vectors (array<array<float>>); cascade it after a recall
     // engine — full scans refuse past the broadcast cap

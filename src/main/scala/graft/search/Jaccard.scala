@@ -1,0 +1,84 @@
+package graft.search
+
+import graft.core.Pipe.qcol
+import graft.llm.DedupOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram Jaccard lexical search: top-k corpus documents by word-shingle
+  * Jaccard similarity to the query text — the dedup family's similarity
+  * metric turned into a QUERY operator (the "which corpus documents does
+  * this eval example overlap" contamination lookup, answered per query
+  * instead of corpus-vs-corpus).
+  *
+  * Build: distinct word k-shingles per document → inverted index
+  * `(shingle, docId)` + per-doc shingle counts, both persisted under the
+  * engine state dir. Query: explode the query's shingles, equi-join the
+  * inverted index (shuffle carries only matching postings — candidates
+  * are docs sharing ≥ 1 shingle, never a cross product), count shared
+  * per (query, doc), and score `shared / (|q| + |d| - shared)`.
+  *
+  * `hashShingles` trades oracle-replayable shingle strings for 8-byte
+  * xxhash64 keys — the 100 TB wire-size choice, same trade as
+  * [[graft.llm.SubstringDedupPipe]].
+  */
+case class JaccardEngine(
+    corpus: DataFrame,
+    config: SearchConfig = SearchConfig(),
+    corpusIdxCol: String = "idx",
+    corpusTextCol: String = "text",
+    shingleSize: Int = 3,
+    hashShingles: Boolean = false,
+    roundScores: Option[Int] = None,
+    stateDir: Option[String] = None,
+    corpusFingerprint: String = "") extends SearchEngine {
+
+  override def params = Map("k" -> config.k.toString,
+    "shingleSize" -> shingleSize.toString,
+    "hashShingles" -> hashShingles.toString,
+    "roundScores" -> roundScores.mkString, "engine" -> "jaccard")
+
+  // scoring/truncation knobs must hit the same persisted index
+  override protected def queryTimeParams: Set[String] = Set("k", "roundScores")
+
+  private def shingles(text: Column): Column =
+    if (hashShingles) DedupOps.shingleHashes(text, shingleSize).cast("array<string>")
+    else DedupOps.shingleStrings(text, shingleSize)
+
+  /** (inverted index (g, docId), sizes (docId, n), corpus count). */
+  lazy val state: (DataFrame, DataFrame, Long) = {
+    lazy val sh = corpus.select(col(corpusIdxCol).cast("long").as("docId"),
+      shingles(qcol(corpusTextCol)).as("__s__"))
+    def persisted(frame: String)(compute: => DataFrame): DataFrame =
+      stateDir match {
+        case Some(dir) =>
+          graft.core.CachedStage(corpus.sparkSession, dir,
+            buildStateKey(corpusFingerprint, frame))(compute)
+        case None =>
+          compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val inv = persisted("inv")(
+      sh.select(col("docId"), explode(col("__s__")).as("g")))
+    val sizes = persisted("sizes")(sh.select(col("docId"), size(col("__s__")).as("n")))
+    (inv, sizes, sizes.count())
+  }
+
+  protected def fillRange: Option[Long] = Some(state._3)
+
+  protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
+    val (inv, sizes, _) = state
+    val q = stamped.select(col(rowId),
+      shingles(qcol(s"${config.queryField}.text")).as("__qs__"))
+      .select(col(rowId), size(col("__qs__")).as("__qn__"),
+        explode(col("__qs__")).as("g"))
+    val shared = q.join(inv, Seq("g"))
+      .groupBy(col(rowId), col("docId"))
+      .agg(count(lit(1)).as("__shared__"), first("__qn__").as("__qn__"))
+    val raw = col("__shared__").cast("double") /
+      (col("__qn__") + col("n") - col("__shared__")).cast("double")
+    val scoreExpr = roundScores.fold(raw)(p => round(raw, p))
+    val exploded = shared.join(sizes, Seq("docId"))
+      .select(col(rowId), col("docId").as("idx"), scoreExpr.as("score"))
+    SearchEngine.collapseTopK(stamped, exploded, rowId, config.k)
+  }
+}

@@ -122,6 +122,39 @@ object SearchResultOps {
     (entriesIdx(sorted), entriesScore(sorted))
   }
 
+  /** Min-max weighted score fusion of N ranked (idx, score) pairs: each
+    * engine's scores are normalized to [0, 1] WITHIN the row's returned
+    * list (`(s - min)/(max - min)`; a degenerate list where max == min
+    * normalizes to 1 — the candidate was that engine's best and worst),
+    * then candidates sum `weight_e · normalized_e` across engines. The
+    * standard convex-combination hybrid when score scales are
+    * incomparable but magnitudes still carry signal (vs [[rrf]], which
+    * keeps only ranks). Pure per-row algebra — zero shuffles.
+    *
+    * Returns (idx, score) sorted by fused score desc, idx asc.
+    */
+  def minMaxFuse(sides: Seq[(Column, Column, Double)]): (Column, Column) = {
+    val contribs = sides.map { case (idx, score, w) =>
+      val finite = filter(score, s => s =!= NegInf)
+      val mn = array_min(finite)
+      val mx = array_max(finite)
+      filter(
+        zip_with(idx, score, (i, s) => struct(i.as("idx"),
+          (when(mx > mn, (s - mn) / (mx - mn)).otherwise(lit(1d)) * w).as("score"))),
+        p => p.getField("idx") =!= -1L)
+    }
+    val all = concat(contribs: _*)
+    val uniq = array_distinct(transform(all, _.getField("idx")))
+    val entries = transform(uniq, i => struct(
+      i.as("idx"),
+      aggregate(
+        filter(all, p => p.getField("idx") === i),
+        lit(0d),
+        (acc, p) => acc + p.getField("score")).as("score")))
+    val sorted = sortEntries(entries)
+    (entriesIdx(sorted), entriesScore(sorted))
+  }
+
   /** Replace negative (padding) indices by a pseudo-random valid id in
     * [0, n). The reference uses true randint (result.py:265-271) — here the
     * fill is a seeded hash of (row id, position) so results are
