@@ -1015,6 +1015,32 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s24_lsh_multiprobe" -> ((s, d) => {
+      // multi-probe LSH (Lv et al. VLDB'07): per band the query also
+      // probes the buckets one bit-flip away (bits 0 and 1 of the band
+      // hash — deterministic, replayable), widening recall WITHOUT
+      // touching the persisted signatures; candidate set is a superset
+      // of s17's, still bucketed. Same padding-drop as s17.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.AutoSearchEngine("dense_lsh",
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        opts = Map("stateDir" -> "/tmp/graft-cache/lsh",
+          "fingerprint" -> tableFp(s, d, "embeddings"), "probes" -> "2"))
+      val pairs = filter(
+        zip_with(q("index.idx"), q("index.score"),
+          (i, sc) => struct(i.as("i"), sc.as("s"))),
+        p => p.getField("i") >= 0)
+      eng(queries)
+        .select(col("qid"),
+          transform(pairs, _.getField("i")).as("index.idx"),
+          transform(pairs, p => round(p.getField("s"), 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s14_lexical_dense_cascade" -> ((s, d) => {
       // the reference user guide's documented end-user flow
       // (user_guide/src/examples/index.py:46-63): elasticsearch(k=100) →
@@ -2293,6 +2319,27 @@ object Queries {
         | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS idx
         | FROM bnd q JOIN bnd c ON q.b = c.b AND q.bv = c.bv WHERE q.vec_id < 10),
+        |sc AS (SELECT cand.qid, cand.idx, list_dot_product(a.ev, b.ev) AS score
+        | FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v b ON b.vec_id = cand.idx),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // multi-probe twin of s17: the query-side bucket set per band is
+    // {bv, bv^1, bv^2} (probes=2, flipping band-hash bits 0 and 1)
+    "s24_lsh_multiprobe" ->
+      scl("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |sig AS (SELECT vec_id,
+        | list_sum(list_transform(range(0,48), b ->
+        |  CASE WHEN list_sum(list_transform(range(1, length(ev)+1), t ->
+        |    ev[t] * ((((b*37 + (t-1)*11) % 21) - 10) / 10.0))) > 0
+        |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg FROM v),
+        |bnd AS (SELECT vec_id, z.b AS b,
+        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*8 AS INT))) % 256 AS bv
+        | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
+        |qb AS (SELECT vec_id, b, unnest([bv, xor(bv, 1), xor(bv, 2)]) AS bv FROM bnd WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS idx
+        | FROM qb q JOIN bnd c ON q.b = c.b AND q.bv = c.bv),
         |sc AS (SELECT cand.qid, cand.idx, list_dot_product(a.ev, b.ev) AS score
         | FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v b ON b.vec_id = cand.idx),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)

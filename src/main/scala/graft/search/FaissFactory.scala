@@ -71,13 +71,14 @@ object FaissFactory {
       nlist: Int,
       pq: Option[PqSpec],
       sq: Boolean,
-      rotate: Boolean) {
+      rotate: Boolean,
+      lsh: Boolean = false) {
 
     /** The [[AutoSearchEngine]] registry name this spec lowers to (the
       * table a reference user reads); `build` constructs the same engine
       * directly so parsed nlist/m/nbits survive.
       */
-    def registryName: String = (nlist > 0, pq, sq) match {
+    def registryName: String = if (lsh) "dense_lsh" else (nlist > 0, pq, sq) match {
       case (false, None, false)    => "dense"
       case (false, None, true)     => "dense_sq"
       case (false, Some(_), _)     => if (rotate) "opq_pq" else "dense_pq"
@@ -103,6 +104,11 @@ object FaissFactory {
       val stateDir = opts.get("stateDir")
       val fp = opts.getOrElse("fingerprint", "")
       val nprobe = opts.get("nprobe").map(_.toInt).getOrElse(4).min(math.max(nlist, 1))
+      if (lsh)
+        return LSHDenseEngine(corpus,
+          probes = opts.get("probes").map(_.toInt).getOrElse(0),
+          config = cfg, corpusIdxCol = idxCol, corpusVecCol = vecCol,
+          stateDir = stateDir, corpusFingerprint = fp)
       (nlist > 0, pq, sq) match {
         case (false, None, false) =>
           BruteForceDenseEngine(corpus, cfg, idxCol, vecCol,
@@ -138,7 +144,7 @@ object FaissFactory {
   // the reference's sloppy optional-comma handling is tightened to "the
   // preproc, when present, is comma-separated like every other component"
   private val Pattern =
-    """^(?:(OPQ(\d+)(?:_(\d+))?|PCAR(\d+)),)?(?:IVF(\d+),)?(?:PQ(\d+)(?:x(\d+))?(fs|fsr)?|(SQ[a-z0-9]+)|(Flat))$""".r
+    """^(?:(OPQ(\d+)(?:_(\d+))?|PCAR(\d+)),)?(?:IVF(\d+),)?(?:PQ(\d+)(?:x(\d+))?(fs|fsr)?|(SQ[a-z0-9]+)|(Flat)|(LSH))$""".r
 
   /** True when the string is shaped like a factory string (used by the
     * registry to decide between "parse this" and "unknown engine name").
@@ -148,11 +154,11 @@ object FaissFactory {
   def looksLikeFactory(s: String): Boolean = {
     val t = s.trim
     t.contains("IVF") || t.startsWith("OPQ") || t.startsWith("PCAR") ||
-      t.startsWith("PQ") || t.startsWith("SQ") || t == "Flat"
+      t.startsWith("PQ") || t.startsWith("SQ") || t == "Flat" || t == "LSH"
   }
 
   def parse(factory: String): FaissSpec = factory.trim match {
-    case Pattern(preproc, opqM, _, pcarD, nlist, pqM, nbits, _, sqType, flat) =>
+    case Pattern(preproc, opqM, _, pcarD, nlist, pqM, nbits, _, sqType, flat, lshS) =>
       val pq =
         if (pqM == null) None
         else Some(PqSpec(pqM.toInt,
@@ -168,9 +174,12 @@ object FaissFactory {
         s"preproc '$preproc' ahead of SQ8 in '$factory' is not supported: " +
           "the SQ engine quantizes in the raw basis, and dropping the " +
           "rotation would change scores (use IVF<n>,SQ8 or OPQ...,PQ<m>)")
+      require(lshS == null || (preproc == null && nlist == null),
+        s"'$factory': FAISS LSH is a standalone index here — preprocs/IVF " +
+          "ahead of the sign-hash have no engine analog (use plain 'LSH')")
       FaissSpec(factory.trim,
         Option(nlist).map(_.toInt).getOrElse(0), pq,
-        sq = sqType != null, rotate = rotate)
+        sq = sqType != null, rotate = rotate, lsh = lshS != null)
     case other =>
       throw new IllegalArgumentException(
         s"cannot parse FAISS factory string '$other'; expected " +

@@ -101,7 +101,9 @@ object AutoSearchEngine {
         * from the Index orchestrator the same way, pipes/index.py:65-99).
         */
       stateDir: Option[String] = None,
-      corpusFingerprint: String = ""): Map[String, Factory] = Map(
+      corpusFingerprint: String = "",
+      /** Multi-probe count for `dense_lsh` (query-time; see LSHDenseEngine). */
+      probes: Int = 0): Map[String, Factory] = Map(
     "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
     // the explicit opt-in for exact search over a >cap corpus: plans the
     // quadratic partitioned cartesian the bare `dense` refuses
@@ -147,7 +149,7 @@ object AutoSearchEngine {
     // FAISS IndexLSH by capability: SRP signatures + band buckets; finds
     // HIGH-cosine neighbors only (near-duplicate retrieval), may return
     // fewer than k rows — general ANN belongs to dense_ivf / ivf_pq
-    "dense_lsh" -> ((c, cfg) => LSHDenseEngine(c, config = cfg,
+    "dense_lsh" -> ((c, cfg) => LSHDenseEngine(c, probes = probes, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     // n-gram Jaccard lexical search (the contamination-lookup metric as
@@ -179,7 +181,8 @@ object AutoSearchEngine {
       groupKey = opts.getOrElse("groupKey", "group"),
       roundScores = opts.get("roundScores").map(_.toInt),
       stateDir = opts.get("stateDir"),
-      corpusFingerprint = opts.getOrElse("fingerprint", ""))
+      corpusFingerprint = opts.getOrElse("fingerprint", ""),
+      probes = opts.get("probes").map(_.toInt).getOrElse(0))
     reg.get(name) match {
       case Some(factory) => factory(corpus, cfg)
       // a reference config's FAISS factory string ("OPQ32,IVF4096,PQ32")

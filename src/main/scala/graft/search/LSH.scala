@@ -34,6 +34,15 @@ case class LSHDenseEngine(
     corpus: DataFrame,
     nBits: Int = 48,
     bands: Int = 6,
+    /** Multi-probe (Lv et al., VLDB'07): besides the query's own bucket,
+      * probe `probes` more buckets per band at Hamming distance 1 —
+      * deterministically, flipping band-hash bits 0..probes-1 — trading
+      * `probes×` more (still bucketed) candidates for recall on vectors
+      * that landed one sign-flip away. The scale knob that buys recall
+      * WITHOUT growing the index: probing is query-side only, the
+      * persisted signatures are untouched.
+      */
+    probes: Int = 0,
     config: SearchConfig = SearchConfig(),
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
@@ -41,15 +50,18 @@ case class LSHDenseEngine(
     corpusFingerprint: String = "") extends SearchEngine {
   require(nBits % bands == 0, "bands must divide nBits")
   require(nBits <= 62, "signature must fit a long")
+  require(probes >= 0 && probes <= nBits / bands,
+    s"probes must be in [0, ${nBits / bands}] (band width)")
 
   override def params = Map("k" -> config.k.toString, "engine" -> "dense_lsh",
-    "nBits" -> nBits.toString, "bands" -> bands.toString)
+    "nBits" -> nBits.toString, "bands" -> bands.toString,
+    "probes" -> probes.toString)
 
   /** `bands` only re-slices the persisted signatures at query time (the
-    * signature bits depend on nBits alone), so it must not fork the
-    * signature cache either.
+    * signature bits depend on nBits alone) and `probes` only widens the
+    * query-side bucket set, so neither may fork the signature cache.
     */
-  override protected def queryTimeParams: Set[String] = Set("k", "bands")
+  override protected def queryTimeParams: Set[String] = Set("k", "bands", "probes")
 
   private lazy val n: Long = corpus.count()
   protected def fillRange: Option[Long] = Some(n)
@@ -112,12 +124,20 @@ case class LSHDenseEngine(
       qv)
     val qsig = stamped.select(col(rowId), qvChecked.as("__qv__"))
       .withColumn("sg", sigExpr(col("__qv__")))
+    val r = nBits / bands
+    val probeEntries = for {
+      b <- 0 until bands
+      p <- 0 to probes
+    } yield {
+      val base = shiftrightunsigned(col("sg"), b * r).bitwiseAND((1L << r) - 1)
+      val bh = if (p == 0) base else base.bitwiseXOR(lit(1L << (p - 1)))
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
     val qBanded = qsig.select(col(rowId), col("__qv__"), col("sg"))
       .select(col(rowId), col("__qv__"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sg"), b * (nBits / bands))
-            .bitwiseAND((1L << (nBits / bands)) - 1)): _*))
-          .as(Seq("band", "bh")))
+        explode(array(probeEntries: _*)).as("__e__"))
+      .select(col(rowId), col("__qv__"),
+        col("__e__.band").as("band"), col("__e__.bh").as("bh"))
     // candidates: any shared band bucket; dedup (rowId, idx) BEFORE the
     // vector fetch so multi-band collisions don't multiply the join
     val cands = qBanded

@@ -59,6 +59,13 @@ class FaissFactorySpec extends SparkSpec {
       ivfSq.registryName == "ivf_sq")
   }
 
+  test("parses LSH as a standalone index; rejects preproc/IVF ahead of it") {
+    val l = parse("LSH")
+    assert(l.lsh && l.registryName == "dense_lsh")
+    for (bad <- Seq("IVF16,LSH", "OPQ8,LSH", "PCAR32,LSH"))
+      intercept[IllegalArgumentException](parse(bad))
+  }
+
   test("factory string drops into AutoSearchEngine and builds the parsed engine") {
     import spark.implicits._
     val corpus = (0 until 64)

@@ -111,4 +111,28 @@ class LSHSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(ra == rb)
   }
+
+  test("multi-probe widens the candidate set without touching the index") {
+    def retrieved(p: Int): Map[Long, Set[Long]] =
+      // k above the corpus size: top-k truncation must not hide the
+      // candidate-superset property being asserted
+      LSHDenseEngine(corpus, probes = p, config = cfg.copy(k = 2000))(queries(8))
+        .select(col("qid").cast("long"), col("`index.idx`"))
+        .as[(Long, Seq[Long])].collect().toMap
+        .map { case (q, is) => q -> is.filter(_ >= 0).toSet }
+    val base = retrieved(0)
+    val probed = retrieved(2)
+    // probes=0 must reproduce the plain engine; probed is a superset per query
+    base.foreach { case (q, s0) =>
+      assert(s0.subsetOf(probed(q)), s"query $q lost candidates under probing")
+    }
+    assert(probed.values.map(_.size).sum > base.values.map(_.size).sum,
+      "probing added no candidates anywhere — not exercising the probe path")
+  }
+
+  test("probes beyond the band width are rejected") {
+    intercept[IllegalArgumentException] {
+      LSHDenseEngine(corpus, nBits = 48, bands = 6, probes = 9, config = cfg)
+    }
+  }
 }
