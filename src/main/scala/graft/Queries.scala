@@ -1271,13 +1271,13 @@ object Queries {
 
     // ----- data layout / incremental maintenance / profiling -------------
     "qa_quantiles" -> ((s, d) =>
-      // exact mode: Spark `percentile`'s linear interpolation replays
-      // bit-for-bit as DuckDB quantile_cont (approx mode is the
-      // bounded-memory 100 TB default, spec-covered)
-      graft.pipes.GroupQuantilesPipe("lang", "len", Seq(0.5, 0.9, 0.99),
-        exact = true)(
+      // CorpusStatsPipe in EXACT mode: Spark `percentile`'s linear
+      // interpolation replays bit-for-bit as DuckDB quantile_cont
+      // (approx=true is the bounded-memory 100 TB default, spec-covered)
+      graft.llm.CorpusStatsPipe(Seq("lang"), "len",
+        quantiles = Seq(0.5, 0.9, 0.99), approx = false)(
         t(s, d, "documents").withColumn("len", size(split(col("text"), " "))))
-        .select(col("lang"), col("quantiles"), col("n"))
+        .select(col("lang"), col("n"), col("p50"), col("p90"), col("p99"))
         .orderBy("lang")),
     "pr_profile" -> ((s, d) =>
       // one aggregate pass: row/null/exact-distinct/min/max for every
@@ -2543,9 +2543,11 @@ object Queries {
         |rk AS (SELECT id, cluster, score, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id) AS r FROM scored)
         |SELECT id AS doc_id, cluster, (r = 1) AS kept FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "qa_quantiles" ->
-      scl("""SELECT lang, quantile_cont(len(string_split(text, ' ')), [0.5, 0.9, 0.99]) AS quantiles,
-        |count(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
-        "lang" -> "", "quantiles" -> "d", "n" -> ""),
+      """SELECT lang, count(*) AS n,
+        |round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+        |round(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
+        |round(quantile_cont(len(string_split(text, ' ')), 0.99), 4) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "pr_profile" ->
       """WITH t AS (SELECT * FROM lineitem)
         |SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(*)-count(l_orderkey) AS n_null,

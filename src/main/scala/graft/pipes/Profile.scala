@@ -60,40 +60,3 @@ case class ProfilePipe(
   }
 }
 
-/** Grouped quantiles of a numeric column — the distribution profile
-  * behind length/score threshold choices (`p50/p90/p99 tokens per
-  * language`, ...).
-  *
-  * Default is `approx_percentile` (a fixed-size sketch per group,
-  * partial-aggregated — bounded memory at any group size, the 100 TB
-  * mode). `exact = true` swaps in `percentile`, which buffers every
-  * group value in the aggregation state: exact interpolated quantiles,
-  * but memory grows with the largest group — use it when groups are
-  * known-bounded (it is also the oracle-replayable mode: Spark's linear
-  * interpolation matches DuckDB's `quantile_cont` bit-for-bit).
-  */
-case class GroupQuantilesPipe(
-    groupCol: String,
-    valueCol: String,
-    probs: Seq[Double],
-    exact: Boolean = false,
-    accuracy: Int = 10000) extends Pipe {
-  require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
-    "probs must be fractions in [0, 1]")
-
-  override def params = Map("group" -> groupCol, "value" -> valueCol,
-    "probs" -> probs.mkString(","), "exact" -> exact.toString,
-    "accuracy" -> accuracy.toString)
-
-  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val arr = s"array(${probs.mkString(", ")})"
-    val agg =
-      if (exact) expr(s"percentile(`$valueCol`, $arr)")
-      else expr(s"approx_percentile(`$valueCol`, $arr, $accuracy)")
-    // approx_percentile preserves the input's integral type; cast for a
-    // uniform array<double> contract across both modes
-    df.groupBy(Pipe.qcol(groupCol))
-      .agg(agg.cast("array<double>").as("quantiles"),
-        count(Pipe.qcol(valueCol)).as("n"))
-  }
-}
