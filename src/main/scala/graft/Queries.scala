@@ -1270,6 +1270,12 @@ object Queries {
     }),
 
     // ----- data layout / incremental maintenance / profiling -------------
+    "sp_split" -> ((s, d) =>
+      // deterministic holdout assignment: quadratic-mixer hash of the id,
+      // threshold cuts at floor(cumFraction·p) — rerun/cluster/engine-
+      // invariant, map-only
+      graft.llm.SplitPipe("doc_id")(t(s, d, "documents"))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
     "qa_quantiles" -> ((s, d) =>
       // CorpusStatsPipe in EXACT mode: Spark `percentile`'s linear
       // interpolation replays bit-for-bit as DuckDB quantile_cont
@@ -2542,6 +2548,12 @@ object Queries {
         | FROM planted p LEFT JOIN cc ON p.doc_id = cc.id),
         |rk AS (SELECT id, cluster, score, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id) AS r FROM scored)
         |SELECT id AS doc_id, cluster, (r = 1) AS kept FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "sp_split" ->
+      """WITH h AS (SELECT doc_id, (doc_id*131 + 11) % 1000003 AS s1 FROM documents),
+        |s AS (SELECT doc_id, (s1*s1 + s1) % 1000003 AS slot FROM h)
+        |SELECT doc_id, CASE WHEN slot < 800002 THEN 'train'
+        | WHEN slot < 900002 THEN 'val' ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "qa_quantiles" ->
       """SELECT lang, count(*) AS n,
         |round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,

@@ -243,3 +243,43 @@ case class CorpusStatsPipe(
     df.groupBy(groupCols.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
   }
 }
+
+/** Deterministic train/val/test split assignment: each row's split comes
+  * from the engine-reproducible quadratic mixer (the
+  * [[DeterministicShufflePipe]] hash) of its id — NOT from `rand()`, whose
+  * sample is partitioning- and retry-dependent. The same row lands in the
+  * same split on any cluster size, any engine, any rerun — the property
+  * an auditable eval holdout needs; and because the hash ignores every
+  * column but the id, each subpopulation splits at ~the assigned rates.
+  *
+  * Thresholds are `floor(cumFraction · p)` over the mixer's modulus, so
+  * an external replay is integer-exact. Map-only: zero shuffles.
+  */
+case class SplitPipe(
+    idCol: String,
+    splits: Seq[(String, Double)] = Seq(
+      ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: Long = 11L,
+    splitCol: String = "split") extends Pipe {
+  require(splits.nonEmpty && splits.forall(_._2 > 0),
+    "splits need positive fractions")
+  require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+    s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+
+  override def update: Boolean = true
+  override def params = Map("id" -> idCol, "seed" -> seed.toString,
+    "splits" -> splits.map { case (n, f) => s"$n:$f" }.mkString(","),
+    "splitCol" -> splitCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val p = 1000003L
+    val s1 = pmod(qcol(idCol).cast("long") * 131 + seed, lit(p))
+    val slot = pmod(s1 * s1 + s1, lit(p))
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c * p).toLong)
+    val assigned = splits.zip(cuts).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cut), rest) =>
+      when(slot < cut, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+}
