@@ -1276,6 +1276,23 @@ object Queries {
       // invariant, map-only
       graft.llm.SplitPipe("doc_id")(t(s, d, "documents"))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    "sp_split_leakfree" -> ((s, d) => {
+      // leakage-free holdout: near-dup CLUSTERS split atomically — a doc
+      // and its near-duplicates can never straddle train/test (the
+      // contamination a row-wise split builds in by construction). Split
+      // key = cluster id (min member); singletons key on themselves.
+      val base = plantedNearDups(s, d)
+      val clusters = graft.llm.DedupOps.connectedComponents(
+        graft.llm.MinHashLSHDedupPipe("text", "doc_id",
+          jaccardThreshold = 0.5)(base))
+      val withC = base
+        .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      graft.llm.SplitPipe("cluster")(withC)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy("doc_id")
+    }),
     "qa_quantiles" -> ((s, d) =>
       // CorpusStatsPipe in EXACT mode: Spark `percentile`'s linear
       // interpolation replays bit-for-bit as DuckDB quantile_cont
@@ -2552,6 +2569,32 @@ object Queries {
       """WITH h AS (SELECT doc_id, (doc_id*131 + 11) % 1000003 AS s1 FROM documents),
         |s AS (SELECT doc_id, (s1*s1 + s1) % 1000003 AS slot FROM h)
         |SELECT doc_id, CASE WHEN slot < 800002 THEN 'train'
+        | WHEN slot < 900002 THEN 'val' ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "sp_split_leakfree" ->
+      """WITH RECURSIVE planted AS (SELECT doc_id, text FROM documents UNION ALL
+        | SELECT doc_id+10000, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ')
+        | FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM planted)),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        | FROM cand JOIN szs sa ON sa.doc_id = cand.id_a JOIN szs sb ON sb.doc_id = cand.id_b
+        | WHERE shared::DOUBLE / (sa.n + sb.n - shared)::DOUBLE >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges UNION SELECT u, u FROM edges
+        | UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u),
+        |wc AS (SELECT p.doc_id, coalesce(cc.cluster, p.doc_id) AS cluster
+        | FROM planted p LEFT JOIN cc ON p.doc_id = cc.id),
+        |h AS (SELECT doc_id, cluster, (cluster*131 + 11) % 1000003 AS s1 FROM wc),
+        |s AS (SELECT doc_id, cluster, (s1*s1 + s1) % 1000003 AS slot FROM h)
+        |SELECT doc_id, cluster, CASE WHEN slot < 800002 THEN 'train'
         | WHEN slot < 900002 THEN 'val' ELSE 'test' END AS split
         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "qa_quantiles" ->

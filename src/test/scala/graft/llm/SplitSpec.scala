@@ -40,6 +40,21 @@ class SplitSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("splitting on the cluster id keeps near-dup clusters atomic") {
+    val docs = spark.read.parquet(sf("documents"))
+    val clusters = DedupOps.connectedComponents(
+      MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5)(docs))
+    val withC = docs
+      .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val out = SplitPipe("cluster")(withC)
+    val straddlers = out.groupBy("cluster")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddlers == 0, "a near-dup cluster straddles splits")
+  }
+
   test("bad fractions are rejected") {
     intercept[IllegalArgumentException] {
       SplitPipe("id", Seq(("a", 0.5), ("b", 0.3)))
