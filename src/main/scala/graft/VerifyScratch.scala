@@ -770,6 +770,24 @@ object VerifyScratch {
       println(s"[53] maxsim selfTop=$selfTop noUdf=$noUdf -> ${selfTop && noUdf}")
     }
 
+    // [54] r10 layout tooling: compaction writer + footer audit + zorder
+    {
+      val tmp = java.nio.file.Files.createTempDirectory("vs54").toString
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), (col("o_custkey") % 256).as("x"),
+          (col("o_orderkey") % 256).as("y"))
+      val n = graft.sources.Formats.writeCompacted(
+        graft.operators.ZOrder.layout(ord, Seq(col("x"), col("y")), 8, 8),
+        s"$tmp/z", 1L << 20)
+      val st = graft.sources.ParquetStats.fileStats(spark, s"$tmp/z", Seq("x", "y"))
+        .collect()
+      val rowsOk = st.filter(_.getString(2) == "x").map(_.getLong(1)).sum ==
+        ord.count()
+      val filesOk = st.map(_.getString(0)).distinct.length == n
+      println(s"[54] compact+audit files=$n rowsOk=$rowsOk filesOk=$filesOk " +
+        s"-> ${rowsOk && filesOk}")
+    }
+
     spark.stop()
   }
 }
