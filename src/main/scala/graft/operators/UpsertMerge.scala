@@ -26,8 +26,23 @@ object UpsertMerge {
       base: DataFrame,
       changes: DataFrame,
       keys: Seq[String],
-      deleteCol: Option[String] = None): DataFrame = {
+      deleteCol: Option[String] = None,
+      /** SQL MERGE errors when a source row matches twice; two change
+        * rows with one key would here silently insert BOTH after the
+        * anti-join removes the base row. Checked by default — one cheap
+        * aggregate over the (small, broadcastable by assumption) change
+        * set. Opt out only when the producer guarantees unique keys.
+        */
+      requireUniqueKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "UpsertMerge needs at least one key column")
+    if (requireUniqueKeys) {
+      val dups = changes.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"UpsertMerge: change set has multiple rows for key " +
+          s"${dups.headOption.map(_.toSeq.init.mkString(",")).getOrElse("")} — " +
+          "one change row per key (set requireUniqueKeys=false to skip this check)")
+    }
     val upserts = deleteCol.fold(changes)(c => changes.filter(!col(c)).drop(c))
     require(base.columns.toSet == upserts.columns.toSet,
       "change schema must match base schema (plus the optional delete flag); " +

@@ -132,7 +132,18 @@ class RegistrySpec extends SparkSpec {
     ("StreamingDedupPipe", () => graft.streaming.StreamingDedupPipe(Seq("a")),
       () => graft.streaming.StreamingDedupPipe(Seq("a"), watermark = "1 hour")),
     ("WindowedEventAgg", () => graft.streaming.WindowedEventAgg(),
-      () => graft.streaming.WindowedEventAgg(windowLength = "2 hours")))
+      () => graft.streaming.WindowedEventAgg(windowLength = "2 hours")),
+    ("SplitPipe", () => SplitPipe("id"), () => SplitPipe("id", seed = 99)),
+    ("ProfilePipe", () => ProfilePipe(Seq("a")),
+      () => ProfilePipe(Seq("a"), exact = false)),
+    ("RRFFusionPipe",
+      () => graft.search.RRFFusionPipe(Seq(graft.search.TopkEngine())),
+      () => graft.search.RRFFusionPipe(Seq(graft.search.TopkEngine()), rrfK = 10)),
+    ("WeightedFusionPipe",
+      () => graft.search.WeightedFusionPipe(
+        Seq(graft.search.TopkEngine()), Seq(1.0)),
+      () => graft.search.WeightedFusionPipe(
+        Seq(graft.search.TopkEngine()), Seq(0.5))))
 
   /** Pipes holding DataFrame references (an eval corpus, a dimension, a
     * target distribution). They build driver-side plans and are never
@@ -156,7 +167,12 @@ class RegistrySpec extends SparkSpec {
         () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("text")),
         () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("doc_id"))),
       ("TripletMiningPipe", () => TripletMiningPipe(tiny, "doc_id"),
-        () => TripletMiningPipe(tiny, "doc_id", seed = 9)))
+        () => TripletMiningPipe(tiny, "doc_id", seed = 9)),
+      ("JaccardEngine", () => graft.search.JaccardEngine(tiny),
+        () => graft.search.JaccardEngine(tiny, shingleSize = 4)),
+      ("MaxSimEngine", () => graft.search.MaxSimEngine(tiny),
+        () => graft.search.MaxSimEngine(tiny,
+          graft.search.SearchConfig(k = 3))))
   }
 
   private def roundTripSerialize(p: Pipe): Pipe = {

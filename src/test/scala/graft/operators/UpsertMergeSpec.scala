@@ -35,6 +35,17 @@ class UpsertMergeSpec extends SparkSpec {
     }
   }
 
+  test("duplicate change keys are refused (SQL MERGE source-match rule)") {
+    val dup = Seq((2L, "B", 21.0), (2L, "C", 22.0)).toDF("k", "s", "v")
+    val e = intercept[IllegalArgumentException] {
+      UpsertMerge(base, dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    // opt-out keeps both (caller's contract)
+    assert(UpsertMerge(base, dup, Seq("k"), requireUniqueKeys = false)
+      .count() == 4)
+  }
+
   test("small change set plans a broadcast anti join (base side unshuffled)") {
     val changes = Seq((2L, "B", 21.0)).toDF("k", "s", "v")
     val plan = UpsertMerge(base, changes, Seq("k"))
