@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // full-width plan strings: fingerprint cache keys hash plan
+      // renderings; the 25-field default truncation could alias two
+      // distinct wide plans to one persisted-state key
+      .config("spark.sql.debug.maxToStringFields", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // schema preflight: LOUD on drift but non-fatal here — timings for

@@ -875,7 +875,9 @@ object Queries {
         m = 8, codebookSize = 16,
         config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
-        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)))
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        stateDir = Some("/tmp/graft-cache/pq"),
+        corpusFingerprint = tableFp(s, d, "embeddings"))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -894,7 +896,9 @@ object Queries {
         nlist = 8, nprobe = 8, m = 8, codebookSize = 16,
         config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
-        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)))
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        stateDir = Some("/tmp/graft-cache/ivfpq"),
+        corpusFingerprint = tableFp(s, d, "embeddings"))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -916,7 +920,9 @@ object Queries {
           queryIdCol = Some("qid")),
         fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
         residual = true,
-        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)))
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivfpq-resid"),
+        corpusFingerprint = tableFp(s, d, "embeddings"))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -936,7 +942,9 @@ object Queries {
         emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
         graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
-        opts = Map("nprobe" -> "8", "residual" -> "false"),
+        opts = Map("nprobe" -> "8", "residual" -> "false",
+          "stateDir" -> "/tmp/graft-cache/faiss",
+          "fingerprint" -> tableFp(s, d, "embeddings")),
         fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)))
       eng(queries)
         .select(col("qid"), q("index.idx"),
@@ -1349,6 +1357,57 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "mg_upsert_stream" -> ((s, d) => {
+      // the STREAMING read path of the versioned CDC table: seed → two
+      // micro-batches through StreamingUpsert.run → read back _LATEST.
+      // Batch 1 deletes/updates rows that exist ONLY because batch 0
+      // inserted them, so the result proves sequential batch semantics
+      // (a reversed order would resurrect the deleted inserts). The
+      // oracle replays the same two MERGEs as nested CTEs.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      val k = col("o_orderkey")
+      def tuples(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+      val b0 = tuples(
+        base.filter(k % 7 === 3 && k % 13 =!= 5)
+          .select(k, col("o_custkey"), lit("U").as("s"),
+            (col("o_totalprice") + 10.0).as("p"), lit(false).as("del"))
+        .unionByName(base.filter(k % 11 === 2)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("s"), col("o_totalprice").as("p"), lit(false).as("del"))))
+      val b1 = tuples(
+        base.filter(k % 13 === 5)
+          .select(k, col("o_custkey"), col("o_orderstatus").as("s"),
+            col("o_totalprice").as("p"), lit(true).as("del"))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 0)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("s"), col("o_totalprice").as("p"),
+            lit(true).as("del")))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 1)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("X").as("s"), (col("o_totalprice") + 5.0).as("p"),
+            lit(false).as("del"))))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString
+      graft.streaming.StreamingUpsert.seed(base, s"$dir/t")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double, Boolean)]
+      val q = graft.streaming.StreamingUpsert.run(
+        mem.toDF.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "__del__"),
+        s"$dir/t", Seq("o_orderkey"), Some("__del__"), s"$dir/ckpt")
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamingUpsert.latest(s, s"$dir/t").get
+        .orderBy("o_orderkey")
+    }),
+
     // ----- curation: repetition / decontamination / PII / stratified -----
     "cu_repetition" -> ((s, d) =>
       graft.llm.RepetitionStatsPipe("text")(t(s, d, "documents"))
@@ -1670,7 +1729,8 @@ object Queries {
         array_join(slice(toksE, lit(1), greatest(size(toksE) - 2, lit(1))), " ")
           .as("text"))
       graft.llm.CrossCorpusMinHashPipe("text", "doc_id",
-        evalDf, "text", "eval_id", jaccardThreshold = 0.5)(docs)
+        evalDf, "text", "eval_id", jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/xcontam"))(docs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -2650,6 +2710,25 @@ object Queries {
         |kept AS (SELECT b.* FROM base b LEFT JOIN (SELECT DISTINCT o_orderkey AS ck FROM ch) c ON b.o_orderkey = c.ck WHERE c.ck IS NULL)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM kept
         |UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ch WHERE NOT del
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    // two sequential MERGEs = the two streamed micro-batches of
+    // mg_upsert_stream; b1 deletes half of b0's inserts and updates the
+    // other half, so the CTE order is load-bearing
+    "mg_upsert_stream" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |b0 AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, false AS del
+        |   FROM base WHERE o_orderkey%7=3 AND o_orderkey%13<>5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'N', o_totalprice, false FROM base WHERE o_orderkey%11=2),
+        |m1 AS (SELECT b.* FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM b0)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b0 WHERE NOT del),
+        |b1 AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, true AS del FROM base WHERE o_orderkey%13=5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, o_orderstatus, o_totalprice, true FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=0
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'X', o_totalprice + 5.0, false FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=1),
+        |m2 AS (SELECT m.* FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b1 WHERE NOT del)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM m2
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
     // residual IVF-PQ: cid = argmin-L2 over formula centroids; codes =
     // argmin-L2 over formula books of rv = v - centroid[cid]; score =

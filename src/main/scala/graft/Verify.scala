@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.debug.maxToStringFields", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail FAST (before any dump) when a fixture schema breaks a reader

@@ -788,6 +788,87 @@ object VerifyScratch {
         s"-> ${rowsOk && filesOk}")
     }
 
+    // [55] r11: streaming upsert replay idempotence + atomic pointer
+    {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("vs55").toString
+      val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      graft.streaming.StreamingUpsert.seed(base, s"$dir/t")
+      val b0 = Seq((2L, 21.0, false), (3L, 30.0, false)).toDF("k", "v", "del")
+      graft.streaming.StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+      val exp = graft.streaming.StreamingUpsert.latest(spark, s"$dir/t").get
+        .orderBy("k").collect().toSeq
+      // crash-between-flip-and-checkpoint replay: must be a clean no-op
+      graft.streaming.StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+      val same = graft.streaming.StreamingUpsert.latest(spark, s"$dir/t").get
+        .orderBy("k").collect().toSeq == exp
+      val ptr = graft.streaming.StreamingUpsert.pointer(spark, s"$dir/t").contains("v0")
+      val noTmp = !new java.io.File(s"$dir/t/._LATEST.tmp").exists()
+      println(s"[55] upsert replay noop=$same ptrV0=$ptr noTmp=$noTmp -> ${same && ptr && noTmp}")
+    }
+
+    // [56] r11: null delete flag upserts instead of silently deleting
+    {
+      import spark.implicits._
+      val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      val ch = Seq((2L, "B", Some(true)), (3L, "c", Option.empty[Boolean]))
+        .toDF("k", "s", "del")
+      val out = graft.operators.UpsertMerge(base, ch, Seq("k"), Some("del"))
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ok = out == Seq((1L, "a"), (3L, "c"))
+      println(s"[56] null delete flag -> upsert: $out -> $ok")
+    }
+
+    // [57] r11: fusion refuses a filling engine at construction
+    {
+      import spark.implicits._
+      val corpus = Seq((0L, Seq(1.0f, 0.0f))).toDF("idx", "vector")
+      val filling = graft.search.BruteForceDenseEngine(corpus,
+        graft.search.SearchConfig(fillMaskedIndices = true, queryIdCol = Some("qid")))
+      val refused = try { graft.search.RRFFusionPipe(Seq(filling)); false }
+        catch { case e: IllegalArgumentException => e.getMessage.contains("fillMaskedIndices") }
+      // a structurally non-filling re-ranker passes even with fill=true config
+      val topkOk = try { graft.search.RRFFusionPipe(Seq(graft.search.TopkEngine())); true }
+        catch { case _: Throwable => false }
+      println(s"[57] fusion fill refusal refused=$refused topkOk=$topkOk -> ${refused && topkOk}")
+    }
+
+    // [58] r11: PQ engine state cache — second engine hits persisted state
+    {
+      val dir = java.nio.file.Files.createTempDirectory("vs58").toString
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("idx"), col("embedding").as("vector"))
+      val fp = "vs58-fixed-fp"
+      def eng() = graft.search.PQDenseEngine(emb, m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        stateDir = Some(dir), corpusFingerprint = fp)
+      val qs = emb.filter(col("idx") < 3)
+        .select(col("idx").as("qid"), col("vector").as("query.vector"))
+      import graft.core.Pipe.qcol
+      val r1 = eng()(qs).select(col("qid"), qcol("index.idx")).orderBy("qid")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      val caches = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
+      val mtimes = caches.map(_.lastModified()).toSeq
+      val r2 = eng()(qs).select(col("qid"), qcol("index.idx")).orderBy("qid")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      val hit = caches.map(_.lastModified()).toSeq == mtimes
+      println(s"[58] pq state cache stages=${caches.length} hit=$hit equal=${r1 == r2} -> ${caches.nonEmpty && hit && r1 == r2}")
+    }
+
+    // [59] r11: DatasetFingerprint distinguishes scan paths (cache-key fix)
+    {
+      val a = graft.pipes.DatasetFingerprint.of(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      val b = graft.pipes.DatasetFingerprint.of(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))
+      val a2 = graft.pipes.DatasetFingerprint.of(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      println(s"[59] dataset fp pathSensitive=${a != b} stable=${a == a2} -> ${a != b && a == a2}")
+    }
+
     spark.stop()
   }
 }

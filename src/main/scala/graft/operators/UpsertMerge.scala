@@ -43,7 +43,12 @@ object UpsertMerge {
           s"${dups.headOption.map(_.toSeq.init.mkString(",")).getOrElse("")} — " +
           "one change row per key (set requireUniqueKeys=false to skip this check)")
     }
-    val upserts = deleteCol.fold(changes)(c => changes.filter(!col(c)).drop(c))
+    // null delete flag = NOT a delete: `!col(c)` is null for null input,
+    // which would silently drop the row from upserts while its key still
+    // anti-joins the base row away — a malformed change row would become a
+    // silent delete. coalesce makes null mean "upsert".
+    val upserts = deleteCol.fold(changes)(c =>
+      changes.filter(!coalesce(col(c), lit(false))).drop(c))
     require(base.columns.toSet == upserts.columns.toSet,
       "change schema must match base schema (plus the optional delete flag); " +
         s"base=${base.columns.sorted.mkString(",")} " +

@@ -90,9 +90,28 @@ case class KeepColumns(keys: Seq[String]) extends Pipe {
   * argument of [[graft.core.CachedStage]].
   */
 object DatasetFingerprint {
-  def of(df: DataFrame): String =
+  /** Plan-identity fingerprint for persisted-cache keys. The canonicalized
+    * plan STRING alone is not enough: a file scan renders as
+    * `Relation [cols] parquet` with no path, so two scans of different
+    * directories (sf0.01 vs sf0.1 fixtures) hash EQUAL and a cache keyed
+    * on it serves the wrong corpus. Fold in each file-relation leaf's
+    * root paths + total bytes (the same identity [[graft.Queries]]
+    * tableFp uses) so the key tracks which data the plan reads.
+    */
+  def of(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    val leaves = plan.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.mkString(",") + ":" + fs.sizeInBytes
+        case other => other.toString
+      }
+      case leaf => leaf.canonicalized.toString
+    }
     graft.core.Fingerprint.hash(
-      df.queryExecution.analyzed.canonicalized.toString)
+      plan.canonicalized.toString + "|" + leaves.mkString("|"))
+  }
 }
 
 /** Dense stable global row ids in `orderCol` order — the reference's

@@ -72,6 +72,14 @@ trait SearchEngine extends Pipe {
     */
   protected def fillRange: Option[Long]
 
+  /** Whether this engine CAN fill masked indices (structurally — without
+    * forcing the corpus count [[fillRange]] may hide behind). Re-rankers
+    * with no corpus (TopK, MaxSim) override to false; combined with
+    * `config.fillMaskedIndices` this lets composites (fusion) reject
+    * filling engines at CONSTRUCTION time, eagerly and side-effect-free.
+    */
+  private[search] def mayFill: Boolean = true
+
   /** Compute this engine's ranked results for the stamped query frame:
     * return `stamped` with two extra columns `__new_idx__: array<long>`
     * and `__new_score__: array<double>`, ranked desc. `rowId` is a unique

@@ -39,6 +39,7 @@ case class WeightedFusionPipe(
     roundScores: Option[Int] = None) extends Pipe {
   require(engines.nonEmpty && engines.size == weights.size,
     s"need one weight per engine (${engines.size} engines, ${weights.size} weights)")
+  Fusion.requireNoFill(engines)
 
   override def children: Seq[Pipe] = engines
   override def update: Boolean = true
@@ -71,12 +72,26 @@ case class WeightedFusionPipe(
   }
 }
 
+private[search] object Fusion {
+  /** Fusion drops -1 padding before contributing ranks/scores — but an
+    * engine with `fillMaskedIndices=true` has already REPLACED its padding
+    * with pseudo-random valid doc ids, which would then receive real
+    * contributions in the fused ranking. Constructor-checked so the
+    * mistake fails loudly instead of corrupting results.
+    */
+  def requireNoFill(engines: Seq[SearchEngine]): Unit =
+    engines.foreach(e => require(!(e.config.fillMaskedIndices && e.mayFill),
+      s"fusion over engine '${e.name}' requires fillMaskedIndices=false: " +
+        "filled padding indices would receive real rank/score contributions"))
+}
+
 case class RRFFusionPipe(
     engines: Seq[SearchEngine],
     config: SearchConfig = SearchConfig(),
     rrfK: Double = 60.0,
     roundScores: Option[Int] = None) extends Pipe {
   require(engines.nonEmpty, "RRFFusionPipe needs at least one engine")
+  Fusion.requireNoFill(engines)
 
   override def children: Seq[Pipe] = engines
   override def update: Boolean = true

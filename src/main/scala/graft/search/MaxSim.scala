@@ -44,6 +44,7 @@ case class MaxSimEngine(
   private lazy val n: Long = corpus.count()
   // re-ranker: candidates come from the recall stage, never filled
   protected def fillRange: Option[Long] = None
+  override private[search] def mayFill: Boolean = false
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val qvs = qcol(s"${config.queryField}.vectors")

@@ -18,6 +18,7 @@ case class TopkEngine(config0: SearchConfig = SearchConfig()) extends SearchEngi
 
   // re-ranker: never fills (reference TopkSearch has no corpus)
   protected def fillRange: Option[Long] = None
+  override private[search] def mayFill: Boolean = false
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     require(stamped.columns.contains(idxKey),

@@ -1,10 +1,10 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
 
 /** Footer-only parquet layout audit: per-file row counts and column
   * min/max ranges read from the FOOTERS — no data pages touched, so
@@ -31,11 +31,17 @@ object ParquetStats {
     val files = fs.listStatus(new Path(dir)).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
+    // Executors must open footers with the SESSION Hadoop configuration —
+    // a bare `new Configuration()` drops filesystem settings/credentials
+    // (S3A keys, endpoints, GCS connectors), so the audit would work on
+    // local FS and fail on the object stores 100 TB tables live on.
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files)
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
       .flatMap { p =>
         val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(p), new Configuration()))
+          HadoopInputFile.fromPath(new Path(p), confBc.value.value))
         try {
           import scala.jdk.CollectionConverters._
           val blocks = reader.getFooter.getBlocks.asScala.toSeq

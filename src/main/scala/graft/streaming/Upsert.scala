@@ -12,10 +12,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * a crash after the version write but before the flip simply leaves the
   * previous version live, and a replayed batch (foreachBatch is
   * at-least-once) rewrites the same `v<id>` idempotently before flipping
-  * the pointer to the value it would have had. This is the poor man's
-  * snapshot-isolation table format: versions are immutable, the pointer
-  * is the only mutable cell, old versions remain for time travel until
-  * vacuumed.
+  * the pointer to the value it would have had. A replayed batch whose
+  * version the pointer ALREADY names (crash between the flip and the
+  * checkpoint commit) is skipped outright — merging there would read
+  * `v<id>` while overwriting the same path, which Spark rejects; the
+  * skip is sound because the pointer only ever advances to `v<id>` after
+  * that exact batch's merged output was fully written. The pointer flip
+  * itself goes through a temp file + atomic rename, so a concurrent
+  * reader always observes either the old or the new pointer, never a
+  * truncated one. This is the poor man's snapshot-isolation table
+  * format: versions are immutable, the pointer is the only mutable
+  * cell, old versions remain for time travel until vacuumed.
   *
   * Scale shape: the rewrite cost is one [[graft.operators.UpsertMerge]]
   * — a broadcast anti-join of the batch's keys against the base plus the
@@ -44,26 +51,56 @@ object StreamingUpsert {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val cur = latest(spark, stateDir).getOrElse(
-          throw new IllegalStateException(
-            s"StreamingUpsert.run before seed: no _LATEST under $stateDir"))
-        val merged = graft.operators.UpsertMerge(cur, batch, keys, deleteCol)
-        commit(merged, stateDir, s"v$id")
+        applyBatch(batch, id, stateDir, keys, deleteCol)
       }
       .start()
 
+  /** Apply one change batch onto the versioned table (the foreachBatch
+    * body, visible for direct idempotence testing). At-least-once replay
+    * after a crash between the pointer flip and the checkpoint commit:
+    * the pointer already names `v<id>` (or later) — that batch's output
+    * is durably committed, so the replay is a no-op. Merging instead
+    * would read latest() = our own output and overwrite the very path
+    * being read, which Spark rejects.
+    */
+  private[graft] def applyBatch(
+      batch: DataFrame,
+      id: Long,
+      stateDir: String,
+      keys: Seq[String],
+      deleteCol: Option[String]): Unit = {
+    val spark = batch.sparkSession
+    val curName = pointer(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"StreamingUpsert.run before seed: no _LATEST under $stateDir"))
+    if (ordinal(curName) < id) {
+      val cur = spark.read.parquet(s"$stateDir/$curName")
+      val merged = graft.operators.UpsertMerge(cur, batch, keys, deleteCol)
+      commit(merged, stateDir, s"v$id")
+    }
+  }
+
   /** The current table: the version the `_LATEST` pointer names. */
-  def latest(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+  def latest(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    pointer(spark, stateDir).map(v => spark.read.parquet(s"$stateDir/$v"))
+
+  /** The version name `_LATEST` points at; an absent OR empty pointer
+    * reads as None (an empty read can only mean a torn legacy in-place
+    * write — the rename protocol never exposes one).
+    */
+  def pointer(spark: SparkSession, stateDir: String): Option[String] = {
     val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ptr = path(s"$stateDir/_LATEST")
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
       val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      Some(spark.read.parquet(s"$stateDir/$v"))
+      if (v.isEmpty) None else Some(v)
     }
   }
+
+  private[graft] def ordinal(v: String): Long =
+    if (v == "vinit") -1L else v.drop(1).toLong
 
   /** Drop all but the `keep` newest versions — never the one `_LATEST`
     * points at. Returns the deleted version names. Versions order as
@@ -73,16 +110,7 @@ object StreamingUpsert {
   def vacuum(spark: SparkSession, stateDir: String, keep: Int = 2): Seq[String] = {
     require(keep >= 1, "vacuum must keep at least one version")
     val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = path(s"$stateDir/_LATEST")
-    val current =
-      if (!fs.exists(ptr)) None
-      else {
-        val in = fs.open(ptr)
-        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-        finally in.close()
-      }
-    def ordinal(v: String): Long =
-      if (v == "vinit") -1L else v.drop(1).toLong
+    val current = pointer(spark, stateDir)
     val versions = fs.listStatus(path(stateDir)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(n => n == "vinit" || n.matches("v\\d+"))
@@ -94,10 +122,18 @@ object StreamingUpsert {
 
   private def commit(df: DataFrame, stateDir: String, version: String): Unit = {
     df.write.mode("overwrite").parquet(s"$stateDir/$version")
-    val fs = path(stateDir).getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(path(s"$stateDir/_LATEST"), true)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = path(stateDir).getFileSystem(conf)
+    // The pointer is the one mutable cell — flip it with write-to-temp +
+    // atomic rename so a concurrent reader never observes a truncated
+    // pointer (an in-place create(overwrite) briefly exposes an empty
+    // file). FileContext.rename(OVERWRITE) is atomic on HDFS and local FS.
+    val tmp = path(s"$stateDir/._LATEST.tmp")
+    val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, path(s"$stateDir/_LATEST"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def path(p: String) = new org.apache.hadoop.fs.Path(p)

@@ -16,6 +16,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.debug.maxToStringFields", "4096")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -234,4 +234,28 @@ class SelectionSpec extends SparkSpec {
       .select("id_a", "id_b", "jaccard").collect()
     assert(out.toSeq == Seq(Row(1L, 101L, 0.75)))
   }
+
+  test("cross-corpus signature cache: per-corpus keys, hit on second run") {
+    val dir = java.nio.file.Files.createTempDirectory("xc_cache").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val evalDf = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("eval_id"), col("text"))
+    val pipe = CrossCorpusMinHashPipe("text", "doc_id", evalDf, "text",
+      "eval_id", jaccardThreshold = 0.5, cacheDir = Some(dir))
+    val first = pipe(docs).collect().toSet
+    // base + banded per corpus, keyed on EACH side's own fingerprint —
+    // four distinct stage dirs, so a fixed eval corpus's signatures
+    // survive across evolving train batches
+    val caches = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
+    assert(caches.length == 4, caches.mkString(","))
+    val mtimes = caches.map(_.lastModified()).toSeq
+    val second = pipe(docs).collect().toSet
+    assert(caches.map(_.lastModified()).toSeq == mtimes)
+    assert(second == first)
+    // and the cached result equals the uncached pipe's
+    assert(CrossCorpusMinHashPipe("text", "doc_id", evalDf, "text",
+      "eval_id", jaccardThreshold = 0.5)(docs).collect().toSet == first)
+  }
 }

@@ -46,6 +46,20 @@ class UpsertMergeSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("null delete flag means upsert, not silent delete") {
+    val changes = Seq(
+      (2L, "B", 21.0, Some(false)), // explicit update
+      (3L, "c", 30.0, Some(true)),  // explicit delete
+      (4L, "d", 40.0, None))        // malformed flag -> must UPSERT
+      .toDF("k", "s", "v", "del")
+    val out = UpsertMerge(base, changes, Seq("k"), deleteCol = Some("del"))
+      .orderBy("k").collect().toSeq
+    // the old `!col(del)` filter dropped row 4 from upserts while its key
+    // still anti-joined — a null flag became a silent delete
+    assert(out == Seq(
+      Row(1L, "a", 10.0), Row(2L, "B", 21.0), Row(4L, "d", 40.0)))
+  }
+
   test("small change set plans a broadcast anti join (base side unshuffled)") {
     val changes = Seq((2L, "B", 21.0)).toDF("k", "s", "v")
     val plan = UpsertMerge(base, changes, Seq("k"))

@@ -67,4 +67,22 @@ class FusionSpec extends SparkSpec {
     val cols = RRFFusionPipe(Seq(bm25, dense), cfg)(queries).columns.toSet
     assert(!cols.exists(_.startsWith("__rrf")))
   }
+
+  test("fusion refuses engines with fillMaskedIndices=true") {
+    // a filling engine replaces -1 padding with pseudo-random VALID doc
+    // ids — those would then earn real rank contributions in the fused
+    // result, so construction must fail loudly for both fusion pipes
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("idx", "vector")
+    val filling = BruteForceDenseEngine(corpus,
+      SearchConfig(k = 5, fillMaskedIndices = true, queryIdCol = Some("qid")))
+    val e1 = intercept[IllegalArgumentException] {
+      RRFFusionPipe(Seq(filling))
+    }
+    assert(e1.getMessage.contains("fillMaskedIndices"))
+    val e2 = intercept[IllegalArgumentException] {
+      WeightedFusionPipe(Seq(filling), Seq(1.0))
+    }
+    assert(e2.getMessage.contains("fillMaskedIndices"))
+  }
 }

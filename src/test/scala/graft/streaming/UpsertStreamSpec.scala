@@ -48,6 +48,39 @@ class UpsertStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/v0").exists())
   }
 
+  test("replayed batch whose version is already committed is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ups3").toString
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    StreamingUpsert.seed(base, s"$dir/t")
+    val b0 = Seq((2L, 21.0, false), (3L, 30.0, false)).toDF("k", "v", "del")
+    StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v0"))
+    val expected = StreamingUpsert.latest(spark, s"$dir/t").get
+      .orderBy("k").collect().toSeq
+    // crash-between-flip-and-checkpoint replay: pointer already names v0
+    // — the old code would read v0 and overwrite(v0) (Spark rejects
+    // overwriting a path being read); now it skips cleanly
+    StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v0"))
+    assert(StreamingUpsert.latest(spark, s"$dir/t").get
+      .orderBy("k").collect().toSeq == expected)
+    // a LATER committed pointer also short-circuits an older replay
+    val b1 = Seq((1L, 11.0, false)).toDF("k", "v", "del")
+    StreamingUpsert.applyBatch(b1, 1, s"$dir/t", Seq("k"), Some("del"))
+    StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v1"))
+    // the pointer flip leaves no temp file behind
+    assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
+  }
+
+  test("empty _LATEST pointer reads as absent") {
+    val dir = java.nio.file.Files.createTempDirectory("ups4").toString
+    new java.io.File(s"$dir/t").mkdirs()
+    new java.io.File(s"$dir/t/_LATEST").createNewFile()
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").isEmpty)
+    assert(StreamingUpsert.latest(spark, s"$dir/t").isEmpty)
+  }
+
   test("run before seed fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ups2").toString
     implicit val sq = spark.sqlContext
