@@ -1322,6 +1322,22 @@ object Queries {
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))(
         t(s, d, "lineitem"))
         .orderBy("col_name")),
+    "pr_profile_approx" -> ((s, d) =>
+      // the 100 TB default: HLL++ distincts — NO Expand, plain partial
+      // aggregation. Spark's HLL estimate is not DuckDB-replayable, so
+      // the oracle checks the deterministic stats exactly and the
+      // estimate via an always-true sanity band (n_distinct must still
+      // be COMPUTED for the band, so the HLL aggregate cannot be pruned
+      // out of the timed plan; the estimate-vs-exact tolerance itself is
+      // ProfileSpec's job)
+      graft.pipes.ProfilePipe(
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+        exact = false)(t(s, d, "lineitem"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          (col("n_distinct") >= 1 &&
+            col("n_distinct") <= col("n_rows") * 2).as("nd_sane"),
+          col("min_s"), col("max_s"))
+        .orderBy("col_name")),
     "zo_zorder" -> ((s, d) => {
       // the z-value layout key: 8-bit × 2-dim Morton interleave over
       // bucketed (custkey, orderkey). ORDER BY zval IS the order
@@ -2678,6 +2694,18 @@ object Queries {
         |  count(DISTINCT l_returnflag), CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM t
         |UNION ALL SELECT 'l_linestatus', count(*), count(*)-count(l_linestatus),
         |  count(DISTINCT l_linestatus), CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM t
+        |ORDER BY col_name""".stripMargin.replace("\n", " "),
+    // HLL twin: deterministic stats exact, the estimate via a sanity band
+    "pr_profile_approx" ->
+      """WITH t AS (SELECT * FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(*)-count(l_orderkey) AS n_null,
+        |  true AS nd_sane, CAST(min(l_orderkey) AS VARCHAR) AS min_s, CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM t
+        |UNION ALL SELECT 'l_linenumber', count(*), count(*)-count(l_linenumber),
+        |  true, CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM t
+        |UNION ALL SELECT 'l_returnflag', count(*), count(*)-count(l_returnflag),
+        |  true, CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM t
+        |UNION ALL SELECT 'l_linestatus', count(*), count(*)-count(l_linestatus),
+        |  true, CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM t
         |ORDER BY col_name""".stripMargin.replace("\n", " "),
     // MaxSim: dense recall ranks replayed, then every max/sum term of the
     // late-interaction score over the shift-synthesized multi-vectors

@@ -120,6 +120,13 @@ object PadScope {
   * single-lineage [[NestingOps.withGlobalRank]] and the per-batch max is a
   * window partitioned by batch id — one hash shuffle on `__grp__`, each
   * partition-group exactly batchSize rows (no skew by construction).
+  *
+  * RECOMMENDED DEFAULT AT SCALE: `PadScope.PerGroup` — it is both the
+  * reference's actual per-batch semantics AND the bounded-amplification
+  * choice (one pathological document inflates batchSize rows, not the
+  * corpus). `Global` stays the constructor default only because its
+  * output is order-independent, which external oracles can replay; a
+  * 100 TB pipeline should pass an explicit PerGroup scope.
   */
 case class PaddingPipe(
     keys: Seq[String],
