@@ -1734,6 +1734,30 @@ object Queries {
     }),
 
     // ----- cross-corpus fuzzy contamination (train-vs-eval MinHash) -----
+    "dd_incremental" -> ((s, d) => {
+      // incremental ingest dedup: batch = two mutations of corpus docs
+      // (drop-last-2 of every 10th, drop-last-1 of every 20th) so the
+      // result carries BOTH cross pairs (batch vs corpus) and
+      // within-batch pairs (the two mutations of the same doc) — never
+      // corpus-vs-corpus. The corpus signature state loads from the
+      // per-corpus cache; the oracle is the exact-complete
+      // inverted-index Jaccard over the same restricted pair set.
+      val docs = t(s, d, "documents")
+      val toksI = split(col("text"), " ")
+      def dropLast(n: Int) = array_join(
+        slice(toksI, lit(1), greatest(size(toksI) - n, lit(1))), " ")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), dropLast(2).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), dropLast(1).as("text")))
+      graft.llm.IncrementalMinHashDedupPipe("text", "doc_id",
+        docs, "text", "doc_id", jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/incdedup"))(batch)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"), col("pair_src"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "cu_cross_contam" -> ((s, d) => {
       // eval side = every 10th doc with the last 2 words dropped (the
       // plantedNearDups mutation) — high-Jaccard fuzzy leaks the exact
@@ -3154,6 +3178,46 @@ object Queries {
         |FROM n0 LEFT JOIN rb USING (doc_id) ORDER BY n0.doc_id""".stripMargin.replace("\n", " "),
     // exhaustive cross-corpus Jaccard the banded pipe must equal (shingle
     // Jaccard over strings == over xxhash64 values modulo collisions)
+    // exact-complete inverted-index Jaccard (a qualifying pair shares a
+    // shingle for any threshold > 0) over cross + within-batch pair sets
+    "dd_incremental" ->
+      """WITH batch AS (
+        | SELECT doc_id+200000 AS doc_id, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)
+        | UNION ALL
+        | SELECT doc_id+300000 AS doc_id, array_to_string(toks[1:greatest(len(toks)-1,1)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0)),
+        |shb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM batch)),
+        |shc AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |szb AS (SELECT doc_id, len(s) AS n FROM shb),
+        |szc AS (SELECT doc_id, len(s) AS n FROM shc),
+        |invb AS (SELECT doc_id, unnest(s) AS g FROM shb),
+        |invc AS (SELECT doc_id, unnest(s) AS g FROM shc),
+        |crossp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS inter
+        | FROM invb a JOIN invc c USING (g) GROUP BY 1, 2),
+        |crossj AS (SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j, 'cross' AS pair_src
+        | FROM crossp JOIN szb sa ON sa.doc_id = crossp.id_a
+        |  JOIN szc sb ON sb.doc_id = crossp.id_b),
+        |batp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM invb a JOIN invb b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |batj AS (SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j, 'batch' AS pair_src
+        | FROM batp JOIN szb sa ON sa.doc_id = batp.id_a
+        |  JOIN szb sb ON sb.doc_id = batp.id_b)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard, pair_src
+        |FROM (SELECT * FROM crossj UNION ALL SELECT * FROM batj)
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // r11: inverted-index form (was CROSS JOIN over |docs|x|eval| shingle
+    // lists — intractable at sf1). Lossless: a j >= 0.5 pair shares a
+    // shingle, so the shared-shingle join is candidate-complete and
+    // |union| = n_a + n_b - |intersection| needs no list materialization.
     "cu_cross_contam" ->
       """WITH ev AS (SELECT doc_id+100000 AS eval_id, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text
         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)),
@@ -3165,9 +3229,16 @@ object Queries {
         |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
         |  ELSE [text] END) AS s
         | FROM (SELECT eval_id, text, string_split_regex(trim(text), '\s+') AS toks FROM ev)),
-        |pairs AS (SELECT a.doc_id AS id_a, b.eval_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS j
-        | FROM sa a CROSS JOIN sb b)
+        |sza AS (SELECT doc_id, len(s) AS n FROM sa),
+        |szb AS (SELECT eval_id, len(s) AS n FROM sb),
+        |inva AS (SELECT doc_id, unnest(s) AS g FROM sa),
+        |invb AS (SELECT eval_id, unnest(s) AS g FROM sb),
+        |cand AS (SELECT a.doc_id AS id_a, b.eval_id AS id_b, count(*) AS inter
+        | FROM inva a JOIN invb b USING (g) GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa2.n + sb2.n - inter) AS j
+        | FROM cand JOIN sza sa2 ON sa2.doc_id = cand.id_a
+        |  JOIN szb sb2 ON sb2.eval_id = cand.id_b)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
   )
 }

@@ -869,6 +869,26 @@ object VerifyScratch {
       println(s"[59] dataset fp pathSensitive=${a != b} stable=${a == a2} -> ${a != b && a == a2}")
     }
 
+    // [60] r11: incremental dedup — band equi-joins only, no cartesian
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
+            .as("text"))
+      val out = graft.llm.IncrementalMinHashDedupPipe("text", "doc_id",
+        docs, "text", "doc_id", jaccardThreshold = 0.5)(batch)
+      val plan = out.queryExecution.executedPlan.toString
+      val noCartesian = !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin")
+      val srcs = out.select("pair_src").distinct().collect()
+        .map(_.getString(0)).toSet
+      println(s"[60] incremental dedup noCartesian=$noCartesian " +
+        s"srcs=$srcs -> ${noCartesian && srcs.contains("cross")}")
+    }
+
     spark.stop()
   }
 }

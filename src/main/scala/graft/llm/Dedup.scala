@@ -706,6 +706,90 @@ case class CrossCorpusMinHashPipe(
   }
 }
 
+/** Incremental MinHash-LSH dedup: near-dup pairs of a NEW batch against a
+  * FIXED, already-deduped corpus, plus within the batch itself — never
+  * corpus-vs-corpus. Semantically: MinHash-LSH over `corpus UNION batch`
+  * restricted to pairs touching at least one batch document — exactly
+  * the question a growing 100 TB corpus asks on every ingest ("is this
+  * crawl batch a near-dup of anything we already have, or of itself?")
+  * without ever re-pairing the corpus against itself.
+  *
+  * Scale shape: the corpus side's shingle sets + band buckets load from
+  * the `cacheDir` signature cache (keyed on the corpus fingerprint — they
+  * build ONCE, ever, per corpus version; the r11 point of the per-corpus
+  * cache keys). The batch is small by premise, so its banded frame
+  * broadcasts into the cross band join and the corpus side's candidate
+  * generation is map-only; the within-batch self-join is the plain
+  * [[MinHashLSHDedupPipe]] shape at batch size. Both joins carry the
+  * lossless size-ratio prune. Both corpora bucket with the same
+  * fixed-seed permutations, so recall equals the single-corpus pipe's
+  * P(miss) = (1 - j^r)^b.
+  *
+  * Output: `(id_a, id_b, jaccard, pair_src)` — cross pairs carry the
+  * batch id in `id_a`, the corpus id in `id_b`, `pair_src = 'cross'`;
+  * within-batch pairs order `id_a < id_b` with `pair_src = 'batch'`.
+  * Ids must be distinct across the two corpora (caller contract, as in
+  * [[CrossCorpusMinHashPipe]]).
+  */
+case class IncrementalMinHashDedupPipe(
+    textCol: String,
+    idCol: String,
+    corpus: DataFrame,
+    corpusTextCol: String,
+    corpusIdCol: String,
+    numHashes: Int = 64,
+    bands: Int = 32,
+    shingleSize: Int = 3,
+    jaccardThreshold: Double = 0.5,
+    cacheDir: Option[String] = None) extends Pipe {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "corpusText" -> corpusTextCol, "corpusId" -> corpusIdCol,
+    "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+    "shingle" -> shingleSize.toString, "threshold" -> jaccardThreshold.toString,
+    "cacheDir" -> cacheDir.mkString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val (baseB, bandedB) = DedupOps.minhashBanded(
+      df, textCol, idCol, numHashes, bands, shingleSize, cacheDir)
+    val (baseC, bandedC) = DedupOps.minhashBanded(
+      corpus, corpusTextCol, corpusIdCol, numHashes, bands, shingleSize, cacheDir)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    def verified(cands: DataFrame, lhsBase: DataFrame, rhsBase: DataFrame) =
+      cands
+        .join(lhsBase.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(rhsBase.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    // batch-vs-corpus: the CrossCorpusMinHashPipe shape, batch side small
+    val cross = verified(
+      bandedB.select(col("band"), col("bh"),
+          col("id").as("id_a"), col("n").as("n_a"))
+        .join(bandedC.select(col("band"), col("bh"),
+          col("id").as("id_b"), col("n").as("n_b")), Seq("band", "bh"))
+        .filter(least(na, nb) >= lit(jaccardThreshold) * greatest(na, nb))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b"),
+      baseB, baseC)
+      .withColumn("pair_src", lit("cross"))
+    // batch-vs-batch: the single-corpus self-join shape at batch size
+    val within = verified(
+      bandedB.select(col("band"), col("bh"),
+          col("id").as("id_a"), col("n").as("n_a"))
+        .join(bandedB.select(col("band"), col("bh"),
+          col("id").as("id_b"), col("n").as("n_b")), Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b") &&
+          least(na, nb) >= lit(jaccardThreshold) * greatest(na, nb))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b"),
+      baseB, baseB)
+      .withColumn("pair_src", lit("batch"))
+    cross.unionByName(within)
+  }
+}
+
 /** Exact duplicated-substring removal (the ExactSubstr dedup of Lee et
   * al., "Deduplicating Training Data Makes Language Models Better",
   * arXiv:2107.06499, re-expressed relationally): delete every token

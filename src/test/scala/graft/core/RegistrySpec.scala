@@ -163,6 +163,10 @@ class RegistrySpec extends SparkSpec {
       ("CrossCorpusMinHashPipe",
         () => CrossCorpusMinHashPipe("t", "id", tiny, "text", "doc_id"),
         () => CrossCorpusMinHashPipe("t", "id", tiny, "text", "doc_id", bands = 16)),
+      ("IncrementalMinHashDedupPipe",
+        () => IncrementalMinHashDedupPipe("t", "id", tiny, "text", "doc_id"),
+        () => IncrementalMinHashDedupPipe("t", "id", tiny, "text", "doc_id",
+          bands = 16)),
       ("StreamStaticEnrichPipe",
         () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("text")),
         () => graft.streaming.StreamStaticEnrichPipe(tiny, "k", "doc_id", Seq("doc_id"))),

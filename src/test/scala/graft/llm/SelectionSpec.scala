@@ -235,6 +235,42 @@ class SelectionSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, 101L, 0.75)))
   }
 
+  test("incremental dedup equals full-union LSH restricted to batch pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    def dropLast(n: Int) = array_join(
+      slice(toks, lit(1), greatest(size(toks) - n, lit(1))), " ")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), dropLast(2).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), dropLast(1).as("text")))
+    val inc = IncrementalMinHashDedupPipe("text", "doc_id",
+      docs, "text", "doc_id", jaccardThreshold = 0.5)(batch)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"),
+        col("pair_src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    // ground truth: single-corpus LSH over the UNION, keeping only pairs
+    // that touch the batch (ids >= 200000); mixed pairs re-oriented to
+    // the incremental pipe's batch-id-first convention
+    val full = MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5)(
+      docs.unionByName(batch))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.flatMap { case (a, b, j) =>
+      (a >= 200000, b >= 200000) match {
+        case (true, true)   => Some((a, b, j, "batch"))
+        case (false, true)  => Some((b, a, j, "cross")) // batch id first
+        case (true, false)  => Some((a, b, j, "cross"))
+        case (false, false) => None // corpus-vs-corpus: excluded by design
+      }
+    }.toSet
+    assert(inc == expected && inc.nonEmpty)
+    // both pair kinds are actually present in the scenario
+    assert(inc.exists(_._4 == "cross") && inc.exists(_._4 == "batch"))
+  }
+
   test("cross-corpus signature cache: per-corpus keys, hit on second run") {
     val dir = java.nio.file.Files.createTempDirectory("xc_cache").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
