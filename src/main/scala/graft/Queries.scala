@@ -663,6 +663,24 @@ object Queries {
     "ta_fingerprint" -> ((s, d) =>
       graft.llm.FingerprintPipe("text")(t(s, d, "documents"))
         .select("doc_id", "fingerprint").orderBy("doc_id")),
+    "ta_normalize" -> ((s, d) =>
+      // CCNet normalization: lower + digits→0 + strip ASCII punct +
+      // collapse whitespace; four codegen'd string expressions, map-only
+      graft.llm.TextNormalizePipe("text")(t(s, d, "documents"))
+        .select(col("doc_id"), col("text_norm")).orderBy("doc_id")),
+    "dd_norm_dedup" -> ((s, d) => {
+      // the CCNet use of normalization: dedup KEYS on the normalized
+      // text, so planted case/punctuation variants collide with their
+      // originals (dup_count = 2) where raw exact dedup would miss them
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.unionByName(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      SequentialPipe(Seq(
+        graft.llm.TextNormalizePipe("text"),
+        graft.llm.ExactDedupPipe(Seq("text_norm"), "doc_id")))(planted)
+        .select(col("doc_id"), col("dup_count")).orderBy("doc_id")
+    }),
 
     // ----- LLM data-pipeline: multimodal plumbing -----
     "mm_media_meta" -> ((s, d) => {
@@ -2039,6 +2057,16 @@ object Queries {
         |   (h, c) -> (h*31 + c) % 1000003))),
         | (h, t) -> (h*131 + t) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ta_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dd_norm_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |planted AS (SELECT doc_id, text FROM base
+        | UNION ALL SELECT doc_id+500000, upper(text) || ' !!' FROM base WHERE doc_id < 50),
+        |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS tn FROM planted)
+        |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM norm GROUP BY tn ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "mm_media_meta" ->
       "SELECT doc_id, 'utf8-text' AS format, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "mm_decode_stub" ->

@@ -129,3 +129,39 @@ case class FingerprintPipe(textCol: String, outputCol: String = "fingerprint")
     finish(Pipe.widen(df), Seq(outputCol -> fp))
   }
 }
+
+/** CCNet-style text normalization (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", arXiv:1911.00359 —
+  * the paper's dedup key is a hash of the NORMALIZED paragraph):
+  * lowercase, digits→0, strip punctuation, collapse whitespace. The
+  * normalized column is what exact/line dedup should key on, so trivial
+  * case/punctuation/number variants of the same content collide.
+  *
+  * All four steps are codegen'd string expressions (lower + three
+  * regexp_replace) — map-only, zero shuffle, linear at any scale. Accent
+  * folding (the one CCNet step with no Spark builtin expression) is
+  * deliberately out of scope; add it upstream if the corpus needs it.
+  * Punctuation = the ASCII class `\p{Punct}`, which matches RE2/POSIX
+  * `[[:punct:]]` so external engines can replay the exact output.
+  */
+case class TextNormalizePipe(
+    textCol: String,
+    outputCol: String = "text_norm",
+    lowercase: Boolean = true,
+    digitsToZero: Boolean = true,
+    stripPunct: Boolean = true,
+    collapseWhitespace: Boolean = true) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "out" -> outputCol,
+    "lower" -> lowercase.toString, "digits0" -> digitsToZero.toString,
+    "punct" -> stripPunct.toString, "ws" -> collapseWhitespace.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    var c: Column = coalesce(qcol(textCol), lit(""))
+    if (lowercase) c = lower(c)
+    if (digitsToZero) c = regexp_replace(c, "[0-9]", "0")
+    if (stripPunct) c = regexp_replace(c, "\\p{Punct}", "")
+    if (collapseWhitespace) c = trim(regexp_replace(c, "\\s+", " "))
+    finish(df, Seq(outputCol -> c))
+  }
+}

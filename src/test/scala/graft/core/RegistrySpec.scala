@@ -72,6 +72,8 @@ class RegistrySpec extends SparkSpec {
     ("LanguageIdPipe", () => LanguageIdPipe("t"), () => LanguageIdPipe("u")),
     ("QualityScorePipe", () => QualityScorePipe("t"), () => QualityScorePipe("u")),
     ("TokenCountPipe", () => TokenCountPipe("t"), () => TokenCountPipe("u")),
+    ("TextNormalizePipe", () => TextNormalizePipe("t"),
+      () => TextNormalizePipe("t", stripPunct = false)),
     ("FingerprintPipe", () => FingerprintPipe("t"), () => FingerprintPipe("u")),
     ("ToMediaColumnPipe", () => ToMediaColumnPipe("t"), () => ToMediaColumnPipe("u")),
     ("DecodeMediaStubPipe", () => DecodeMediaStubPipe("m", "id"),

@@ -110,4 +110,24 @@ class LlmSpec extends SparkSpec {
       assert(out(i) == bytes(src), s"position $i should sample source $src")
     }
   }
+
+  test("text normalization: ccnet steps, toggles, null safety") {
+    val df = Seq(
+      (1L, "Hello,  World! 42 things"),
+      (2L, "HELLO world 97 THINGS"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextNormalizePipe("text")(df).orderBy("doc_id")
+      .select("text_norm").as[String].collect()
+    assert(out(0) == "hello world 00 things")
+    assert(out(1) == "hello world 00 things") // variants collide
+    assert(out(2) == "") // null -> empty, never null
+    // toggles: keep case, keep digits
+    val kept = TextNormalizePipe("text", lowercase = false,
+      digitsToZero = false)(df).orderBy("doc_id")
+      .select("text_norm").as[String].collect()
+    assert(kept(0) == "Hello World 42 things")
+    // map-only: no exchange in the plan
+    val plan = TextNormalizePipe("text")(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
