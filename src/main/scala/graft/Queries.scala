@@ -609,6 +609,15 @@ object Queries {
       graft.streaming.EventStream.runNearDedupUniqueStream(s, d)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    "ev_stream_corpus_dedup" -> ((s, d) =>
+      // STATELESS stream-vs-corpus near-dup: arriving mutated docs vs
+      // the static corpus, stream-static band + verify joins only (no
+      // streaming state at all); per-band duplicate findings dropped
+      // after the drain per the documented contract
+      graft.streaming.EventStream.runCorpusDedupStream(s, d)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
     "l5_to_tensor" -> ((s, d) =>
       ToTensorPipe(Seq("nums"))(liNums(s, d)).orderBy("l_orderkey")),
     "s3b_bm25_aux" -> ((s, d) => {
@@ -3206,6 +3215,30 @@ object Queries {
         |FROM n0 LEFT JOIN rb USING (doc_id) ORDER BY n0.doc_id""".stripMargin.replace("\n", " "),
     // exhaustive cross-corpus Jaccard the banded pipe must equal (shingle
     // Jaccard over strings == over xxhash64 values modulo collisions)
+    // stateless stream-vs-corpus twin: the cross half of dd_incremental's
+    // pair set restricted to the %10 mutation (same inverted-index form)
+    "ev_stream_corpus_dedup" ->
+      """WITH arr AS (SELECT doc_id+200000 AS arr_id, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS text
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)),
+        |sa AS (SELECT arr_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT arr_id, text, string_split_regex(trim(text), '\s+') AS toks FROM arr)),
+        |sc AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |sza AS (SELECT arr_id, len(s) AS n FROM sa),
+        |szc AS (SELECT doc_id, len(s) AS n FROM sc),
+        |inva AS (SELECT arr_id, unnest(s) AS g FROM sa),
+        |invc AS (SELECT doc_id, unnest(s) AS g FROM sc),
+        |cand AS (SELECT a.arr_id AS id_a, c.doc_id AS id_b, count(*) AS inter
+        | FROM inva a JOIN invc c USING (g) GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa2.n + sc2.n - inter) AS j
+        | FROM cand JOIN sza sa2 ON sa2.arr_id = cand.id_a
+        |  JOIN szc sc2 ON sc2.doc_id = cand.id_b)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     // exact-complete inverted-index Jaccard (a qualifying pair shares a
     // shingle for any threshold > 0) over cross + within-batch pair sets
     "dd_incremental" ->

@@ -171,3 +171,76 @@ object StreamingNearDedup {
       }
   }
 }
+
+/** Stream-vs-static near-dup flagging: each arriving document is checked
+  * against a FIXED corpus — the streaming twin of
+  * [[graft.llm.IncrementalMinHashDedupPipe]]'s cross half and the fuzzy
+  * complement of [[graft.streaming.StreamingDecontaminate]]. Emits
+  * `(id_a = arriving doc, id_b = corpus doc, jaccard)` with exact
+  * shingle-Jaccard >= threshold.
+  *
+  * COMPLETELY STATELESS: the corpus's shingle sets and band buckets are
+  * a static relation (loaded from the per-corpus signature cache, so a
+  * growing ingest never re-shingles the corpus), the stream side's
+  * signature is per-row expression work, and both the candidate band
+  * join and the shingle-set verify are stream-static INNER equi-joins —
+  * executed per micro-batch with zero streaming state, unlike
+  * [[StreamingNearDedup]]'s watermark-bounded buckets (which solve the
+  * different problem of pairing stream arrivals with EACH OTHER).
+  * Append mode emits each finding exactly once per micro-batch.
+  *
+  * A pair found by several bands is emitted once per finding band (the
+  * same contract as [[StreamingNearDedup]]); compose a downstream
+  * `dropDuplicates(id_a, id_b)` — batch after the drain, or a
+  * watermark-scoped dedup in-query.
+  */
+object StreamingCorpusDedup {
+  def apply(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpus: DataFrame,
+      corpusTextCol: String,
+      corpusIdCol: String,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.5,
+      cacheDir: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val ops = graft.llm.DedupOps
+    // static side: identical build (and cache keys) as the batch pipes —
+    // dd_incremental's corpus state and this stream's corpus state are
+    // the SAME cached frames
+    val (baseC, bandedC) = ops.minhashBanded(
+      corpus, corpusTextCol, corpusIdCol, numHashes, bands, shingleSize, cacheDir)
+    // stream side: per-row shingles + linear-permutation signature (the
+    // same fixed coefficients minhashBanded's exploded aggregate uses,
+    // so both sides bucket identically); spread the interpreted HOF work
+    // past the source's file splits
+    val widened =
+      if (stream.isStreaming) stream
+      else stream.repartition(stream.sparkSession.sparkContext.defaultParallelism)
+    val staged = widened.select(
+      col(idCol).cast("long").as("id_a"),
+      ops.shingleHashes(col(textCol), shingleSize).as("sh_a"))
+      .withColumn("__sig__", ops.minhashSignatureLinear(col("sh_a"), numHashes))
+    val bandedS = staged.select(
+      col("id_a"), col("sh_a"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until r).map(j =>
+          element_at(col("__sig__"), b * r + j + 1)): _*)): _*))
+        .as(Seq("band", "bh")))
+    val na = size(col("sh_a")).cast("double")
+    val nb = col("n_b").cast("double")
+    bandedS
+      .join(bandedC.select(col("band"), col("bh"),
+        col("id").as("id_b"), col("n").as("n_b")), Seq("band", "bh"))
+      .filter(least(na, nb) >= lit(jaccardThreshold) * greatest(na, nb))
+      .join(baseC.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", graft.llm.DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

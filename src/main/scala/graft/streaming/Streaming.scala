@@ -335,6 +335,28 @@ object EventStream {
         "append")
     }
   }
+
+  /** Stream-vs-corpus near-dup flagging inside a REAL StreamingQuery
+    * (gate `ev_stream_corpus_dedup`): arriving mutated documents checked
+    * against the static corpus via [[StreamingCorpusDedup]] — stateless
+    * stream-static joins, corpus signatures from the shared per-corpus
+    * cache (the same frames dd_incremental builds).
+    */
+  def runCorpusDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val arriving = readStreamTable(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
+          .as("text"))
+    runToMemorySink(
+      StreamingCorpusDedup(arriving, "text", "doc_id",
+        corpus, "text", "doc_id", jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/incdedup")),
+      "append")
+  }
 }
 
 /** Stream-static enrichment join: attach dimension attributes to a fact
