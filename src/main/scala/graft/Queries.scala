@@ -677,6 +677,15 @@ object Queries {
       // collapse whitespace; four codegen'd string expressions, map-only
       graft.llm.TextNormalizePipe("text")(t(s, d, "documents"))
         .select(col("doc_id"), col("text_norm")).orderBy("doc_id")),
+    "ta_fold_accents" -> ((s, d) => {
+      // the native FoldAccents Catalyst expression inside the normalize
+      // chain: accented text planted onto every doc (same literal on
+      // both sides), folded NFD-style — DuckDB strip_accents replays it
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" café Zürich niño àéîõü ÀÉÎÕÜ ç!")).as("text"))
+      graft.llm.TextNormalizePipe("text", foldAccents = true)(planted)
+        .select(col("doc_id"), col("text_norm")).orderBy("doc_id")
+    }),
     "dd_norm_dedup" -> ((s, d) => {
       // the CCNet use of normalization: dedup KEYS on the normalized
       // text, so planted case/punctuation variants collide with their
@@ -2068,6 +2077,9 @@ object Queries {
         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ta_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ta_fold_accents" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(strip_accents(coalesce(text, '') || ' café Zürich niño àéîõü ÀÉÎÕÜ ç!')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dd_norm_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

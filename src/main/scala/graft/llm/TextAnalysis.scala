@@ -150,14 +150,22 @@ case class TextNormalizePipe(
     lowercase: Boolean = true,
     digitsToZero: Boolean = true,
     stripPunct: Boolean = true,
-    collapseWhitespace: Boolean = true) extends Pipe {
+    collapseWhitespace: Boolean = true,
+    /** NFD accent folding via the native [[graft.functions.FoldAccents]]
+      * Catalyst expression (codegen'd, ASCII fast path) — off by default
+      * so the base gate stays replayable by engines without an
+      * accent-strip function; DuckDB's `strip_accents` matches it.
+      */
+    foldAccents: Boolean = false) extends Pipe {
   override def update: Boolean = true
   override def params = Map("text" -> textCol, "out" -> outputCol,
     "lower" -> lowercase.toString, "digits0" -> digitsToZero.toString,
-    "punct" -> stripPunct.toString, "ws" -> collapseWhitespace.toString)
+    "punct" -> stripPunct.toString, "ws" -> collapseWhitespace.toString,
+    "accents" -> foldAccents.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     var c: Column = coalesce(qcol(textCol), lit(""))
+    if (foldAccents) c = graft.functions.FoldAccents.expr(c)
     if (lowercase) c = lower(c)
     if (digitsToZero) c = regexp_replace(c, "[0-9]", "0")
     if (stripPunct) c = regexp_replace(c, "\\p{Punct}", "")

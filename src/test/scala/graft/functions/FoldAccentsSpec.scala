@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FoldAccentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalar fold: accents stripped, non-decomposables kept, ascii identity") {
+    assert(FoldAccents.fold("café Zürich niño") == "cafe Zurich nino")
+    assert(FoldAccents.fold("àéîõü ÀÉÎÕÜ ç") == "aeiou AEIOU c")
+    // ø and œ have no NFD decomposition — kept, matching strip_accents
+    assert(FoldAccents.fold("søme œuvre") == "søme œuvre")
+    // ASCII fast path returns the SAME object (no normalizer pass)
+    val s = "plain ascii text 123"
+    assert(FoldAccents.fold(s) eq s)
+  }
+
+  test("expression: codegen'd projection, null-safe, matches scalar fold") {
+    val df = Seq(
+      (1L, "café au lait"),
+      (2L, "Ünïcodé"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "plain")).toDF("id", "s")
+    val out = df.select(col("id"), FoldAccents.expr(col("s")).as("f"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == "cafe au lait")
+    assert(rows(1).getString(1) == "Unicode")
+    assert(rows(2).isNullAt(1)) // generated null check, not ours
+    assert(rows(3).getString(1) == "plain")
+    // (the local relation above folds at optimize time — that exercised
+    // the interpreted eval path; the parquet-backed plan below exercises
+    // doGenCode inside a WholeStageCodegen span)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gen = docs.select(col("doc_id"),
+      FoldAccents.expr(concat(col("text"), lit(" café"))).as("f"))
+    // `*(n)` marks a WholeStageCodegen span in the simple plan string —
+    // the fold_accents projection must sit INSIDE one
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("fold_accents") && l.trim.startsWith("*(")), plan)
+    val r = gen.orderBy("doc_id").limit(1).collect()(0)
+    assert(r.getString(1).endsWith(" cafe"))
+  }
+}
