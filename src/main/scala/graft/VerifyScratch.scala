@@ -889,6 +889,17 @@ object VerifyScratch {
         s"srcs=$srcs -> ${noCartesian && srcs.contains("cross")}")
     }
 
+    // [61] r11: fold_accents SQL registration over real fixtures
+    {
+      org.apache.spark.sql.graft.GraftExtensions.register(spark)
+      spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("vs61")
+      val n = spark.sql(
+        "SELECT count(*) FROM vs61 WHERE fold_accents(text || ' café') LIKE '% cafe'")
+        .head().getLong(0)
+      val total = spark.table("vs61").count()
+      println(s"[61] fold_accents sql n=$n total=$total -> ${n == total}")
+    }
+
     spark.stop()
   }
 }

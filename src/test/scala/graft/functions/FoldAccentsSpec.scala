@@ -42,4 +42,16 @@ class FoldAccentsSpec extends SparkSpec {
     val r = gen.orderBy("doc_id").limit(1).collect()(0)
     assert(r.getString(1).endsWith(" cafe"))
   }
+
+  test("sql registration: SELECT fold_accents(...) resolves to the expression") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val out = spark.sql("SELECT fold_accents('café Zürich') AS f").head()
+    assert(out.getString(0) == "cafe Zurich")
+    // arity is enforced at resolution
+    val e = intercept[Exception] {
+      spark.sql("SELECT fold_accents('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("one argument") ||
+      Option(e.getCause).exists(_.getMessage.contains("one argument")))
+  }
 }
