@@ -900,6 +900,24 @@ object VerifyScratch {
       println(s"[61] fold_accents sql n=$n total=$total -> ${n == total}")
     }
 
+    // [62] r11: lineage manifest over a real composed pipeline
+    {
+      val pipe = graft.pipes.SequentialPipe(Seq(
+        graft.llm.TextNormalizePipe("text"),
+        graft.llm.ExactDedupPipe(Seq("text_norm"), "doc_id"),
+        graft.llm.TokenCountPipe("text")))
+      val json = graft.core.Manifest.json(pipe)
+      val outline = graft.core.Manifest.outline(pipe)
+      val det = json == graft.core.Manifest.json(pipe)
+      val rootFp = json.contains(pipe.fingerprint)
+      val lines = outline.linesIterator.size == 4
+      // and the pipeline itself still runs on real data after introspection
+      val rows = pipe(spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text")).count()
+      println(s"[62] manifest det=$det rootFp=$rootFp lines4=$lines rows=$rows " +
+        s"-> ${det && rootFp && lines && rows > 0}")
+    }
+
     spark.stop()
   }
 }
