@@ -1609,6 +1609,13 @@ object Queries {
       graft.operators.GroupTopKPipe(Seq("lang"), "n_chars", 3, "doc_id")(
         t(s, d, "documents"))
         .select("lang", "doc_id", "n_chars", "rank").orderBy("lang", "rank")),
+    "gt2_topk_heap" -> ((s, d) =>
+      // the bounded-heap aggregate mode: identical results to the window
+      // gate (same oracle), but the shuffle carries <= k rows per group
+      // per input partition — map-side combine, the 100 TB shape
+      graft.operators.GroupTopKPipe(Seq("lang"), "n_chars", 3, "doc_id",
+        useHeap = true)(t(s, d, "documents"))
+        .select("lang", "doc_id", "n_chars", "rank").orderBy("lang", "rank")),
     "rj_range" -> ((s, d) => {
       // clicks inside 30-min incident windows opened by same-user errors;
       // binWidth == window span -> each interval covers <= 2 bins
@@ -3004,6 +3011,13 @@ object Queries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // heap-mode twin: same oracle — results must be bit-identical
+    "gt2_topk_heap" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        | FROM documents)
+        |SELECT lang, doc_id, n_chars, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin.replace("\n", " "),
     "gt_group_topk" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,
         | CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rank

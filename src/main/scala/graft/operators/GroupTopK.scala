@@ -31,16 +31,62 @@ case class GroupTopKPipe(
     tieBreakCol: String,
     descending: Boolean = true,
     rankCol: Option[String] = Some("rank"),
-    saltBuckets: Int = 1) extends Pipe {
+    saltBuckets: Int = 1,
+    /** Bounded-heap aggregate mode: per-group top-k through Spark's
+      * internal `CollectTopK` (a TypedImperativeAggregate over a
+      * BoundedPriorityQueue) instead of a window. The decisive scale
+      * property is MAP-SIDE COMBINE: each input partition contributes at
+      * most k rows per group to the shuffle, so shuffled bytes are
+      * O(groups x k x partitions) regardless of input size — where the
+      * window shape shuffles EVERY row into a per-group sort. The right
+      * mode whenever rows-per-group is large; the window (default) keeps
+      * full generality (the heap path needs a NUMERIC score, non-null
+      * scores, and ordering-comparable row types — no map columns).
+      * Results are identical to the window mode, ties and ranks included
+      * (score negation encodes descending order; the tie-break column
+      * orders ascending inside the heap exactly as the window does).
+      */
+    useHeap: Boolean = false) extends Pipe {
   require(groupCols.nonEmpty, "GroupTopKPipe needs at least one group column")
   require(k > 0, "k must be positive")
   require(saltBuckets >= 1, "saltBuckets must be >= 1")
+  require(!(useHeap && saltBuckets > 1),
+    "useHeap already bounds per-partition state; salting does not compose")
   override def params = Map("group" -> groupCols.mkString(","),
     "score" -> scoreCol, "k" -> k.toString, "tie" -> tieBreakCol,
     "desc" -> descending.toString, "rank" -> rankCol.getOrElse(""),
-    "salt" -> saltBuckets.toString)
+    "salt" -> saltBuckets.toString, "heap" -> useHeap.toString)
+
+  private def heapTransform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK
+    // heap keeps the SMALLEST k by the struct's lexicographic order and
+    // emits them ascending (reverse = true): (-score, tie) makes that
+    // "score desc, tie asc" — the window's exact order — while the tie
+    // column itself stays any orderable type
+    val orderedScore =
+      if (descending) negate(qcol(scoreCol).cast("double"))
+      else qcol(scoreCol).cast("double")
+    val entry = struct(
+      orderedScore.as("__s__"), qcol(tieBreakCol).as("__t__"),
+      struct(df.columns.map(qcol).toIndexedSeq: _*).as("__row__"))
+    val agg = ColumnBridge.column(
+      GraftCollectTopK(ColumnBridge.expression(entry), k, reverse = true)
+        .toAggregateExpression())
+    val collected = df.groupBy(groupCols.map(qcol): _*).agg(agg.as("__arr__"))
+    val exploded = collected.select(
+      posexplode(col("__arr__")).as(Seq("__pos__", "__e__")))
+    val out = exploded.select(
+      df.columns.map(c => col(s"__e__.__row__.`$c`").as(c)) :+
+        (col("__pos__") + 1).cast("int").as("__gtk_r__"): _*)
+    rankCol match {
+      case Some(r) => out.withColumnRenamed("__gtk_r__", r)
+      case None => out.drop("__gtk_r__")
+    }
+  }
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    if (useHeap) return heapTransform(df)
     val ord = if (descending) qcol(scoreCol).desc else qcol(scoreCol).asc
     val pruned =
       if (saltBuckets <= 1) df

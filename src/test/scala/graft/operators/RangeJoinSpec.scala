@@ -72,4 +72,33 @@ class RangeJoinSpec extends SparkSpec {
       salted.except(plain).count() == 0 &&
       plain.count() == salted.count())
   }
+
+  test("bounded-heap group top-k equals the window mode, ranks included") {
+    val docs = spark.read.parquet(sf("documents"))
+    val window = GroupTopKPipe(Seq("lang"), "n_chars", 7, "doc_id")(docs)
+      .select("lang", "doc_id", "n_chars", "rank")
+    val heap = GroupTopKPipe(Seq("lang"), "n_chars", 7, "doc_id",
+      useHeap = true)(docs).select("lang", "doc_id", "n_chars", "rank")
+    assert(window.except(heap).count() == 0 &&
+      heap.except(window).count() == 0 &&
+      window.count() == heap.count())
+    // ascending (bottom-k) parity too
+    val wAsc = GroupTopKPipe(Seq("lang"), "n_chars", 5, "doc_id",
+      descending = false)(docs).select("lang", "doc_id", "rank")
+    val hAsc = GroupTopKPipe(Seq("lang"), "n_chars", 5, "doc_id",
+      descending = false, useHeap = true)(docs).select("lang", "doc_id", "rank")
+    assert(wAsc.except(hAsc).count() == 0 && hAsc.except(wAsc).count() == 0)
+    // the heap plan is an AGGREGATE with partial (map-side) combine —
+    // no window operator anywhere
+    val plan = GroupTopKPipe(Seq("lang"), "n_chars", 3, "doc_id",
+      useHeap = true)(docs).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan)
+    assert(plan.contains("partial_collecttopk") ||
+      plan.toLowerCase.contains("objecthashaggregate") ||
+      plan.toLowerCase.contains("sortaggregate"), plan)
+    // salting + heap do not compose (heap already bounds state)
+    intercept[IllegalArgumentException] {
+      GroupTopKPipe(Seq("g"), "v", 2, "id", useHeap = true, saltBuckets = 4)
+    }
+  }
 }
