@@ -918,6 +918,25 @@ object VerifyScratch {
         s"-> ${det && rootFp && lines && rows > 0}")
     }
 
+    // [63] r11: time-travel reads over the versioned CDC table
+    {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("vs63").toString
+      val base = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("v"))
+      graft.streaming.StreamingUpsert.seed(base, s"$dir/t")
+      val ch = base.filter(col("k") % 97 === 0)
+        .select(col("k"), (col("v") + 1.0).as("v"), lit(false).as("del"))
+      graft.streaming.StreamingUpsert.applyBatch(ch, 0, s"$dir/t", Seq("k"), Some("del"))
+      val names = graft.streaming.StreamingUpsert.versions(spark, s"$dir/t")
+      val v0 = graft.streaming.StreamingUpsert.read(spark, s"$dir/t", "vinit").count()
+      val v1 = graft.streaming.StreamingUpsert.read(spark, s"$dir/t", "v0").count()
+      val stable = v0 == base.count() && v1 == v0
+      println(s"[63] time travel names=$names counts=$v0/$v1 -> " +
+        s"${names == Seq("vinit", "v0") && stable}")
+    }
+
     spark.stop()
   }
 }

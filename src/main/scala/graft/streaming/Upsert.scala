@@ -102,6 +102,29 @@ object StreamingUpsert {
   private[graft] def ordinal(v: String): Long =
     if (v == "vinit") -1L else v.drop(1).toLong
 
+  /** All committed version names, oldest → newest — the time-travel
+    * catalog (`vinit` < `v0` < `v1` < ...).
+    */
+  def versions(spark: SparkSession, stateDir: String): Seq[String] = {
+    val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path(stateDir))) Nil
+    else fs.listStatus(path(stateDir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n == "vinit" || n.matches("v\\d+"))
+      .sortBy(ordinal)
+  }
+
+  /** Time travel: read one immutable version by name. Versions never
+    * change after their commit, so this read is stable against
+    * concurrent maintenance — only [[vacuum]] can remove it.
+    */
+  def read(spark: SparkSession, stateDir: String, version: String): DataFrame = {
+    require(versions(spark, stateDir).contains(version),
+      s"version '$version' not present under $stateDir " +
+        s"(have: ${versions(spark, stateDir).mkString(", ")})")
+    spark.read.parquet(s"$stateDir/$version")
+  }
+
   /** Drop all but the `keep` newest versions — never the one `_LATEST`
     * points at. Returns the deleted version names. Versions order as
     * `vinit` < `v0` < `v1` < ...; run it on whatever cadence bounds the
@@ -111,11 +134,7 @@ object StreamingUpsert {
     require(keep >= 1, "vacuum must keep at least one version")
     val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = pointer(spark, stateDir)
-    val versions = fs.listStatus(path(stateDir)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n == "vinit" || n.matches("v\\d+"))
-      .sortBy(ordinal)
-    val doomed = versions.dropRight(keep).filterNot(current.contains)
+    val doomed = versions(spark, stateDir).dropRight(keep).filterNot(current.contains)
     doomed.foreach(v => fs.delete(path(s"$stateDir/$v"), true))
     doomed
   }

@@ -40,12 +40,26 @@ class UpsertStreamSpec extends SparkSpec {
     val v0 = spark.read.parquet(s"$dir/t/v0").orderBy("k").collect().toSeq
     assert(v0 == afterB0)
 
+    // time travel: the catalog lists oldest -> newest, reads are stable
+    assert(StreamingUpsert.versions(spark, s"$dir/t") ==
+      Seq("vinit", "v0", "v1"))
+    assert(StreamingUpsert.read(spark, s"$dir/t", "vinit")
+      .orderBy("k").collect().toSeq == Seq(Row(1L, "a", 10.0),
+        Row(2L, "b", 20.0), Row(3L, "c", 30.0)))
+    assert(StreamingUpsert.read(spark, s"$dir/t", "v0")
+      .orderBy("k").collect().toSeq == afterB0)
+    val missing = intercept[IllegalArgumentException] {
+      StreamingUpsert.read(spark, s"$dir/t", "v9")
+    }
+    assert(missing.getMessage.contains("not present"))
+
     // vacuum keeps the newest `keep` versions, never the pointed one
     val deleted = StreamingUpsert.vacuum(spark, s"$dir/t", keep = 1)
     assert(deleted.toSet == Set("vinit", "v0"))
     assert(StreamingUpsert.latest(spark, s"$dir/t").get
       .orderBy("k").collect().toSeq == afterB1)
     assert(!new java.io.File(s"$dir/t/v0").exists())
+    assert(StreamingUpsert.versions(spark, s"$dir/t") == Seq("v1"))
   }
 
   test("replayed batch whose version is already committed is a no-op") {
