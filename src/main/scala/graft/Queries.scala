@@ -677,6 +677,23 @@ object Queries {
       // collapse whitespace; four codegen'd string expressions, map-only
       graft.llm.TextNormalizePipe("text")(t(s, d, "documents"))
         .select(col("doc_id"), col("text_norm")).orderBy("doc_id")),
+    "ta_normalize_sql" -> ((s, d) => {
+      // the SQL front end of the same chain: GraftExtensions registers
+      // ccnet_normalize and the parser resolves it to the SAME expression
+      // tree the pipe plans — one engine, two surfaces, identical bytes
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql("SELECT doc_id, ccnet_normalize(text) AS text_norm " +
+        "FROM graft_sql_docs ORDER BY doc_id")
+    }),
+    "ta_quality_sql" -> ((s, d) => {
+      // graft_quality(text) — the QualityScorePipe composite as a SQL
+      // scalar (shared kernel, so the values are bit-identical)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql("SELECT doc_id, graft_quality(text) AS quality " +
+        "FROM graft_sql_docs ORDER BY doc_id")
+    }),
     "ta_fold_accents" -> ((s, d) => {
       // the native FoldAccents Catalyst expression inside the normalize
       // chain: accented text planted onto every doc (same literal on
@@ -1106,10 +1123,17 @@ object Queries {
         .select(col("idx").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
           col("vector").as("query.vector"))
+      // stateDir threads the fingerprint cache through the BM25 stats
+      // build (same as s3c/s9/s18/s22) so the bench times the cascade's
+      // QUERY path, not an inline stats rebuild every run
+      val s14fp = graft.core.Fingerprint.combine(
+        tableFp(s, d, "documents"), tableFp(s, d, "embeddings"))
       val bm25 = graft.search.BM25Engine(corpus,
         graft.search.SearchConfig(k = 100, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
-        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-s14"),
+        corpusFingerprint = s14fp)
       val dense = graft.search.BruteForceDenseEngine(
         corpus.select(col("idx"), col("vector")),
         graft.search.SearchConfig(k = 3, fillMaskedIndices = false,
@@ -1384,6 +1408,15 @@ object Queries {
           Seq(col("o_custkey") % 256, col("o_orderkey") % 256), 8).as("zval"))
         .orderBy("zval", "o_orderkey")
     }),
+    "zo_zvalue_sql" -> ((s, d) => {
+      // graft_zvalue(bits, dims...) — the Morton key as a SQL scalar via
+      // GraftExtensions; same curve as zo_zorder, parsed not composed
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, d, "orders").createOrReplaceTempView("graft_sql_orders")
+      s.sql("SELECT o_orderkey, graft_zvalue(8, o_custkey % 256, " +
+        "o_orderkey % 256) AS zval FROM graft_sql_orders " +
+        "ORDER BY zval, o_orderkey")
+    }),
     "mg_upsert" -> ((s, d) => {
       // CDC MERGE: updates (%7, status→'U', price+10), deletes (%13),
       // inserts (key+1e8) — disjoint by construction, one change row per
@@ -1457,6 +1490,57 @@ object Queries {
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       q.stop()
       graft.streaming.StreamingUpsert.latest(s, s"$dir/t").get
+        .orderBy("o_orderkey")
+    }),
+
+    "mg_upsert_partitioned" -> ((s, d) => {
+      // the KEY-PARTITIONED version layout (r12): same seed + same two
+      // micro-batches as mg_upsert_stream, but the table is hash-split
+      // into 8 key partitions and each batch rewrites ONLY the partitions
+      // its keys occupy — the O(touched)-per-batch shape a 100 TB CDC
+      // table needs. The oracle is the SAME sequential-MERGE CTE replay:
+      // partitioning must be invisible to the merged result.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      val k = col("o_orderkey")
+      def tuples(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+      val b0 = tuples(
+        base.filter(k % 7 === 3 && k % 13 =!= 5)
+          .select(k, col("o_custkey"), lit("U").as("s"),
+            (col("o_totalprice") + 10.0).as("p"), lit(false).as("del"))
+        .unionByName(base.filter(k % 11 === 2)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("s"), col("o_totalprice").as("p"), lit(false).as("del"))))
+      val b1 = tuples(
+        base.filter(k % 13 === 5)
+          .select(k, col("o_custkey"), col("o_orderstatus").as("s"),
+            col("o_totalprice").as("p"), lit(true).as("del"))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 0)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("s"), col("o_totalprice").as("p"),
+            lit(true).as("del")))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 1)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("X").as("s"), (col("o_totalprice") + 5.0).as("p"),
+            lit(false).as("del"))))
+      val dir = java.nio.file.Files.createTempDirectory("graft-pups").toString
+      graft.streaming.PartitionedUpsert.seed(base, s"$dir/t", Seq("o_orderkey"), 8)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double, Boolean)]
+      val q = graft.streaming.PartitionedUpsert.run(
+        mem.toDF.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "__del__"),
+        s"$dir/t", Seq("o_orderkey"), Some("__del__"), s"$dir/ckpt")
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      graft.streaming.PartitionedUpsert.latest(s, s"$dir/t").get
         .orderBy("o_orderkey")
     }),
 
@@ -2085,6 +2169,19 @@ object Queries {
     "ta_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the SQL front end must equal the pipe's output exactly — same oracle
+    "ta_normalize_sql" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ta_quality_sql" ->
+      """WITH s AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt, nc,
+        | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_r,
+        | (nc - length(regexp_replace(text, '[0-9]', '', 'g'))) / nc AS dig_r,
+        | (nc - length(regexp_replace(text, '[A-Z]', '', 'g'))) / nc AS up_r
+        | FROM s)
+        |SELECT doc_id, round(greatest(least(least(nt/50, 1)*0.4 + least(stop_r*4, 1)*0.4 + (1-dig_r)*0.1 + (1-up_r)*0.1, 1), 0), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ta_fold_accents" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(strip_accents(coalesce(text, '') || ' café Zürich niño àéîõü ÀÉÎÕÜ ç!')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
@@ -2808,6 +2905,11 @@ object Queries {
         |  (((o_custkey % 256) >> j) & 1) * (CAST(1 AS BIGINT) << (2*j)) +
         |  (((o_orderkey % 256) >> j) & 1) * (CAST(1 AS BIGINT) << (2*j+1)))) AS BIGINT) AS zval
         |FROM orders ORDER BY zval, o_orderkey""".stripMargin.replace("\n", " "),
+    "zo_zvalue_sql" ->
+      """SELECT o_orderkey, CAST(list_sum(list_transform(range(8), j ->
+        |  (((o_custkey % 256) >> j) & 1) * (CAST(1 AS BIGINT) << (2*j)) +
+        |  (((o_orderkey % 256) >> j) & 1) * (CAST(1 AS BIGINT) << (2*j+1)))) AS BIGINT) AS zval
+        |FROM orders ORDER BY zval, o_orderkey""".stripMargin.replace("\n", " "),
     "mg_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
         |ch AS (
@@ -2823,6 +2925,24 @@ object Queries {
     // mg_upsert_stream; b1 deletes half of b0's inserts and updates the
     // other half, so the CTE order is load-bearing
     "mg_upsert_stream" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |b0 AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, false AS del
+        |   FROM base WHERE o_orderkey%7=3 AND o_orderkey%13<>5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'N', o_totalprice, false FROM base WHERE o_orderkey%11=2),
+        |m1 AS (SELECT b.* FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM b0)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b0 WHERE NOT del),
+        |b1 AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, true AS del FROM base WHERE o_orderkey%13=5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, o_orderstatus, o_totalprice, true FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=0
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'X', o_totalprice + 5.0, false FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=1),
+        |m2 AS (SELECT m.* FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b1 WHERE NOT del)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM m2
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    // the key-partitioned layout must be INVISIBLE to the merged result:
+    // identical change batches, identical sequential-MERGE oracle
+    "mg_upsert_partitioned" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
         |b0 AS (
         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, false AS del

@@ -34,6 +34,18 @@ object FoldAccents {
       .replaceAll("")
   }
 
+  /** UTF8String-level kernel for the codegen'd/interpreted expression
+    * paths: the ASCII check runs on the BYTES (all-ASCII ⇔ numBytes ==
+    * numChars — any multibyte codepoint makes chars < bytes) and returns
+    * the input UTF8String object itself, so ASCII rows pay no
+    * UTF8String→String decode and no String→UTF8String re-encode. Only
+    * rows actually carrying non-ASCII enter the String round-trip.
+    */
+  def foldUTF8(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    if (u.numBytes() == u.numChars()) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(fold(u.toString))
+
   /** Column builder: `FoldAccents.expr(col("text"))`. */
   def expr(c: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

@@ -160,7 +160,9 @@ object DedupOps {
     * localCheckpoint-ed per round to keep the plan linear. Returns
     * `(id, cluster)` with cluster = min member id.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 20,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .unionByName(pairs.select(col("id_b").cast("long").as("u"),
@@ -174,22 +176,35 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("cluster").as("nc")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("nc").as("nmin"))
-      // carry the previous label through the checkpoint so convergence is
-      // a cheap filter-count over materialized blocks — one job per round
-      // instead of checkpoint + a second re-join job
+      // the convergence count rides the checkpoint's own materialization
+      // job via observe() — ONE driver job per round, not checkpoint +
+      // a second count() job (the many-small-jobs shape that driver-host
+      // latency amplifies; r11 verdict item 2)
+      val obs = new org.apache.spark.sql.Observation(s"graft-cc-$i")
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           col("cluster").as("__old__"))
+        .observe(obs, sum(when(col("cluster") =!= col("__old__"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("cluster") =!= col("__old__")).count()
+      changed = obs.get.get("changed") match {
+        case Some(n: Long) => n
+        case _ => 0L // all-null comparison column: nothing changed
+      }
       labels = next.drop("__old__")
       i += 1
     }
-    if (changed > 0)
-      System.err.println(s"[graft] connectedComponents: NOT converged after " +
-        s"$maxIter rounds ($changed labels still changing) — a component " +
-        "with diameter > maxIter is split; raise maxIter")
+    if (changed > 0) {
+      // a component with diameter > maxIter is silently SPLIT — multiple
+      // "clusters" for one true component, so keep-best would keep
+      // multiple survivors. That is a correctness event, not a log line.
+      val msg = s"connectedComponents: NOT converged after $maxIter rounds " +
+        s"($changed labels still changing) — a component with diameter > " +
+        "maxIter is split; raise maxIter"
+      if (failOnNonConvergence) throw new IllegalStateException(s"[graft] $msg")
+      else System.err.println(s"[graft] $msg (failOnNonConvergence=false)")
+    }
     labels
   }
 

@@ -25,6 +25,34 @@ object TextAnalysisOps {
 
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  /** The default CCNet normalize chain ([[TextNormalizePipe]] with its
+    * default toggles) as one scalar expression — shared by the pipe and
+    * the `ccnet_normalize` SQL function so both surfaces emit identical
+    * values.
+    */
+  def normalizeCCNet(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(coalesce(text, lit(""))),
+      "[0-9]", "0"), "\\p{Punct}", ""), "\\s+", " "))
+
+  /** The bounded composite quality score of [[QualityScorePipe]] as one
+    * scalar expression in [0, 1] — shared by the pipe and the
+    * `graft_quality` SQL function.
+    */
+  def qualityScore(text: Column): Column = {
+    val tokens = toks(text)
+    val nTok = size(tokens).cast("double")
+    val nChars = length(text).cast("double")
+    val allStop = stopwords.flatMap(_._2).distinct
+    val stopRatio = stopwordHits(tokens, allStop).cast("double") / nTok
+    val digitRatio = (nChars - length(regexp_replace(text, lit("[0-9]"), lit("")))) / nChars
+    val upperRatio = (nChars - length(regexp_replace(text, lit("[A-Z]"), lit("")))) / nChars
+    val lenScore = least(nTok / 50d, lit(1d))
+    val raw = lenScore * 0.4 + least(stopRatio * 4d, lit(1d)) * 0.4 +
+      (lit(1d) - digitRatio) * 0.1 + (lit(1d) - upperRatio) * 0.1
+    round(greatest(least(raw, lit(1d)), lit(0d)), 4)
+  }
 }
 
 /** Language ID by function-word voting: predicted = argmax over per-lang
@@ -69,17 +97,15 @@ case class QualityScorePipe(textCol: String) extends Pipe {
     val digitRatio = (nChars - length(regexp_replace(text, lit("[0-9]"), lit("")))) / nChars
     val upperRatio = (nChars - length(regexp_replace(text, lit("[A-Z]"), lit("")))) / nChars
     // composite: reward moderate length and stopword presence, punish
-    // digit/upper noise; clamped to [0,1]
-    val lenScore = least(nTok / 50d, lit(1d))
-    val raw = lenScore * 0.4 + least(stopRatio * 4d, lit(1d)) * 0.4 +
-      (lit(1d) - digitRatio) * 0.1 + (lit(1d) - upperRatio) * 0.1
+    // digit/upper noise; clamped to [0,1] — the shared scalar kernel
+    // (also SQL-exposed as `graft_quality`)
     val outs = Seq(
       "n_tokens" -> nTok.cast("int"),
       "mean_token_len" -> round(meanLen, 4),
       "stopword_ratio" -> round(stopRatio, 4),
       "digit_ratio" -> round(digitRatio, 4),
       "upper_ratio" -> round(upperRatio, 4),
-      "quality" -> round(greatest(least(raw, lit(1d)), lit(0d)), 4))
+      "quality" -> TextAnalysisOps.qualityScore(text))
     finish(Pipe.widen(df), outs.map { case (k, c) => k -> (c: Column) })
   }
 }
@@ -137,10 +163,12 @@ case class FingerprintPipe(textCol: String, outputCol: String = "fingerprint")
   * normalized column is what exact/line dedup should key on, so trivial
   * case/punctuation/number variants of the same content collide.
   *
-  * All four steps are codegen'd string expressions (lower + three
-  * regexp_replace) — map-only, zero shuffle, linear at any scale. Accent
-  * folding (the one CCNet step with no Spark builtin expression) is
-  * deliberately out of scope; add it upstream if the corpus needs it.
+  * All steps are codegen'd string expressions (lower + three
+  * regexp_replace, optionally the native [[graft.functions.FoldAccents]]
+  * expression first) — map-only, zero shuffle, linear at any scale.
+  * Accent folding is the `foldAccents` toggle (off by default so the
+  * base gate stays replayable by engines without an accent-strip
+  * function; DuckDB's `strip_accents` matches it when on).
   * Punctuation = the ASCII class `\p{Punct}`, which matches RE2/POSIX
   * `[[:punct:]]` so external engines can replay the exact output.
   */

@@ -60,13 +60,37 @@ case class GroupTopKPipe(
   private def heapTransform(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
     // heap keeps the SMALLEST k by the struct's lexicographic order and
-    // emits them ascending (reverse = true): (-score, tie) makes that
-    // "score desc, tie asc" — the window's exact order — while the tie
-    // column itself stays any orderable type
-    val orderedScore =
-      if (descending) negate(qcol(scoreCol).cast("double"))
-      else qcol(scoreCol).cast("double")
+    // emits them ascending (reverse = true): (order-reversed score, tie)
+    // makes that "score desc, tie asc" — the window's exact order — while
+    // the tie column itself stays any orderable type. Null scores sort
+    // FIRST in the struct ordering (rank 1!) where the window's desc
+    // ordering puts them last — a silent divergence, so they fail loudly
+    // instead. Integral scores order NATIVELY as longs (descending via
+    // bitwise NOT, an order-reversing bijection over the FULL long domain
+    // — no 2^53 double-precision loss, no Long.MinValue negation
+    // overflow); only genuinely fractional types take the double path.
+    val scoreType = df.schema
+      .find(_.name == scoreCol)
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"GroupTopKPipe: score column '$scoreCol' not in ${df.columns.mkString(",")}"))
+    require(scoreType.isInstanceOf[NumericType],
+      s"GroupTopKPipe(useHeap): score column '$scoreCol' must be numeric, got $scoreType")
+    val rawScore = when(qcol(scoreCol).isNull,
+      raise_error(lit(s"GroupTopKPipe(useHeap): null score in '$scoreCol' — " +
+        "the heap ordering would rank nulls FIRST where the default mode " +
+        "ranks them last; filter or impute null scores before the pipe")).cast(scoreType))
+      .otherwise(qcol(scoreCol))
+    val orderedScore = scoreType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        if (descending) bitwise_not(rawScore.cast("long"))
+        else rawScore.cast("long")
+      case _ =>
+        if (descending) negate(rawScore.cast("double"))
+        else rawScore.cast("double")
+    }
     val entry = struct(
       orderedScore.as("__s__"), qcol(tieBreakCol).as("__t__"),
       struct(df.columns.map(qcol).toIndexedSeq: _*).as("__row__"))

@@ -107,11 +107,24 @@ object DatasetFingerprint {
           fs.location.rootPaths.mkString(",") + ":" + fs.sizeInBytes
         case other => other.toString
       }
-      case leaf => leaf.canonicalized.toString
+      case leaf => render(leaf.canonicalized)
     }
     graft.core.Fingerprint.hash(
-      plan.canonicalized.toString + "|" + leaves.mkString("|"))
+      render(plan.canonicalized) + "|" + leaves.mkString("|"))
   }
+
+  /** Config-independent plan rendering: `plan.toString` truncates field
+    * lists at `spark.sql.debug.maxToStringFields` (default 25), so in a
+    * session that leaves the default, two distinct wide plans (>25
+    * fields, differing only in truncated fields over the same files)
+    * would alias to one cache key and serve the wrong cached frame. Pin
+    * the field limit to unbounded at the call site instead of depending
+    * on the session conf.
+    */
+  private def render(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : String =
+    plan.treeString(verbose = true, addSuffix = false,
+      maxFields = Int.MaxValue, printOperatorId = false)
 }
 
 /** Dense stable global row ids in `orderCol` order — the reference's

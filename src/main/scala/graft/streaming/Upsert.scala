@@ -73,10 +73,23 @@ object StreamingUpsert {
     val curName = pointer(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"StreamingUpsert.run before seed: no _LATEST under $stateDir"))
-    if (ordinal(curName) < id) {
+    val curOrd = ordinal(curName)
+    if (curOrd < id) {
       val cur = spark.read.parquet(s"$stateDir/$curName")
       val merged = graft.operators.UpsertMerge(cur, batch, keys, deleteCol)
       commit(merged, stateDir, s"v$id")
+    } else if (curOrd > id) {
+      // legitimate foreachBatch replay only re-delivers the LAST batch
+      // (id == curOrd, the crash-between-flip-and-checkpoint case,
+      // no-op'd above). id < committed ordinal means the stream was
+      // restarted with a FRESH checkpoint dir against an existing state
+      // dir — batch ids reset to 0 and every incoming batch would be
+      // silently discarded. Fail loudly instead of losing data.
+      throw new IllegalStateException(
+        s"StreamingUpsert: batch id $id behind committed version " +
+          s"'$curName' under $stateDir — a restarted stream with a fresh " +
+          "checkpoint dir cannot resume an existing state dir; reuse the " +
+          "original checkpointLocation or seed a new stateDir")
     }
   }
 
@@ -139,6 +152,57 @@ object StreamingUpsert {
     doomed
   }
 
+  /** The commit log: (version, epoch-millis commit timestamp), oldest →
+    * newest — retention metadata that makes [[vacuum]] auditable (a
+    * version's age no longer lives only in FS mtimes, which copies and
+    * restores rewrite). Vacuumed versions KEEP their log entries: the log
+    * records history, the FS records presence.
+    */
+  def commits(spark: SparkSession, stateDir: String): Seq[(String, Long)] = {
+    val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = path(s"$stateDir/_commits.json")
+    if (!fs.exists(log)) Nil
+    else {
+      val in = fs.open(log)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
+        // one {"version":"vN","ts":123} object per line
+        val v = "\"version\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(line).map(_.group(1)).getOrElse(
+            throw new IllegalStateException(s"malformed commit-log line: $line"))
+        val ts = "\"ts\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(
+            throw new IllegalStateException(s"malformed commit-log line: $line"))
+        (v, ts)
+      }
+    }
+  }
+
+  private def appendCommitLog(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String, version: String): Unit = {
+    val log = path(s"$stateDir/_commits.json")
+    val prior =
+      if (!fs.exists(log)) ""
+      else {
+        val in = fs.open(log)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+    // a replayed commit (same version) rewrites its entry instead of
+    // duplicating it
+    val kept = prior.split("\n").filter(_.trim.nonEmpty)
+      .filterNot(_.contains(s""""version":"$version""""))
+    val entry =
+      s"""{"version":"$version","ts":${System.currentTimeMillis()}}"""
+    val body = (kept :+ entry).mkString("\n")
+    val tmp = path(s"$stateDir/._commits.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, log, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   private def commit(df: DataFrame, stateDir: String, version: String): Unit = {
     df.write.mode("overwrite").parquet(s"$stateDir/$version")
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -153,6 +217,7 @@ object StreamingUpsert {
     org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
       .rename(tmp, path(s"$stateDir/_LATEST"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    appendCommitLog(fs, conf, stateDir, version)
   }
 
   private def path(p: String) = new org.apache.hadoop.fs.Path(p)

@@ -11,9 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * PARTITION instead of every row through a window sort — the map-side
   * combine shape per-group top-k needs at 100 TB.
   *
-  * `reverse = true` keeps the LARGEST `num` elements by the child's
-  * ordering (verified empirically in GroupTopKSpec — the flag name is
-  * about the queue's internal ordering, not the output order).
+  * `reverse = true` keeps the SMALLEST `num` elements by the child's
+  * ordering and emits them ascending (which is why GroupTopKPipe encodes
+  * descending top-k by ORDER-REVERSING the score — negation / bitwise
+  * NOT — before handing it to the heap; verified empirically in
+  * GroupTopKSpec).
   */
 object GraftCollectTopK {
   def apply(child: Expression, num: Int, reverse: Boolean): AggregateFunction =

@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column -> Expression conversion (the lazy `expression` wraps
+    * the ColumnNode, which only the Dataset API unwraps during plan
+    * building — a SQL function builder needs the converted catalyst tree
+    * NOW, with builtin calls as analyzer-resolvable UnresolvedFunctions).
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

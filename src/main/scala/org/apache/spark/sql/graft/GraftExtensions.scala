@@ -28,12 +28,44 @@ object GraftExtensions {
   private type Description =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def unary(args: Seq[Expression], name: String)
+      (f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression = {
+    require(args.size == 1, s"$name expects exactly one argument")
+    // EAGER conversion: the builder must hand the analyzer a catalyst
+    // tree (builtins as resolvable UnresolvedFunctions), not a lazily
+    // wrapped ColumnNode only the Dataset API knows how to unwrap
+    ColumnBridge.resolvedExpression(f(ColumnBridge.column(args.head)))
+  }
+
   private val functions: Seq[Description] = Seq(
     (new FunctionIdentifier("fold_accents"),
       new ExpressionInfo(classOf[FoldAccentsExpr].getName, "fold_accents"),
       (args: Seq[Expression]) => {
         require(args.size == 1, "fold_accents expects exactly one argument")
         FoldAccentsExpr(args.head)
+      }),
+    // the CCNet dedup-key normalization chain (TextNormalizePipe default
+    // toggles) — lower + digits→0 + strip ASCII punct + collapse ws
+    (new FunctionIdentifier("ccnet_normalize"),
+      new ExpressionInfo("graft.llm.TextAnalysisOps", "ccnet_normalize"),
+      (args: Seq[Expression]) => unary(args, "ccnet_normalize")(
+        graft.llm.TextAnalysisOps.normalizeCCNet)),
+    // the bounded composite quality score of QualityScorePipe
+    (new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo("graft.llm.TextAnalysisOps", "graft_quality"),
+      (args: Seq[Expression]) => unary(args, "graft_quality")(
+        graft.llm.TextAnalysisOps.qualityScore)),
+    // Morton z-value: graft_zvalue(bits, dim1[, dim2...]) — bits must be
+    // a literal; dims must be pre-bucketed non-negative ints (ZOrder doc)
+    (new FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo("graft.operators.ZOrder", "graft_zvalue"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2,
+          "graft_zvalue(bits, dim1[, dim2...]) needs a bits literal and at least one dim")
+        require(args.head.foldable, "graft_zvalue: bits must be a literal")
+        val bits = args.head.eval().asInstanceOf[Number].intValue()
+        ColumnBridge.resolvedExpression(graft.operators.ZOrder.zvalue(
+          args.tail.map(ColumnBridge.column), bits))
       }))
 
   /** Register into an already-built session's function registry. */

@@ -35,4 +35,27 @@ class KeepBestSpec extends SparkSpec {
     assert(perCluster.filter(org.apache.spark.sql.functions.col("k") =!= 1).count() == 0)
     assert(out.count() == docs.count())
   }
+
+  test("connected components: path graph converges to one min-label cluster") {
+    // a 6-vertex path (diameter 5) — min-label propagation needs ~diameter
+    // rounds; with enough rounds every vertex labels 0
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(path, maxIter = 10)
+      .orderBy("id").collect().toSeq
+    assert(got == (0L to 5L).map(Row(_, 0L)))
+  }
+
+  test("connected components: non-convergence is an exception, not a log line") {
+    // diameter 5 > maxIter 2: a silently split component would let
+    // keep-best keep multiple survivors of one true cluster — must throw
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(path, maxIter = 2)
+    }
+    assert(e.getMessage.contains("NOT converged"))
+    // explicit opt-out restores the old warn-and-return behavior
+    val loose = DedupOps.connectedComponents(path, maxIter = 2,
+      failOnNonConvergence = false)
+    assert(loose.count() == 6)
+  }
 }

@@ -101,4 +101,49 @@ class RangeJoinSpec extends SparkSpec {
       GroupTopKPipe(Seq("g"), "v", 2, "id", useHeap = true, saltBuckets = 4)
     }
   }
+
+  test("heap mode orders LONG scores natively — no 2^53 double collapse") {
+    // 2^53 and 2^53+1 are the SAME double; Long.Min/Max negation
+    // overflows. The heap path orders integrals as longs via bitwise NOT,
+    // so it must agree with the window on all of them, both directions.
+    val df = Seq(
+      ("g", 1L, 9007199254740992L),      // 2^53
+      ("g", 2L, 9007199254740993L),      // 2^53 + 1 (> 2^53, same double)
+      ("g", 3L, Long.MaxValue),
+      ("g", 4L, Long.MaxValue - 1),
+      ("g", 5L, Long.MinValue),
+      ("g", 6L, Long.MinValue + 1),
+      ("g", 7L, 0L)).toDF("g", "id", "v")
+    for (desc <- Seq(true, false)) {
+      val window = GroupTopKPipe(Seq("g"), "v", 4, "id", descending = desc)(df)
+        .select("g", "id", "v", "rank")
+      val heap = GroupTopKPipe(Seq("g"), "v", 4, "id", descending = desc,
+        useHeap = true)(df).select("g", "id", "v", "rank")
+      assert(window.except(heap).count() == 0 &&
+        heap.except(window).count() == 0 &&
+        window.count() == heap.count(), s"desc=$desc")
+    }
+    // specifically: 2^53+1 must outrank 2^53 (the double path ties them)
+    val top = GroupTopKPipe(Seq("g"), "v", 7, "id", useHeap = true)(df)
+      .select("id", "rank").orderBy("rank").collect()
+    assert(top(2).getLong(0) == 2L && top(3).getLong(0) == 1L, top.toSeq)
+  }
+
+  test("heap mode fails loudly on null scores and non-numeric scores") {
+    val df = Seq((1L, "x"), (2L, null)).toDF("id", "s")
+      .selectExpr("'g' as g", "id", "if(id = 2, cast(null as long), id) as v")
+    val e = intercept[Exception] {
+      GroupTopKPipe(Seq("g"), "v", 2, "id", useHeap = true)(df).collect()
+    }
+    assert(e.getMessage.contains("null score") ||
+      Option(e.getCause).exists(_.getMessage.contains("null score")), e.getMessage)
+    // the window mode stays permissive (nulls last, its documented shape)
+    val ok = GroupTopKPipe(Seq("g"), "v", 3, "id")(df)
+    assert(ok.count() == 2)
+    val txt = Seq(("g", 1L, "abc")).toDF("g", "id", "v")
+    val bad = intercept[IllegalArgumentException] {
+      GroupTopKPipe(Seq("g"), "v", 1, "id", useHeap = true)(txt).collect()
+    }
+    assert(bad.getMessage.contains("numeric"))
+  }
 }

@@ -53,6 +53,12 @@ class UpsertStreamSpec extends SparkSpec {
     }
     assert(missing.getMessage.contains("not present"))
 
+    // the commit log records every version with a timestamp, in order
+    val log = StreamingUpsert.commits(spark, s"$dir/t")
+    assert(log.map(_._1) == Seq("vinit", "v0", "v1"))
+    assert(log.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    assert(log.forall(_._2 > 0L))
+
     // vacuum keeps the newest `keep` versions, never the pointed one
     val deleted = StreamingUpsert.vacuum(spark, s"$dir/t", keep = 1)
     assert(deleted.toSet == Set("vinit", "v0"))
@@ -60,6 +66,10 @@ class UpsertStreamSpec extends SparkSpec {
       .orderBy("k").collect().toSeq == afterB1)
     assert(!new java.io.File(s"$dir/t/v0").exists())
     assert(StreamingUpsert.versions(spark, s"$dir/t") == Seq("v1"))
+    // vacuumed versions keep their commit-log entries — the log is the
+    // audit trail, the FS is presence
+    assert(StreamingUpsert.commits(spark, s"$dir/t").map(_._1) ==
+      Seq("vinit", "v0", "v1"))
   }
 
   test("replayed batch whose version is already committed is a no-op") {
@@ -78,10 +88,16 @@ class UpsertStreamSpec extends SparkSpec {
     assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v0"))
     assert(StreamingUpsert.latest(spark, s"$dir/t").get
       .orderBy("k").collect().toSeq == expected)
-    // a LATER committed pointer also short-circuits an older replay
+    // a batch id BEHIND the committed pointer is NOT legitimate replay
+    // (foreachBatch only re-delivers the last batch) — it means a fresh
+    // checkpoint dir against an existing state dir, where silently
+    // no-op'ing would discard every incoming batch. Fail loudly.
     val b1 = Seq((1L, 11.0, false)).toDF("k", "v", "del")
     StreamingUpsert.applyBatch(b1, 1, s"$dir/t", Seq("k"), Some("del"))
-    StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+    val stale = intercept[IllegalStateException] {
+      StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"))
+    }
+    assert(stale.getMessage.contains("fresh"))
     assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v1"))
     // the pointer flip leaves no temp file behind
     assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
