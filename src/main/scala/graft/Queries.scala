@@ -2139,19 +2139,26 @@ object Queries {
         | WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
         | ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // quality replays the EXACT fixed-point rational (floor((2·num+den)/
+    // (2·den))/1e4) — no double rounding step, boundary-free at any scale
     "ta_quality" ->
       """WITH s AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM documents),
         |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt, nc,
         | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_r,
         | (nc - length(regexp_replace(text, '[0-9]', '', 'g'))) / nc AS dig_r,
-        | (nc - length(regexp_replace(text, '[A-Z]', '', 'g'))) / nc AS up_r
+        | (nc - length(regexp_replace(text, '[A-Z]', '', 'g'))) / nc AS up_r,
+        | CAST(len(toks) AS BIGINT) AS nti,
+        | CAST(greatest(length(text), 1) AS BIGINT) AS nci,
+        | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS BIGINT) AS si,
+        | CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS ldi,
+        | CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS lui
         | FROM s)
         |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
         | round((nc - (nt - 1)) / nt, 4) AS mean_token_len,
         | round(stop_r, 4) AS stopword_ratio,
         | round(dig_r, 4) AS digit_ratio,
         | round(up_r, 4) AS upper_ratio,
-        | round(greatest(least(least(nt/50, 1)*0.4 + least(stop_r*4, 1)*0.4 + (1-dig_r)*0.1 + (1-up_r)*0.1, 1), 0), 4) AS quality
+        | CAST(floor(((80*least(nti,50)*nti*nci + 4000*least(4*si,nti)*nci + 1000*ldi*nti + 1000*lui*nti)*2 + nti*nci) / (nti*nci*2.0)) AS DOUBLE) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ta_token_count" ->
       """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
@@ -2174,13 +2181,15 @@ object Queries {
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ta_quality_sql" ->
-      """WITH s AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks, CAST(length(text) AS DOUBLE) AS nc FROM documents),
-        |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt, nc,
-        | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_r,
-        | (nc - length(regexp_replace(text, '[0-9]', '', 'g'))) / nc AS dig_r,
-        | (nc - length(regexp_replace(text, '[A-Z]', '', 'g'))) / nc AS up_r
+      """WITH s AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS nti,
+        | CAST(greatest(length(text), 1) AS BIGINT) AS nci,
+        | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS BIGINT) AS si,
+        | CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS ldi,
+        | CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS lui
         | FROM s)
-        |SELECT doc_id, round(greatest(least(least(nt/50, 1)*0.4 + least(stop_r*4, 1)*0.4 + (1-dig_r)*0.1 + (1-up_r)*0.1, 1), 0), 4) AS quality
+        |SELECT doc_id, CAST(floor(((80*least(nti,50)*nti*nci + 4000*least(4*si,nti)*nci + 1000*ldi*nti + 1000*lui*nti)*2 + nti*nci) / (nti*nci*2.0)) AS DOUBLE) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ta_fold_accents" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(strip_accents(coalesce(text, '') || ' café Zürich niño àéîõü ÀÉÎÕÜ ç!')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
@@ -2505,12 +2514,15 @@ object Queries {
         | WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
         | WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
         | ELSE 'zh' END AS lang_pred FROM lid),
-        |q AS (SELECT doc_id, text, lang, lang_pred,
-        | round(greatest(least(least(CAST(len(toks) AS DOUBLE)/50,1)*0.4
-        |  + least((CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS DOUBLE)/CAST(len(toks) AS DOUBLE))*4,1)*0.4
-        |  + (1 - (nc - length(regexp_replace(text,'[0-9]','','g')))/nc)*0.1
-        |  + (1 - (nc - length(regexp_replace(text,'[A-Z]','','g')))/nc)*0.1, 1), 0), 4) AS quality
+        |qm AS (SELECT *, CAST(len(toks) AS BIGINT) AS nti,
+        | CAST(greatest(length(text), 1) AS BIGINT) AS nci,
+        | CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for','der','die','das','und','ist','von','mit','ein','zu','den','el','la','los','y','de','un','es','en','que','por','le','les','et','est','pour','shi','zai','he','you','wo','ta','men','bu'))) AS BIGINT) AS si,
+        | CAST(length(regexp_replace(text,'[0-9]','','g')) AS BIGINT) AS ldi,
+        | CAST(length(regexp_replace(text,'[A-Z]','','g')) AS BIGINT) AS lui
         | FROM pred),
+        |q AS (SELECT doc_id, text, lang, lang_pred,
+        | CAST(floor(((80*least(nti,50)*nti*nci + 4000*least(4*si,nti)*nci + 1000*ldi*nti + 1000*lui*nti)*2 + nti*nci) / (nti*nci*2.0)) AS DOUBLE) / 10000.0 AS quality
+        | FROM qm),
         |f AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred = lang),
         |dd AS (SELECT text, lang, lang_pred, quality, min(doc_id) AS doc_id, count(*) AS dup_count
         | FROM f GROUP BY text, lang, lang_pred, quality)
@@ -3038,7 +3050,7 @@ object Queries {
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
         |v AS (SELECT tok, CAST(round(-ln(count(*) / (SELECT total FROM n)) * 10000) AS BIGINT) AS f FROM tk GROUP BY tok),
-        |sc AS (SELECT doc_id, round(CAST(sum(f) AS DOUBLE) / (count(*) * 10000.0), 4) AS unigram_nll
+        |sc AS (SELECT doc_id, CAST(floor((sum(f)*2 + count(*)) / (count(*) * 2.0)) AS DOUBLE) / 10000.0 AS unigram_nll
         |       FROM tk JOIN v USING (tok) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(sc.unigram_nll, 0) AS unigram_nll
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
@@ -3290,7 +3302,7 @@ object Queries {
         |bc AS (SELECT p, c, count(*) AS bn FROM bg GROUP BY p, c),
         |w AS (SELECT bc.p, bc.c, CAST(round(-ln((bc.bn+1) / CAST(uc.u + (SELECT vs FROM v) AS DOUBLE)) * 10000) AS BIGINT) AS f
         | FROM bc JOIN uc USING (p)),
-        |sc AS (SELECT bg.doc_id, round(CAST(sum(w.f) AS DOUBLE) / (count(*) * 10000.0), 4) AS s
+        |sc AS (SELECT bg.doc_id, CAST(floor((sum(w.f)*2 + count(*)) / (count(*) * 2.0)) AS DOUBLE) / 10000.0 AS s
         | FROM bg JOIN w ON bg.p = w.p AND bg.c = w.c GROUP BY bg.doc_id)
         |SELECT d.doc_id, coalesce(sc.s, 0) AS bigram_nll
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),

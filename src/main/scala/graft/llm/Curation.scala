@@ -318,12 +318,16 @@ case class UnigramLogProbPipe(
     val vocab = if (broadcastVocab) broadcast(vocabRaw) else vocabRaw
     // fixed-point per-token nll: integer sums are exact and order-free, so
     // the score is bit-identical on any partitioning AND in any engine
-    // (a double avg depends on summation order)
+    // (a double avg depends on summation order). The MEAN rounds half-up
+    // on the exact rational — floor((2·sum+n)/(2·n)) — because round()
+    // on the double quotient diverges across engines whenever sum/n lands
+    // on a .00005 boundary (Java rounds the shortest-decimal repr, DuckDB
+    // the binary value; measured 48/50k rows at the sf1 audit)
     val scored = toks.join(vocab, Seq("__ug_tok__"))
       .groupBy("__ug_id__")
-      .agg(round(
-        sum(round(col("__ug_nll__") * 10000).cast("long")) /
-          (count(lit(1)) * 10000d), 4).as("__ug_score__"))
+      .agg((floor(
+        (sum(round(col("__ug_nll__") * 10000).cast("long")) * 2 + count(lit(1))) /
+          (count(lit(1)) * 2)) / 10000d).as("__ug_score__"))
     wide.join(scored, qcol(idCol) === col("__ug_id__"), "left")
       .withColumn(outputCol, coalesce(col("__ug_score__"), lit(0d)))
       .drop("__ug_id__", "__ug_score__")
@@ -385,9 +389,12 @@ case class BigramLogProbPipe(
           .cast("long").as("__bg_f__"))
     val probe = if (broadcastTable) broadcast(table) else table
     // every (prev, cur) a doc probes exists in the table by construction
+    // exact half-up mean of the fixed-point terms (same boundary-free
+    // form as the unigram pipe)
     val scored = bigrams.join(probe, Seq("__bg_p__", "__bg_c__"))
       .groupBy("__bg_id__")
-      .agg(round(sum("__bg_f__") / (count(lit(1)) * 10000d), 4).as("__bg_s__"))
+      .agg((floor((sum("__bg_f__") * 2 + count(lit(1))) /
+        (count(lit(1)) * 2)) / 10000d).as("__bg_s__"))
     wide.join(scored, qcol(idCol) === col("__bg_id__"), "left")
       .withColumn(outputCol, coalesce(col("__bg_s__"), lit(0d)))
       .drop("__bg_id__", "__bg_s__")

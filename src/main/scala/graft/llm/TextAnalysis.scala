@@ -39,19 +39,32 @@ object TextAnalysisOps {
   /** The bounded composite quality score of [[QualityScorePipe]] as one
     * scalar expression in [0, 1] — shared by the pipe and the
     * `graft_quality` SQL function.
+    *
+    * Computed as an EXACT fixed-point rational: quality·1e4 is an integer
+    * ratio of BIGINT products (each x·1e4 term has denominator nt·nc ≤
+    * ~4e6, numerator ≤ ~4e10 < 2^53), rounded half-up via
+    * floor((2·num+den)/(2·den)). The earlier `round(double, 4)` form
+    * diverged across engines whenever the true value landed on a .00005
+    * boundary (Java BigDecimal rounds the shortest-decimal repr of the
+    * double, DuckDB rounds its binary value — measured on 3/50k rows at
+    * the sf1 audit); the rational form has no double rounding step at
+    * all, so it is bit-identical at any scale in any engine.
     */
   def qualityScore(text: Column): Column = {
     val tokens = toks(text)
-    val nTok = size(tokens).cast("double")
-    val nChars = length(text).cast("double")
+    val nt = size(tokens).cast("long") // split('') = [''] → always >= 1
+    val nc = greatest(length(text).cast("long"), lit(1L))
     val allStop = stopwords.flatMap(_._2).distinct
-    val stopRatio = stopwordHits(tokens, allStop).cast("double") / nTok
-    val digitRatio = (nChars - length(regexp_replace(text, lit("[0-9]"), lit("")))) / nChars
-    val upperRatio = (nChars - length(regexp_replace(text, lit("[A-Z]"), lit("")))) / nChars
-    val lenScore = least(nTok / 50d, lit(1d))
-    val raw = lenScore * 0.4 + least(stopRatio * 4d, lit(1d)) * 0.4 +
-      (lit(1d) - digitRatio) * 0.1 + (lit(1d) - upperRatio) * 0.1
-    round(greatest(least(raw, lit(1d)), lit(0d)), 4)
+    val s = stopwordHits(tokens, allStop).cast("long")
+    val ld = length(regexp_replace(text, lit("[0-9]"), lit(""))).cast("long")
+    val lu = length(regexp_replace(text, lit("[A-Z]"), lit(""))).cast("long")
+    // quality·1e4 = 80·min(nt,50) + 4000·min(4s,nt)/nt + 1000·ld/nc
+    //             + 1000·lu/nc, over the common denominator nt·nc
+    val num = lit(80L) * least(nt, lit(50L)) * nt * nc +
+      lit(4000L) * least(s * 4, nt) * nc +
+      lit(1000L) * ld * nt + lit(1000L) * lu * nt
+    val den = nt * nc
+    floor((num * 2 + den) / (den * 2)) / 10000d
   }
 }
 
