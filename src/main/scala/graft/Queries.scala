@@ -537,7 +537,8 @@ object Queries {
       graft.llm.ExactDedupPipe(Seq("text"), "doc_id")(planted).orderBy("doc_id")
     }),
     "dd_minhash_lsh" -> ((s, d) =>
-      graft.llm.MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5)(
+      graft.llm.MinHashLSHDedupPipe("text", "doc_id", jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/lsh-planted"))(
         plantedNearDups(s, d))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
@@ -561,7 +562,8 @@ object Queries {
       // dups are tail edits, so they share the prefix block; head-edited
       // dups are the documented recall tradeoff (MinHashLSH is the
       // edit-position-robust path).
-      graft.llm.NgramJaccardPipe("text", "doc_id", "blk", threshold = 0.3)(
+      graft.llm.NgramJaccardPipe("text", "doc_id", "blk", threshold = 0.3,
+        cacheDir = Some("/tmp/graft-cache/ngram-planted"))(
         plantedNearDups(s, d)
           .withColumn("blk",
             concat_ws("/", col("lang"), substring(trim(col("text")), 1, 8))))
@@ -584,14 +586,16 @@ object Queries {
         (col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"),
           (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding")))
-      graft.llm.SRPCosineDedupPipe("embedding", "vec_id")(planted)
+      graft.llm.SRPCosineDedupPipe("embedding", "vec_id",
+        cacheDir = Some("/tmp/graft-cache/srp-planted"))(planted)
         .select(col("id_a"), col("id_b"), col("hamming"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
     "dd_clusters" -> ((s, d) => {
       val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
-        jaccardThreshold = 0.5)(plantedNearDups(s, d))
+        jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/lsh-planted"))(plantedNearDups(s, d))
       graft.llm.DedupOps.connectedComponents(pairs).orderBy("id")
     }),
     "ev_stream_neardup" -> ((s, d) =>
@@ -694,6 +698,36 @@ object Queries {
       s.sql("SELECT doc_id, graft_quality(text) AS quality " +
         "FROM graft_sql_docs ORDER BY doc_id")
     }),
+    "tx_html_extract" -> ((s, d) => {
+      // C4-lineage HTML -> text extraction: every doc wrapped in markup
+      // with style/script PAYLOADS (must vanish with their contents), a
+      // comment, attributes, and the six entities — incl. the
+      // decode-order trap &amp;lt; (must come out as literal "&lt;", not
+      // "<"). The oracle replays the identical RE2 pattern chain.
+      val planted = t(s, d, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>T</title><style>p { color: red; }" +
+          "</style></head><body><!-- drop me --><h1>H &amp;lt; X</h1>" +
+          "<p class=\"a\">"),
+        col("text"),
+        lit(" &quot;q&#39;s&quot; &lt;tag&gt;&nbsp;end</p>" +
+          "<script type=\"text/javascript\">var x = \"<p>not text</p>\";" +
+          "</script></body></html>")).as("html"))
+      graft.llm.HtmlExtractPipe("html")(planted)
+        .select(col("doc_id"), col("text_extracted")).orderBy("doc_id")
+    }),
+    "ws_weighted_sample" -> ((s, d) =>
+      // Efraimidis-Spirakis weighted sampling without replacement:
+      // global top-120 by ln(u)/w with the engine-reproducible hash u —
+      // plans as TakeOrderedAndProject (O(k) per partition, no sort)
+      graft.llm.WeightedSamplePipe("doc_id", "n_chars", 120)(
+        t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    "ws_weighted_stratified" -> ((s, d) =>
+      // per-language stratum: same key, GroupTopK per lang
+      graft.llm.WeightedSamplePipe("doc_id", "n_chars", 20, Seq("lang"))(
+        t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
     "ta_fold_accents" -> ((s, d) => {
       // the native FoldAccents Catalyst expression inside the normalize
       // chain: accented text planted onto every doc (same literal on
@@ -1333,7 +1367,8 @@ object Queries {
       // id; never-matched docs are singleton clusters and always survive
       val base = plantedNearDups(s, d)
       val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
-        jaccardThreshold = 0.5)(base)
+        jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/lsh-planted"))(base)
       val clusters = graft.llm.DedupOps.connectedComponents(pairs)
       graft.llm.DedupOps.resolveKeepBest(
         base.withColumn("score", size(split(col("text"), " "))),
@@ -1357,7 +1392,8 @@ object Queries {
       val base = plantedNearDups(s, d)
       val clusters = graft.llm.DedupOps.connectedComponents(
         graft.llm.MinHashLSHDedupPipe("text", "doc_id",
-          jaccardThreshold = 0.5)(base))
+          jaccardThreshold = 0.5,
+          cacheDir = Some("/tmp/graft-cache/lsh-planted"))(base))
       val withC = base
         .join(clusters.select(col("id").as("doc_id"), col("cluster")),
           Seq("doc_id"), "left")
@@ -1738,7 +1774,8 @@ object Queries {
     "tp_triplets" -> ((s, d) => {
       val base = plantedNearDups(s, d)
       val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
-        jaccardThreshold = 0.5)(base)
+        jaccardThreshold = 0.5,
+        cacheDir = Some("/tmp/graft-cache/lsh-planted"))(base)
       graft.llm.TripletMiningPipe(base, "doc_id")(pairs)
         .orderBy("anchor_id", "pos_id")
     }),
@@ -2194,6 +2231,32 @@ object Queries {
     "ta_fold_accents" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(strip_accents(coalesce(text, '') || ' café Zürich niño àéîõü ÀÉÎÕÜ ç!')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the identical RE2 pattern chain over the identically planted markup
+    "tx_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        | '<html><head><title>T</title><style>p { color: red; }</style></head><body><!-- drop me --><h1>H &amp;lt; X</h1><p class="a">'
+        | || text ||
+        | ' &quot;q&#39;s&quot; &lt;tag&gt;&nbsp;end</p><script type="text/javascript">var x = "<p>not text</p>";</script></body></html>' AS html
+        | FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<(?:script|style)\b[^>]*>.*?</(?:script|style)\s*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        | '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_extracted
+        |FROM s4 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ws_weighted_sample" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+        | ln((((doc_id*131 + 17) % 1000003) + 1) / 1000004.0) / CAST(n_chars AS DOUBLE) AS k
+        | FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM m)
+        |SELECT doc_id, n_chars FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ws_weighted_stratified" ->
+      """WITH m AS (SELECT doc_id, lang, n_chars,
+        | ln((((doc_id*131 + 17) % 1000003) + 1) / 1000004.0) / CAST(n_chars AS DOUBLE) AS k
+        | FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn FROM m)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dd_norm_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |planted AS (SELECT doc_id, text FROM base

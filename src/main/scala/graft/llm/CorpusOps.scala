@@ -283,3 +283,51 @@ case class SplitPipe(
     df.withColumn(splitCol, assigned)
   }
 }
+
+/** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
+  * 2006): draw `k` rows with inclusion odds proportional to a weight
+  * column by ranking on `key = ln(u) / w` with `u ∈ (0,1)` and keeping
+  * the top k (equivalent to the paper's `u^(1/w)` order, log-domain for
+  * numeric range). The one-pass distributed-top-k formulation is THE
+  * scale shape for weighted corpus subsampling: no global sort of the
+  * 100 TB side, no rejection loop — `orderBy(desc).limit(k)` plans as
+  * TakeOrderedAndProject (O(k) state per partition, O(k·partitions)
+  * collected), or per-group via [[graft.operators.GroupTopKPipe]].
+  *
+  * `u` is NOT `rand()` (partitioning/retry-dependent) but the repo's
+  * engine-reproducible affine-hash slot of the id mapped into (0,1):
+  * u = (((id·131 + seed) mod p) + 1) / (p + 1) — the same draw on any
+  * cluster size, any engine, any rerun, and exactly replayable by an
+  * external SQL oracle. Ties are impossible for distinct (u, w) pairs
+  * (ln is injective on the hash lattice); the id tie-break still pins
+  * the pathological equal-key case deterministically.
+  */
+case class WeightedSamplePipe(
+    idCol: String,
+    weightCol: String,
+    k: Int,
+    groupCols: Seq[String] = Nil,
+    seed: Long = 17L,
+    keyCol: String = "sample_key") extends Pipe {
+  require(k > 0, "k must be positive")
+  override def params = Map("id" -> idCol, "w" -> weightCol,
+    "k" -> k.toString, "group" -> groupCols.mkString(","),
+    "seed" -> seed.toString, "key" -> keyCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val p = 1000003L
+    val u = (pmod(qcol(idCol).cast("long") * 131 + seed, lit(p)) + 1) /
+      lit((p + 1).toDouble)
+    // w <= 0 can never be sampled (key -> -inf), matching the paper's
+    // domain w > 0 without a hard failure on dirty rows
+    val key = when(qcol(weightCol) > 0,
+      log(u) / qcol(weightCol).cast("double")).otherwise(lit(Double.NegativeInfinity))
+    val keyed = df.withColumn(keyCol, key)
+    if (groupCols.isEmpty)
+      // global top-k: TakeOrderedAndProject — O(k) per partition, no sort
+      keyed.orderBy(col(keyCol).desc, qcol(idCol).asc).limit(k)
+    else
+      graft.operators.GroupTopKPipe(groupCols, keyCol, k, idCol,
+        rankCol = None)(keyed)
+  }
+}

@@ -47,9 +47,25 @@ object DedupOps {
   }
 
   /** Exact Jaccard similarity of two set-valued (distinct) array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Jaccard over DISTINCT-element arrays with the union DERIVED, not
+    * computed: |A∪B| = |A|+|B|−|A∩B|, so one `array_intersect` replaces
+    * the former intersect+union pair — half the per-pair set work on the
+    * hot candidate-verify paths (at the r12 sf1 audit the pair volume
+    * grew 56× on 10× data; per-pair constants are the lever). The
+    * intersect size is staged as its own projection (referenced twice
+    * downstream, so CollapseProject cannot inline and re-evaluate it —
+    * the §6 HOF hazard). Values are bit-identical to the
+    * size(∩)/size(∪) form: all sizes are small exact integers in
+    * doubles.
+    */
+  def withJaccard(df: DataFrame, a: String, b: String,
+      out: String = "jaccard"): DataFrame =
+    df.withColumn("__jac_i__",
+        size(array_intersect(col(a), col(b))).cast("double"))
+      .withColumn(out, col("__jac_i__") /
+        (size(col(a)).cast("double") + size(col(b)).cast("double") -
+          col("__jac_i__")))
+      .drop("__jac_i__")
 
   /** MinHash signature: sig[s] = min over shingles of xxhash64(shingle, s),
     * s = 0..numHashes-1. (HOF form — kept for array-typed callers; the
@@ -387,7 +403,7 @@ case class MinHashLSHDedupPipe(
     pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .transform(DedupOps.withJaccard(_, "sh_a", "sh_b"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -498,7 +514,18 @@ case class NgramJaccardPipe(
       * block column (the pairs join shuffles by `blk` anyway). None
       * disables; callers who legitimately want huge blocks opt out.
       */
-    maxBlockRows: Option[Long] = Some(100000L)) extends Pipe {
+    maxBlockRows: Option[Long] = Some(100000L),
+    /** Persist the (blk, id, shingles) base via
+      * [[graft.core.CachedStage]] keyed by the corpus fingerprint — the
+      * shingle HOF build dominates the pipe on an unchanged corpus (67 s
+      * of 4-core task time at the sf1 audit vs ~20 s for the pair math);
+      * re-runs then pay only the inverted-index join + verify.
+      */
+    cacheDir: Option[String] = None) extends Pipe {
+  require(threshold > 0,
+    "NgramJaccardPipe: threshold must be > 0 (the shared-shingle candidate " +
+      "set is complete exactly for positive thresholds; J = 0 pairs share " +
+      "nothing and are never near-duplicates)")
   override def params = Map("text" -> textCol, "id" -> idCol,
     "block" -> blockCol, "shingle" -> shingleSize.toString,
     "threshold" -> threshold.toString,
@@ -516,9 +543,17 @@ case class NgramJaccardPipe(
     // per consumer on however few partitions the input planned
     val slim = df.select(qcol(blockCol).as("blk"),
       qcol(idCol).cast("long").as("id"), qcol(textCol).as("__text__"))
-    val raw = Pipe.widen(slim).select(col("blk"), col("id"),
+    val rawPlan = Pipe.widen(slim).select(col("blk"), col("id"),
       DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
-      .localCheckpoint(true)
+    val raw = cacheDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          graft.pipes.DatasetFingerprint.of(df),
+          graft.core.Fingerprint.hash(
+            s"ngram:$textCol:$idCol:$blockCol:$shingleSize"))
+        graft.core.CachedStage(df.sparkSession, dir, key)(rawPlan)
+      case None => rawPlan.localCheckpoint(true)
+    }
     val base = maxBlockRows match {
       case Some(cap) =>
         val counts = raw.groupBy(col("blk")).agg(count(lit(1)).as("__bn__"))
@@ -533,17 +568,30 @@ case class NgramJaccardPipe(
           .drop("__bn__")
       case None => raw
     }
-    val left = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // lossless size prune BEFORE the expensive set ops: jaccard <=
-    // min(|A|,|B|)/max(|A|,|B|), so pairs with min < tau*max can never
-    // reach the threshold
-    val sa = size(col("sh_a")).cast("double")
-    val sb = size(col("sh_b")).cast("double")
-    left.join(right, Seq("blk"))
+    // |∩| RELATIONALLY (the r6 oracle rewrite applied to the engine):
+    // explode shingles, self-join on (blk, shingle), count per pair —
+    // narrow codegen'd long rows with map-side combine, instead of the
+    // former all-pairs-within-block join evaluating an interpreted
+    // array_intersect per pair (measured 46 s vs ~4 s at the sf1 audit's
+    // 594k-pair hot block). Candidates = pairs sharing >= 1 shingle — a
+    // SUBSET of within-block pairs, complete for any threshold > 0 —
+    // and Σ_sh df² stays bounded by the maxBlockRows guard above.
+    val sizes = base.select(col("id"), size(col("sh")).as("__n__"))
+    val ex = base.select(col("blk"), col("id"), explode(col("sh")).as("s"))
+    val inter = ex.select(col("blk"), col("s"), col("id").as("id_a"))
+      .join(ex.select(col("blk"), col("s"), col("id").as("id_b")), Seq("blk", "s"))
       .filter(col("id_a") < col("id_b"))
-      .filter(least(sa, sb) >= lit(threshold) * greatest(sa, sb))
-      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i__"))
+    val na = col("__na__").cast("double")
+    val nb = col("__nb__").cast("double")
+    // the size-ratio prune is still lossless (jaccard <= min/max) — it
+    // rides after the count instead of before the set ops
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("__n__").as("__na__")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__n__").as("__nb__")), Seq("id_b"))
+      .filter(least(na, nb) >= lit(threshold) * greatest(na, nb))
+      .withColumn("jaccard",
+        col("__i__").cast("double") / (na + nb - col("__i__").cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -607,7 +655,15 @@ case class SRPCosineDedupPipe(
     nBits: Int = 48,
     bands: Int = 6,
     maxHamming: Int = 5,
-    minCosine: Double = 0.9) extends Pipe {
+    minCosine: Double = 0.9,
+    /** Persist the (id, vector, signature) base via
+      * [[graft.core.CachedStage]] keyed by the corpus fingerprint — the
+      * signature build is interpreted HOF work (48 hyperplane dots per
+      * vector) and dominates the pipe's cost on an unchanged corpus;
+      * re-runs then pay only the band join + verify (the same
+      * cross-run memoization [[minhashBanded]] provides).
+      */
+    cacheDir: Option[String] = None) extends Pipe {
   require(nBits % bands == 0, "bands must divide nBits")
   require(nBits <= 62, "signature must fit a long")
   require(maxHamming < bands,
@@ -628,8 +684,16 @@ case class SRPCosineDedupPipe(
         lit(0d), (acc, x) => acc + x)
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val base = Pipe.widen(slim).select(col("id"), col("v"), sigExpr.as("sg"))
-      .localCheckpoint(true)
+    val baseRaw = Pipe.widen(slim).select(col("id"), col("v"), sigExpr.as("sg"))
+    val base = cacheDir match {
+      case Some(dir) =>
+        val key = graft.core.Fingerprint.combine(
+          graft.pipes.DatasetFingerprint.of(df),
+          graft.core.Fingerprint.hash(
+            s"srp:$vecCol:$idCol:$nBits:$bands"))
+        graft.core.CachedStage(df.sparkSession, dir, key)(baseRaw)
+      case None => baseRaw.localCheckpoint(true)
+    }
     val r = nBits / bands
     val mask = (1L << r) - 1
     // Candidate volume per band grows with bucket occupancy² while
@@ -715,7 +779,7 @@ case class CrossCorpusMinHashPipe(
     pairs
       .join(baseA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(baseB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .transform(DedupOps.withJaccard(_, "sh_a", "sh_b"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -775,7 +839,7 @@ case class IncrementalMinHashDedupPipe(
       cands
         .join(lhsBase.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(rhsBase.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+        .transform(DedupOps.withJaccard(_, "sh_a", "sh_b"))
         .filter(col("jaccard") >= jaccardThreshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     // batch-vs-corpus: the CrossCorpusMinHashPipe shape, batch side small

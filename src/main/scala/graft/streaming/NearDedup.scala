@@ -239,7 +239,7 @@ object StreamingCorpusDedup {
         col("id").as("id_b"), col("n").as("n_b")), Seq("band", "bh"))
       .filter(least(na, nb) >= lit(jaccardThreshold) * greatest(na, nb))
       .join(baseC.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", graft.llm.DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .transform(graft.llm.DedupOps.withJaccard(_, "sh_a", "sh_b"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

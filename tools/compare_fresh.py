@@ -15,11 +15,19 @@ import duckdb
 from compare import TABLES, norm_rows
 
 
-def run_one(sf_dir, out_dir, name, sql):
+def run_one(sf_dir, out_dir, name, sql, low_mem=False):
     con = duckdb.connect()
     try:
         con.sql("SET temp_directory='/tmp/duck_spill'")
         con.sql("SET memory_limit='24GB'")
+        if low_mem:
+            # heavy multi-CTE oracles (pp_select_v3 at sf1) OOM with the
+            # default thread count: DuckDB's blocking-operator memory
+            # scales with threads. Fewer threads + no insertion-order
+            # preservation + a bigger cap lets the same SQL complete.
+            con.sql("SET threads=4")
+            con.sql("SET preserve_insertion_order=false")
+            con.sql("SET memory_limit='100GB'")
         for t in TABLES:
             # driver fixtures are single files; ScaleData writes Spark
             # directory-parquet — glob in that case
@@ -52,6 +60,13 @@ def main(sf_dir, out_dir, only):
     for name in names:
         try:
             good, msg = run_one(sf_dir, out_dir, name, oracle[name])
+        except duckdb.OutOfMemoryException:
+            try:
+                good, msg = run_one(sf_dir, out_dir, name, oracle[name],
+                                    low_mem=True)
+                msg += ", low-mem retry"
+            except Exception as e:
+                good, msg = False, f"exec error (after low-mem retry): {e}"
         except Exception as e:
             good, msg = False, f"exec error: {e}"
         if good:
