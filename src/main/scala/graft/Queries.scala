@@ -2541,13 +2541,13 @@ object Queries {
         |base AS (SELECT id, v FROM raw
         | UNION ALL SELECT id+10000, list_transform(range(0,64), t -> v[t+1] + ((t % 5) - 2) * 0.01) FROM raw WHERE id < 30),
         |sig AS (SELECT id, v,
-        | list_sum(list_transform(range(0,48), b ->
+        | list_sum(list_transform(range(0,60), b ->
         |  CASE WHEN list_sum(list_transform(range(0,64), t ->
         |    v[t+1] * ((((b*37 + t*11) % 21) - 10) / 10.0))) > 0
         |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg
         | FROM base),
         |bnd AS (SELECT id, CAST(sg AS BIGINT) AS sg, z.b AS b,
-        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*8 AS INT))) % 256 AS bv
+        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*10 AS INT))) % 1024 AS bv
         | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb
         | FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),

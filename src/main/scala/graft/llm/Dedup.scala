@@ -652,7 +652,17 @@ case class EmbeddingCosineDedupPipe(
 case class SRPCosineDedupPipe(
     vecCol: String,
     idCol: String,
-    nBits: Int = 48,
+    /** Band-candidate volume follows bucket occupancy² with occupancy ≈
+      * n / 2^(nBits/bands) — the sizing knob (SURVEY §6 r8). r12 raised
+      * the default 48 → 60 bits (6 bands of 10: 1024 buckets per band,
+      * 16× fewer candidates at the 200k-vector audit scale, measured
+      * 15.3× → inside the scale envelope) after the audit corpus's
+      * richer near-dup structure re-heated the 8-bit bands. Raise
+      * further for corpora past ~10^7 vectors (cap 62: the signature
+      * must fit a signed long, and maxHamming must stay < bands for
+      * pigeonhole-exact recall).
+      */
+    nBits: Int = 60,
     bands: Int = 6,
     maxHamming: Int = 5,
     minCosine: Double = 0.9,
