@@ -131,6 +131,21 @@ object Queries {
     docs.unionByName(mutated)
   }
 
+  /** documents wrapped in markup with style/script PAYLOADS (must vanish
+    * with their contents), a comment, attributes, and the six entities —
+    * incl. the decode-order trap &amp;lt; (must come out as literal
+    * "&lt;", not "<") — shared by the tx_html_extract gates.
+    */
+  private def plantedHtml(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<html><head><title>T</title><style>p { color: red; }" +
+        "</style></head><body><!-- drop me --><h1>H &amp;lt; X</h1>" +
+        "<p class=\"a\">"),
+      col("text"),
+      lit(" &quot;q&#39;s&quot; &lt;tag&gt;&nbsp;end</p>" +
+        "<script type=\"text/javascript\">var x = \"<p>not text</p>\";" +
+        "</script></body></html>")).as("html"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- core (C1-C8) -----
     "c1_identity" -> ((s, d) =>
@@ -704,16 +719,33 @@ object Queries {
       // comment, attributes, and the six entities — incl. the
       // decode-order trap &amp;lt; (must come out as literal "&lt;", not
       // "<"). The oracle replays the identical RE2 pattern chain.
-      val planted = t(s, d, "documents").select(col("doc_id"), concat(
-        lit("<html><head><title>T</title><style>p { color: red; }" +
-          "</style></head><body><!-- drop me --><h1>H &amp;lt; X</h1>" +
-          "<p class=\"a\">"),
-        col("text"),
-        lit(" &quot;q&#39;s&quot; &lt;tag&gt;&nbsp;end</p>" +
-          "<script type=\"text/javascript\">var x = \"<p>not text</p>\";" +
-          "</script></body></html>")).as("html"))
-      graft.llm.HtmlExtractPipe("html")(planted)
+      graft.llm.HtmlExtractPipe("html")(plantedHtml(s, d))
         .select(col("doc_id"), col("text_extracted")).orderBy("doc_id")
+    }),
+    "tx_html_extract_sql" -> ((s, d) => {
+      // the SQL front end of the same chain: GraftExtensions registers
+      // html_extract and the parser resolves it to the SAME expression
+      // tree HtmlExtractPipe plans — identical bytes, same oracle
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      plantedHtml(s, d).createOrReplaceTempView("graft_sql_html")
+      s.sql("SELECT doc_id, html_extract(html) AS text_extracted " +
+        "FROM graft_sql_html ORDER BY doc_id")
+    }),
+    "ta_langid_sql" -> ((s, d) => {
+      // graft_langid(text) — the LanguageIdPipe vote as a SQL scalar
+      // (shared kernel, identical values, same oracle as ta_langid)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql("SELECT doc_id, graft_langid(text) AS lang_pred " +
+        "FROM graft_sql_docs ORDER BY doc_id")
+    }),
+    "ta_fingerprint_sql" -> ((s, d) => {
+      // graft_fingerprint(text) — the rolling document fingerprint as a
+      // SQL scalar (shared kernel, same oracle as ta_fingerprint)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql("SELECT doc_id, graft_fingerprint(text) AS fingerprint " +
+        "FROM graft_sql_docs ORDER BY doc_id")
     }),
     "ws_weighted_sample" -> ((s, d) =>
       // Efraimidis-Spirakis weighted sampling without replacement:
@@ -1992,7 +2024,7 @@ object Queries {
       |FROM rk WHERE r <= $k GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
     "qid" -> "", "index.idx" -> "i", "index.score" -> "d")
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "c1_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
     "c2_input_filter" -> "SELECT upper(n_name) AS n_name FROM nation ORDER BY n_name",
     "c3_update_overlay" ->
@@ -3523,4 +3555,12 @@ object Queries {
         |  JOIN szb sb2 ON sb2.eval_id = cand.id_b)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
   )
+
+  /** SQL front ends of shared kernels: the gate output must equal the
+    * pipe gate's bytes exactly, so the oracle IS the base gate's oracle.
+    */
+  val oracleSql: Map[String, String] = oracleBase ++ Map(
+    "tx_html_extract_sql" -> oracleBase("tx_html_extract"),
+    "ta_langid_sql" -> oracleBase("ta_langid"),
+    "ta_fingerprint_sql" -> oracleBase("ta_fingerprint"))
 }

@@ -937,6 +937,38 @@ object VerifyScratch {
         s"${names == Seq("vinit", "v0") && stable}")
     }
 
+    // [64] r12: SQL front ends of shared kernels — html_extract /
+    // graft_langid / graft_fingerprint equal their pipe twins byte-for-
+    // byte on real docs, and the projection stays codegen'd (map-only)
+    {
+      org.apache.spark.sql.graft.GraftExtensions.register(spark)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text")
+      docs.createOrReplaceTempView("vs64_docs")
+      val viaSql = spark.sql(
+        """SELECT doc_id, graft_langid(text) AS l, graft_fingerprint(text) AS f,
+          |  html_extract('<p>' || text || '</p><!--x-->') AS h
+          |FROM vs64_docs""".stripMargin)
+      val viaCol = docs.select(col("doc_id"),
+        graft.llm.TextAnalysisOps.languageId(col("text")).as("l"),
+        graft.llm.TextAnalysisOps.fingerprint(col("text")).as("f"),
+        graft.llm.TextExtractOps.htmlExtract(
+          concat(lit("<p>"), col("text"), lit("</p><!--x-->"))).as("h"))
+      val n = docs.count()
+      val eq = viaSql.join(viaCol, Seq("doc_id", "l", "f", "h")).count()
+      val noShuffle = !viaSql.queryExecution.executedPlan.toString
+        .contains("Exchange")
+      // langid/fingerprint are HOF kernels (interpreted, like their
+      // pipes); the pure-string html_extract chain must stay inside a
+      // WholeStageCodegen span when projected alone
+      val htmlPlan = spark.sql(
+        "SELECT doc_id, html_extract(text) AS h FROM vs64_docs")
+        .queryExecution.executedPlan.toString
+      val codegen = htmlPlan.linesIterator.exists(l => l.trim.startsWith("*("))
+      println(s"[64] sql kernel twins eq=$eq/$n htmlCodegen=$codegen " +
+        s"mapOnly=$noShuffle -> ${eq == n && codegen && noShuffle}")
+    }
+
     spark.stop()
   }
 }

@@ -66,6 +66,37 @@ object TextAnalysisOps {
     val den = nt * nc
     floor((num * 2 + den) / (den * 2)) / 10000d
   }
+
+  /** The language-ID vote of [[LanguageIdPipe]] as one scalar expression
+    * (argmax of per-language stopword hits, first-listed wins ties,
+    * 'und' on zero hits) — shared by the pipe and the `graft_langid` SQL
+    * function so both surfaces emit identical values.
+    */
+  def languageId(text: Column): Column = {
+    val tokens = toks(text)
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> stopwordHits(tokens, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // foldRight means earlier-listed langs overwrite later ones on ties
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** The order-sensitive rolling document fingerprint of
+    * [[FingerprintPipe]] as one scalar expression (per-token polynomial
+    * char fold, then a polynomial fold over token hashes — bounded
+    * modular integer arithmetic, engine-reproducible) — shared by the
+    * pipe and the `graft_fingerprint` SQL function.
+    */
+  def fingerprint(text: Column): Column = {
+    def tokHash(t: Column): Column =
+      aggregate(filter(split(t, ""), c => length(c) > 0), lit(7L),
+        (h, c) => pmod(h * 31 + ascii(c).cast("long"), lit(1000003L)))
+    aggregate(arrTransform(toks(text), t => tokHash(t)), lit(0L),
+      (h, t) => pmod(h * 131 + t, lit(1000000007L)))
+  }
 }
 
 /** Language ID by function-word voting: predicted = argmax over per-lang
@@ -76,20 +107,11 @@ case class LanguageIdPipe(textCol: String, outputCol: String = "lang_pred")
     extends Pipe {
   override def update: Boolean = true
   override def params = Map("text" -> textCol, "out" -> outputCol)
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val tokens = TextAnalysisOps.toks(qcol(textCol))
-    val scores = TextAnalysisOps.stopwords.map { case (lang, words) =>
-      lang -> TextAnalysisOps.stopwordHits(tokens, words)
-    }
-    val best = greatest(scores.map(_._2): _*)
-    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // foldRight means earlier-listed langs overwrite later ones on ties
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
     // (widen: the stopword-hit HOFs are interpreted; single-row-group
     // parquet plans one task — no-op at real input split counts)
-    finish(Pipe.widen(df), Seq(outputCol -> pred))
-  }
+    finish(Pipe.widen(df),
+      Seq(outputCol -> TextAnalysisOps.languageId(qcol(textCol))))
 }
 
 /** Quality scoring: structural ratios a curation pipeline filters on.
@@ -151,22 +173,15 @@ case class FingerprintPipe(textCol: String, outputCol: String = "fingerprint")
   override def update: Boolean = true
   override def params = Map("text" -> textCol, "out" -> outputCol)
 
-  /** token hash: fold (h*31 + codepoint) % 1000003, seed 7 (same scheme
-    * as [[graft.text.TokenizerPipe]] ids).
-    */
-  private def tokHash(t: Column): Column =
-    aggregate(filter(split(t, ""), c => length(c) > 0), lit(7L),
-      (h, c) => pmod(h * 31 + ascii(c).cast("long"), lit(1000003L)))
-
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val tokens = TextAnalysisOps.toks(qcol(textCol))
-    val fp = aggregate(arrTransform(tokens, t => tokHash(t)), lit(0L),
-      (h, t) => pmod(h * 131 + t, lit(1000000007L)))
-    // the per-char fold is interpreted HOF work: parallelize past the
-    // input's file splits (single-row-group parquet scans one task; at
-    // real scale inputs carry >= parallelism splits and this no-ops)
-    finish(Pipe.widen(df), Seq(outputCol -> fp))
-  }
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    // token hash: fold (h*31 + codepoint) % 1000003, seed 7 (same scheme
+    // as graft.text.TokenizerPipe ids) — the shared scalar kernel, also
+    // SQL-exposed as `graft_fingerprint`. The per-char fold is
+    // interpreted HOF work: parallelize past the input's file splits
+    // (single-row-group parquet scans one task; at real scale inputs
+    // carry >= parallelism splits and this no-ops)
+    finish(Pipe.widen(df),
+      Seq(outputCol -> TextAnalysisOps.fingerprint(qcol(textCol))))
 }
 
 /** CCNet-style text normalization (Wenzek et al., "CCNet: Extracting High

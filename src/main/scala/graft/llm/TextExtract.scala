@@ -34,8 +34,17 @@ case class HtmlExtractPipe(
   override def update: Boolean = true
   override def params = Map("html" -> htmlCol, "out" -> outputCol)
 
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    var c: Column = coalesce(qcol(htmlCol), lit(""))
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    finish(df, Seq(outputCol -> TextExtractOps.htmlExtract(qcol(htmlCol))))
+}
+
+object TextExtractOps {
+  /** The five-step extraction chain of [[HtmlExtractPipe]] as one scalar
+    * expression — shared by the pipe and the `html_extract` SQL function
+    * so both surfaces emit identical bytes.
+    */
+  def htmlExtract(html: Column): Column = {
+    var c: Column = coalesce(html, lit(""))
     c = regexp_replace(c,
       "(?s)<(?:script|style)\\b[^>]*>.*?</(?:script|style)\\s*>", " ")
     c = regexp_replace(c, "(?s)<!--.*?-->", " ")
@@ -45,7 +54,6 @@ case class HtmlExtractPipe(
     for ((ent, ch) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"))
       c = regexp_replace(c, ent, ch)
-    c = trim(regexp_replace(c, "\\s+", " "))
-    finish(df, Seq(outputCol -> c))
+    trim(regexp_replace(c, "\\s+", " "))
   }
 }

@@ -55,6 +55,21 @@ object GraftExtensions {
       new ExpressionInfo("graft.llm.TextAnalysisOps", "graft_quality"),
       (args: Seq[Expression]) => unary(args, "graft_quality")(
         graft.llm.TextAnalysisOps.qualityScore)),
+    // C4-lineage HTML -> running-text extraction (HtmlExtractPipe chain)
+    (new FunctionIdentifier("html_extract"),
+      new ExpressionInfo("graft.llm.TextExtractOps", "html_extract"),
+      (args: Seq[Expression]) => unary(args, "html_extract")(
+        graft.llm.TextExtractOps.htmlExtract)),
+    // function-word-vote language ID (LanguageIdPipe prediction)
+    (new FunctionIdentifier("graft_langid"),
+      new ExpressionInfo("graft.llm.TextAnalysisOps", "graft_langid"),
+      (args: Seq[Expression]) => unary(args, "graft_langid")(
+        graft.llm.TextAnalysisOps.languageId)),
+    // order-sensitive rolling document fingerprint (FingerprintPipe)
+    (new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo("graft.llm.TextAnalysisOps", "graft_fingerprint"),
+      (args: Seq[Expression]) => unary(args, "graft_fingerprint")(
+        graft.llm.TextAnalysisOps.fingerprint)),
     // Morton z-value: graft_zvalue(bits, dim1[, dim2...]) — bits must be
     // a literal; dims must be pre-bucketed non-negative ints (ZOrder doc)
     (new FunctionIdentifier("graft_zvalue"),

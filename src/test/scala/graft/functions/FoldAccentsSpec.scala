@@ -54,4 +54,26 @@ class FoldAccentsSpec extends SparkSpec {
     assert(e.getMessage.contains("one argument") ||
       Option(e.getCause).exists(_.getMessage.contains("one argument")))
   }
+
+  test("sql registration: composite kernels resolve and match their pipes") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT html_extract('<p>Hi <b>there</b></p><script>x<y</script>') AS h,
+        |  graft_langid('the cat and the dog in the house') AS l,
+        |  graft_fingerprint('hello world') AS f,
+        |  graft_fingerprint('world hello') AS g""".stripMargin).head()
+    assert(r.getString(0) == "Hi there")
+    assert(r.getString(1) == "en")
+    // order-sensitive: same tokens, different order, different prints
+    assert(r.getLong(2) != r.getLong(3))
+    // the SQL surface and the Column kernel are the same expression tree
+    val df = Seq("the quick brown fox").toDF("text")
+    df.createOrReplaceTempView("fa_spec_t")
+    val viaSql = spark.sql(
+      "SELECT graft_fingerprint(text) AS f FROM fa_spec_t").head().getLong(0)
+    val viaCol = df.select(
+      graft.llm.TextAnalysisOps.fingerprint(col("text")).as("f"))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+  }
 }
