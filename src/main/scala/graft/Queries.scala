@@ -69,6 +69,36 @@ object Queries {
       |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
       |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
+  /** Bit-exact replay of [[graft.llm.BloomDecontaminatePipe]] (n=4,
+    * m=2^20, k=4): the dual-fold [[graft.llm.BloomOps.gramHash]] per
+    * distinct n-gram, the k affine bit positions (coefficients
+    * interpolated from the SAME [[graft.llm.BloomOps.bloomCoeffs]] the
+    * pipe uses), the bit set = positions of eval grams, and a gram
+    * probes true iff ALL k of its positions are set — false positives
+    * from position collisions replay identically.
+    */
+  private val bloomDecontamOracle: String = {
+    val coefVals = graft.llm.BloomOps.bloomCoeffs(4).zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t FROM documents),
+      |th AS (SELECT doc_id, len(t) AS n,
+      |  list_transform(t, w -> list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))), (h,c) -> (h*31+c) % 1000003)) AS a,
+      |  list_transform(t, w -> list_reduce(list_prepend(CAST(11 AS BIGINT), list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))), (h,c) -> (h*131+c) % 1000000007)) AS b
+      | FROM tok),
+      |ng AS (SELECT doc_id, unnest(CASE WHEN n >= 4 THEN list_transform(range(0, n-3), i ->
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT), a[i+1:i+4]), (h,x) -> (h*31+x) % 1000003) * 1000000007
+      |  + list_reduce(list_prepend(CAST(11 AS BIGINT), b[i+1:i+4]), (h,x) -> (h*131+x) % 1000000007)) ELSE [] END) AS g FROM th),
+      |hs AS (SELECT DISTINCT g, g % 2147483647 AS hp FROM ng),
+      |coef AS (SELECT * FROM (VALUES $coefVals) AS c(j, a, b)),
+      |pos AS (SELECT g, j, ((hp*a + b) % 2147483647) % 1048576 AS p FROM hs CROSS JOIN coef),
+      |bits AS (SELECT DISTINCT p FROM pos WHERE g IN (SELECT DISTINCT g FROM ng WHERE doc_id < 30)),
+      |pg AS (SELECT g FROM pos JOIN bits USING (p) GROUP BY g HAVING count(DISTINCT j) = 4),
+      |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN pg USING (g))
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Pinned public-style merge table for the bp_bpe_encode gate: covers a
     * chained merge (ta + b reads the output of t + a) and an a==b merge
     * (g,g — the greedy-pass run-parity case, "agg" -> [gg, a... ]).
@@ -1624,6 +1654,16 @@ object Queries {
         "text", "doc_id", ngramSize = 4)(docs)
         .select("doc_id", "contaminated").orderBy("doc_id")
     }),
+    "cu_bloom_decontam" -> ((s, d) => {
+      // same eval split as cu_decontaminate, but the eval side is a
+      // 2^20-bit Bloom bitmap and the train side a MAP-ONLY codegen'd
+      // bit probe (no join/shuffle/broadcast table). The oracle replays
+      // every bit collision, so false positives are deterministic.
+      val docs = t(s, d, "documents")
+      graft.llm.BloomDecontaminatePipe(docs.filter(col("doc_id") < 30),
+        "text", "doc_id", ngramSize = 4)(docs)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
     "ev_stream_decontam" -> ((s, d) =>
       // REAL StreamingQuery: stateless per-row n-gram overlap against the
       // static eval corpus — same flags as the batch pipe and oracle
@@ -3108,6 +3148,7 @@ object Queries {
         | round(CASE WHEN coalesce(nbg,0) > 0 THEN dup/nbg ELSE 0 END, 4) AS dup_bigram_frac
         |FROM tok LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "cu_decontaminate" -> decontaminateOracle,
+    "cu_bloom_decontam" -> bloomDecontamOracle,
     "ev_stream_decontam" -> decontaminateOracle,
     "cu_pii" ->
       """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0

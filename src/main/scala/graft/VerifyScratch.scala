@@ -969,6 +969,27 @@ object VerifyScratch {
         s"mapOnly=$noShuffle -> ${eq == n && codegen && noShuffle}")
     }
 
+    // [65] r12: bloom decontamination — one-sided vs the exact semi-join
+    // pipe on real docs (equal at m=2^20; superset under a saturated m)
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") < 30)
+      val exact = graft.llm.DecontaminatePipe(eval, "text", "doc_id",
+        ngramSize = 4)(docs).filter(col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloom = graft.llm.BloomDecontaminatePipe(eval, "text", "doc_id",
+        ngramSize = 4)(docs).filter(col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sat = graft.llm.BloomDecontaminatePipe(eval, "text", "doc_id",
+        ngramSize = 4, mBits = 256, numHashes = 2)(docs)
+        .filter(col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      println(s"[65] bloom decontam exact=${exact.size} bloom=${bloom.size} " +
+        s"sat=${sat.size} -> ${bloom == exact && exact.subsetOf(sat) &&
+          sat.size > exact.size}")
+    }
+
     spark.stop()
   }
 }

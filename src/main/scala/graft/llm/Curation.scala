@@ -140,6 +140,174 @@ case class DecontaminatePipe(
   }
 }
 
+/** Engine-reproducible Bloom position algebra shared by
+  * [[BloomDecontaminatePipe]] and its gate oracle.
+  */
+object BloomOps {
+  val BloomPrime: Long = 2147483647L // 2^31 - 1
+
+  /** Engine-reproducible wide n-gram hashing, structured so each CHAR is
+    * folded exactly once per document: two independent per-token
+    * polynomial char folds (31 mod 1000003 seed 7; 131 mod 1000000007
+    * seed 11), then per n-gram the same two fold families over the n
+    * TOKEN hashes, combined as f1·1000000007 + f2 — ~1e15 distinct
+    * values, every intermediate product < 2^63 so any 64-bit engine
+    * replays exactly. (Hashing gram STRINGS directly re-folds each char
+    * n times — measured 5.1 s vs 1.5 s on the sf0.1 gate.)
+    *
+    * NOT [[DedupOps.polySig61]]: that one's mixing chain starts from a
+    * SINGLE fold mod 1000003, so it has only ~1e6 distinct values — fine
+    * for SimHash's per-token majority votes, but as a Bloom key it makes
+    * every eval/train gram pair collide at rate n/1e6 (measured: 34
+    * spurious docs on the sf0.001 spec corpus; at real corpus sizes the
+    * filter would saturate). Residual hash-collision FP rate here is
+    * nEvalGrams/1e15 per probe.
+    */
+  def tokenFold31(t: Column): Column =
+    aggregate(filter(split(t, ""), c => length(c) > 0), lit(7L),
+      (h, c) => pmod(h * 31 + ascii(c).cast("long"), lit(1000003L)))
+
+  def tokenFold131(t: Column): Column =
+    aggregate(filter(split(t, ""), c => length(c) > 0), lit(11L),
+      (h, c) => pmod(h * 131 + ascii(c).cast("long"), lit(1000000007L)))
+
+  /** Gram hashes over pre-staged token-hash arrays (STAGE t1s/t2s as
+    * kept columns first — the SURVEY §6 HOF-inline hazard; a raw column
+    * reference inside the per-gram lambda is an array lookup, an inlined
+    * producer expression is a per-gram re-fold of the whole doc).
+    */
+  def gramHashes(t1s: Column, t2s: Column, n: Int): Column =
+    when(size(t1s) >= n,
+      arrTransform(sequence(lit(0), size(t1s) - n), i =>
+        aggregate(slice(t1s, i + 1, lit(n)), lit(7L),
+          (h, x) => pmod(h * 31 + x, lit(1000003L))) * lit(1000000007L) +
+        aggregate(slice(t2s, i + 1, lit(n)), lit(11L),
+          (h, x) => pmod(h * 131 + x, lit(1000000007L)))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Fixed-seed (a, b) affine pairs — a DIFFERENT seed than
+    * [[DedupOps.minhashCoeffs]] so bloom positions and minhash buckets
+    * stay statistically independent when both run over one corpus.
+    */
+  def bloomCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0xb100f17e)
+    (0 until numHashes).map { _ =>
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong)
+    }
+  }
+
+  /** The k bit positions of one 61-bit shingle hash: pos_j =
+    * ((h mod P)·a_j + b_j mod P) mod m — bounded integer arithmetic an
+    * external engine replays exactly (hp < 2^31, hp·a < 2^62).
+    */
+  def positions(h: Column, numHashes: Int, mBits: Int): Seq[Column] = {
+    val hp = pmod(h, lit(BloomPrime))
+    bloomCoeffs(numHashes).map { case (a, b) =>
+      pmod(pmod(hp * lit(a) + lit(b), lit(BloomPrime)), lit(mBits.toLong))
+    }
+  }
+}
+
+/** Bloom-filter eval-set decontamination — the O(1)-broadcast sibling of
+  * [[DecontaminatePipe]] (Bloom 1970, CACM 13(7)). Where that pipe
+  * broadcasts the eval side's DISTINCT n-gram strings (broadcast size
+  * grows with the eval corpus), this one compresses the eval side to a
+  * FIXED `mBits`-bit bitmap: each eval n-gram sets `numHashes` positions
+  * derived from the engine-reproducible [[BloomOps.gramHash]]; a
+  * training doc is flagged iff ANY of its n-grams finds all its positions
+  * set. One-sided error only — every truly contaminated doc is flagged
+  * (no false negatives); false positives occur at rate ~fill^k (size
+  * `mBits` >= ~10x expected distinct eval n-grams to keep it negligible).
+  *
+  * Shape at 100 TB: the bitmap build touches only the (small) eval side
+  * — per-partition OR of local bitmaps, one fold — and the train side is
+  * MAP-ONLY: no join, no shuffle, no broadcast-table hash lookup; just a
+  * codegen'd bit test ([[org.apache.spark.sql.graft.BloomProbeExpr]])
+  * against an Array[Long] that ships once per stage with the task
+  * binary. Deterministic on any cluster size/retry/engine — the gate
+  * oracle replays every bit collision.
+  */
+case class BloomDecontaminatePipe(
+    evalDf: DataFrame,
+    textCol: String,
+    idCol: String,
+    ngramSize: Int = 3,
+    mBits: Int = 1 << 20,
+    numHashes: Int = 4,
+    /** true → add boolean `flagCol`; false → drop flagged rows. */
+    flagOnly: Boolean = true,
+    flagCol: String = "contaminated") extends Pipe {
+  require((mBits & (mBits - 1)) == 0 && mBits >= 64,
+    s"mBits must be a power of two >= 64, got $mBits")
+  override def update: Boolean = flagOnly
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "n" -> ngramSize.toString, "m" -> mBits.toString,
+    "k" -> numHashes.toString, "flagOnly" -> flagOnly.toString,
+    "flag" -> flagCol)
+
+  /** Distinct eval n-grams → gramHash → k positions each → per-partition
+    * local bitmaps OR-folded to one Array[Long]. Runs one Spark job.
+    */
+  private def buildBitmap(): Array[Long] = {
+    val words = mBits / 64
+    val pos = evalDf
+      .withColumn("__bd_tk__",
+        TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))))
+      .withColumn("__bd_t1__",
+        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold31(t)))
+      .withColumn("__bd_t2__",
+        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold131(t)))
+      .select(explode(BloomOps.gramHashes(
+        col("__bd_t1__"), col("__bd_t2__"), ngramSize)).as("__h__"))
+      .distinct()
+      .select(explode(array(
+        BloomOps.positions(col("__h__"), numHashes, mBits): _*)).as("p"))
+    pos.select(col("p").cast("long")).rdd
+      .mapPartitions { it =>
+        val w = new Array[Long](words)
+        it.foreach { r =>
+          val p = r.getLong(0)
+          w((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+        }
+        Iterator.single(w)
+      }
+      .fold(new Array[Long](words)) { (x, y) =>
+        var i = 0
+        while (i < words) { x(i) |= y(i); i += 1 }
+        x
+      }
+  }
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val bits = buildBitmap()
+    // stage tokens, BOTH token-hash arrays, and the gram hashes as kept
+    // columns (HOF-inline hazard, SURVEY §6): each char folds once per
+    // fold family; each gram folds n token hashes; each hash maps to k
+    // positions referencing it as a lambda variable
+    val wide = Pipe.widen(df)
+      .withColumn("__bd_tk__",
+        TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))))
+      .withColumn("__bd_t1__",
+        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold31(t)))
+      .withColumn("__bd_t2__",
+        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold131(t)))
+      .withColumn("__bd_hs__", BloomOps.gramHashes(
+        col("__bd_t1__"), col("__bd_t2__"), ngramSize))
+      .withColumn("__bd_ps__",
+        flatten(arrTransform(col("__bd_hs__"),
+          h => array(BloomOps.positions(h, numHashes, mBits): _*))))
+    val probe = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.BloomProbeExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__bd_ps__")),
+        bits, numHashes))
+    val out =
+      if (flagOnly) wide.withColumn(flagCol, probe)
+      else wide.filter(!probe)
+    out.drop("__bd_tk__", "__bd_t1__", "__bd_t2__", "__bd_hs__", "__bd_ps__")
+  }
+}
+
 /** PII redaction: count and mask pattern families (emails, phone numbers,
   * IPv4 by default) with placeholder tags. Pure regexp expressions —
   * map-only, codegen'd, no shuffle.

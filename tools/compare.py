@@ -30,11 +30,13 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # subset runs compare what was dumped, not the whole suite
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     ok = fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -69,4 +71,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:]))
