@@ -2318,15 +2318,17 @@ object Queries {
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_extracted
         |FROM s4 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ws_weighted_sample" ->
-      """WITH m AS (SELECT doc_id, n_chars,
-        | ln((((doc_id*131 + 17) % 1000003) + 1) / 1000004.0) / CAST(n_chars AS DOUBLE) AS k
+      """WITH s AS (SELECT doc_id, n_chars, (doc_id*131 + 17) % 2147483647 AS s1
         | FROM documents WHERE n_chars > 0),
+        |m AS (SELECT doc_id, n_chars,
+        | ln(((s1*s1 + s1) % 2147483647 + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE) AS k FROM s),
         |r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM m)
         |SELECT doc_id, n_chars FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "ws_weighted_stratified" ->
-      """WITH m AS (SELECT doc_id, lang, n_chars,
-        | ln((((doc_id*131 + 17) % 1000003) + 1) / 1000004.0) / CAST(n_chars AS DOUBLE) AS k
+      """WITH s AS (SELECT doc_id, lang, n_chars, (doc_id*131 + 17) % 2147483647 AS s1
         | FROM documents WHERE n_chars > 0),
+        |m AS (SELECT doc_id, lang, n_chars,
+        | ln(((s1*s1 + s1) % 2147483647 + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE) AS k FROM s),
         |r AS (SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn FROM m)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dd_norm_dedup" ->

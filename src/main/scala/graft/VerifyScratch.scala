@@ -990,6 +990,27 @@ object VerifyScratch {
           sat.size > exact.size}")
     }
 
+    // [66] r13: WeightedSamplePipe quadratic-mixer draw — w<=0 rows are
+    // excluded (short result, not padded), the plan stays
+    // TakeOrderedAndProject, and the draw is layout-independent
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      // only 5 positive-weight rows but k=20: result must be exactly 5
+      val scarce = docs.withColumn("w",
+        when(col("doc_id") < 5, col("n_chars")).otherwise(lit(0L)))
+      val short = graft.llm.WeightedSamplePipe("doc_id", "w", 20)(scarce)
+      val nShort = short.count()
+      val sampled = graft.llm.WeightedSamplePipe("doc_id", "n_chars", 50)(docs)
+      val plan = sampled.queryExecution.executedPlan.toString
+      val takeOrdered = plan.contains("TakeOrderedAndProject")
+      val a = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = graft.llm.WeightedSamplePipe("doc_id", "n_chars", 50)(
+        docs.repartition(13)).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      println(s"[66] weighted sample short=$nShort takeOrdered=$takeOrdered " +
+        s"layoutEq=${a == b} -> ${nShort == 5 && takeOrdered && a == b}")
+    }
+
     spark.stop()
   }
 }

@@ -295,12 +295,30 @@ case class SplitPipe(
   * collected), or per-group via [[graft.operators.GroupTopKPipe]].
   *
   * `u` is NOT `rand()` (partitioning/retry-dependent) but the repo's
-  * engine-reproducible affine-hash slot of the id mapped into (0,1):
-  * u = (((id·131 + seed) mod p) + 1) / (p + 1) — the same draw on any
-  * cluster size, any engine, any rerun, and exactly replayable by an
-  * external SQL oracle. Ties are impossible for distinct (u, w) pairs
-  * (ln is injective on the hash lattice); the id tie-break still pins
-  * the pathological equal-key case deterministically.
+  * engine-reproducible QUADRATIC mixer (the [[DeterministicShufflePipe]]
+  * hash, with the Mersenne modulus M31) mapped into (0,1):
+  * s = (id·131 + seed) mod 2147483647; slot = (s² + s) mod 2147483647;
+  * u = (slot + 1) / 2³¹ — the same draw on any cluster size, any
+  * engine, any rerun, and exactly replayable by an external SQL oracle
+  * (every intermediate < 2⁶³, so BIGINT arithmetic never wraps). The
+  * quadratic step breaks the contiguous-id order correlation an affine
+  * hash would have, and the ~2³¹ draw lattice keys collision odds at
+  * ~n²/2³² (vs ~n²/2²¹ for the earlier 1e6-slot draw) — at 10⁹ rows the
+  * id tie-break still pins any residual equal-key case.
+  *
+  * Rows with `w <= 0` are FILTERED OUT before the top-k (the paper's
+  * domain is w > 0): they can never be emitted, even when a group — or
+  * the whole input — has fewer than k positive-weight rows; the result
+  * is then shorter than k rather than padded with unsampleable rows.
+  *
+  * Engine-replay caveat (1-ulp): `ln` is not a correctly-rounded IEEE
+  * operation, so Spark's Math.log and an external engine's libm log may
+  * differ in the last ulp on some lattice points. A near-tie at the
+  * rank-k boundary could in principle flip the selected set between
+  * engines; on the M31 lattice no such boundary pair has been observed
+  * (the sf1 audit replays the full selection bit-for-bit in DuckDB).
+  * For an exactness-critical replay, compare keys at reduced precision
+  * with the id tie-break, or replay the Spark-side key column verbatim.
   */
 case class WeightedSamplePipe(
     idCol: String,
@@ -315,14 +333,14 @@ case class WeightedSamplePipe(
     "seed" -> seed.toString, "key" -> keyCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val p = 1000003L
-    val u = (pmod(qcol(idCol).cast("long") * 131 + seed, lit(p)) + 1) /
-      lit((p + 1).toDouble)
-    // w <= 0 can never be sampled (key -> -inf), matching the paper's
-    // domain w > 0 without a hard failure on dirty rows
-    val key = when(qcol(weightCol) > 0,
-      log(u) / qcol(weightCol).cast("double")).otherwise(lit(Double.NegativeInfinity))
-    val keyed = df.withColumn(keyCol, key)
+    val p = 2147483647L // M31: s² + s < 2⁶³, so no engine's BIGINT wraps
+    val s1 = pmod(qcol(idCol).cast("long") * 131 + seed, lit(p))
+    val u = (pmod(s1 * s1 + s1, lit(p)) + 1) / lit((p + 1).toDouble)
+    val key = log(u) / qcol(weightCol).cast("double")
+    // w <= 0 is outside the paper's domain: excluded from the draw
+    // entirely (not keyed -inf) so a short group emits < k rows rather
+    // than padding with unsampleable ones
+    val keyed = df.filter(qcol(weightCol) > 0).withColumn(keyCol, key)
     if (groupCols.isEmpty)
       // global top-k: TakeOrderedAndProject — O(k) per partition, no sort
       keyed.orderBy(col(keyCol).desc, qcol(idCol).asc).limit(k)

@@ -58,6 +58,28 @@ class WeightedSampleSpec extends SparkSpec {
     assert(z.filter(col("doc_id") < 100).count() == 0)
   }
 
+  test("weighted sample: weight-proportional inclusion on a 1M-id corpus") {
+    // two weight classes over 1M contiguous ids: w=10 rows must be drawn
+    // ~10x as often as w=1 rows (Efraimidis-Spirakis inclusion odds for
+    // k << n), and the draw must not be order-correlated on the
+    // contiguous id range (the quadratic mixer's job)
+    val n = 1000000L
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") % 2 === 0, lit(10L)).otherwise(lit(1L)))
+    val k = 10000
+    val out = WeightedSamplePipe("doc_id", "w", k)(base).cache()
+    assert(out.count() == k)
+    val heavy = out.filter(col("w") === 10).count().toDouble
+    val light = (k - heavy).max(1.0)
+    val ratio = heavy / light
+    assert(ratio > 6.0 && ratio < 16.0, s"heavy/light inclusion ratio $ratio")
+    // no contiguous-prefix artifact: the sampled even ids spread across
+    // the id range instead of clustering at one end
+    val meanId = out.filter(col("w") === 10).agg(avg("doc_id")).head().getDouble(0)
+    assert(meanId > n * 0.35 && meanId < n * 0.65, s"sampled-id mean $meanId")
+    out.unpersist()
+  }
+
   test("weighted sample: global mode plans as TakeOrdered, grouped mode caps per group") {
     val docs = spark.read.parquet(sf("documents"))
     val plan = WeightedSamplePipe("doc_id", "n_chars", 10)(docs)
