@@ -436,10 +436,15 @@ object Queries {
       val queries = docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+      // stateDir: postings/dfreq/docs persist under the fingerprint cache
+      // (same contract as s3c/s9/s14/s18/s21/s22) so the bench times the
+      // QUERY join path, not a corpus re-tokenize every run
       val eng = graft.search.BM25Engine(docs,
         graft.search.SearchConfig(k = 10, fillMaskedIndices = false, queryIdCol = Some("qid")),
         corpusIdxCol = "doc_id", corpusTextCol = "text",
-        roundScores = Some(4))
+        roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-s3"),
+        corpusFingerprint = tableFp(s, d, "documents"))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -677,11 +682,16 @@ object Queries {
           array_join(slice(toks, lit(1), lit(5)), " ").as("query.text"),
           array_join(slice(toks, lit(6), (col("doc_id") % 4 + 1).cast("int")), " ")
             .as("query.aux_text"))
+      // stateDir: aux/temperature are query-time knobs excluded from the
+      // persisted-index key (BM25.scala `queryTimeParams`), so this gate
+      // shares the s3 contract — warm runs time only the query path
       val eng = graft.search.BM25Engine(docs,
         graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
         corpusIdxCol = "doc_id", corpusTextCol = "text",
-        auxWeight = 0.5, temperature = Some(2.0), roundScores = Some(4))
+        auxWeight = 0.5, temperature = Some(2.0), roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-s3b"),
+        corpusFingerprint = tableFp(s, d, "documents"))
       eng(queries)
         .select(col("qid"), q("index.idx"),
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
@@ -1295,10 +1305,17 @@ object Queries {
         .select(col("idx").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
           col("vector").as("query.vector"))
+      // stateDir: same contract as s14 — the joined-corpus fingerprint
+      // keys the persisted stats so warm runs time the fusion, not a
+      // BM25 stats rebuild
+      val s19fp = graft.core.Fingerprint.combine(
+        tableFp(s, d, "documents"), tableFp(s, d, "embeddings"))
       val bm25 = graft.search.BM25Engine(corpus,
         graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
-        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-s19"),
+        corpusFingerprint = s19fp)
       val dense = graft.search.BruteForceDenseEngine(
         corpus.select(col("idx"), col("vector")),
         graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
@@ -1408,10 +1425,16 @@ object Queries {
         .select(col("idx").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"),
           col("vector").as("query.vector"))
+      // stateDir: same contract as s14/s19 — warm runs time the fusion,
+      // not a BM25 stats rebuild
+      val s23fp = graft.core.Fingerprint.combine(
+        tableFp(s, d, "documents"), tableFp(s, d, "embeddings"))
       val bm25 = graft.search.BM25Engine(corpus,
         graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
           queryIdCol = Some("qid")),
-        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4))
+        corpusIdxCol = "idx", corpusTextCol = "text", roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-s23"),
+        corpusFingerprint = s23fp)
       val dense = graft.search.BruteForceDenseEngine(
         corpus.select(col("idx"), col("vector")),
         graft.search.SearchConfig(k = 20, fillMaskedIndices = false,
