@@ -269,11 +269,17 @@ object DedupOps {
     val r = numHashes / bands
     def materialize(tag: String, df: => DataFrame): DataFrame = cacheDir match {
       case Some(dir) =>
+        // The third component fingerprints the PRODUCING PLAN (shingle /
+        // permutation expressions included), so an edit to the kernel —
+        // not just the parameters — forks the key instead of silently
+        // serving a stale persisted stage (ADVICE r12).
+        val frame = df
         val key = graft.core.Fingerprint.combine(
           graft.pipes.DatasetFingerprint.of(src),
           graft.core.Fingerprint.hash(
-            s"minhash:$tag:$textCol:$idCol:$numHashes:$bands:$shingleSize"))
-        graft.core.CachedStage(src.sparkSession, dir, key)(df)
+            s"minhash:$tag:$textCol:$idCol:$numHashes:$bands:$shingleSize"),
+          graft.pipes.DatasetFingerprint.of(frame))
+        graft.core.CachedStage(src.sparkSession, dir, key)(frame)
       case None => df.localCheckpoint(true)
     }
     val slim = src.select(
@@ -468,10 +474,13 @@ case class SimHashDedupPipe(
     val withSimRaw = votes.select(col("id"), simExpr.as("sim"))
     val withSim = cacheDir match {
       case Some(dir) =>
+        // third component = the producing plan's fingerprint: a kernel
+        // edit forks the key instead of serving a stale cache (ADVICE r12)
         val key = graft.core.Fingerprint.combine(
           graft.pipes.DatasetFingerprint.of(df),
           graft.core.Fingerprint.hash(
-            s"simhash:$textCol:$idCol:$tokenHash"))
+            s"simhash:$textCol:$idCol:$tokenHash"),
+          graft.pipes.DatasetFingerprint.of(withSimRaw))
         graft.core.CachedStage(df.sparkSession, dir, key)(withSimRaw)
       case None => withSimRaw
     }
@@ -547,10 +556,13 @@ case class NgramJaccardPipe(
       DedupOps.shingleHashes(col("__text__"), shingleSize).as("sh"))
     val raw = cacheDir match {
       case Some(dir) =>
+        // third component = the producing plan's fingerprint: a kernel
+        // edit forks the key instead of serving a stale cache (ADVICE r12)
         val key = graft.core.Fingerprint.combine(
           graft.pipes.DatasetFingerprint.of(df),
           graft.core.Fingerprint.hash(
-            s"ngram:$textCol:$idCol:$blockCol:$shingleSize"))
+            s"ngram:$textCol:$idCol:$blockCol:$shingleSize"),
+          graft.pipes.DatasetFingerprint.of(rawPlan))
         graft.core.CachedStage(df.sparkSession, dir, key)(rawPlan)
       case None => rawPlan.localCheckpoint(true)
     }
@@ -697,10 +709,14 @@ case class SRPCosineDedupPipe(
     val baseRaw = Pipe.widen(slim).select(col("id"), col("v"), sigExpr.as("sg"))
     val base = cacheDir match {
       case Some(dir) =>
+        // third component = the producing plan's fingerprint: the SRP
+        // hyperplane literals ride the plan, so a formula or seed edit
+        // forks the key instead of serving a stale cache (ADVICE r12)
         val key = graft.core.Fingerprint.combine(
           graft.pipes.DatasetFingerprint.of(df),
           graft.core.Fingerprint.hash(
-            s"srp:$vecCol:$idCol:$nBits:$bands"))
+            s"srp:$vecCol:$idCol:$nBits:$bands"),
+          graft.pipes.DatasetFingerprint.of(baseRaw))
         graft.core.CachedStage(df.sparkSession, dir, key)(baseRaw)
       case None => baseRaw.localCheckpoint(true)
     }

@@ -87,6 +87,21 @@ case class GroupTopKPipe(
       case ByteType | ShortType | IntegerType | LongType =>
         if (descending) bitwise_not(rawScore.cast("long"))
         else rawScore.cast("long")
+      // scale-0 decimals up to precision 18 are integral longs in
+      // disguise: the long path keeps them exact. Wider or scaled
+      // decimals would silently collapse to double ties beyond 2^53 —
+      // the same divergence class the long path exists to prevent — so
+      // they are rejected loudly instead of degraded.
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.scale == 0 && d.precision <= 18 =>
+        if (descending) bitwise_not(rawScore.cast("long"))
+        else rawScore.cast("long")
+      case d: org.apache.spark.sql.types.DecimalType =>
+        throw new IllegalArgumentException(
+          s"GroupTopKPipe(useHeap): score column '$scoreCol' is $d — " +
+          "decimals wider than (18,0) cannot order exactly on the long " +
+          "path and would lose precision on the double path; cast the " +
+          "score to long or double explicitly to choose the semantics")
       case _ =>
         if (descending) negate(rawScore.cast("double"))
         else rawScore.cast("double")

@@ -161,20 +161,33 @@ object StreamingUpsert {
   def commits(spark: SparkSession, stateDir: String): Seq[(String, Long)] = {
     val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = path(s"$stateDir/_commits.json")
-    if (!fs.exists(log)) Nil
-    else {
-      val in = fs.open(log)
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
-        // one {"version":"vN","ts":123} object per line
-        val v = "\"version\"\\s*:\\s*\"([^\"]+)\"".r
-          .findFirstMatchIn(line).map(_.group(1)).getOrElse(
-            throw new IllegalStateException(s"malformed commit-log line: $line"))
-        val ts = "\"ts\"\\s*:\\s*(\\d+)".r
-          .findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(
-            throw new IllegalStateException(s"malformed commit-log line: $line"))
-        (v, ts)
+    val logged =
+      if (!fs.exists(log)) Nil
+      else {
+        val in = fs.open(log)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
+          // one {"version":"vN","ts":123} object per line
+          val v = "\"version\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(line).map(_.group(1)).getOrElse(
+              throw new IllegalStateException(s"malformed commit-log line: $line"))
+          val ts = "\"ts\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(
+              throw new IllegalStateException(s"malformed commit-log line: $line"))
+          (v, ts)
+        }
       }
+    // Reconcile: a state dir written before the log-before-flip ordering
+    // (or one that crashed in the old flip→log window) can carry a live
+    // pointed version absent from the log. That version IS committed —
+    // the pointer proves it — so surface it with the version dir's mtime
+    // as the best-available timestamp rather than hiding real history.
+    pointer(spark, stateDir) match {
+      case Some(cur) if !logged.exists(_._1 == cur) &&
+          fs.exists(path(s"$stateDir/$cur")) =>
+        logged :+ (cur, fs.getFileStatus(path(s"$stateDir/$cur"))
+          .getModificationTime)
+      case _ => logged
     }
   }
 
@@ -207,6 +220,13 @@ object StreamingUpsert {
     df.write.mode("overwrite").parquet(s"$stateDir/$version")
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = path(stateDir).getFileSystem(conf)
+    // Log BEFORE the pointer flip: a crash between the two leaves a log
+    // entry for a version the pointer never reached, and the replay of
+    // that batch id (curOrd < id) redoes the write + rewrites the entry
+    // idempotently. The reverse order would strand the LIVE version
+    // outside the log forever — replay short-circuits on curOrd == id
+    // before commit, so nothing ever backfills it.
+    appendCommitLog(fs, conf, stateDir, version)
     // The pointer is the one mutable cell — flip it with write-to-temp +
     // atomic rename so a concurrent reader never observes a truncated
     // pointer (an in-place create(overwrite) briefly exposes an empty
@@ -217,7 +237,6 @@ object StreamingUpsert {
     org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
       .rename(tmp, path(s"$stateDir/_LATEST"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    appendCommitLog(fs, conf, stateDir, version)
   }
 
   private def path(p: String) = new org.apache.hadoop.fs.Path(p)

@@ -129,6 +129,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(top(2).getLong(0) == 2L && top(3).getLong(0) == 1L, top.toSeq)
   }
 
+  test("heap mode: scale-0 decimals ride the long path, wide/scaled fail loudly") {
+    // integral-valued DECIMAL(18,0) beyond 2^53 must not collapse to
+    // double ties — it rides the exact long path like LongType
+    val base = Seq(
+      ("g", 1L, 9007199254740992L),      // 2^53
+      ("g", 2L, 9007199254740993L),      // 2^53 + 1 (same double)
+      ("g", 3L, 7L)).toDF("g", "id", "raw")
+    val df = base.selectExpr("g", "id", "cast(raw as decimal(18,0)) as v")
+    val top = GroupTopKPipe(Seq("g"), "v", 3, "id", useHeap = true)(df)
+      .select("id", "rank").orderBy("rank").collect()
+    assert(top(0).getLong(0) == 2L && top(1).getLong(0) == 1L, top.toSeq)
+    // wider or scaled decimals can't order exactly on either path: loud
+    val wide = base.selectExpr("g", "id", "cast(raw as decimal(38,0)) as v")
+    val e1 = intercept[IllegalArgumentException] {
+      GroupTopKPipe(Seq("g"), "v", 2, "id", useHeap = true)(wide)
+    }
+    assert(e1.getMessage.contains("decimal"), e1.getMessage)
+    val scaled = base.selectExpr("g", "id", "cast(raw as decimal(20,2)) as v")
+    val e2 = intercept[IllegalArgumentException] {
+      GroupTopKPipe(Seq("g"), "v", 2, "id", useHeap = true)(scaled)
+    }
+    assert(e2.getMessage.contains("decimal"), e2.getMessage)
+  }
+
   test("heap mode fails loudly on null scores and non-numeric scores") {
     val df = Seq((1L, "x"), (2L, null)).toDF("id", "s")
       .selectExpr("'g' as g", "id", "if(id = 2, cast(null as long), id) as v")

@@ -103,6 +103,26 @@ class UpsertStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
   }
 
+  test("pointed version absent from the commit log is reconciled on read") {
+    // a state dir written under the old flip-then-log ordering that
+    // crashed in the window: _LATEST names a version the log never
+    // recorded — commits() must surface it (the pointer proves the
+    // commit), with the version dir's mtime as the timestamp
+    val dir = java.nio.file.Files.createTempDirectory("ups5").toString
+    import spark.implicits._
+    StreamingUpsert.seed(Seq((1L, "a")).toDF("k", "s"), s"$dir/t")
+    // simulate the crash: strip vinit's entry from the log
+    val log = new java.io.File(s"$dir/t/_commits.json")
+    java.nio.file.Files.write(log.toPath, Array.emptyByteArray)
+    val reconciled = StreamingUpsert.commits(spark, s"$dir/t")
+    assert(reconciled.map(_._1) == Seq("vinit"))
+    assert(reconciled.head._2 > 0L)
+    // an absent log file reconciles the same way
+    assert(log.delete())
+    assert(StreamingUpsert.commits(spark, s"$dir/t").map(_._1) ==
+      Seq("vinit"))
+  }
+
   test("empty _LATEST pointer reads as absent") {
     val dir = java.nio.file.Files.createTempDirectory("ups4").toString
     new java.io.File(s"$dir/t").mkdirs()
