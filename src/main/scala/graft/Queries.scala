@@ -1692,6 +1692,13 @@ object Queries {
       // static eval corpus — same flags as the batch pipe and oracle
       graft.streaming.EventStream.runDecontaminateStream(s, d)
         .select("doc_id", "contaminated").orderBy("doc_id")),
+    "ev_stream_bloom_decontam" -> ((s, d) =>
+      // REAL StreamingQuery, bloom mode: eval side is a fixed 2^20-bit
+      // bitmap probed map-only per arriving doc — zero state, no literal
+      // cap; flags (false positives included) bit-identical to
+      // cu_bloom_decontam, so the same oracle replays every collision
+      graft.streaming.EventStream.runBloomDecontaminateStream(s, d)
+        .select("doc_id", "contaminated").orderBy("doc_id")),
     "cu_pii" -> ((s, d) => {
       // plant deterministic email/phone/IP on every 3rd doc; the oracle
       // replays the planting and RE2-compatible redaction verbatim
@@ -3174,6 +3181,7 @@ object Queries {
         |FROM tok LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "cu_decontaminate" -> decontaminateOracle,
     "cu_bloom_decontam" -> bloomDecontamOracle,
+    "ev_stream_bloom_decontam" -> bloomDecontamOracle,
     "ev_stream_decontam" -> decontaminateOracle,
     "cu_pii" ->
       """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0

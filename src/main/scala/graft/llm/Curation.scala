@@ -207,6 +207,72 @@ object BloomOps {
       pmod(pmod(hp * lit(a) + lit(b), lit(BloomPrime)), lit(mBits.toLong))
     }
   }
+
+  /** Distinct eval n-grams → gramHash → k positions each → per-partition
+    * local bitmaps OR-folded to one Array[Long]. Runs one Spark job over
+    * the (small) eval side only. Shared by [[BloomDecontaminatePipe]] and
+    * [[graft.streaming.StreamingDecontaminate.bloom]].
+    */
+  def buildBitmap(evalDf: DataFrame, textCol: String, ngramSize: Int,
+      numHashes: Int, mBits: Int): Array[Long] = {
+    val words = mBits / 64
+    val pos = evalDf
+      .withColumn("__bd_tk__",
+        TextAnalysisOps.toks(coalesce(Pipe.qcol(textCol), lit(""))))
+      .withColumn("__bd_t1__",
+        arrTransform(col("__bd_tk__"), t => tokenFold31(t)))
+      .withColumn("__bd_t2__",
+        arrTransform(col("__bd_tk__"), t => tokenFold131(t)))
+      .select(explode(gramHashes(
+        col("__bd_t1__"), col("__bd_t2__"), ngramSize)).as("__h__"))
+      .distinct()
+      .select(explode(array(
+        positions(col("__h__"), numHashes, mBits): _*)).as("p"))
+    pos.select(col("p").cast("long")).rdd
+      .mapPartitions { it =>
+        val w = new Array[Long](words)
+        it.foreach { r =>
+          val p = r.getLong(0)
+          w((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+        }
+        Iterator.single(w)
+      }
+      .fold(new Array[Long](words)) { (x, y) =>
+        var i = 0
+        while (i < words) { x(i) |= y(i); i += 1 }
+        x
+      }
+  }
+
+  /** The MAP-ONLY train-side probe: stage tokens, both token-hash
+    * arrays, gram hashes, and bit positions as kept columns (HOF-inline
+    * hazard, SURVEY §6), test every gram against the bitmap with the
+    * codegen'd [[org.apache.spark.sql.graft.BloomProbeExpr]], and drop
+    * the staging. Pure projection — legal on a STREAMING frame (zero
+    * state) exactly as on a batch one.
+    */
+  def withFlag(df: DataFrame, textCol: String, ngramSize: Int,
+      numHashes: Int, mBits: Int, bits: Array[Long],
+      flagCol: String): DataFrame = {
+    val staged = df
+      .withColumn("__bd_tk__",
+        TextAnalysisOps.toks(coalesce(Pipe.qcol(textCol), lit(""))))
+      .withColumn("__bd_t1__",
+        arrTransform(col("__bd_tk__"), t => tokenFold31(t)))
+      .withColumn("__bd_t2__",
+        arrTransform(col("__bd_tk__"), t => tokenFold131(t)))
+      .withColumn("__bd_hs__", gramHashes(
+        col("__bd_t1__"), col("__bd_t2__"), ngramSize))
+      .withColumn("__bd_ps__",
+        flatten(arrTransform(col("__bd_hs__"),
+          h => array(positions(h, numHashes, mBits): _*))))
+    val probe = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.BloomProbeExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__bd_ps__")),
+        bits, numHashes))
+    staged.withColumn(flagCol, probe)
+      .drop("__bd_tk__", "__bd_t1__", "__bd_t2__", "__bd_hs__", "__bd_ps__")
+  }
 }
 
 /** Bloom-filter eval-set decontamination — the O(1)-broadcast sibling of
@@ -246,65 +312,13 @@ case class BloomDecontaminatePipe(
     "k" -> numHashes.toString, "flagOnly" -> flagOnly.toString,
     "flag" -> flagCol)
 
-  /** Distinct eval n-grams → gramHash → k positions each → per-partition
-    * local bitmaps OR-folded to one Array[Long]. Runs one Spark job.
-    */
-  private def buildBitmap(): Array[Long] = {
-    val words = mBits / 64
-    val pos = evalDf
-      .withColumn("__bd_tk__",
-        TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))))
-      .withColumn("__bd_t1__",
-        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold31(t)))
-      .withColumn("__bd_t2__",
-        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold131(t)))
-      .select(explode(BloomOps.gramHashes(
-        col("__bd_t1__"), col("__bd_t2__"), ngramSize)).as("__h__"))
-      .distinct()
-      .select(explode(array(
-        BloomOps.positions(col("__h__"), numHashes, mBits): _*)).as("p"))
-    pos.select(col("p").cast("long")).rdd
-      .mapPartitions { it =>
-        val w = new Array[Long](words)
-        it.foreach { r =>
-          val p = r.getLong(0)
-          w((p >>> 6).toInt) |= 1L << (p & 63L).toInt
-        }
-        Iterator.single(w)
-      }
-      .fold(new Array[Long](words)) { (x, y) =>
-        var i = 0
-        while (i < words) { x(i) |= y(i); i += 1 }
-        x
-      }
-  }
-
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val bits = buildBitmap()
-    // stage tokens, BOTH token-hash arrays, and the gram hashes as kept
-    // columns (HOF-inline hazard, SURVEY §6): each char folds once per
-    // fold family; each gram folds n token hashes; each hash maps to k
-    // positions referencing it as a lambda variable
-    val wide = Pipe.widen(df)
-      .withColumn("__bd_tk__",
-        TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))))
-      .withColumn("__bd_t1__",
-        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold31(t)))
-      .withColumn("__bd_t2__",
-        arrTransform(col("__bd_tk__"), t => BloomOps.tokenFold131(t)))
-      .withColumn("__bd_hs__", BloomOps.gramHashes(
-        col("__bd_t1__"), col("__bd_t2__"), ngramSize))
-      .withColumn("__bd_ps__",
-        flatten(arrTransform(col("__bd_hs__"),
-          h => array(BloomOps.positions(h, numHashes, mBits): _*))))
-    val probe = org.apache.spark.sql.graft.ColumnBridge.column(
-      org.apache.spark.sql.graft.BloomProbeExpr(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("__bd_ps__")),
-        bits, numHashes))
-    val out =
-      if (flagOnly) wide.withColumn(flagCol, probe)
-      else wide.filter(!probe)
-    out.drop("__bd_tk__", "__bd_t1__", "__bd_t2__", "__bd_hs__", "__bd_ps__")
+    val bits = BloomOps.buildBitmap(evalDf, textCol, ngramSize, numHashes,
+      mBits)
+    val flagged = BloomOps.withFlag(Pipe.widen(df), textCol, ngramSize,
+      numHashes, mBits, bits, flagCol)
+    if (flagOnly) flagged
+    else flagged.filter(!qcol(flagCol)).drop(flagCol)
   }
 }
 

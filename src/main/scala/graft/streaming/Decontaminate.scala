@@ -47,8 +47,9 @@ object StreamingDecontaminate {
         s"eval corpus has more than $maxEvalNgrams distinct $ngramSize-grams" +
           " — a stream cannot carry the relational flag in-plan (the" +
           " semi-join's per-doc aggregation needs streaming state);" +
-          " run it via StreamingDecontaminate.runOverCapToParquet," +
-          " the foreachBatch form of the same fallback")
+          " use StreamingDecontaminate.bloom (fixed-size bitmap, map-only," +
+          " one-sided error) or runOverCapToParquet (exact flags via" +
+          " foreachBatch) instead")
       return graft.llm.DecontaminatePipe(evalDf, textCol, idCol, ngramSize,
         flagCol = flagCol, broadcastEval = false)(df)
     }
@@ -63,6 +64,46 @@ object StreamingDecontaminate {
     wide.withColumn(flagCol,
       coalesce(arrays_overlap(ngrams(col(textCol)), typedLit(evalNg)),
         lit(false)))
+  }
+
+  /** Bloom-bitmap decontamination ON THE STREAM — the streaming twin of
+    * [[graft.llm.BloomDecontaminatePipe]] and the preferred over-cap
+    * shape: the eval corpus compresses to a FIXED `mBits`-bit bitmap
+    * built ONCE before the stream starts (one Spark job over the eval
+    * side), and each arriving document probes it with the codegen'd
+    * [[org.apache.spark.sql.graft.BloomProbeExpr]] — a pure projection,
+    * so it is legal inside any StreamingQuery with ZERO state, no
+    * literal-size cap, and no fallback. One-sided error only: every
+    * truly contaminated doc is flagged (no false negatives); false
+    * positives at ~fill^k — size `mBits` >= ~10x expected distinct eval
+    * n-grams. Flags are bit-identical to the batch pipe's on the same
+    * data (same bitmap, same hashes).
+    *
+    * `repartitionStream` spreads the interpreted n-gram HOF work across
+    * cores (the single-file-split widen hazard the exact mode also
+    * handles); it is a stateless round-robin shuffle, not state.
+    */
+  def bloom(
+      df: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      ngramSize: Int = 3,
+      mBits: Int = 1 << 20,
+      numHashes: Int = 4,
+      flagCol: String = "contaminated",
+      repartitionStream: Boolean = true): DataFrame = {
+    require(!evalDf.isStreaming,
+      "the eval corpus must be a static frame — the bitmap is built once" +
+        " before the stream starts")
+    val bits = graft.llm.BloomOps.buildBitmap(
+      evalDf, textCol, ngramSize, numHashes, mBits)
+    val wide =
+      if (repartitionStream)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else df
+    graft.llm.BloomOps.withFlag(
+      wide, textCol, ngramSize, numHashes, mBits, bits, flagCol)
   }
 
   /** The over-cap STREAM fallback: run the stream through `foreachBatch`,

@@ -283,6 +283,23 @@ object EventStream {
       "append")
   }
 
+  /** Bloom-bitmap decontamination on the stream (gate
+    * `ev_stream_bloom_decontam`): the eval side compressed to a 2^20-bit
+    * bitmap before the stream starts, arriving documents probe it inside
+    * a REAL StreamingQuery — map-only, zero state, append mode emits
+    * every row exactly once. Same n=4 and eval split as the batch gate
+    * `cu_bloom_decontam`, so the same bit-exact oracle replays it.
+    */
+  def runBloomDecontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = readStreamTable(spark, dir, "documents").select("doc_id", "text")
+    val eval = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 30).select("doc_id", "text")
+    runToMemorySink(
+      StreamingDecontaminate.bloom(docs, eval, "text", "doc_id",
+        ngramSize = 4),
+      "append")
+  }
+
   /** Near-dup pairs discovered ON THE STREAM (gate `ev_stream_neardup`):
     * documents (with the dd_minhash_lsh plants, stream-unioned) flow
     * through [[StreamingNearDedup]] inside a REAL StreamingQuery; event

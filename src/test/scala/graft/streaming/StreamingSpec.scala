@@ -160,6 +160,61 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_.contains("true")) && batch.exists(_.contains("false")))
   }
 
+  test("streaming bloom decontamination: flags equal the batch bloom pipe, one-sided vs exact") {
+    implicit val sctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") < 10)
+    def drain(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val out = spark.table(name).select("doc_id", "contaminated")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      q.stop()
+      out
+    }
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.as[(Long, String)].collect().toIndexedSeq: _*)
+    val streamIn = mem.toDF().toDF("doc_id", "text")
+    // bit-identical to the batch bloom pipe (same bitmap, same hashes)
+    val batchBloom = graft.llm.BloomDecontaminatePipe(eval, "text", "doc_id",
+      ngramSize = 4)(docs).select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val streamBloom = drain(StreamingDecontaminate.bloom(
+      streamIn, eval, "text", "doc_id", ngramSize = 4), "bdc_out")
+    assert(streamBloom == batchBloom)
+    // one-sided-error contract vs the EXACT flags: never a false
+    // negative — at m=2^20 the flag sets coincide here; under a
+    // saturated bitmap the flagged set strictly grows (false positives),
+    // never shrinks
+    val exact = graft.llm.DecontaminatePipe(eval, "text", "doc_id", 4)(docs)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exactHits = exact.filter(_._2).keySet
+    assert(exactHits.subsetOf(streamBloom.filter(_._2).keySet))
+    assert(exactHits.nonEmpty && exact.values.exists(!_))
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(docs.as[(Long, String)].collect().toIndexedSeq: _*)
+    val saturated = drain(StreamingDecontaminate.bloom(
+      mem2.toDF().toDF("doc_id", "text"), eval, "text", "doc_id",
+      ngramSize = 4, mBits = 256, numHashes = 2), "bdc_sat")
+    val satHits = saturated.filter(_._2).keySet
+    assert(streamBloom.filter(_._2).keySet.subsetOf(satHits))
+    assert(satHits.size > exactHits.size)
+    // zero streaming state: the probe plans as a pure projection — no
+    // stateful operator in the physical plan
+    val planned = StreamingDecontaminate.bloom(
+      streamIn, eval, "text", "doc_id", ngramSize = 4,
+      repartitionStream = false)
+    val stateful = planned.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }
+    assert(stateful.isEmpty, stateful.map(_.nodeName))
+  }
+
   test("over-cap decontamination degrades to the relational fallback with identical flags") {
     implicit val sctx = spark.sqlContext
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
