@@ -54,6 +54,35 @@ object PartitionedUpsert {
       Manifest(-1L, n, written.map(i => i -> "vinit").toMap))
   }
 
+  /** Migrate an existing FLAT [[StreamingUpsert]] state dir to the
+    * key-partitioned layout without a manual rebuild: read the version
+    * the flat `_LATEST` names, hash-split it into `n` partitions under
+    * the SAME version name, and commit a manifest carrying the flat
+    * version's batch ordinal. Because the ordinal is preserved, the
+    * original stream can resume against the new dir with its ORIGINAL
+    * checkpointLocation — a replay of the migrated batch id no-ops and
+    * the next id merges normally; the behind-id guard keeps protecting
+    * against fresh-checkpoint resumes exactly as on a flat dir. The flat
+    * dir is read-only input and left untouched.
+    */
+  def seedFromFlat(
+      spark: SparkSession, flatDir: String, stateDir: String,
+      keys: Seq[String], n: Int): Unit = {
+    require(n >= 1, "need at least one partition")
+    require(keys.nonEmpty, "PartitionedUpsert needs at least one key column")
+    require(readManifest(spark, stateDir).isEmpty,
+      s"PartitionedUpsert.seedFromFlat: $stateDir is already seeded")
+    val version = StreamingUpsert.pointer(spark, flatDir).getOrElse(
+      throw new IllegalStateException(
+        s"seedFromFlat: no _LATEST under flat state dir $flatDir"))
+    val base = spark.read.parquet(s"$flatDir/$version")
+    val written = stagePartitions(
+      base.withColumn("__part__", partCol(keys, n)), stateDir, version)
+    writeManifest(spark, stateDir,
+      Manifest(StreamingUpsert.ordinal(version), n,
+        written.map(i => i -> version).toMap))
+  }
+
   /** Start the maintenance query (the streaming wrapper around
     * [[applyBatch]]).
     */

@@ -119,4 +119,63 @@ class PartitionedUpsertSpec extends SparkSpec {
     // no temp manifest left behind
     assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
   }
+
+  test("seedFromFlat migrates a flat state dir: identical reads, resumable stream") {
+    val dir = java.nio.file.Files.createTempDirectory("pups-mig").toString
+    // build a flat table with history: seed + two streamed batches
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    StreamingUpsert.seed(base, s"$dir/flat")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, Boolean)]
+    val q = StreamingUpsert.run(mem.toDF.toDF("k", "s", "v", "del"),
+      s"$dir/flat", Seq("k"), Some("del"), s"$dir/ckpt")
+    mem.addData((2L, "B", 21.0, false), (5L, "e", 50.0, false))
+    q.processAllAvailable()
+    mem.addData((4L, "d", 40.0, true), (1L, "A", 11.0, false))
+    q.processAllAvailable()
+    q.stop()
+    val flatRows = StreamingUpsert.latest(spark, s"$dir/flat").get
+      .orderBy("k").collect().toSeq
+
+    // migrate: the partitioned dir answers read() identically
+    PartitionedUpsert.seedFromFlat(spark, s"$dir/flat", s"$dir/part",
+      Seq("k"), n = 4)
+    assert(PartitionedUpsert.latest(spark, s"$dir/part").get
+      .orderBy("k").collect().toSeq == flatRows)
+    // the migrated manifest carries the flat batch ordinal (v1 -> 1),
+    // under the flat version's own name
+    val m = PartitionedUpsert.readManifest(spark, s"$dir/part").get
+    assert(m.id == 1L && m.parts.values.forall(_ == "v1"), m)
+    // the ORIGINAL stream resumes against the migrated dir with its
+    // ORIGINAL checkpoint: batch 2 merges normally
+    val q2 = PartitionedUpsert.run(mem.toDF.toDF("k", "s", "v", "del"),
+      s"$dir/part", Seq("k"), Some("del"), s"$dir/ckpt")
+    mem.addData((3L, "C", 31.0, false), (6L, "f", 60.0, false))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(PartitionedUpsert.latest(spark, s"$dir/part").get
+      .orderBy("k").collect().toSeq == Seq(
+        Row(1L, "A", 11.0), Row(2L, "B", 21.0), Row(3L, "C", 31.0),
+        Row(5L, "e", 50.0), Row(6L, "f", 60.0)))
+    // a replay of the migrated id is a no-op; behind-id still throws
+    val before = fileSnapshot(s"$dir/part")
+    PartitionedUpsert.applyBatch(
+      Seq((9L, "z", 90.0, false)).toDF("k", "s", "v", "del"),
+      2L, s"$dir/part", Seq("k"), Some("del"))
+    assert(fileSnapshot(s"$dir/part") == before)
+    intercept[IllegalStateException] {
+      PartitionedUpsert.applyBatch(
+        Seq((9L, "z", 90.0, false)).toDF("k", "s", "v", "del"),
+        0L, s"$dir/part", Seq("k"), Some("del"))
+    }
+    // double migration refuses (the dir is live)
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.seedFromFlat(spark, s"$dir/flat", s"$dir/part",
+        Seq("k"), n = 4)
+    }
+    // the flat dir is untouched input
+    assert(StreamingUpsert.latest(spark, s"$dir/flat").get
+      .orderBy("k").collect().toSeq == flatRows)
+  }
 }
