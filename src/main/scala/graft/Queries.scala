@@ -61,6 +61,19 @@ object Queries {
   /** Exact n-gram contamination oracle — shared by cu_decontaminate
     * (batch) and ev_stream_decontam (stateless streaming twin).
     */
+  /** Exact replay of the Efraimidis-Spirakis quadratic-M31 rank key —
+    * shared by ws_weighted_sample (batch) and ev_stream_weighted_sample
+    * (the streaming reservoir, which must converge to the identical
+    * top-120: the key is a pure function of (id, w, seed)).
+    */
+  private val weightedSampleOracle: String =
+    """WITH s AS (SELECT doc_id, n_chars, (doc_id*131 + 17) % 2147483647 AS s1
+      | FROM documents WHERE n_chars > 0),
+      |m AS (SELECT doc_id, n_chars,
+      | ln(((s1*s1 + s1) % 2147483647 + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE) AS k FROM s),
+      |r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM m)
+      |SELECT doc_id, n_chars FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   private val decontaminateOracle: String =
     """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) ELSE [] END) AS g FROM tok),
@@ -1692,6 +1705,12 @@ object Queries {
       // static eval corpus — same flags as the batch pipe and oracle
       graft.streaming.EventStream.runDecontaminateStream(s, d)
         .select("doc_id", "contaminated").orderBy("doc_id")),
+    "ev_stream_weighted_sample" -> ((s, d) =>
+      // REAL StreamingQuery: Efraimidis-Spirakis reservoir folded per
+      // micro-batch (O(k) state) — the final sample is bit-identical to
+      // the batch ws_weighted_sample top-120, so the SAME oracle replays
+      graft.streaming.EventStream.runWeightedSampleStream(s, d)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "ev_stream_bloom_decontam" -> ((s, d) =>
       // REAL StreamingQuery, bloom mode: eval side is a fixed 2^20-bit
       // bitmap probed map-only per arriving doc — zero state, no literal
@@ -2347,13 +2366,9 @@ object Queries {
         | '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_extracted
         |FROM s4 ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    "ws_weighted_sample" ->
-      """WITH s AS (SELECT doc_id, n_chars, (doc_id*131 + 17) % 2147483647 AS s1
-        | FROM documents WHERE n_chars > 0),
-        |m AS (SELECT doc_id, n_chars,
-        | ln(((s1*s1 + s1) % 2147483647 + 1) / 2147483648.0) / CAST(n_chars AS DOUBLE) AS k FROM s),
-        |r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM m)
-        |SELECT doc_id, n_chars FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "ws_weighted_sample" -> weightedSampleOracle,
+    // the streaming reservoir must converge to the SAME top-120
+    "ev_stream_weighted_sample" -> weightedSampleOracle,
     "ws_weighted_stratified" ->
       """WITH s AS (SELECT doc_id, lang, n_chars, (doc_id*131 + 17) % 2147483647 AS s1
         | FROM documents WHERE n_chars > 0),

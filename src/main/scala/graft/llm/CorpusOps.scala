@@ -333,19 +333,31 @@ case class WeightedSamplePipe(
     "seed" -> seed.toString, "key" -> keyCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val p = 2147483647L // M31: s² + s < 2⁶³, so no engine's BIGINT wraps
-    val s1 = pmod(qcol(idCol).cast("long") * 131 + seed, lit(p))
-    val u = (pmod(s1 * s1 + s1, lit(p)) + 1) / lit((p + 1).toDouble)
-    val key = log(u) / qcol(weightCol).cast("double")
     // w <= 0 is outside the paper's domain: excluded from the draw
     // entirely (not keyed -inf) so a short group emits < k rows rather
     // than padding with unsampleable ones
-    val keyed = df.filter(qcol(weightCol) > 0).withColumn(keyCol, key)
+    val keyed = df.filter(qcol(weightCol) > 0).withColumn(keyCol,
+      WeightedSamplePipe.sampleKey(qcol(idCol), qcol(weightCol), seed))
     if (groupCols.isEmpty)
       // global top-k: TakeOrderedAndProject — O(k) per partition, no sort
       keyed.orderBy(col(keyCol).desc, qcol(idCol).asc).limit(k)
     else
       graft.operators.GroupTopKPipe(groupCols, keyCol, k, idCol,
         rankCol = None)(keyed)
+  }
+}
+
+object WeightedSamplePipe {
+  /** The Efraimidis-Spirakis rank key ln(u)/w with the quadratic-M31
+    * draw — shared by the batch pipe and
+    * [[graft.streaming.StreamingWeightedSample]] so the stream's
+    * surviving set is BIT-IDENTICAL to the batch sample (the key is a
+    * pure function of (id, w, seed), independent of arrival order).
+    */
+  def sampleKey(id: Column, w: Column, seed: Long): Column = {
+    val p = 2147483647L // M31: s² + s < 2⁶³, so no engine's BIGINT wraps
+    val s1 = pmod(id.cast("long") * 131 + seed, lit(p))
+    val u = (pmod(s1 * s1 + s1, lit(p)) + 1) / lit((p + 1).toDouble)
+    log(u) / w.cast("double")
   }
 }

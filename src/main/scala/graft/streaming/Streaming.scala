@@ -283,6 +283,26 @@ object EventStream {
       "append")
   }
 
+  /** Weighted sampling on the stream (gate `ev_stream_weighted_sample`):
+    * documents flow through [[StreamingWeightedSample]] inside a REAL
+    * StreamingQuery; the final reservoir must be BIT-IDENTICAL to the
+    * batch [[graft.llm.WeightedSamplePipe]] top-120 — same deterministic
+    * key, so the same oracle replays it.
+    */
+  def runWeightedSampleStream(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ws-stream").toString
+    val proto = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    StreamingWeightedSample.seed(proto, stateDir, "n_chars", "doc_id")
+    val docs = readStreamTable(spark, dir, "documents")
+      .select("doc_id", "n_chars")
+    val q = StreamingWeightedSample.run(docs, stateDir, "doc_id", "n_chars",
+      k = 120, checkpointDir = s"$stateDir-ckpt")
+    try q.processAllAvailable() finally q.stop()
+    StreamingWeightedSample.latest(spark, stateDir).get
+  }
+
   /** Bloom-bitmap decontamination on the stream (gate
     * `ev_stream_bloom_decontam`): the eval side compressed to a 2^20-bit
     * bitmap before the stream starts, arriving documents probe it inside

@@ -252,6 +252,70 @@ class StreamingSpec extends SparkSpec {
     assert(fb == expected)
   }
 
+  test("streaming weighted sample: multi-batch reservoir equals the batch pipe bit-for-bit") {
+    implicit val sctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val expected = graft.llm.WeightedSamplePipe("doc_id", "n_chars", 25)(docs)
+      .select("doc_id", "n_chars", "sample_key")
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("sws").toString
+    StreamingWeightedSample.seed(docs, s"$dir/t", "n_chars", "doc_id")
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingWeightedSample.run(
+      mem.toDF.toDF("doc_id", "n_chars"), s"$dir/t", "doc_id", "n_chars",
+      k = 25, checkpointDir = s"$dir/ckpt")
+    // five genuine micro-batches in arbitrary id order
+    val rows = docs.as[(Long, Long)].collect().toSeq
+      .sortBy(r => (r._1 * 7919) % 1009)
+    rows.grouped((rows.size + 4) / 5).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = StreamingWeightedSample.latest(spark, s"$dir/t").get
+      .select("doc_id", "n_chars", "sample_key")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    // a replayed batch is a no-op (idempotent merge, dedup by id)
+    StreamingWeightedSample.applyBatch(
+      rows.take(40).toDF("doc_id", "n_chars"), s"$dir/t",
+      "doc_id", "n_chars", 25, Nil, 17L)
+    val replayed = StreamingWeightedSample.latest(spark, s"$dir/t").get
+      .select("doc_id", "n_chars", "sample_key")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == expected)
+    // zero/negative weights never enter the reservoir
+    StreamingWeightedSample.applyBatch(
+      Seq((999999L, 0L), (999998L, -5L)).toDF("doc_id", "n_chars"),
+      s"$dir/t", "doc_id", "n_chars", 25, Nil, 17L)
+    assert(StreamingWeightedSample.latest(spark, s"$dir/t").get
+      .filter(col("doc_id") >= 999998L).count() == 0)
+    // grouped mode caps per group and matches the batch pipe
+    val dirG = java.nio.file.Files.createTempDirectory("swsg").toString
+    val docsG = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    StreamingWeightedSample.seed(docsG, s"$dirG/t", "n_chars", "doc_id")
+    docsG.as[(Long, String, Long)].collect().toSeq.grouped(200).foreach {
+      chunk =>
+        StreamingWeightedSample.applyBatch(
+          chunk.toDF("doc_id", "lang", "n_chars"), s"$dirG/t",
+          "doc_id", "n_chars", 5, Seq("lang"), 17L)
+    }
+    val expG = graft.llm.WeightedSamplePipe("doc_id", "n_chars", 5,
+      Seq("lang"))(docsG).select("doc_id", "lang")
+      .collect().map(_.toString).sorted.toSeq
+    val gotG = StreamingWeightedSample.latest(spark, s"$dirG/t").get
+      .select("doc_id", "lang").collect().map(_.toString).sorted.toSeq
+    assert(gotG == expG)
+    // run before seed fails loudly
+    intercept[IllegalStateException] {
+      StreamingWeightedSample.applyBatch(
+        rows.take(3).toDF("doc_id", "n_chars"), s"$dir/never-seeded",
+        "doc_id", "n_chars", 5, Nil, 17L)
+    }
+  }
+
   test("streaming near-dedup pairs within the window, evicts past the watermark") {
     implicit val sctx = spark.sqlContext
     // same text = jaccard 1.0; watermark 1 hour
