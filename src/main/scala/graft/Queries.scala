@@ -1627,6 +1627,62 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "mg_version_diff" -> ((s, d) => {
+      // time-travel CDC audit: the SAME seed + two micro-batches as
+      // mg_upsert_stream, then StreamingUpsert.diff(vinit, v1) — one
+      // classified row per changed key (insert/delete/update with
+      // before/after), unchanged keys absent. One shuffle join on the
+      // merge key; the oracle replays the merges then FULL OUTER JOINs
+      // the endpoints with IS DISTINCT FROM semantics.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      val k = col("o_orderkey")
+      def tuples(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+      val b0 = tuples(
+        base.filter(k % 7 === 3 && k % 13 =!= 5)
+          .select(k, col("o_custkey"), lit("U").as("s"),
+            (col("o_totalprice") + 10.0).as("p"), lit(false).as("del"))
+        .unionByName(base.filter(k % 11 === 2)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("s"), col("o_totalprice").as("p"),
+            lit(false).as("del"))))
+      val b1 = tuples(
+        base.filter(k % 13 === 5)
+          .select(k, col("o_custkey"), col("o_orderstatus").as("s"),
+            col("o_totalprice").as("p"), lit(true).as("del"))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 0)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("s"), col("o_totalprice").as("p"),
+            lit(true).as("del")))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 1)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("X").as("s"), (col("o_totalprice") + 5.0).as("p"),
+            lit(false).as("del"))))
+      val dir = java.nio.file.Files.createTempDirectory("graft-diff").toString
+      graft.streaming.StreamingUpsert.seed(base, s"$dir/t")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double, Boolean)]
+      val q = graft.streaming.StreamingUpsert.run(
+        mem.toDF.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "__del__"),
+        s"$dir/t", Seq("o_orderkey"), Some("__del__"), s"$dir/ckpt")
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamingUpsert.diff(s, s"$dir/t", "vinit", "v1",
+        Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change"),
+          col("o_orderstatus_before"), col("o_orderstatus_after"),
+          col("o_totalprice_before"), col("o_totalprice_after"))
+        .orderBy("o_orderkey")
+    }),
+
     "mg_upsert_partitioned" -> ((s, d) => {
       // the KEY-PARTITIONED version layout (r12): same seed + same two
       // micro-batches as mg_upsert_stream, but the table is hash-split
@@ -3133,6 +3189,31 @@ object Queries {
         |m2 AS (SELECT m.* FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM b1)
         | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b1 WHERE NOT del)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM m2
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    // the classified endpoint diff of the same merge replay
+    "mg_version_diff" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |b0 AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, false AS del
+        |   FROM base WHERE o_orderkey%7=3 AND o_orderkey%13<>5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'N', o_totalprice, false FROM base WHERE o_orderkey%11=2),
+        |m1 AS (SELECT b.* FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM b0)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b0 WHERE NOT del),
+        |b1 AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, true AS del FROM base WHERE o_orderkey%13=5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, o_orderstatus, o_totalprice, true FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=0
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'X', o_totalprice + 5.0, false FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=1),
+        |m2 AS (SELECT m.* FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b1 WHERE NOT del)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        | CASE WHEN a.o_orderkey IS NULL THEN 'insert' WHEN b.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS change,
+        | a.o_orderstatus AS o_orderstatus_before, b.o_orderstatus AS o_orderstatus_after,
+        | a.o_totalprice AS o_totalprice_before, b.o_totalprice AS o_totalprice_after
+        |FROM base a FULL OUTER JOIN m2 b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        | OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        | OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        | OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
     // the key-partitioned layout must be INVISIBLE to the merged result:
     // identical change batches, identical sequential-MERGE oracle

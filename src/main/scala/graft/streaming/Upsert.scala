@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming CDC maintenance: apply a stream of change batches onto a
@@ -136,6 +137,50 @@ object StreamingUpsert {
       s"version '$version' not present under $stateDir " +
         s"(have: ${versions(spark, stateDir).mkString(", ")})")
     spark.read.parquet(s"$stateDir/$version")
+  }
+
+  /** Time-travel DIFF between two committed versions: one row per key
+    * whose contents changed, classified `insert` (absent in `from`),
+    * `delete` (absent in `to`), or `update` (present in both with any
+    * non-key column differing, null-safely); unchanged keys are not
+    * emitted. Every non-key column appears twice as `<col>_before` /
+    * `<col>_after` (null on the absent side).
+    *
+    * Scale shape: ONE shuffle join on the merge keys over the two
+    * version scans, with columns pruned to the projection — no window,
+    * no collect; at 100 TB this is the standard CDC-audit join and AQE
+    * broadcasts the smaller side when a version is small. Merge keys are
+    * non-null by the upsert contract, so plain key equality is exact.
+    */
+  def diff(spark: SparkSession, stateDir: String, fromVersion: String,
+      toVersion: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs the merge key columns")
+    val a = read(spark, stateDir, fromVersion)
+    val b = read(spark, stateDir, toVersion)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schema drift between $fromVersion and $toVersion: " +
+        s"${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val missing = keys.filterNot(a.columns.contains)
+    require(missing.isEmpty, s"key columns absent from the table: $missing")
+    val dataCols = a.columns.filterNot(keys.contains).toSeq
+    val la = a.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"${c}_before")) :+
+      lit(true).as("__in_from__"): _*)
+    val lb = b.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"${c}_after")) :+
+      lit(true).as("__in_to__"): _*)
+    val joined = la.join(lb, keys, "full_outer")
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols.map(c =>
+        !(col(s"${c}_before") <=> col(s"${c}_after"))).reduce(_ || _)
+    joined
+      .filter(col("__in_from__").isNull || col("__in_to__").isNull || changed)
+      .withColumn("change",
+        when(col("__in_from__").isNull, "insert")
+          .when(col("__in_to__").isNull, "delete")
+          .otherwise("update"))
+      .drop("__in_from__", "__in_to__")
   }
 
   /** Drop all but the `keep` newest versions — never the one `_LATEST`

@@ -103,6 +103,38 @@ class UpsertStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
   }
 
+  test("version diff classifies insert/delete/update and drops unchanged keys") {
+    val dir = java.nio.file.Files.createTempDirectory("ups-diff").toString
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "s", "v")
+    StreamingUpsert.seed(base, s"$dir/t")
+    val mem = MemoryStream[(Long, String, Double, Boolean)]
+    val q = StreamingUpsert.run(mem.toDF.toDF("k", "s", "v", "del"),
+      s"$dir/t", Seq("k"), Some("del"), s"$dir/ckpt")
+    // update 2, delete 3, insert 5, touch 4 with IDENTICAL values
+    // (null-safe unchanged), leave 1 alone
+    mem.addData((2L, "B", 21.0, false), (3L, "c", 30.0, true),
+      (5L, "e", 50.0, false), (4L, null.asInstanceOf[String], 40.0, false))
+    q.processAllAvailable()
+    q.stop()
+    val d = StreamingUpsert.diff(spark, s"$dir/t", "vinit", "v0", Seq("k"))
+      .select("k", "change", "s_before", "s_after", "v_before", "v_after")
+      .orderBy("k").collect().toSeq
+    assert(d == Seq(
+      Row(2L, "update", "b", "B", 20.0, 21.0),
+      Row(3L, "delete", "c", null, 30.0, null),
+      Row(5L, "insert", null, "e", null, 50.0)), d)
+    // same-version diff is empty
+    assert(StreamingUpsert.diff(spark, s"$dir/t", "v0", "v0",
+      Seq("k")).count() == 0)
+    // missing key column fails loudly
+    intercept[IllegalArgumentException] {
+      StreamingUpsert.diff(spark, s"$dir/t", "vinit", "v0", Seq("nope"))
+    }
+  }
+
   test("pointed version absent from the commit log is reconciled on read") {
     // a state dir written under the old flip-then-log ordering that
     // crashed in the window: _LATEST names a version the log never
