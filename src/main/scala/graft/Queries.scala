@@ -2001,6 +2001,27 @@ object Queries {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    "io_orc_roundtrip" -> ((s, d) => {
+      // same roundtrip contract through ORC (typed columnar, so this is
+      // the drift guard for an ORC-native warehouse hop)
+      val docs = t(s, d, "documents")
+      val path = s"/tmp/graft_io_${math.abs(d.hashCode)}/documents_orc"
+      graft.sources.Formats.writeOrc(docs, path)
+      graft.sources.Formats.readOrc(s, path, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "io_csv_roundtrip" -> ((s, d) => {
+      // the HARD interchange case: CSV with full quoting — doc text
+      // carries commas/quotes; the writeCsv/readCsv dialect (quoteAll,
+      // escaped quotes, multiLine) must return every value bit-for-bit
+      val docs = t(s, d, "documents")
+      val path = s"/tmp/graft_io_${math.abs(d.hashCode)}/documents_csv"
+      graft.sources.Formats.writeCsv(docs, path)
+      graft.sources.Formats.readCsv(s, path, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
 
     // ----- composed selection pipeline v3: the round-6 capstone -----
     "pp_select_v3" -> ((s, d) => {
@@ -3444,6 +3465,10 @@ object Queries {
         | w.a_eid AS asof_event_id, w.a_val AS asof_value, CAST(w.np AS BIGINT) AS asof_n_prior
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
     "io_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "io_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "io_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     // nearest-neighbor resample out[i] = in[floor(i*n/32)], ASCII text so
     // byte positions equal char positions

@@ -43,6 +43,21 @@ object Formats {
     spark.read.schema(schema).option("header", "true")
       .option("escape", "\"").option("multiLine", "true").csv(path)
 
+  /** ORC with zlib (the format default) — the columnar interchange for
+    * Hive-lineage warehouses. Same stance as parquet: typed, splittable,
+    * predicate-pushdown-capable; use it when the consuming platform is
+    * ORC-native, parquet otherwise.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC with a PINNED schema (same inference argument as
+    * [[readJsonl]]; ORC carries types, but pinning still guards against
+    * upstream drift widening a column between runs).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Write hive-layout partitioned parquet (`path/col=value/...`).
     * Partition columns become directory keys: a downstream read filtered
     * on them prunes entire directories at PLAN time (PartitionFilters in
