@@ -1627,6 +1627,33 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "mg_upsert_evolve" -> ((s, d) => {
+      // additive schema evolution: the change set carries a NEW `quality`
+      // column — merged output gains it, untouched base rows read NULL,
+      // no backfill rewrite. Same update/delete/insert families as
+      // mg_upsert so the merge semantics stay oracle-replayable.
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = base
+        .filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") % 13 =!= 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          (col("o_orderkey") % 100 / 100.0).as("quality"),
+          lit(false).as("__del__"))
+      val deletes = base.filter(col("o_orderkey") % 13 === 5)
+        .withColumn("quality", lit(0.0)).withColumn("__del__", lit(true))
+      val inserts = base.filter(col("o_orderkey") % 11 === 2)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), lit(1.0).as("quality"),
+          lit(false).as("__del__"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.UpsertMerge(base, changes, Seq("o_orderkey"),
+        deleteCol = Some("__del__"), allowNewColumns = true)
+        .orderBy("o_orderkey")
+    }),
+
     "mg_version_diff" -> ((s, d) => {
       // time-travel CDC audit: the SAME seed + two micro-batches as
       // mg_upsert_stream, then StreamingUpsert.diff(vinit, v1) — one
@@ -3210,6 +3237,18 @@ object Queries {
         |m2 AS (SELECT m.* FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM b1)
         | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b1 WHERE NOT del)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM m2
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    // additive evolution: kept base rows carry NULL quality
+    "mg_upsert_evolve" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |ch AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, (o_orderkey%100) / 100.0 AS quality, false AS del
+        |   FROM base WHERE o_orderkey%7=3 AND o_orderkey%13<>5
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0.0, true FROM base WHERE o_orderkey%13=5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'N', o_totalprice, 1.0, false FROM base WHERE o_orderkey%11=2),
+        |kept AS (SELECT b.* FROM base b LEFT JOIN (SELECT DISTINCT o_orderkey AS ck FROM ch) c ON b.o_orderkey = c.ck WHERE c.ck IS NULL)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(NULL AS DOUBLE) AS quality FROM kept
+        |UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, quality FROM ch WHERE NOT del
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
     // the classified endpoint diff of the same merge replay
     "mg_version_diff" ->

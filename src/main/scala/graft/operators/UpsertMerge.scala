@@ -33,7 +33,15 @@ object UpsertMerge {
         * aggregate over the (small, broadcastable by assumption) change
         * set. Opt out only when the producer guarantees unique keys.
         */
-      requireUniqueKeys: Boolean = true): DataFrame = {
+      requireUniqueKeys: Boolean = true,
+      /** Additive schema evolution: when true, the change set may carry
+        * columns the base lacks — they join the output schema with NULL
+        * for every untouched base row (the lakehouse `mergeSchema`
+        * contract, evolution by addition only: dropping or retyping a
+        * column remains a loud error either way). Default false: an
+        * unexpected column is more often a producer bug than evolution.
+        */
+      allowNewColumns: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "UpsertMerge needs at least one key column")
     if (requireUniqueKeys) {
       val dups = changes.groupBy(keys.map(col): _*)
@@ -49,12 +57,25 @@ object UpsertMerge {
     // silent delete. coalesce makes null mean "upsert".
     val upserts = deleteCol.fold(changes)(c =>
       changes.filter(!coalesce(col(c), lit(false))).drop(c))
-    require(base.columns.toSet == upserts.columns.toSet,
-      "change schema must match base schema (plus the optional delete flag); " +
-        s"base=${base.columns.sorted.mkString(",")} " +
-        s"changes=${upserts.columns.sorted.mkString(",")}")
-    val kept = base.join(
+    val newCols = upserts.columns.filterNot(base.columns.contains).toSeq
+    if (allowNewColumns)
+      require(base.columns.forall(upserts.columns.contains),
+        "schema evolution is additive only — the change set must still " +
+          s"carry every base column; missing: " +
+          s"${base.columns.filterNot(upserts.columns.contains).mkString(",")}")
+    else
+      require(base.columns.toSet == upserts.columns.toSet,
+        "change schema must match base schema (plus the optional delete flag); " +
+          s"base=${base.columns.sorted.mkString(",")} " +
+          s"changes=${upserts.columns.sorted.mkString(",")}")
+    // widen untouched base rows with NULL for each evolved column, typed
+    // from the change schema so the union never implicitly casts
+    val widened = newCols.foldLeft(base) { (acc, c) =>
+      acc.withColumn(c,
+        lit(null).cast(upserts.schema(upserts.schema.fieldIndex(c)).dataType))
+    }
+    val kept = widened.join(
       changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    kept.unionByName(upserts.select(base.columns.map(col).toIndexedSeq: _*))
+    kept.unionByName(upserts.select(widened.columns.map(col).toIndexedSeq: _*))
   }
 }

@@ -47,12 +47,19 @@ object StreamingUpsert {
       stateDir: String,
       keys: Seq[String],
       deleteCol: Option[String],
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      /** Additive schema evolution pass-through ([[graft.operators
+        * .UpsertMerge]]): change batches may carry NEW columns, which
+        * join the table schema with NULL on untouched rows. Because each
+        * commit writes a full version, the evolved schema takes effect
+        * for all readers at the pointer flip — no backfill rewrite.
+        */
+      allowNewColumns: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, id, stateDir, keys, deleteCol)
+        applyBatch(batch, id, stateDir, keys, deleteCol, allowNewColumns)
       }
       .start()
 
@@ -69,7 +76,8 @@ object StreamingUpsert {
       id: Long,
       stateDir: String,
       keys: Seq[String],
-      deleteCol: Option[String]): Unit = {
+      deleteCol: Option[String],
+      allowNewColumns: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val curName = pointer(spark, stateDir).getOrElse(
       throw new IllegalStateException(
@@ -77,7 +85,8 @@ object StreamingUpsert {
     val curOrd = ordinal(curName)
     if (curOrd < id) {
       val cur = spark.read.parquet(s"$stateDir/$curName")
-      val merged = graft.operators.UpsertMerge(cur, batch, keys, deleteCol)
+      val merged = graft.operators.UpsertMerge(cur, batch, keys, deleteCol,
+        allowNewColumns = allowNewColumns)
       commit(merged, stateDir, s"v$id")
     } else if (curOrd > id) {
       // legitimate foreachBatch replay only re-delivers the LAST batch

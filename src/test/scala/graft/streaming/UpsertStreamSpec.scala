@@ -103,6 +103,42 @@ class UpsertStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
   }
 
+  test("additive schema evolution: new change columns null-fill untouched rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ups-evo").toString
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    StreamingUpsert.seed(base, s"$dir/t")
+    val mem = MemoryStream[(Long, String, Double, Boolean)]
+    val q = StreamingUpsert.run(
+      mem.toDF.toDF("k", "s", "quality", "del"),
+      s"$dir/t", Seq("k"), Some("del"), s"$dir/ckpt",
+      allowNewColumns = true)
+    mem.addData((2L, "B", 0.9, false), (3L, "c", 0.5, false))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingUpsert.latest(spark, s"$dir/t").get
+      .select("k", "s", "quality").orderBy("k").collect().toSeq
+    assert(got == Seq(Row(1L, "a", null), Row(2L, "B", 0.9),
+      Row(3L, "c", 0.5)), got)
+    // evolution is additive only: a change batch missing a base column
+    // still fails loudly even with the flag on
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.UpsertMerge(
+        Seq((1L, "a")).toDF("k", "s"),
+        Seq((1L, 0.5)).toDF("k", "quality"),
+        Seq("k"), allowNewColumns = true)
+    }
+    assert(e.getMessage.contains("additive"), e.getMessage)
+    // and without the flag, a new column is still a loud error
+    intercept[IllegalArgumentException] {
+      graft.operators.UpsertMerge(
+        Seq((1L, "a")).toDF("k", "s"),
+        Seq((1L, "a", 0.5)).toDF("k", "s", "quality"),
+        Seq("k"))
+    }
+  }
+
   test("version diff classifies insert/delete/update and drops unchanged keys") {
     val dir = java.nio.file.Files.createTempDirectory("ups-diff").toString
     import spark.implicits._
