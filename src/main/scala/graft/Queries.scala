@@ -1801,6 +1801,16 @@ object Queries {
       // cu_bloom_decontam, so the same oracle replays every collision
       graft.streaming.EventStream.runBloomDecontaminateStream(s, d)
         .select("doc_id", "contaminated").orderBy("doc_id")),
+    "hh_heavy_ngrams" -> ((s, d) =>
+      // count-min two-pass heavy hitters: pass 1 builds the fixed-memory
+      // sketch, pass 2 keeps occurrences whose (one-sided) estimate
+      // reaches the threshold and exact-counts ONLY those — the result
+      // is exactly GROUP BY HAVING, but the exact aggregation never sees
+      // the full gram vocabulary. width=512 forces real bucket
+      // collisions to prove pruning stays exact under them.
+      graft.llm.HeavyHitterPipe("text", ngramSize = 2, minCount = 35L,
+        depth = 4, width = 512)(t(s, d, "documents"))
+        .orderBy("gram")),
     "cu_pii" -> ((s, d) => {
       // plant deterministic email/phone/IP on every 3rd doc; the oracle
       // replays the planting and RE2-compatible redaction verbatim
@@ -3505,6 +3515,12 @@ object Queries {
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
     "io_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // the sketch prunes, the exact count decides: plain GROUP BY HAVING
+    "hh_heavy_ngrams" ->
+      """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) ELSE [] END) AS gram FROM tok)
+        |SELECT gram, count(*) AS n_occurrences FROM ng GROUP BY gram
+        |HAVING count(*) >= 35 ORDER BY gram""".stripMargin.replace("\n", " "),
     "io_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "io_csv_roundtrip" ->
