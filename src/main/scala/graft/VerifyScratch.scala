@@ -1011,6 +1011,54 @@ object VerifyScratch {
         s"layoutEq=${a == b} -> ${nShort == 5 && takeOrdered && a == b}")
     }
 
+    // [67] r13: CDC version diff + additive schema evolution on a real
+    // seeded table — classification counts consistent with the merge,
+    // evolved column null-filled on untouched rows
+    {
+      val dir = java.nio.file.Files.createTempDirectory("vs67").toString
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      graft.streaming.StreamingUpsert.seed(docs, s"$dir/t")
+      val changes = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1).as("n_chars"),
+          lit(0.5).as("quality"), (col("doc_id") % 10 === 5).as("del"))
+      graft.streaming.StreamingUpsert.applyBatch(changes, 0L, s"$dir/t",
+        Seq("doc_id"), Some("del"), allowNewColumns = true)
+      val d = graft.streaming.StreamingUpsert.diff(spark, s"$dir/t",
+        "vinit", "v0", Seq("doc_id"))
+      val byType = d.groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val latest = graft.streaming.StreamingUpsert.latest(spark, s"$dir/t").get
+      val untouchedNull = latest.filter(col("doc_id") % 5 =!= 0)
+        .filter(col("quality").isNotNull).count() == 0
+      val touchedSet = latest.filter(col("quality").isNotNull).count() ==
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 5).count()
+      // every %5 key changed (n_chars+1 or deleted): updates + deletes
+      val expUpd = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 5).count()
+      val expDel = docs.filter(col("doc_id") % 10 === 5).count()
+      println(s"[67] cdc diff+evolve byType=$byType nullFill=$untouchedNull " +
+        s"-> ${byType.getOrElse("update", 0L) == expUpd &&
+          byType.getOrElse("delete", 0L) == expDel &&
+          byType.getOrElse("insert", 0L) == 0L && untouchedNull && touchedSet}")
+    }
+
+    // [68] r13: CMS heavy hitters drive — tiny width, result equals the
+    // exact GROUP BY HAVING; estimate plan is broadcast-only
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val exact = docs.select(explode(graft.llm.CurationOps.wordNgrams(
+          graft.llm.TextAnalysisOps.toks(col("text")), 2)).as("gram"))
+        .groupBy("gram").count().filter(col("count") >= 8).count()
+      val hh = graft.llm.HeavyHitterPipe("text", 2, 8L, depth = 3,
+        width = 128)(docs)
+      val got = hh.count()
+      val plan = hh.queryExecution.executedPlan.toString
+      val bcast = plan.contains("BroadcastHashJoin")
+      println(s"[68] cms heavy hitters exact=$exact got=$got bcast=$bcast " +
+        s"-> ${got == exact && exact > 0 && bcast}")
+    }
+
     spark.stop()
   }
 }

@@ -54,6 +54,19 @@ object CountMinOps {
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** CMS is a LINEAR sketch: the grid of (corpus A ++ corpus B) is the
+    * cell-wise SUM of the two grids. Merging sketch frames is therefore
+    * a union + groupBy — the incremental-corpus shape: keep one sketch
+    * frame per ingest batch (or per shard), merge on demand, never
+    * re-scan old data. Deterministic: merge(sketch(A), sketch(B)) is
+    * row-identical to sketch(A ++ B).
+    */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch frame")
+    sketches.reduce(_ unionByName _)
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
   /** Add `estCol` = the CMS estimate of `hashCol`'s global frequency:
     * `depth` broadcast joins against the sketch frame, `least` across
     * rows. An absent (j, bucket) pair means zero occurrences hashed

@@ -164,11 +164,20 @@ object StreamingUpsert {
   def diff(spark: SparkSession, stateDir: String, fromVersion: String,
       toVersion: String, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs the merge key columns")
-    val a = read(spark, stateDir, fromVersion)
+    val aRaw = read(spark, stateDir, fromVersion)
     val b = read(spark, stateDir, toVersion)
-    require(a.columns.sorted.sameElements(b.columns.sorted),
+    // additive evolution between the endpoints is legal (the merge's own
+    // allowNewColumns contract): columns the older version lacks read as
+    // NULL `_before`, typed from the newer schema. Anything else —
+    // dropped or mismatched columns — is real drift and fails loudly.
+    val evolved = b.columns.filterNot(aRaw.columns.contains).toSeq
+    require(aRaw.columns.forall(b.columns.contains),
       s"schema drift between $fromVersion and $toVersion: " +
-        s"${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+        s"${aRaw.columns.mkString(",")} vs ${b.columns.mkString(",")} — " +
+        "diff supports additive evolution only")
+    val a = evolved.foldLeft(aRaw) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(b.schema(b.schema.fieldIndex(c)).dataType))
+    }
     val missing = keys.filterNot(a.columns.contains)
     require(missing.isEmpty, s"key columns absent from the table: $missing")
     val dataCols = a.columns.filterNot(keys.contains).toSeq

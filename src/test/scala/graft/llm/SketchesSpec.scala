@@ -49,6 +49,22 @@ class SketchesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sketch linearity: merge of per-shard sketches equals the whole-corpus sketch") {
+    val docs = spark.read.parquet(sf("documents"))
+    val occ = docs.select(col("doc_id"),
+        explode(CurationOps.wordNgrams(
+          TextAnalysisOps.toks(col("text")), 2)).as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+    val whole = CountMinOps.sketch(occ, "h", 4, 1 << 10)
+      .collect().map(_.toString).sorted.toSeq
+    val shardA = CountMinOps.sketch(occ.filter(col("doc_id") % 3 === 0), "h", 4, 1 << 10)
+    val shardB = CountMinOps.sketch(occ.filter(col("doc_id") % 3 === 1), "h", 4, 1 << 10)
+    val shardC = CountMinOps.sketch(occ.filter(col("doc_id") % 3 === 2), "h", 4, 1 << 10)
+    val merged = CountMinOps.merge(shardA, shardB, shardC)
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == whole)
+  }
+
   test("estimate side is map-only: broadcast joins, no shuffle of the probed frame") {
     val docs = spark.read.parquet(sf("documents"))
     val occ = docs.select(explode(CurationOps.wordNgrams(
