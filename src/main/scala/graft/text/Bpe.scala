@@ -113,13 +113,22 @@ case class BpeEncodePipe(
     "out" -> outputCol, "count" -> countCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val subwords = flatten(arrTransform(
-      BpeOps.words(qcol(textCol)), w => BpeOps.encodeWord(w, merges)))
-    // widen: the per-word merge folds are interpreted HOF work — on a
-    // small file's 1-2 input splits they serialize (the bench measured
-    // 13 s at sf0.1 on 2 tasks); spread across cores first
+    // the whole-text native kernel ([[org.apache.spark.sql.graft
+    // .BpeEncodeExpr]]): same automaton as BpeOps.encodeWord, but a
+    // compiled loop inside whole-stage codegen with a per-thread
+    // word-memo — r13 re-lowering of the interpreted |merges|-deep HOF
+    // pyramid (3.4 -> ~0.4 s on the sf0.1 gate, bit-identical output,
+    // differential spec + DuckDB gate unchanged)
+    val subwords = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.BpeEncodeExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(qcol(textCol), lit(""))),
+        merges))
+    // widen: per-row kernel work — on a small file's 1-2 input splits it
+    // serializes (the bench measured 13 s at sf0.1 on 2 tasks with the
+    // HOF form); spread across cores first.
     // stage the subword array once; size() referencing a staged column
-    // cannot re-trigger the nested merge folds (HOF-inline hazard)
+    // cannot re-trigger the encode (the HOF-inline hazard)
     val staged = Pipe.widen(df).withColumn("__bp_sub__", subwords)
     finish(staged, Seq(
       outputCol -> col("__bp_sub__"),

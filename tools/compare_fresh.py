@@ -15,7 +15,7 @@ import duckdb
 from compare import TABLES, norm_rows
 
 
-def run_one(sf_dir, out_dir, name, sql, low_mem=False):
+def run_one(sf_dir, out_dir, name, sql, low_mem=False, wide_mem=False):
     con = duckdb.connect()
     try:
         con.sql("SET temp_directory='/tmp/duck_spill'")
@@ -26,6 +26,14 @@ def run_one(sf_dir, out_dir, name, sql, low_mem=False):
             # scales with threads. Fewer threads + no insertion-order
             # preservation + a bigger cap lets the same SQL complete.
             con.sql("SET threads=4")
+            con.sql("SET preserve_insertion_order=false")
+            con.sql("SET memory_limit='100GB'")
+        if wide_mem:
+            # ...and the OPPOSITE regime exists too: the bp_bpe_encode
+            # windowed-CTE chain at sf1 bad-allocs under threads=4 but
+            # completes in ~30 s at threads=16 (r13 find — allocation
+            # pattern, not total memory: 119 GB was free at the failure).
+            con.sql("SET threads=16")
             con.sql("SET preserve_insertion_order=false")
             con.sql("SET memory_limit='100GB'")
         for t in TABLES:
@@ -65,6 +73,13 @@ def main(sf_dir, out_dir, only):
                 good, msg = run_one(sf_dir, out_dir, name, oracle[name],
                                     low_mem=True)
                 msg += ", low-mem retry"
+            except duckdb.OutOfMemoryException:
+                try:
+                    good, msg = run_one(sf_dir, out_dir, name, oracle[name],
+                                        wide_mem=True)
+                    msg += ", wide-mem retry"
+                except Exception as e:
+                    good, msg = False, f"exec error (after both retries): {e}"
             except Exception as e:
                 good, msg = False, f"exec error (after low-mem retry): {e}"
         except Exception as e:
