@@ -217,14 +217,8 @@ object BloomOps {
       numHashes: Int, mBits: Int): Array[Long] = {
     val words = mBits / 64
     val pos = evalDf
-      .withColumn("__bd_tk__",
-        TextAnalysisOps.toks(coalesce(Pipe.qcol(textCol), lit(""))))
-      .withColumn("__bd_t1__",
-        arrTransform(col("__bd_tk__"), t => tokenFold31(t)))
-      .withColumn("__bd_t2__",
-        arrTransform(col("__bd_tk__"), t => tokenFold131(t)))
-      .select(explode(gramHashes(
-        col("__bd_t1__"), col("__bd_t2__"), ngramSize)).as("__h__"))
+      .select(explode(gramHashesNative(
+        coalesce(Pipe.qcol(textCol), lit("")), ngramSize)).as("__h__"))
       .distinct()
       .select(explode(array(
         positions(col("__h__"), numHashes, mBits): _*)).as("p"))
@@ -254,25 +248,30 @@ object BloomOps {
   def withFlag(df: DataFrame, textCol: String, ngramSize: Int,
       numHashes: Int, mBits: Int, bits: Array[Long],
       flagCol: String): DataFrame = {
-    val staged = df
-      .withColumn("__bd_tk__",
-        TextAnalysisOps.toks(coalesce(Pipe.qcol(textCol), lit(""))))
-      .withColumn("__bd_t1__",
-        arrTransform(col("__bd_tk__"), t => tokenFold31(t)))
-      .withColumn("__bd_t2__",
-        arrTransform(col("__bd_tk__"), t => tokenFold131(t)))
-      .withColumn("__bd_hs__", gramHashes(
-        col("__bd_t1__"), col("__bd_t2__"), ngramSize))
-      .withColumn("__bd_ps__",
-        flatten(arrTransform(col("__bd_hs__"),
-          h => array(positions(h, numHashes, mBits): _*))))
+    val staged = df.withColumn("__bd_ps__",
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.graft.BloomGramPositionsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            coalesce(Pipe.qcol(textCol), lit(""))),
+          ngramSize, mBits,
+          bloomCoeffs(numHashes).flatMap(p => Seq(p._1, p._2)).toArray)))
     val probe = org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.graft.BloomProbeExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("__bd_ps__")),
         bits, numHashes))
-    staged.withColumn(flagCol, probe)
-      .drop("__bd_tk__", "__bd_t1__", "__bd_t2__", "__bd_hs__", "__bd_ps__")
+    staged.withColumn(flagCol, probe).drop("__bd_ps__")
   }
+
+  /** The native kernel form of the tokenFold/gramHashes chain (same
+    * integer arithmetic compiled — [[org.apache.spark.sql.graft
+    * .BloomGramHashExpr]]); the HOF Column versions above remain the
+    * readable reference the oracle SQL mirrors, and the differential
+    * spec pins the two equal.
+    */
+  def gramHashesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.BloomGramHashExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 }
 
 /** Bloom-filter eval-set decontamination — the O(1)-broadcast sibling of

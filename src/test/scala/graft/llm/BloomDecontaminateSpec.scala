@@ -61,6 +61,45 @@ class BloomDecontaminateSpec extends SparkSpec {
     assert(probeOnly.filter(col("p")).count() == docs.count())
   }
 
+  test("native gram kernel is bit-identical to the HOF fold chain") {
+    // the r13 compiled kernel (BloomGramHashExpr / BloomGramPositionsExpr)
+    // must reproduce the interpreted tokenFold31/131 + gramHashes +
+    // positions arithmetic exactly — including unicode text (code-point
+    // folds, surrogate pairs whole) and short/null texts
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" café 日本語 𝄞clef naïve")))
+        .when(col("doc_id") % 11 === 3, lit("one two"))
+        .when(col("doc_id") % 13 === 4, lit(null.asInstanceOf[String]))
+        .otherwise(col("text")))
+    val txt = coalesce(col("text"), lit(""))
+    val hof = planted
+      .withColumn("tk", TextAnalysisOps.toks(txt))
+      .withColumn("t1", transform(col("tk"), t => BloomOps.tokenFold31(t)))
+      .withColumn("t2", transform(col("tk"), t => BloomOps.tokenFold131(t)))
+      .select(col("doc_id"),
+        BloomOps.gramHashes(col("t1"), col("t2"), 4).as("hs"),
+        flatten(transform(BloomOps.gramHashes(col("t1"), col("t2"), 4),
+          h => array(BloomOps.positions(h, 4, 1 << 20): _*))).as("ps"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSeq
+    val native = planted
+      .select(col("doc_id"),
+        BloomOps.gramHashesNative(txt, 4).as("hs"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.BloomGramPositionsExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(txt),
+            4, 1 << 20,
+            BloomOps.bloomCoeffs(4).flatMap(p => Seq(p._1, p._2)).toArray))
+          .as("ps"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSeq
+    assert(native.sortBy(_._1) == hof.sortBy(_._1))
+    // and the kernel stays inside whole-stage codegen
+    val plan = planted.select(BloomOps.gramHashesNative(txt, 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bloom_gram_hashes") && l.trim.startsWith("*(")), plan)
+  }
+
   test("flagOnly=false drops exactly the flagged rows") {
     val eval = docs.filter(col("doc_id") < 30)
     val flagged = BloomDecontaminatePipe(eval, "text", "doc_id")(docs)
