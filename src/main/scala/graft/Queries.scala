@@ -371,6 +371,18 @@ object Queries {
         t(s, d, "documents").select("doc_id", "text"))
         .select("doc_id", "bpe_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
+    "bp_bpe_encode_sql" -> ((s, d) => {
+      // the SQL surface of the same native kernel: bpe_encode(text,
+      // '<merges>') with the merge table as a literal — hash-identical
+      // to the pipe gate (same oracle)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_bpe_docs")
+      val spec = bpePinnedMerges.map { case (a, b) => s"$a $b" }.mkString("|")
+      s.sql("SELECT doc_id, bpe_tokens, CAST(size(bpe_tokens) AS INT) " +
+        "AS n_bpe_tokens FROM (SELECT doc_id, " +
+        s"bpe_encode(text, '$spec') AS bpe_tokens FROM graft_bpe_docs) " +
+        "ORDER BY doc_id")
+    }),
     "t2_passages" -> ((s, d) => {
       val toks = graft.text.TokenizerPipe()(t(s, d, "documents").select("doc_id", "text"))
       graft.text.GeneratePassagesPipe(24, 16,
@@ -2665,6 +2677,11 @@ object Queries {
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
         "doc_id" -> "", "input_ids" -> "i", "attention_mask" -> "i", "token_type_ids" -> "i", "offset_mapping" -> "ii"),
     "bp_bpe_encode" ->
+      scl(bpeOracleSql(bpePinnedMerges),
+        "doc_id" -> "", "bpe_tokens" -> "s", "n_bpe_tokens" -> ""),
+    // two front ends, one kernel: the SQL function must hash-match the
+    // pipe gate's oracle byte-for-byte
+    "bp_bpe_encode_sql" ->
       scl(bpeOracleSql(bpePinnedMerges),
         "doc_id" -> "", "bpe_tokens" -> "s", "n_bpe_tokens" -> ""),
     "t2_passages" ->

@@ -81,6 +81,25 @@ object GraftExtensions {
         val bits = args.head.eval().asInstanceOf[Number].intValue()
         ColumnBridge.resolvedExpression(graft.operators.ZOrder.zvalue(
           args.tail.map(ColumnBridge.column), bits))
+      }),
+    // BPE subword encode with a literal merge table:
+    // bpe_encode(text, 'a b|c d|...') — pairs separated by '|', symbols
+    // by one space, applied in list order ([[BpeEncodeExpr]] semantics)
+    (new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "bpe_encode(text, merges) expects exactly two arguments")
+        require(args(1).foldable,
+          "bpe_encode: the merge table must be a string literal")
+        val spec = String.valueOf(args(1).eval())
+        val merges = spec.split('|').toSeq.filter(_.nonEmpty).map { m =>
+          val parts = m.split(' ')
+          require(parts.length == 2,
+            s"bpe_encode: malformed merge '$m' (want 'left right')")
+          (parts(0), parts(1))
+        }
+        BpeEncodeExpr(args.head, merges)
       }))
 
   /** Register into an already-built session's function registry. */
