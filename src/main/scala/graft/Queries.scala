@@ -1806,6 +1806,13 @@ object Queries {
       // the batch ws_weighted_sample top-120, so the SAME oracle replays
       graft.streaming.EventStream.runWeightedSampleStream(s, d)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    "ev_stream_heavy_ngrams" -> ((s, d) =>
+      // REAL StreamingQuery: per-micro-batch CMS folded into a persisted
+      // <= depth*width-row sketch (linear merge), then the exact
+      // second pass driven by the STREAMED sketch — result equals the
+      // all-batch hh_heavy_ngrams, same GROUP BY HAVING oracle
+      graft.streaming.EventStream.runHeavyNgramsStream(s, d)
+        .orderBy("gram")),
     "ev_stream_bloom_decontam" -> ((s, d) =>
       // REAL StreamingQuery, bloom mode: eval side is a fixed 2^20-bit
       // bitmap probed map-only per arriving doc — zero state, no literal
@@ -3532,6 +3539,12 @@ object Queries {
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
     "io_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // sketch-on-ingest must lose nothing: same oracle as hh_heavy_ngrams
+    "ev_stream_heavy_ngrams" ->
+      """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) ELSE [] END) AS gram FROM tok)
+        |SELECT gram, count(*) AS n_occurrences FROM ng GROUP BY gram
+        |HAVING count(*) >= 35 ORDER BY gram""".stripMargin.replace("\n", " "),
     // the sketch prunes, the exact count decides: plain GROUP BY HAVING
     "hh_heavy_ngrams" ->
       """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -113,20 +113,50 @@ case class HeavyHitterPipe(
     "width" -> width.toString, "gram" -> gramCol, "cnt" -> countCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val occ = Pipe.widen(df)
-      .withColumn("__hh_tk__",
-        TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))))
-      .select(explode(CurationOps.wordNgrams(col("__hh_tk__"), ngramSize))
-        .as(gramCol))
-      .withColumn("__hh_h__", xxhash64(qcol(gramCol)))
+    val occ = HeavyHitterPipe.gramOccurrences(df, textCol, ngramSize, gramCol)
     // the sketch frame is read `depth` times by the estimate joins —
     // materialize once (<= depth*width rows)
     val sk = CountMinOps.sketch(occ, "__hh_h__", depth, width)
       .localCheckpoint(true)
-    CountMinOps.withEstimate(occ, "__hh_h__", sk, depth, width)
+    HeavyHitterPipe.secondPass(occ, sk, minCount, depth, width, gramCol,
+      countCol)
+  }
+}
+
+object HeavyHitterPipe {
+  /** One row per n-gram OCCURRENCE: (gram, __hh_h__ = xxhash64(gram)). */
+  private[graft] def gramOccurrences(df: DataFrame, textCol: String,
+      ngramSize: Int, gramCol: String = "gram"): DataFrame =
+    Pipe.widen(df)
+      .withColumn("__hh_tk__",
+        TextAnalysisOps.toks(coalesce(Pipe.qcol(textCol), lit(""))))
+      .select(explode(CurationOps.wordNgrams(col("__hh_tk__"), ngramSize))
+        .as(gramCol))
+      .withColumn("__hh_h__", xxhash64(Pipe.qcol(gramCol)))
+
+  /** The exact second pass against a PREBUILT sketch (the pipe's own, or
+    * one accumulated on the stream by
+    * [[graft.streaming.StreamingCountMin]]): estimate-prune occurrences,
+    * exact-count survivors, HAVING >= minCount. The sketch only has to
+    * be a VALID CMS of a SUPERSET of the occurrences (one-sided
+    * estimates only grow), so a stream-accumulated sketch over the same
+    * corpus yields exactly the batch result.
+    */
+  private[graft] def secondPass(occ: DataFrame, sketch: DataFrame,
+      minCount: Long, depth: Int, width: Int, gramCol: String,
+      countCol: String): DataFrame =
+    CountMinOps.withEstimate(occ, "__hh_h__", sketch, depth, width)
       .filter(col("cms_est") >= minCount)
-      .groupBy(qcol(gramCol))
+      .groupBy(Pipe.qcol(gramCol))
       .agg(count(lit(1)).as(countCol))
       .filter(col(countCol) >= minCount)
-  }
+
+  /** Heavy hitters with an externally-supplied sketch frame. */
+  def withSketch(df: DataFrame, sketch: DataFrame, textCol: String,
+      ngramSize: Int, minCount: Long, depth: Int, width: Int,
+      gramCol: String = "gram",
+      countCol: String = "n_occurrences"): DataFrame =
+    secondPass(gramOccurrences(df, textCol, ngramSize, gramCol),
+      sketch.localCheckpoint(true), minCount, depth, width, gramCol,
+      countCol)
 }

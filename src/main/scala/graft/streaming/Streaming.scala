@@ -303,6 +303,28 @@ object EventStream {
     StreamingWeightedSample.latest(spark, stateDir).get
   }
 
+  /** Count-min accumulation on the stream (gate `ev_stream_heavy_ngrams`):
+    * documents flow through [[StreamingCountMin]] inside a REAL
+    * StreamingQuery; the accumulated sketch then drives the exact
+    * heavy-hitter second pass over the same corpus — the result must
+    * equal the all-batch gate `hh_heavy_ngrams` (same GROUP BY HAVING
+    * oracle), proving sketch-on-ingest loses nothing.
+    */
+  def runHeavyNgramsStream(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("cms-stream").toString
+    StreamingCountMin.seed(spark, s"$stateDir/t")
+    val docs = readStreamTable(spark, dir, "documents").select("text")
+    val q = StreamingCountMin.run(docs, s"$stateDir/t", "text",
+      ngramSize = 2, depth = 4, width = 512,
+      checkpointDir = s"$stateDir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val sk = StreamingCountMin.latest(spark, s"$stateDir/t").get
+    graft.llm.HeavyHitterPipe.withSketch(
+      spark.read.parquet(s"$dir/documents.parquet"), sk, "text",
+      ngramSize = 2, minCount = 35L, depth = 4, width = 512)
+  }
+
   /** Bloom-bitmap decontamination on the stream (gate
     * `ev_stream_bloom_decontam`): the eval side compressed to a 2^20-bit
     * bitmap before the stream starts, arriving documents probe it inside

@@ -65,6 +65,52 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("streaming CMS accumulation equals the one-batch sketch; replay guarded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(sf("documents")).select("text")
+    val whole = CountMinOps.sketch(
+      HeavyHitterPipe.gramOccurrences(docs, "text", 2), "__hh_h__", 4, 1 << 10)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    graft.streaming.StreamingCountMin.seed(spark, s"$dir/t")
+    val mem = MemoryStream[String]
+    val q = graft.streaming.StreamingCountMin.run(
+      mem.toDF.toDF("text"), s"$dir/t", "text", 2, 4, 1 << 10,
+      s"$dir/ckpt")
+    val rows = docs.as[String].collect().toSeq
+    rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = graft.streaming.StreamingCountMin.latest(spark, s"$dir/t")
+      .get.collect().map(_.toString).sorted.toSeq
+    assert(streamed == whole)
+    // a replayed id is a no-op (no double count)...
+    graft.streaming.StreamingCountMin.applyBatch(
+      rows.take(5).toDF("text"), 2L, s"$dir/t", "text", 2, 4, 1 << 10)
+    val after = graft.streaming.StreamingCountMin.latest(spark, s"$dir/t")
+      .get.collect().map(_.toString).sorted.toSeq
+    assert(after == whole)
+    // ...and a behind-id (fresh checkpoint) throws instead of double-counting
+    intercept[IllegalStateException] {
+      graft.streaming.StreamingCountMin.applyBatch(
+        rows.take(5).toDF("text"), 0L, s"$dir/t", "text", 2, 4, 1 << 10)
+    }
+    // the streamed sketch drives the exact second pass to the same
+    // result as the all-batch pipe
+    val viaStream = HeavyHitterPipe.withSketch(
+      spark.read.parquet(sf("documents")),
+      graft.streaming.StreamingCountMin.latest(spark, s"$dir/t").get,
+      "text", 2, 5L, 4, 1 << 10)
+      .collect().map(_.toString).sorted.toSeq
+    val viaBatch = HeavyHitterPipe("text", 2, 5L, 4, 1 << 10)(
+      spark.read.parquet(sf("documents")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStream == viaBatch && viaBatch.nonEmpty)
+  }
+
   test("estimate side is map-only: broadcast joins, no shuffle of the probed frame") {
     val docs = spark.read.parquet(sf("documents"))
     val occ = docs.select(explode(CurationOps.wordNgrams(
