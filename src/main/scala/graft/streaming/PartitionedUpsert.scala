@@ -153,9 +153,13 @@ object PartitionedUpsert {
 
   /** The committed manifest, if seeded. */
   private[graft] def readManifest(
-      spark: SparkSession, stateDir: String): Option[Manifest] = {
-    val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = path(s"$stateDir/_LATEST")
+      spark: SparkSession, stateDir: String): Option[Manifest] =
+    readManifestAt(spark, s"$stateDir/_LATEST")
+
+  private def readManifestAt(
+      spark: SparkSession, p: String): Option[Manifest] = {
+    val fs = path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = path(p)
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
@@ -172,6 +176,53 @@ object PartitionedUpsert {
       }
     }
   }
+
+  /** Committed manifest names, oldest → newest — the partitioned
+    * layout's time-travel catalog (pre-history state dirs written before
+    * manifest history report only what exists under `_manifests/`).
+    */
+  def manifestVersions(spark: SparkSession, stateDir: String): Seq[String] = {
+    val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = path(s"$stateDir/_manifests")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(v => v == "vinit" || v.matches("v\\d+"))
+      .sortBy(StreamingUpsert.ordinal)
+  }
+
+  /** Time travel: the table AS OF a committed manifest. Each manifest
+    * maps partitions to the version dirs that were live at that commit —
+    * untouched partitions' entries still name OLDER dirs, which is
+    * exactly why they must not be vacuumed away ([[vacuum]] keeps
+    * manifest-referenced versions of the CURRENT manifest only; deep
+    * history may lose partitions to vacuum and then fails loudly here).
+    */
+  def readVersion(spark: SparkSession, stateDir: String,
+      version: String): DataFrame = {
+    val m = readManifestAt(spark, s"$stateDir/_manifests/$version").getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest '$version' not present under $stateDir/_manifests " +
+          s"(have: ${manifestVersions(spark, stateDir).mkString(", ")})"))
+    require(m.parts.nonEmpty, s"manifest '$version' maps an empty table")
+    val fs = path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = m.parts.toSeq.sortBy(_._1)
+      .filterNot { case (i, v) => fs.exists(path(s"$stateDir/p$i/$v")) }
+    require(missing.isEmpty,
+      s"manifest '$version' references vacuumed partition versions: " +
+        missing.map { case (i, v) => s"p$i/$v" }.mkString(", "))
+    spark.read.parquet(
+      m.parts.toSeq.sortBy(_._1).map { case (i, v) => s"$stateDir/p$i/$v" }: _*)
+  }
+
+  /** Classified diff between two committed manifests — the partitioned
+    * twin of [[StreamingUpsert.diff]], same output contract.
+    */
+  def diff(spark: SparkSession, stateDir: String, fromVersion: String,
+      toVersion: String, keys: Seq[String]): DataFrame =
+    StreamingUpsert.diffFrames(
+      readVersion(spark, stateDir, fromVersion),
+      readVersion(spark, stateDir, toVersion), keys,
+      s"between $fromVersion and $toVersion")
 
   /** Per-partition version catalogs (partition → versions oldest→newest). */
   def versions(spark: SparkSession, stateDir: String): Map[Int, Seq[String]] = {
@@ -235,6 +286,18 @@ object PartitionedUpsert {
     val fs = path(stateDir).getFileSystem(conf)
     val body = (Seq(s"id=${m.id}", s"n=${m.n}") ++
       m.parts.toSeq.sortBy(_._1).map { case (i, v) => s"p$i=$v" }).mkString("\n")
+    // immutable manifest HISTORY first (the log-before-flip ordering):
+    // each commit's (partition -> version) map is preserved under
+    // _manifests/<name>, which is what time travel reconstructs from —
+    // a crash before the flip is healed by the replay rewriting it
+    val name = if (m.id < 0) "vinit" else s"v${m.id}"
+    fs.mkdirs(path(s"$stateDir/_manifests"))
+    val htmp = path(s"$stateDir/_manifests/.$name.tmp")
+    val hout = fs.create(htmp, true)
+    try hout.write(body.getBytes("UTF-8")) finally hout.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(htmp.toUri, conf)
+      .rename(htmp, path(s"$stateDir/_manifests/$name"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val tmp = path(s"$stateDir/._LATEST.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()

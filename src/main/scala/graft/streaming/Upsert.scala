@@ -162,17 +162,24 @@ object StreamingUpsert {
     * non-null by the upsert contract, so plain key equality is exact.
     */
   def diff(spark: SparkSession, stateDir: String, fromVersion: String,
-      toVersion: String, keys: Seq[String]): DataFrame = {
+      toVersion: String, keys: Seq[String]): DataFrame =
+    diffFrames(read(spark, stateDir, fromVersion),
+      read(spark, stateDir, toVersion), keys,
+      s"between $fromVersion and $toVersion")
+
+  /** The frame-level diff core behind [[diff]] — also what
+    * [[PartitionedUpsert.diff]] runs over manifest-reconstructed reads.
+    */
+  def diffFrames(aRaw: DataFrame, b: DataFrame, keys: Seq[String],
+      where: String = ""): DataFrame = {
     require(keys.nonEmpty, "diff needs the merge key columns")
-    val aRaw = read(spark, stateDir, fromVersion)
-    val b = read(spark, stateDir, toVersion)
     // additive evolution between the endpoints is legal (the merge's own
     // allowNewColumns contract): columns the older version lacks read as
     // NULL `_before`, typed from the newer schema. Anything else —
     // dropped or mismatched columns — is real drift and fails loudly.
     val evolved = b.columns.filterNot(aRaw.columns.contains).toSeq
     require(aRaw.columns.forall(b.columns.contains),
-      s"schema drift between $fromVersion and $toVersion: " +
+      s"schema drift $where: " +
         s"${aRaw.columns.mkString(",")} vs ${b.columns.mkString(",")} — " +
         "diff supports additive evolution only")
     val a = evolved.foldLeft(aRaw) { (acc, c) =>

@@ -45,6 +45,26 @@ class PartitionedUpsertSpec extends SparkSpec {
     assert(afterB1 == Seq(Row(1L, "A", 11.0), Row(2L, "B", 21.0),
       Row(3L, "c", 30.0), Row(4L, "d", 40.0), Row(5L, "e", 50.0),
       Row(6L, "f", 60.0)))
+
+    // time travel via manifest history: every commit's table state is
+    // reconstructible, and the current manifest equals latest()
+    assert(PartitionedUpsert.manifestVersions(spark, s"$dir/t") ==
+      Seq("vinit", "v0", "v1"))
+    assert(PartitionedUpsert.readVersion(spark, s"$dir/t", "vinit")
+      .orderBy("k").collect().toSeq == base.orderBy("k").collect().toSeq)
+    assert(PartitionedUpsert.readVersion(spark, s"$dir/t", "v0")
+      .orderBy("k").collect().toSeq == afterB0)
+    assert(PartitionedUpsert.readVersion(spark, s"$dir/t", "v1")
+      .orderBy("k").collect().toSeq == afterB1)
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.readVersion(spark, s"$dir/t", "v9")
+    }
+    // classified diff across manifests, same contract as the flat layout
+    val d01 = PartitionedUpsert.diff(spark, s"$dir/t", "vinit", "v1",
+      Seq("k")).select("k", "change", "s_before", "s_after")
+      .orderBy("k").collect().toSeq
+    assert(d01 == Seq(Row(1L, "update", "a", "A"),
+      Row(2L, "update", "b", "B")), d01)
   }
 
   test("a batch rewrites ONLY the partitions holding its keys") {
@@ -74,11 +94,14 @@ class PartitionedUpsertSpec extends SparkSpec {
       assert(m1.parts(i) == "vinit", s"partition $i"))
     // …and its vinit files are byte-identical on disk: same paths, same
     // sizes, same mtimes — they were never rewritten, just re-referenced
+    // (_manifests/ is commit metadata — a new entry per commit is the
+    // point of the history, not a data rewrite)
     val untouchedBefore = before.filter { case (p, _) =>
-      !p.contains(s"/p$touchedPart/") && !p.contains("_LATEST") }
+      !p.contains(s"/p$touchedPart/") && !p.contains("_LATEST") &&
+        !p.contains("_manifests") }
     val untouchedAfter = after.filter { case (p, _) =>
       !p.contains(s"/p$touchedPart/") && !p.contains("_LATEST") &&
-        !p.contains("/v0") }
+        !p.contains("_manifests") && !p.contains("/v0") }
     assert(untouchedBefore == untouchedAfter)
     // the merged content is right
     assert(PartitionedUpsert.latest(spark, s"$dir/t").get
