@@ -650,6 +650,29 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    "dd_semdedup" -> ((s, d) => {
+      // SemDeDup: semantic dedup scoped to nearest-centroid cells —
+      // pairwise cosine only WITHIN a cell (Σ|cell|², not n²), survivor
+      // = furthest from its centroid. Planted near-copies (the
+      // dd_srp_cosine plant, cosine ~0.994) pair with their originals at
+      // τ=0.9; organic max cosine here is 0.42, so every edge is a
+      // planted one — 37/40 survive co-clustering (3 straddle a cell
+      // boundary, the paper's accepted recall trade). vec_id cap keeps
+      // the exhaustive oracle tractable (dd_cosine_neardup precedent).
+      val raw = t(s, d, "embeddings").filter(col("vec_id") < 200).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = raw.unionByName(raw.filter(col("vec_id") < 40).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding")))
+      graft.llm.SemDeDupPipe("embedding", "vec_id",
+        graft.llm.ClusterBalancedSamplePipe.formulaCentroids(16, 64),
+        tau = 0.9)(planted)
+        .select(col("id").as("vec_id"), col("kcluster"), col("dup_group"),
+          col("kept"))
+        .orderBy("vec_id")
+    }),
     "dd_srp_cosine" -> ((s, d) => {
       // SRP-LSH near-dup: block-free scale path for embedding dedup.
       // Planted near-copies (+= ((t%5)-2)/100 per component) keep cosine
@@ -2384,6 +2407,25 @@ object Queries {
         |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.15
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // full replay: formula-centroid assignment (cb_cluster_sample shape),
+    // in-cell cosine pairs, recursive-CTE components, keep-furthest window
+    "dd_semdedup" ->
+      """WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE vec_id < 200),
+        |planted AS (SELECT vec_id, vec FROM emb UNION ALL
+        | SELECT vec_id+10000, list_transform(range(0,64), i -> vec[i+1] + ((i%5)-2)*0.01) FROM emb WHERE vec_id < 40),
+        |a AS (SELECT vec_id, vec, list_transform(range(0,16), c ->
+        |  list_sum(list_transform(range(0,64), t -> (vec[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4)) * (vec[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4))))) AS ds FROM planted),
+        |cl AS (SELECT vec_id, vec, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS kcluster, list_min(ds) AS cd FROM a),
+        |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM cl x JOIN cl y ON x.kcluster = y.kcluster AND x.vec_id < y.vec_id
+        | WHERE list_dot_product(x.vec, y.vec) / (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))) >= 0.9),
+        |edges AS (SELECT id_a AS u, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, w) AS (SELECT u, w FROM edges UNION SELECT u, u FROM edges
+        | UNION SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+        |cc AS (SELECT u AS id, min(w) AS dup_group FROM reach GROUP BY u),
+        |scored AS (SELECT cl.vec_id AS id, cl.kcluster, coalesce(cc.dup_group, cl.vec_id) AS dup_group, cl.cd
+        | FROM cl LEFT JOIN cc ON cl.vec_id = cc.id),
+        |rk AS (SELECT id, kcluster, dup_group, row_number() OVER (PARTITION BY dup_group ORDER BY cd DESC, id) AS r FROM scored)
+        |SELECT id AS vec_id, kcluster, dup_group, (r = 1) AS kept FROM rk ORDER BY vec_id""".stripMargin.replace("\n", " "),
     // pair generation shares dd_minhash_lsh's exact inverted-index shape
     "dd_clusters" ->
       """WITH RECURSIVE planted AS (SELECT doc_id, text FROM documents UNION ALL

@@ -3,7 +3,7 @@ package graft.llm
 import graft.core.Pipe
 import graft.core.Pipe.qcol
 import graft.operators.GroupTopKPipe
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{transform => arrTransform, _}
 
 /** SemDeDup-style cluster-balanced sampling: assign each embedding to its
@@ -39,9 +39,8 @@ case class ClusterBalancedSamplePipe(
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val staged = df.withColumn("__cb_v__",
       arrTransform(qcol(vecCol), _.cast("double")))
-    val dists = arrTransform(typedLit(centroids), c =>
-      aggregate(zip_with(col("__cb_v__"), c, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v))
+    val dists =
+      ClusterBalancedSamplePipe.squaredDists(col("__cb_v__"), centroids)
     val s1 = pmod(qcol(idCol).cast("long") * 131 + 7, lit(1000003L))
     val assigned = staged
       .withColumn("__cb_d__", dists)
@@ -64,4 +63,13 @@ object ClusterBalancedSamplePipe {
   def formulaCentroids(k: Int, dim: Int): Seq[Seq[Double]] =
     (0 until k).map(c => (0 until dim).map(t =>
       ((c * 31 + t * 7) % 10) * 0.1 - 0.4))
+
+  /** Squared-L2 distance of a double-array vector column to each literal
+    * centroid, as one codegen'd array expression — the shared assignment
+    * kernel of this pipe and [[SemDeDupPipe]].
+    */
+  def squaredDists(vecDouble: Column, centroids: Seq[Seq[Double]]): Column =
+    arrTransform(typedLit(centroids), c =>
+      aggregate(zip_with(vecDouble, c, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, v) => acc + v))
 }
