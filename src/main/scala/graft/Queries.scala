@@ -127,6 +127,26 @@ object Queries {
     * deletion). Positions keep their original char offsets, so ordering
     * survives every pass.
     */
+  /** Cell-scoped cross-corpus cosine oracle, shared by the batch
+    * (cu_semdedup_contam) and streaming (ev_stream_semdedup) twins: the
+    * same planted mutants, formula-centroid assignment of both sides,
+    * cell equi-join, and τ=0.9 cosine — exhaustive and exact.
+    */
+  private val semDeDupContamOracle: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE vec_id < 200),
+      |arr AS (SELECT vec_id+10000 AS vec_id, list_transform(range(0,64), i -> vec[i+1] + ((i%5)-2)*0.01) AS vec FROM emb WHERE vec_id < 40),
+      |aa AS (SELECT vec_id, vec, list_transform(range(0,16), c ->
+      |  list_sum(list_transform(range(0,64), t -> (vec[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4)) * (vec[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4))))) AS ds FROM arr),
+      |al AS (SELECT vec_id, vec, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM aa),
+      |ca AS (SELECT vec_id, vec, list_transform(range(0,16), c ->
+      |  list_sum(list_transform(range(0,64), t -> (vec[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4)) * (vec[t+1] - (((c*31 + t*7) % 10)*0.1 - 0.4))))) AS ds FROM emb),
+      |cl AS (SELECT vec_id, vec, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM ca)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | round(list_dot_product(a.vec, b.vec) / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 4) AS cosine
+      |FROM al a JOIN cl b ON a.cell = b.cell
+      |WHERE list_dot_product(a.vec, b.vec) / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   private def bpeOracleSql(merges: Seq[(String, String)]): String = {
     val passes = merges.zipWithIndex.map { case ((a, b), k0) =>
       val k = k0 + 1
@@ -673,6 +693,32 @@ object Queries {
           col("kept"))
         .orderBy("vec_id")
     }),
+    "cu_semdedup_contam" -> ((s, d) => {
+      // cross-corpus SEMANTIC contamination: planted mutants (the
+      // dd_semdedup plant) checked against the corpus within their
+      // centroid cell only — never |train|×|corpus|. Organic cosine max
+      // is 0.42, so every τ=0.9 hit is a mutant finding its original
+      // (when they co-cluster — the documented cell-boundary trade).
+      val corpus = t(s, d, "embeddings").filter(col("vec_id") < 200).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val arriving = corpus.filter(col("vec_id") < 40).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding"))
+      graft.llm.CrossCorpusSemDeDupPipe(corpus, "embedding", "vec_id",
+        "embedding", "vec_id",
+        graft.llm.ClusterBalancedSamplePipe.formulaCentroids(16, 64),
+        tau = 0.9)(arriving)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    "ev_stream_semdedup" -> ((s, d) =>
+      // the streaming twin: same plant, same cell-scoped stream-static
+      // join inside a REAL StreamingQuery (zero state) — same oracle
+      graft.streaming.EventStream.runSemDeDupStream(s, d)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")),
     "dd_srp_cosine" -> ((s, d) => {
       // SRP-LSH near-dup: block-free scale path for embedding dedup.
       // Planted near-copies (+= ((t%5)-2)/100 per component) keep cosine
@@ -2407,6 +2453,9 @@ object Queries {
         |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.15
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // batch and streaming twins replay the SAME cell-scoped cross-cosine
+    "cu_semdedup_contam" -> semDeDupContamOracle,
+    "ev_stream_semdedup" -> semDeDupContamOracle,
     // full replay: formula-centroid assignment (cb_cluster_sample shape),
     // in-cell cosine pairs, recursive-CTE components, keep-furthest window
     "dd_semdedup" ->

@@ -46,15 +46,8 @@ case class SemDeDupPipe(
     "tau" -> tau.toString, "cluster" -> clusterCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val base = df.select(qcol(idCol).cast("long").as("id"),
-      arrTransform(qcol(vecCol), x => x.cast("double")).as("__v__"))
-    val dists = ClusterBalancedSamplePipe.squaredDists(col("__v__"), centroids)
-    val assigned = base.withColumn("__ds__", dists)
-      .withColumn(clusterCol,
-        (array_position(col("__ds__"), array_min(col("__ds__"))) - 1)
-          .cast("int"))
-      .withColumn("__cd__", array_min(col("__ds__")))
-      .drop("__ds__")
+    val assigned =
+      SemDeDupPipe.assigned(df, vecCol, idCol, centroids, clusterCol)
     val l = assigned.select(col(clusterCol), col("id").as("id_a"),
       col("__v__").as("__va__"))
     val r = assigned.select(col(clusterCol), col("id").as("id_b"),
@@ -70,4 +63,72 @@ case class SemDeDupPipe(
       .withColumnRenamed("cluster", "dup_group")
       .select(col("id"), col(clusterCol), col("dup_group"), col("kept"))
   }
+}
+
+object SemDeDupPipe {
+  /** The shared assignment front half of the batch pipe, the cross-corpus
+    * pipe, and the streaming twin: (id, `clusterCol` cell, `__v__`
+    * double vector, `__cd__` squared distance to own centroid) — pure
+    * per-row expressions, map-only on any input (batch or stream).
+    */
+  def assigned(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], clusterCol: String): DataFrame = {
+    val base = df.select(qcol(idCol).cast("long").as("id"),
+      arrTransform(qcol(vecCol), x => x.cast("double")).as("__v__"))
+    val dists = ClusterBalancedSamplePipe.squaredDists(col("__v__"), centroids)
+    base.withColumn("__ds__", dists)
+      .withColumn(clusterCol,
+        (array_position(col("__ds__"), array_min(col("__ds__"))) - 1)
+          .cast("int"))
+      .withColumn("__cd__", array_min(col("__ds__")))
+      .drop("__ds__")
+  }
+
+  /** Cell-scoped cosine pairs BETWEEN two corpora (left id_a × right
+    * id_b, same centroid cell, cosine >= tau) — the cross-corpus /
+    * stream-vs-corpus core: an INNER equi-join on the cell id, legal and
+    * stateless when `left` is a streaming frame.
+    */
+  def crossCellPairs(left: DataFrame, right: DataFrame,
+      vecCol: String, idCol: String,
+      rightVecCol: String, rightIdCol: String,
+      centroids: Seq[Seq[Double]], tau: Double): DataFrame = {
+    val l = assigned(left, vecCol, idCol, centroids, "__cell__")
+      .select(col("__cell__"), col("id").as("id_a"), col("__v__").as("__va__"))
+    val r = assigned(right, rightVecCol, rightIdCol, centroids, "__cell__")
+      .select(col("__cell__"), col("id").as("id_b"), col("__v__").as("__vb__"))
+    l.join(r, Seq("__cell__"))
+      .withColumn("cosine", DedupOps.cosine(col("__va__"), col("__vb__")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
+
+/** Cross-corpus semantic contamination: flag train-side embeddings having
+  * a cosine >= tau neighbor in an eval/reference corpus, compared only
+  * within their shared centroid cell — the embedding analogue of
+  * [[CrossCorpusMinHashPipe]], with SemDeDup's cell scoping replacing
+  * band buckets. Emits (id_a = train, id_b = corpus, cosine) pairs.
+  *
+  * Scale shape: both sides shuffle once on the cell id (or the corpus
+  * side broadcasts when small); per-task work is bounded by cell sizes,
+  * never \|train\|×\|corpus\|.
+  */
+case class CrossCorpusSemDeDupPipe(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    corpusVecCol: String,
+    corpusIdCol: String,
+    centroids: Seq[Seq[Double]],
+    tau: Double) extends Pipe {
+  require(centroids.nonEmpty && centroids.forall(_.size == centroids.head.size),
+    "centroids must be non-empty and rectangular")
+  require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+  override def params = Map("vec" -> vecCol, "id" -> idCol,
+    "corpusVec" -> corpusVecCol, "corpusId" -> corpusIdCol,
+    "k" -> centroids.size.toString, "tau" -> tau.toString)
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    SemDeDupPipe.crossCellPairs(df, corpus, vecCol, idCol,
+      corpusVecCol, corpusIdCol, centroids, tau)
 }

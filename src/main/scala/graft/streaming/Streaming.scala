@@ -262,12 +262,21 @@ object EventStream {
     * a batch read; the glob filter matches FILE names, so the table must
     * be one file, as the driver fixtures are).
     */
-  def readStreamTable(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(s"$dir/$table.parquet").schema)
-      .format("parquet")
-      .option("pathGlobFilter", s"$table.parquet")
-      .load(dir)
+  def readStreamTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    // A table may be a single file (driver fixtures) or a directory of
+    // part files (Spark-written fixtures, e.g. the sf1 embeddings).
+    // pathGlobFilter matches LEAF file names, so the single-file layout
+    // needs it to isolate the table inside `dir`; a directory is loaded
+    // directly — its part files wouldn't match the table-name glob.
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).format("parquet").load(path)
+    else
+      spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", s"$table.parquet")
+        .load(dir)
+  }
 
   /** Decontamination on the stream (gate `ev_stream_decontam`): arriving
     * documents flagged against the static eval corpus inside a REAL
@@ -414,6 +423,31 @@ object EventStream {
       StreamingCorpusDedup(arriving, "text", "doc_id",
         corpus, "text", "doc_id", jaccardThreshold = 0.5,
         cacheDir = Some("/tmp/graft-cache/incdedup")),
+      "append")
+  }
+
+  /** Stream-vs-corpus SEMANTIC dedup (gate `ev_stream_semdedup`):
+    * arriving mutated embeddings checked against the static corpus
+    * within their centroid cell — SemDeDup's cell scoping as a
+    * stream-static inner equi-join, zero streaming state; append mode
+    * emits every finding exactly once. Same plant as the batch
+    * cu_semdedup_contam gate, so the SAME oracle replays both.
+    */
+  def runSemDeDupStream(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 200).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val arriving = readStreamTable(spark, dir, "embeddings")
+      .filter(col("vec_id") < 40)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") + ((i % 5) - 2) * 0.01).as("embedding"))
+    runToMemorySink(
+      graft.llm.SemDeDupPipe.crossCellPairs(arriving, corpus,
+        "embedding", "vec_id", "embedding", "vec_id",
+        graft.llm.ClusterBalancedSamplePipe.formulaCentroids(16, 64),
+        tau = 0.9),
       "append")
   }
 }
