@@ -199,6 +199,19 @@ object Queries {
     * incl. the decode-order trap &amp;lt; (must come out as literal
     * "&lt;", not "<") — shared by the tx_html_extract gates.
     */
+  /** Deterministic line/symbol structure planted over the single-line
+    * word-soup corpus for the Gopher-rule gates: every " line " starts a
+    * bullet line, every " slow " closes its line with an ellipsis,
+    * doc_id%5 docs get a '# ' header symbol, doc_id%7 docs end "...".
+    */
+  private def plantedStructured(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("text",
+      concat(
+        when(col("doc_id") % 5 === 0, lit("# ")).otherwise(lit("")),
+        replace(replace(col("text"), lit(" line "), lit("\n- line ")),
+          lit(" slow "), lit("…\n")),
+        when(col("doc_id") % 7 === 0, lit(" ...")).otherwise(lit(""))))
+
   private def plantedHtml(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), concat(
       lit("<html><head><title>T</title><style>p { color: red; }" +
@@ -856,19 +869,21 @@ object Queries {
       // doc_id%5 docs get a '# ' header symbol, doc_id%7 docs end "...".
       // Every rule is an integer comparison — no double arithmetic for
       // the oracle to diverge on at any scale.
-      val structured = t(s, d, "documents").withColumn("text",
-        concat(
-          when(col("doc_id") % 5 === 0, lit("# ")).otherwise(lit("")),
-          replace(replace(col("text"), lit(" line "), lit("\n- line ")),
-            lit(" slow "), lit("…\n")),
-          when(col("doc_id") % 7 === 0, lit(" ...")).otherwise(lit(""))))
-      graft.llm.GopherQualityPipe("text")(structured)
+      graft.llm.GopherQualityPipe("text")(plantedStructured(s, d))
         .select("doc_id", "n_words", "sum_word_len", "n_lines",
           "bullet_lines", "ellipsis_lines", "alpha_words", "symbol_count",
           "distinct_stopwords", "rule_word_count", "rule_mean_word_len",
           "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
           "rule_alpha_words", "rule_stopwords", "gopher_keep")
         .orderBy("doc_id")
+    }),
+    "qg_gopher_sql" -> ((s, d) => {
+      // graft_gopher_keep(text) — the battery folded to its keep flag as
+      // a SQL scalar (shared kernel with the pipe, same planted input)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      plantedStructured(s, d).createOrReplaceTempView("graft_sql_gopher")
+      s.sql("SELECT doc_id, graft_gopher_keep(text) AS gopher_keep " +
+        "FROM graft_sql_gopher ORDER BY doc_id")
     }),
     "tx_html_extract" -> ((s, d) => {
       // C4-lineage HTML -> text extraction: every doc wrapped in markup
@@ -2624,6 +2639,25 @@ object Queries {
         | (ellipsis_lines*10 <= n_lines*3) AS rule_ellipsis_lines,
         | (alpha_words*5 >= n_words*4) AS rule_alpha_words,
         | (distinct_stopwords >= 2) AS rule_stopwords,
+        | (n_words >= 50 AND n_words <= 100000 AND sum_word_len >= n_words*3 AND sum_word_len <= n_words*10 AND symbol_count*10 <= n_words AND bullet_lines*10 <= n_lines*9 AND ellipsis_lines*10 <= n_lines*3 AND alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2) AS gopher_keep
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the SQL front end folds the same battery to its keep flag
+    "qg_gopher_sql" ->
+      """WITH s AS (SELECT doc_id,
+        | (CASE WHEN doc_id % 5 = 0 THEN '# ' ELSE '' END) || replace(replace(text, ' line ', chr(10) || '- line '), ' slow ', '…' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN ' ...' ELSE '' END) AS text
+        | FROM documents),
+        |m AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, string_split(text, chr(10)) AS lines, text FROM s),
+        |c AS (SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_words,
+        | CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS sum_word_len,
+        | CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullet_lines,
+        | CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+        | CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        | CAST((length(text)-length(replace(text,'#',''))) + (length(text)-length(replace(text,'...','')))//3 + (length(text)-length(replace(text,'…',''))) AS BIGINT) AS symbol_count,
+        | CAST(len(list_distinct(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for')))) AS BIGINT) AS distinct_stopwords
+        | FROM m)
+        |SELECT doc_id,
         | (n_words >= 50 AND n_words <= 100000 AND sum_word_len >= n_words*3 AND sum_word_len <= n_words*10 AND symbol_count*10 <= n_words AND bullet_lines*10 <= n_lines*9 AND ellipsis_lines*10 <= n_lines*3 AND alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2) AS gopher_keep
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the identical RE2 pattern chain over the identically planted markup

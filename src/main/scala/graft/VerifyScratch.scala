@@ -1059,6 +1059,24 @@ object VerifyScratch {
         s"-> ${got == exact && exact > 0 && bcast}")
     }
 
+    // [69] r13: graft_gopher_keep SQL front end == pipe flag, map-only plan
+    {
+      org.apache.spark.sql.graft.GraftExtensions.register(spark)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      docs.createOrReplaceTempView("vs_gq_docs")
+      val viaSql = spark.sql(
+        "SELECT doc_id, graft_gopher_keep(text) AS k FROM vs_gq_docs")
+      val viaPipe = graft.llm.GopherQualityPipe("text")(docs)
+        .select(col("doc_id"), col("gopher_keep").as("k"))
+      val eq = viaSql.except(viaPipe).count() == 0 &&
+        viaPipe.except(viaSql).count() == 0
+      val plan = viaSql.queryExecution.executedPlan.toString
+      val mapOnly = !plan.contains("Exchange")
+      val kept = viaSql.filter(col("k")).count()
+      println(s"[69] gopher_keep sql==pipe eq=$eq mapOnly=$mapOnly " +
+        s"kept=$kept -> ${eq && mapOnly}")
+    }
+
     spark.stop()
   }
 }

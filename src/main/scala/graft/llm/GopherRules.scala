@@ -5,47 +5,22 @@ import graft.core.Pipe.qcol
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{transform => arrTransform, _}
 
-/** Gopher-style document quality rules (Rae et al., arXiv:2112.11446
-  * §A1.1): the published heuristic filter battery — word-count bounds,
-  * mean-word-length bounds, symbol-to-word ratio, bullet-/ellipsis-line
-  * ratios, alphabetic-word share, and a minimum of distinct function
-  * words. Complements [[RepetitionStatsPipe]] (the same paper's
-  * repetition signals) with the structural/lexical half of the filter.
-  *
-  * Emits per-document integer counts, one boolean per rule, and
-  * `gopher_keep` = AND of all rules — a FLAG, not a filter, so
-  * drop/quarantine/audit stays the caller's policy (same contract as
-  * dedup keep-best).
-  *
-  * Engine reproducibility: every rule is an INTEGER comparison
-  * (e.g. mean word length in [3,10] ⇔ 3·n_words ≤ sum_word_len ≤
-  * 10·n_words; bullet ratio ≤ 0.9 ⇔ 10·bullet_lines ≤ 9·n_lines) —
-  * no double division, so there is no rounding-boundary ambiguity for an
-  * external oracle at any scale (the r12 quality-score lesson applied
-  * from the start). Map-only: pure per-row Column expressions, zero
-  * shuffle — at 100 TB this is one linear pass over input splits.
-  *
-  * Thresholds are the paper's: 50 ≤ words ≤ 100k, mean word length in
-  * [3,10], symbol('#'/'...'/'…')-to-word ratio ≤ 0.1, ≤ 90% of lines
-  * bullet-started, ≤ 30% of lines ellipsis-ended, ≥ 80% of words with an
-  * alphabetic character, ≥ 2 distinct stopwords (the en function-word
-  * list shared with [[graft.llm.QualityScorePipe]]).
+/** The Gopher rule battery as named column expressions — shared by
+  * [[GopherQualityPipe]] (which stages the token/line arrays as real
+  * columns) and the `graft_gopher_keep` SQL function (which inlines
+  * them: each HOF evaluates its array child once per row, so the inline
+  * form is a bounded constant-factor cost, not the per-element
+  * re-evaluation hazard the staging guards against).
   */
-case class GopherQualityPipe(textCol: String) extends Pipe {
-  override def update: Boolean = true
-  override def params = Map("text" -> textCol)
+object GopherQualityOps {
 
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val text = coalesce(qcol(textCol), lit(""))
-    // Stage the token/line arrays as real columns so CollapseProject
-    // cannot inline the producing split() into every per-element lambda
-    // (the RepetitionStatsPipe HOF-inline lesson).
-    val staged = Pipe.widen(df)
-      .withColumn("__gq_toks__", TextAnalysisOps.toks(text))
-      .withColumn("__gq_lines__", split(text, "\n"))
-    val toks = col("__gq_toks__")
-    val lines = col("__gq_lines__")
-
+  /** Integer counts + per-rule booleans + `gopher_keep`, in emission
+    * order, over explicit text/token/line columns. Every rule is an
+    * INTEGER comparison (e.g. mean word length in [3,10] ⇔ 3·n_words ≤
+    * sum_word_len ≤ 10·n_words) — no double arithmetic for an external
+    * oracle to diverge on at any scale.
+    */
+  def battery(text: Column, toks: Column, lines: Column): Seq[(String, Column)] = {
     val nWords = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
     val nLines = size(lines).cast("long")
@@ -72,7 +47,7 @@ case class GopherQualityPipe(textCol: String) extends Pipe {
     val rAlpha = alphaWords * 5L >= nWords * 4L
     val rStop = distinctStops >= 2L
 
-    val outs: Seq[(String, Column)] = Seq(
+    Seq(
       "n_words" -> nWords,
       "sum_word_len" -> sumLen,
       "n_lines" -> nLines,
@@ -90,6 +65,51 @@ case class GopherQualityPipe(textCol: String) extends Pipe {
       "rule_stopwords" -> rStop,
       "gopher_keep" -> (rWordCount && rMeanLen && rSymbol && rBullet &&
         rEllipsis && rAlpha && rStop))
+  }
+
+  /** The whole battery folded to the keep flag as ONE scalar expression
+    * — the `graft_gopher_keep` SQL surface, sharing this kernel with the
+    * pipe so both front ends emit identical values.
+    */
+  def keep(text0: Column): Column = {
+    val text = coalesce(text0, lit(""))
+    battery(text, TextAnalysisOps.toks(text), split(text, "\n")).last._2
+  }
+}
+
+/** Gopher-style document quality rules (Rae et al., arXiv:2112.11446
+  * §A1.1): the published heuristic filter battery — word-count bounds,
+  * mean-word-length bounds, symbol-to-word ratio, bullet-/ellipsis-line
+  * ratios, alphabetic-word share, and a minimum of distinct function
+  * words. Complements [[RepetitionStatsPipe]] (the same paper's
+  * repetition signals) with the structural/lexical half of the filter.
+  *
+  * Emits per-document integer counts, one boolean per rule, and
+  * `gopher_keep` = AND of all rules — a FLAG, not a filter, so
+  * drop/quarantine/audit stays the caller's policy (same contract as
+  * dedup keep-best). Map-only: pure per-row Column expressions, zero
+  * shuffle — at 100 TB this is one linear pass over input splits.
+  *
+  * Thresholds are the paper's: 50 ≤ words ≤ 100k, mean word length in
+  * [3,10], symbol('#'/'...'/'…')-to-word ratio ≤ 0.1, ≤ 90% of lines
+  * bullet-started, ≤ 30% of lines ellipsis-ended, ≥ 80% of words with an
+  * alphabetic character, ≥ 2 distinct stopwords (the en function-word
+  * list shared with [[graft.llm.QualityScorePipe]]).
+  */
+case class GopherQualityPipe(textCol: String) extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val text = coalesce(qcol(textCol), lit(""))
+    // Stage the token/line arrays as real columns so CollapseProject
+    // cannot inline the producing split() into every per-element lambda
+    // (the RepetitionStatsPipe HOF-inline lesson).
+    val staged = Pipe.widen(df)
+      .withColumn("__gq_toks__", TextAnalysisOps.toks(text))
+      .withColumn("__gq_lines__", split(text, "\n"))
+    val outs = GopherQualityOps.battery(
+      text, col("__gq_toks__"), col("__gq_lines__"))
     finish(staged, outs).drop("__gq_toks__", "__gq_lines__")
   }
 }

@@ -70,6 +70,12 @@ object GraftExtensions {
       new ExpressionInfo("graft.llm.TextAnalysisOps", "graft_fingerprint"),
       (args: Seq[Expression]) => unary(args, "graft_fingerprint")(
         graft.llm.TextAnalysisOps.fingerprint)),
+    // the Gopher §A1.1 rule battery folded to its keep flag
+    // (GopherQualityPipe's gopher_keep — shared kernel, two front ends)
+    (new FunctionIdentifier("graft_gopher_keep"),
+      new ExpressionInfo("graft.llm.GopherQualityOps", "graft_gopher_keep"),
+      (args: Seq[Expression]) => unary(args, "graft_gopher_keep")(
+        graft.llm.GopherQualityOps.keep)),
     // Morton z-value: graft_zvalue(bits, dim1[, dim2...]) — bits must be
     // a literal; dims must be pre-bucketed non-negative ints (ZOrder doc)
     (new FunctionIdentifier("graft_zvalue"),

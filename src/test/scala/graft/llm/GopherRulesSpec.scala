@@ -62,6 +62,18 @@ class GopherRulesSpec extends SparkSpec {
     }
   }
 
+  test("graft_gopher_keep SQL front end equals the pipe flag row for row") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val docs = spark.read.parquet(sf("documents"))
+    docs.createOrReplaceTempView("gq_sql_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_gopher_keep(text) AS k FROM gq_sql_docs")
+    val viaPipe = GopherQualityPipe("text")(docs)
+      .select(col("doc_id"), col("gopher_keep").as("k"))
+    assert(viaSql.except(viaPipe).count() == 0)
+    assert(viaPipe.except(viaSql).count() == 0)
+  }
+
   test("gopher rules over real docs: flags only, rows preserved, map-only plan") {
     val docs = spark.read.parquet(sf("documents"))
     val out = GopherQualityPipe("text")(docs)
