@@ -212,6 +212,39 @@ object Queries {
           lit(" slow "), lit("…\n")),
         when(col("doc_id") % 7 === 0, lit(" ...")).otherwise(lit(""))))
 
+  /** Deterministic multi-line page structure for the C4 gates: " fast "
+    * closes a line with ".", " data " closes one with "?", so pages mix
+    * kept lines (terminal punct + ≥5 words), short/unterminated drops,
+    * and the last line never terminates; doc_id%11 plants "Lorem ipsum",
+    * doc_id%13 plants "{", doc_id%7 appends a javascript line that the
+    * javascript rule (and only it) must drop.
+    */
+  private def plantedC4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("text",
+      concat(
+        when(col("doc_id") % 11 === 0, lit("Lorem ipsum dolor sit amet today.\n")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("{ cfg }\n")).otherwise(lit("")),
+        replace(replace(col("text"), lit(" fast "), lit(".\n")),
+          lit(" data "), lit("?\n")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nEnable javascript to proceed now please.")).otherwise(lit(""))))
+
+  /** Deterministic sentence structure + a shared three-sentence
+    * boilerplate passage appended to doc_id%10<3 docs for the span-dedup
+    * gate: " merge " ends a sentence with ". ", " join " with "! ", so
+    * docs carry many sentences and ~a third of the planted docs produce
+    * the identical trimmed final span, which must dedup to its global
+    * first (doc_id, pos) occurrence.
+    */
+  private def plantedSpans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("text",
+      concat(
+        replace(replace(col("text"), lit(" merge "), lit(". ")),
+          lit(" join "), lit("! ")),
+        when(col("doc_id") % 10 < 3,
+          lit(" One shared passage sits here. It repeats across documents verbatim. Every planted page carries this boilerplate."))
+          .otherwise(lit(""))))
+
   private def plantedHtml(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), concat(
       lit("<html><head><title>T</title><style>p { color: red; }" +
@@ -884,6 +917,34 @@ object Queries {
       plantedStructured(s, d).createOrReplaceTempView("graft_sql_gopher")
       s.sql("SELECT doc_id, graft_gopher_keep(text) AS gopher_keep " +
         "FROM graft_sql_gopher ORDER BY doc_id")
+    }),
+    "cu_c4_clean" -> ((s, d) => {
+      // C4 §2.2 line battery over planted multi-line pages: terminal-
+      // punct + ≥5-word + no-javascript line filter, page flags (lorem
+      // ipsum / curly brace) on the ORIGINAL page, sentence-run count on
+      // the cleaned page. Map-only; every rule integer/substring-exact.
+      graft.llm.C4CleanPipe("text")(plantedC4(s, d))
+        .select("doc_id", "text", "n_lines", "kept_lines", "n_sentences",
+          "flag_lorem_ipsum", "flag_curly_brace", "rule_min_sentences",
+          "c4_keep")
+        .orderBy("doc_id")
+    }),
+    "cu_c4_clean_sql" -> ((s, d) => {
+      // graft_c4_clean(text) — the line battery folded to the cleaned
+      // page as a SQL scalar (shared kernel with the pipe)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      plantedC4(s, d).createOrReplaceTempView("graft_sql_c4")
+      s.sql("SELECT doc_id, graft_c4_clean(text) AS text " +
+        "FROM graft_sql_c4 ORDER BY doc_id")
+    }),
+    "dd_span_dedup" -> ((s, d) => {
+      // C4's cross-corpus three-sentence-span dedup over planted
+      // sentence structure with a shared boilerplate passage: global
+      // first (doc_id, pos) occurrence survives, every other exact span
+      // is removed and each doc is rebuilt from its survivors in order.
+      graft.llm.SpanDedupPipe("text", "doc_id")(plantedSpans(s, d))
+        .select("doc_id", "text", "n_spans_removed")
+        .orderBy("doc_id")
     }),
     "tx_html_extract" -> ((s, d) => {
       // C4-lineage HTML -> text extraction: every doc wrapped in markup
@@ -2660,6 +2721,47 @@ object Queries {
         |SELECT doc_id,
         | (n_words >= 50 AND n_words <= 100000 AND sum_word_len >= n_words*3 AND sum_word_len <= n_words*10 AND symbol_count*10 <= n_words AND bullet_lines*10 <= n_lines*9 AND ellipsis_lines*10 <= n_lines*3 AND alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2) AS gopher_keep
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the C4 line battery replayed over the identically planted pages
+    "cu_c4_clean" ->
+      """WITH s AS (SELECT doc_id,
+        | (CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) || (CASE WHEN doc_id % 13 = 0 THEN '{ cfg }' || chr(10) ELSE '' END) || replace(replace(text, ' fast ', '.' || chr(10)), ' data ', '?' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Enable javascript to proceed now please.' ELSE '' END) AS text
+        | FROM documents),
+        |m AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM s),
+        |k AS (SELECT doc_id, text, lines,
+        | list_filter(lines, l -> regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"”]$') AND length(trim(rtrim(l, ' ' || chr(9)))) > 0 AND len(regexp_split_to_array(trim(rtrim(l, ' ' || chr(9))), '\s+')) >= 5 AND NOT contains(lower(rtrim(l, ' ' || chr(9))), 'javascript')) AS kept
+        | FROM m),
+        |c AS (SELECT doc_id, text, lines, kept, coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k),
+        |f AS (SELECT doc_id, clean,
+        | CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS kept_lines,
+        | CAST(len(regexp_extract_all(clean, '[.!?]+')) AS BIGINT) AS n_sentences,
+        | contains(lower(text), 'lorem ipsum') AS flag_lorem_ipsum,
+        | contains(text, '{') AS flag_curly_brace
+        | FROM c)
+        |SELECT doc_id, clean AS text, n_lines, kept_lines, n_sentences, flag_lorem_ipsum, flag_curly_brace,
+        | (n_sentences >= 3) AS rule_min_sentences,
+        | (n_sentences >= 3 AND NOT flag_lorem_ipsum AND NOT flag_curly_brace) AS c4_keep
+        |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the SQL front end folds the same battery to the cleaned page
+    "cu_c4_clean_sql" ->
+      """WITH s AS (SELECT doc_id,
+        | (CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) || (CASE WHEN doc_id % 13 = 0 THEN '{ cfg }' || chr(10) ELSE '' END) || replace(replace(text, ' fast ', '.' || chr(10)), ' data ', '?' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Enable javascript to proceed now please.' ELSE '' END) AS text
+        | FROM documents),
+        |m AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM s)
+        |SELECT doc_id, coalesce(array_to_string(list_filter(lines, l -> regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"”]$') AND length(trim(rtrim(l, ' ' || chr(9)))) > 0 AND len(regexp_split_to_array(trim(rtrim(l, ' ' || chr(9))), '\s+')) >= 5 AND NOT contains(lower(rtrim(l, ' ' || chr(9))), 'javascript')), chr(10)), '') AS text
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // tumbling three-sentence spans, global-first survivor, rebuild
+    "dd_span_dedup" ->
+      """WITH s AS (SELECT doc_id,
+        | replace(replace(text, ' merge ', '. '), ' join ', '! ') || (CASE WHEN doc_id % 10 < 3 THEN ' One shared passage sits here. It repeats across documents verbatim. Every planted page carries this boilerplate.' ELSE '' END) AS text
+        | FROM documents),
+        |m AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]*[.!?]+') AS sents FROM s),
+        |e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(sents[(i-1)*3+1:(i-1)*3+3], '') AS span
+        | FROM m, unnest(generate_series(1, CAST(ceil(len(sents)/3.0) AS INT))) AS u(i)),
+        |r AS (SELECT doc_id, pos, span, row_number() OVER (PARTITION BY trim(span) ORDER BY doc_id, pos) AS rn FROM e),
+        |b AS (SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '' ORDER BY pos), '') AS clean, sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS removed FROM r GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(b.clean, '') AS text, CAST(coalesce(b.removed, 0) AS BIGINT) AS n_spans_removed
+        |FROM s LEFT JOIN b ON s.doc_id = b.doc_id ORDER BY s.doc_id""".stripMargin.replace("\n", " "),
     // the identical RE2 pattern chain over the identically planted markup
     "tx_html_extract" ->
       """WITH h AS (SELECT doc_id,

@@ -459,6 +459,82 @@ case class LineDedupPipe(
   }
 }
 
+/** Cross-corpus sentence-span deduplication (the C4 dedup, Raffel et al.
+  * arXiv:1910.10683 §2.2): group each document's sentences into tumbling
+  * `spanSentences`-wide spans, and for every span whose (trimmed) text
+  * occurs more than once across the WHOLE corpus keep only the FIRST
+  * occurrence — ordered by (id, position) — rebuilding every document
+  * from its surviving spans in original order. Complements
+  * [[LineDedupPipe]] (which drops ALL occurrences of over-frequent
+  * lines; this keeps one survivor — the dedup keep-best policy at span
+  * granularity).
+  *
+  * Sentences are the maximal `[^.!?]*[.!?]+` regex matches — leftmost
+  * non-overlapping in both Java regex and RE2, so an external oracle
+  * segments identically — which means inter-sentence whitespace rides
+  * the FOLLOWING match and concatenating spans reproduces the original
+  * text exactly. Any trailing fragment with no terminal punctuation is
+  * outside every span and is dropped by the rewrite (compose after
+  * [[C4CleanPipe]], which already removes unterminated lines).
+  *
+  * Scale shape: one map-only explode, one map-side-combined min
+  * aggregate on the span key, one key join (AQE splits the hot
+  * boilerplate keys), one groupBy(id) reassembly — the LineDedupPipe
+  * shuffle discipline. `hashKey = true` (default) keys the count+join
+  * shuffle on `xxhash64` of the span instead of the span text — at
+  * 100 TB spans run to kilobytes and the shuffle then moves 8-byte
+  * keys; a 64-bit collision merges two spans' occurrence lists
+  * (P ≈ n²/2⁶⁵), mis-dropping a span, never corrupting surviving text.
+  */
+case class SpanDedupPipe(
+    textCol: String,
+    idCol: String,
+    spanSentences: Int = 3,
+    removedCol: String = "n_spans_removed",
+    hashKey: Boolean = true) extends Pipe {
+  require(spanSentences >= 1, "spanSentences must be >= 1")
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "span" -> spanSentences.toString, "removed" -> removedCol,
+    "hashKey" -> hashKey.toString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val wide = Pipe.widen(df)
+    val sents = regexp_extract_all(
+      coalesce(qcol(textCol), lit("")), lit("[^.!?]*[.!?]+"), lit(0))
+    // tumbling spans: span i = sentences [i*w, i*w + w)
+    val w = spanSentences
+    val nSpans = floor((size(sents) + lit(w - 1)) / lit(w)).cast("int")
+    val spans = when(size(sents) === 0, array().cast("array<string>"))
+      .otherwise(arrTransform(
+        sequence(lit(0), nSpans - 1),
+        i => concat_ws("", slice(sents, i * w + 1, lit(w)))))
+    val exploded = wide.select(qcol(idCol).as("__sd_id__"),
+      posexplode(spans).as(Seq("__sd_pos__", "__sd_span__")))
+    val keyed =
+      if (hashKey) exploded.withColumn("__sd_key__",
+        xxhash64(trim(col("__sd_span__"))))
+      else exploded.withColumn("__sd_key__", trim(col("__sd_span__")))
+    // global first occurrence per span key: min over (id, pos)
+    val winners = keyed.groupBy("__sd_key__")
+      .agg(min(struct(col("__sd_id__"), col("__sd_pos__"))).as("__sd_win__"))
+    val keep = col("__sd_win__") ===
+      struct(col("__sd_id__"), col("__sd_pos__"))
+    val rebuilt = keyed.join(winners, Seq("__sd_key__"))
+      .groupBy("__sd_id__")
+      .agg(
+        concat_ws("", arrTransform(
+          array_sort(collect_list(when(keep,
+            struct(col("__sd_pos__").as("p"), col("__sd_span__").as("v"))))),
+          x => x.getField("v"))).as("__sd_clean__"),
+        sum(when(keep, 0L).otherwise(1L)).as("__sd_removed__"))
+    wide.join(rebuilt, qcol(idCol) === col("__sd_id__"), "left")
+      .withColumn(textCol, coalesce(col("__sd_clean__"), lit("")))
+      .withColumn(removedCol, coalesce(col("__sd_removed__"), lit(0L)))
+      .drop("__sd_id__", "__sd_clean__", "__sd_removed__")
+  }
+}
+
 /** Corpus-derived unigram log-probability scoring (the CCNet-style LM
   * quality signal, with the corpus itself as the language model): score
   * each document by the mean negative log probability of its tokens under

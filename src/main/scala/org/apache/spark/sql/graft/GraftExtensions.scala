@@ -76,6 +76,12 @@ object GraftExtensions {
       new ExpressionInfo("graft.llm.GopherQualityOps", "graft_gopher_keep"),
       (args: Seq[Expression]) => unary(args, "graft_gopher_keep")(
         graft.llm.GopherQualityOps.keep)),
+    // the C4 §2.2 line battery folded to the cleaned page text
+    // (C4CleanPipe's rewrite — shared kernel, two front ends)
+    (new FunctionIdentifier("graft_c4_clean"),
+      new ExpressionInfo("graft.llm.C4CleanOps", "graft_c4_clean"),
+      (args: Seq[Expression]) => unary(args, "graft_c4_clean")(
+        graft.llm.C4CleanOps.clean)),
     // Morton z-value: graft_zvalue(bits, dim1[, dim2...]) — bits must be
     // a literal; dims must be pre-bucketed non-negative ints (ZOrder doc)
     (new FunctionIdentifier("graft_zvalue"),
