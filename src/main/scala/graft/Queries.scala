@@ -245,6 +245,22 @@ object Queries {
           lit(" One shared passage sits here. It repeats across documents verbatim. Every planted page carries this boilerplate."))
           .otherwise(lit(""))))
 
+  /** Deterministic messy URLs for the canonicalizer gate: uppercase
+    * scheme/host, default ports on even ids, tracker params on ids%3,
+    * fragments everywhere, and a non-URL row every 17 ids.
+    */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 17 === 0, lit("not a url"))
+        .otherwise(concat(
+          lit("HTTP://Ex"), col("doc_id") % 7, lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Path/"), col("doc_id") % 13,
+          when(col("doc_id") % 3 === 0,
+            lit("?utm_source=news&b=2&a=1&fbclid=x"))
+            .otherwise(lit("?z=9&y=8")),
+          lit("#f"), col("doc_id") % 5)).as("url"))
+
   private def plantedHtml(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), concat(
       lit("<html><head><title>T</title><style>p { color: red; }" +
@@ -944,6 +960,14 @@ object Queries {
       // is removed and each doc is rebuilt from its survivors in order.
       graft.llm.SpanDedupPipe("text", "doc_id")(plantedSpans(s, d))
         .select("doc_id", "text", "n_spans_removed")
+        .orderBy("doc_id")
+    }),
+    "cu_url_canonicalize" -> ((s, d) => {
+      // crawl-key normalizer over planted messy URLs: case, default
+      // ports, fragments, tracker params, param order — all map-only;
+      // the oracle replays the identical anchored regex + list algebra.
+      graft.llm.UrlCanonicalizePipe("url")(plantedUrls(s, d))
+        .select("doc_id", "url_canonical", "url_host", "url_valid")
         .orderBy("doc_id")
     }),
     "tx_html_extract" -> ((s, d) => {
@@ -2762,6 +2786,28 @@ object Queries {
         |b AS (SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '' ORDER BY pos), '') AS clean, sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS removed FROM r GROUP BY doc_id)
         |SELECT s.doc_id, coalesce(b.clean, '') AS text, CAST(coalesce(b.removed, 0) AS BIGINT) AS n_spans_removed
         |FROM s LEFT JOIN b ON s.doc_id = b.doc_id ORDER BY s.doc_id""".stripMargin.replace("\n", " "),
+    // the identical anchored URL regex + list algebra over planted URLs
+    "cu_url_canonicalize" ->
+      """WITH s AS (SELECT doc_id,
+        | CASE WHEN doc_id % 17 = 0 THEN 'not a url' ELSE 'HTTP://Ex' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) || '/Path/' || CAST(doc_id % 13 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1&fbclid=x' ELSE '?z=9&y=8' END) || '#f' || CAST(doc_id % 5 AS VARCHAR) END AS url
+        | FROM documents),
+        |m AS (SELECT doc_id, url,
+        | regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$') AS valid,
+        | lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+        | lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS auth0,
+        | regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path0,
+        | regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q
+        | FROM s),
+        |a AS (SELECT doc_id, valid,
+        | CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '') WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '') ELSE auth0 END AS auth,
+        | scheme, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        | list_sort(list_filter(string_split(q, '&'), p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_') AND string_split(p, '=')[1] NOT IN ('fbclid', 'gclid', 'msclkid', 'mc_eid'))) AS kept
+        | FROM m)
+        |SELECT doc_id,
+        | CASE WHEN valid THEN scheme || '://' || auth || path || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) END AS url_canonical,
+        | CASE WHEN valid THEN regexp_replace(auth, ':[0-9]+$', '') END AS url_host,
+        | valid AS url_valid
+        |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the identical RE2 pattern chain over the identically planted markup
     "tx_html_extract" ->
       """WITH h AS (SELECT doc_id,

@@ -394,6 +394,68 @@ case class UrlFilterPipe(
   }
 }
 
+/** URL canonicalization (the crawl-dedup key normalizer): lowercase the
+  * scheme and authority, strip the scheme's default port (`:80` for
+  * http, `:443` for https), default an empty path to `/`, drop the
+  * fragment, and rewrite the query to its canonical form — split on
+  * `&`, drop empty params and the cross-site tracking params (`utm_*`,
+  * `fbclid`, `gclid`, `msclkid`, `mc_eid`), byte-sort the survivors,
+  * rejoin (and drop the `?` entirely when none survive). Two URLs that
+  * differ only in case/port/fragment/tracker-noise/param order then
+  * compare equal, which is what crawl frontier dedup and per-host
+  * aggregation key on.
+  *
+  * Emits `outputCol` (NULL for non-URL input), `hostCol` (the
+  * canonical authority with any port stripped), and `validCol`. The
+  * parse is one anchored regex — scheme `://` authority path
+  * [?query][#fragment] — with no lookaround, so Java regex and RE2
+  * agree; IPv6 literal authorities and userinfo pass through
+  * lowercased but otherwise untouched. Map-only: pure per-row Column
+  * expressions, zero shuffle at any scale.
+  */
+case class UrlCanonicalizePipe(
+    urlCol: String,
+    outputCol: String = "url_canonical",
+    hostCol: String = "url_host",
+    validCol: String = "url_valid") extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("url" -> urlCol, "out" -> outputCol,
+    "host" -> hostCol, "valid" -> validCol)
+
+  private val re =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+  private val trackers = Seq("fbclid", "gclid", "msclkid", "mc_eid")
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val url = coalesce(qcol(urlCol), lit(""))
+    val valid = url.rlike(re)
+    val scheme = lower(regexp_extract(url, re, 1))
+    val auth0 = lower(regexp_extract(url, re, 2))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = regexp_extract(url, re, 3)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val kept = array_sort(filter(split(regexp_extract(url, re, 4), "&"),
+      p => {
+        val k = element_at(split(p, "="), 1)
+        p =!= "" && !k.startsWith("utm_") &&
+          !k.isin(trackers.map(lit): _*)
+      }))
+    val query = when(size(kept) > 0,
+      concat(lit("?"), concat_ws("&", kept))).otherwise(lit(""))
+    val canonical = when(valid,
+      concat(scheme, lit("://"), auth, path, query))
+      .otherwise(lit(null).cast("string"))
+    val host = when(valid, regexp_replace(auth, ":[0-9]+$", ""))
+      .otherwise(lit(null).cast("string"))
+    finish(df, Seq(
+      outputCol -> canonical,
+      hostCol -> host,
+      validCol -> (valid: Column)))
+  }
+}
+
 /** Line-level exact deduplication (the CCNet/RefinedWeb corpus cleaner):
   * drop every line whose exact text occurs in more than `maxOccurrences`
   * (doc, line) slots across the WHOLE corpus — boilerplate headers,
