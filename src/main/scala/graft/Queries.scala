@@ -1425,6 +1425,33 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s25_ivf_add" -> ((s, d) => {
+      // incremental index maintenance: build over two thirds of the
+      // corpus, addVectors the rest — only the NEW rows are tagged, the
+      // standing index is appended verbatim (O(|extra|), never
+      // O(index)). nprobe=4 < nlist=8: a REAL pruned search, and the
+      // oracle replays every term (formula centroids, argmin-L2 tagging,
+      // probe pruning, member top-k) over the UNION — asserting
+      // incremental add == build-over-union exactly.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFDenseEngine(
+        vecs.filter(col("idx") % 3 =!= 0), nlist = 8, nprobe = 4,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivf-add"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":b23")
+      val eng = base.addVectors(vecs.filter(col("idx") % 3 === 0),
+        fingerprint = tableFp(s, d, "embeddings") + ":add3")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s14_lexical_dense_cascade" -> ((s, d) => {
       // the reference user guide's documented end-user flow
       // (user_guide/src/examples/index.py:46-63): elasticsearch(k=100) →
@@ -3653,6 +3680,27 @@ object Queries {
     // residual IVF-PQ: cid = argmin-L2 over formula centroids; codes =
     // argmin-L2 over formula books of rv = v - centroid[cid]; score =
     // q·centroid + ADC(q, codes) — every term replayed
+    // pruned IVF replay over the union: argmin-L2 formula tagging, top-4
+    // probe pruning (dot vs each formula centroid, ties by cid), member
+    // top-k — incremental add must equal this bit for bit
+    "s25_ivf_add" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
+        |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s12_ivfpq_residual" ->
       scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cd AS (SELECT vec_id, v, list_position(

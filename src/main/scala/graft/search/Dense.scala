@@ -108,7 +108,18 @@ case class IVFDenseEngine(
       * DETERMINISTIC and externally replayable — the coarse-quantizer
       * analogue of [[PQDenseEngine]]'s `fixedCodebooks`.
       */
-    fixedCentroids: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
+    fixedCentroids: Option[Seq[Seq[Double]]] = None,
+    /** Already-tagged base index rows `(idx, __cv__, cid)` appended
+      * verbatim after the tag step — the incremental-add path (see
+      * [[addVectors]]): only `corpus` (the NEW vectors) is tagged and,
+      * with `stateDir`, cached; the base index rides along untouched.
+      * Requires `fixedCentroids` (re-fitting KMeans on only the new
+      * rows would silently move the coarse quantizer).
+      */
+    baseTagged: Option[DataFrame] = None) extends SearchEngine {
+  require(baseTagged.isEmpty || fixedCentroids.isDefined,
+    "baseTagged (incremental add) requires fixedCentroids — the base " +
+      "index's coarse quantizer must be pinned, not re-fit")
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
@@ -120,9 +131,34 @@ case class IVFDenseEngine(
     "seed" -> kmeansSeed.toString,
     // content hash: different fixed centroids must not share a state key
     "fixedCents" -> fixedCentroids.map(c =>
-      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
+    "incremental" -> baseTagged.isDefined.toString)
 
-  private lazy val n: Long = corpus.count()
+  private lazy val n: Long =
+    corpus.count() + baseTagged.map(_.count()).getOrElse(0L)
+
+  /** Incremental index maintenance: a new engine over `extra` whose
+    * coarse quantizer is THIS engine's (already built) centroids —
+    * collected to the driver, nlist×dim doubles, bounded by config not
+    * data — and whose base index is THIS engine's tagged frame, appended
+    * verbatim. Only the new vectors are tagged (argmin-L2, the same
+    * deterministic tie-break as `fixedCentroids` tagging), so the add
+    * costs O(|extra|), not O(index): at 100 TB the standing index is
+    * never re-shuffled, re-tagged, or re-fit. Search over the result is
+    * EXACTLY the search of a fixed-centroid engine built over
+    * base ∪ extra (per-row tagging is independent), which is what
+    * [[IVFIncrementalSpec]] and the s25 gate assert. When persisting,
+    * pass a `fingerprint` covering base+extra so state keys stay
+    * content-addressed.
+    */
+  def addVectors(extra: DataFrame, fingerprint: String = ""): IVFDenseEngine = {
+    val cents = centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    copy(corpus = extra, fixedCentroids = Some(cents),
+      baseTagged = Some(tagged.select(col("idx"), col("__cv__"), col("cid"))),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
   protected def fillRange: Option[Long] = Some(n)
 
   /** (cid, centroid array<double>) + corpus tagged with cid. With
@@ -181,7 +217,15 @@ case class IVFDenseEngine(
             .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
       }
     }
-    (centsDf, taggedDf)
+    // incremental add: the base index is appended OUTSIDE the persisted
+    // stage, so the cache (and the tag computation) covers only the new
+    // rows — O(|extra|) maintenance, never O(index)
+    val withBase = baseTagged match {
+      case Some(base) => base.select(col("idx"), col("__cv__"), col("cid"))
+        .unionByName(taggedDf.select(col("idx"), col("__cv__"), col("cid")))
+      case None => taggedDf
+    }
+    (centsDf, withBase)
   }
 
   /** `(rowId, __qv__, cid, __cscore__)` — each query row paired with its
