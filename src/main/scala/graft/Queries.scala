@@ -962,6 +962,17 @@ object Queries {
         .select("doc_id", "text", "n_spans_removed")
         .orderBy("doc_id")
     }),
+    "ld_intra_doc" -> ((s, d) => {
+      // within-page repetition removal: every " line " in the soup plants
+      // the SAME boilerplate line multiple times per doc; first
+      // occurrence survives in order. Map-only (the shuffle-free half of
+      // line dedup — corpus-frequency removal is ld_line_dedup).
+      val planted = t(s, d, "documents").withColumn("text",
+        replace(col("text"), lit(" line "),
+          lit("\nRepeated boilerplate block.\n")))
+      graft.llm.IntraDocLineDedupPipe("text")(planted)
+        .select("doc_id", "text", "n_intra_removed").orderBy("doc_id")
+    }),
     "cu_url_canonicalize" -> ((s, d) => {
       // crawl-key normalizer over planted messy URLs: case, default
       // ports, fragments, tracker params, param order — all map-only;
@@ -2813,6 +2824,13 @@ object Queries {
         |b AS (SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '' ORDER BY pos), '') AS clean, sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS removed FROM r GROUP BY doc_id)
         |SELECT s.doc_id, coalesce(b.clean, '') AS text, CAST(coalesce(b.removed, 0) AS BIGINT) AS n_spans_removed
         |FROM s LEFT JOIN b ON s.doc_id = b.doc_id ORDER BY s.doc_id""".stripMargin.replace("\n", " "),
+    // first-occurrence line filter replayed via the indexed list lambda
+    "ld_intra_doc" ->
+      """WITH s AS (SELECT doc_id, replace(text, ' line ', chr(10) || 'Repeated boilerplate block.' || chr(10)) AS text FROM documents),
+        |m AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM s),
+        |k AS (SELECT doc_id, lines, list_filter(lines, (l, i) -> list_position(lines, l) = i) AS kept FROM m)
+        |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text, CAST(len(lines) - len(kept) AS BIGINT) AS n_intra_removed
+        |FROM k ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the identical anchored URL regex + list algebra over planted URLs
     "cu_url_canonicalize" ->
       """WITH s AS (SELECT doc_id,

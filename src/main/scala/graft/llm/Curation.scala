@@ -521,6 +521,35 @@ case class LineDedupPipe(
   }
 }
 
+/** Intra-document line deduplication (the within-page half of repetition
+  * removal): keep only the FIRST occurrence of each exact line within a
+  * document, preserving order — navigation chrome and templated blocks
+  * repeated inside one page collapse without consulting any other row.
+  * Complements [[LineDedupPipe]] (corpus-frequency line removal, which
+  * shuffles) — this variant is MAP-ONLY: a per-row array filter, zero
+  * shuffle, so at 100 TB it's free to run before anything that
+  * shuffles, shrinking every downstream exchange.
+  */
+case class IntraDocLineDedupPipe(
+    textCol: String,
+    removedCol: String = "n_intra_removed") extends Pipe {
+  override def update: Boolean = true
+  override def params = Map("text" -> textCol, "removed" -> removedCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val text = coalesce(qcol(textCol), lit(""))
+    val staged = Pipe.widen(df)
+      .withColumn("__idl_lines__", split(text, "\n"))
+    val lines = col("__idl_lines__")
+    // first-occurrence filter: 1-based array_position vs 0-based index
+    val kept = filter(lines, (l, i) => array_position(lines, l) === i + 1)
+    finish(staged, Seq(
+      textCol -> concat_ws("\n", kept),
+      removedCol -> (size(lines) - size(kept)).cast("long")))
+      .drop("__idl_lines__")
+  }
+}
+
 /** Cross-corpus sentence-span deduplication (the C4 dedup, Raffel et al.
   * arXiv:1910.10683 §2.2): group each document's sentences into tumbling
   * `spanSentences`-wide spans, and for every span whose (trimmed) text
