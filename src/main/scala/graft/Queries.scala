@@ -726,6 +726,18 @@ object Queries {
             concat_ws("/", col("lang"), substring(trim(col("text")), 1, 8))))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    "dd_edit_verify" -> ((s, d) =>
+      // edit-distance exact-verify over the same planted tail-edit dups
+      // and the same scale-honest (lang, 8-char prefix) blocking as
+      // dd_ngram_jaccard: the length-gap prune rides the join condition,
+      // the DP is the threshold-bounded banded kernel.
+      graft.llm.EditDistanceDedupPipe("text", "doc_id", "blk",
+        maxDistance = 16)(
+        plantedNearDups(s, d)
+          .withColumn("blk",
+            concat_ws("/", col("lang"), substring(trim(col("text")), 1, 8))))
+        .select(col("id_a"), col("id_b"), col("edit_distance"))
+        .orderBy("id_a", "id_b")),
     "dd_cosine_neardup" -> ((s, d) =>
       graft.llm.EmbeddingCosineDedupPipe("embedding", "vec_id", "label",
         threshold = 0.15)(t(s, d, "embeddings").filter(col("vec_id") < 150))
@@ -2567,6 +2579,16 @@ object Queries {
     // (eviction semantics are the multi-batch spec's job)
     "ev_stream_neardup" -> minhashPairOracle,
     "ev_stream_neardup_unique" -> minhashPairOracle,
+    // the same planted corpus + blocking, verified by DuckDB's own
+    // unbounded levenshtein behind the identical length-gap prune
+    "dd_edit_verify" ->
+      """WITH planted AS (SELECT doc_id, text, lang || '/' || substr(trim(text), 1, 8) AS blk FROM documents UNION ALL
+        | SELECT doc_id+10000, mtext, lang || '/' || substr(trim(mtext), 1, 8)
+        | FROM (SELECT doc_id, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS mtext, lang
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks, lang FROM documents WHERE doc_id < 50))),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+        | FROM planted a JOIN planted b ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 16)
+        |SELECT id_a, id_b, edit_distance FROM p WHERE edit_distance <= 16 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "dd_ngram_jaccard" ->
       """WITH planted AS (SELECT doc_id, text, lang || '/' || substr(trim(text), 1, 8) AS blk FROM documents UNION ALL
         | SELECT doc_id+10000, mtext, lang || '/' || substr(trim(mtext), 1, 8)

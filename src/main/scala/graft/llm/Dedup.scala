@@ -609,6 +609,68 @@ case class NgramJaccardPipe(
   }
 }
 
+/** Edit-distance near-dup pairs within blocks — the exact-verify stage
+  * of the dedup cascade for EDIT-shaped duplication (truncations, small
+  * insertions, OCR noise) where set-based Jaccard over- or under-counts:
+  * all pairs sharing `blockCol` (the [[NgramJaccardPipe]] blocking
+  * contract — language, length bucket, LSH band...) whose Levenshtein
+  * distance is at most `maxDistance`.
+  *
+  * Two lossless prunes keep the quadratic kernel off almost every
+  * candidate: the length gap `|len(a)−len(b)| ≤ maxDistance` (a lower
+  * bound on edit distance) folds INTO the join condition, and the DP
+  * itself runs Spark's threshold-bounded kernel — the banded
+  * O(maxDistance·min(n,m)) diagonal algorithm that abandons a pair the
+  * moment the bound is exceeded, not the full O(n·m) matrix. Unlike the
+  * hash families, the verify needs the STRINGS, so text rides the block
+  * shuffle — block before you verify (the `maxBlockRows` guard fails
+  * fast when a hot block would go quadratic, as in NgramJaccardPipe).
+  */
+case class EditDistanceDedupPipe(
+    textCol: String,
+    idCol: String,
+    blockCol: String,
+    maxDistance: Int = 8,
+    maxBlockRows: Option[Long] = Some(100000L)) extends Pipe {
+  require(maxDistance >= 0, "maxDistance must be >= 0")
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "block" -> blockCol, "maxDistance" -> maxDistance.toString,
+    "maxBlockRows" -> maxBlockRows.mkString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val text = coalesce(qcol(textCol), lit(""))
+    val slim = df.select(qcol(blockCol).as("blk"),
+      qcol(idCol).cast("long").as("id"), text.as("t"), length(text).as("n"))
+    // the base feeds the guard and both self-join sides once
+    val raw = Pipe.widen(slim).localCheckpoint(true)
+    val base = maxBlockRows match {
+      case Some(cap) =>
+        val counts = raw.groupBy(col("blk")).agg(count(lit(1)).as("__bn__"))
+        raw.join(counts, Seq("blk"))
+          .filter(when(col("__bn__") <= cap, lit(true)).otherwise(
+            raise_error(concat(
+              lit("EditDistanceDedupPipe: block '"), col("blk").cast("string"),
+              lit("' has "), col("__bn__"),
+              lit(s" rows > maxBlockRows=$cap — its all-pairs product would" +
+                " be quadratic; choose finer blocks or raise the cap")))
+              .cast("boolean")))
+          .drop("__bn__")
+      case None => raw
+    }
+    val left = base.select(col("blk"), col("id").as("id_a"),
+      col("t").as("__ta__"), col("n").as("__na__"))
+    val right = base.select(col("blk"), col("id").as("id_b"),
+      col("t").as("__tb__"), col("n").as("__nb__"))
+    left.join(right,
+      left("blk") === right("blk") && col("id_a") < col("id_b") &&
+        abs(col("__na__") - col("__nb__")) <= maxDistance)
+      .withColumn("edit_distance",
+        levenshtein(col("__ta__"), col("__tb__"), maxDistance))
+      .filter(col("edit_distance") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+}
+
 /** Embedding-cosine near-dup pairs within blocks (same blocking contract
   * as [[NgramJaccardPipe]]; at scale pass an IVF cluster id).
   */
