@@ -993,6 +993,14 @@ object Queries {
         .select("doc_id", "url_canonical", "url_host", "url_valid")
         .orderBy("doc_id")
     }),
+    "cu_url_canonical_sql" -> ((s, d) => {
+      // graft_url_canonical(url) — the normalizer folded to its canonical
+      // form as a SQL scalar (shared kernel with the pipe)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      plantedUrls(s, d).createOrReplaceTempView("graft_sql_urls")
+      s.sql("SELECT doc_id, graft_url_canonical(url) AS url_canonical " +
+        "FROM graft_sql_urls ORDER BY doc_id")
+    }),
     "tx_html_extract" -> ((s, d) => {
       // C4-lineage HTML -> text extraction: every doc wrapped in markup
       // with style/script PAYLOADS (must vanish with their contents), a
@@ -2874,6 +2882,26 @@ object Queries {
         | CASE WHEN valid THEN scheme || '://' || auth || path || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) END AS url_canonical,
         | CASE WHEN valid THEN regexp_replace(auth, ':[0-9]+$', '') END AS url_host,
         | valid AS url_valid
+        |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the SQL front end folds the same algebra to the canonical scalar
+    "cu_url_canonical_sql" ->
+      """WITH s AS (SELECT doc_id,
+        | CASE WHEN doc_id % 17 = 0 THEN 'not a url' ELSE 'HTTP://Ex' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) || '/Path/' || CAST(doc_id % 13 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1&fbclid=x' ELSE '?z=9&y=8' END) || '#f' || CAST(doc_id % 5 AS VARCHAR) END AS url
+        | FROM documents),
+        |m AS (SELECT doc_id, url,
+        | regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$') AS valid,
+        | lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+        | lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS auth0,
+        | regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path0,
+        | regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q
+        | FROM s),
+        |a AS (SELECT doc_id, valid,
+        | CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '') WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '') ELSE auth0 END AS auth,
+        | scheme, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        | list_sort(list_filter(string_split(q, '&'), p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_') AND string_split(p, '=')[1] NOT IN ('fbclid', 'gclid', 'msclkid', 'mc_eid'))) AS kept
+        | FROM m)
+        |SELECT doc_id,
+        | CASE WHEN valid THEN scheme || '://' || auth || path || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) END AS url_canonical
         |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the identical RE2 pattern chain over the identically planted markup
     "tx_html_extract" ->

@@ -422,18 +422,38 @@ case class UrlCanonicalizePipe(
   override def params = Map("url" -> urlCol, "out" -> outputCol,
     "host" -> hostCol, "valid" -> validCol)
 
-  private val re =
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    import UrlCanonicalOps._
+    val url = coalesce(qcol(urlCol), lit(""))
+    val valid = url.rlike(re)
+    finish(df, Seq(
+      outputCol -> when(valid, canonical(url)).otherwise(lit(null).cast("string")),
+      hostCol -> when(valid, host(url)).otherwise(lit(null).cast("string")),
+      validCol -> (valid: Column)))
+  }
+}
+
+/** The canonicalization algebra as column expressions — shared by
+  * [[UrlCanonicalizePipe]] and the `graft_url_canonical` SQL function.
+  */
+object UrlCanonicalOps {
+  val re =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
   private val trackers = Seq("fbclid", "gclid", "msclkid", "mc_eid")
 
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val url = coalesce(qcol(urlCol), lit(""))
-    val valid = url.rlike(re)
+  private def auth(url: Column): Column = {
     val scheme = lower(regexp_extract(url, re, 1))
     val auth0 = lower(regexp_extract(url, re, 2))
-    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+    when(scheme === "http", regexp_replace(auth0, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
       .otherwise(auth0)
+  }
+
+  /** Canonical form of a syntactically valid URL (callers gate on
+    * [[re]] validity; on a non-match this yields `scheme:///`-ish
+    * garbage, by construction never consulted). */
+  def canonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, re, 1))
     val path0 = regexp_extract(url, re, 3)
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val kept = array_sort(filter(split(regexp_extract(url, re, 4), "&"),
@@ -444,15 +464,18 @@ case class UrlCanonicalizePipe(
       }))
     val query = when(size(kept) > 0,
       concat(lit("?"), concat_ws("&", kept))).otherwise(lit(""))
-    val canonical = when(valid,
-      concat(scheme, lit("://"), auth, path, query))
-      .otherwise(lit(null).cast("string"))
-    val host = when(valid, regexp_replace(auth, ":[0-9]+$", ""))
-      .otherwise(lit(null).cast("string"))
-    finish(df, Seq(
-      outputCol -> canonical,
-      hostCol -> host,
-      validCol -> (valid: Column)))
+    concat(scheme, lit("://"), auth(url), path, query)
+  }
+
+  def host(url: Column): Column =
+    regexp_replace(auth(url), ":[0-9]+$", "")
+
+  /** Validity-gated canonical as ONE scalar (NULL for non-URLs) — the
+    * `graft_url_canonical` SQL surface, sharing the kernel with the pipe.
+    */
+  def canonicalOrNull(url0: Column): Column = {
+    val url = coalesce(url0, lit(""))
+    when(url.rlike(re), canonical(url)).otherwise(lit(null).cast("string"))
   }
 }
 

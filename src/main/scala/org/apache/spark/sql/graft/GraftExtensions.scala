@@ -82,6 +82,12 @@ object GraftExtensions {
       new ExpressionInfo("graft.llm.C4CleanOps", "graft_c4_clean"),
       (args: Seq[Expression]) => unary(args, "graft_c4_clean")(
         graft.llm.C4CleanOps.clean)),
+    // the crawl-key normalizer folded to its canonical form, NULL for
+    // non-URLs (UrlCanonicalizePipe's outputCol — shared kernel)
+    (new FunctionIdentifier("graft_url_canonical"),
+      new ExpressionInfo("graft.llm.UrlCanonicalOps", "graft_url_canonical"),
+      (args: Seq[Expression]) => unary(args, "graft_url_canonical")(
+        graft.llm.UrlCanonicalOps.canonicalOrNull)),
     // Morton z-value: graft_zvalue(bits, dim1[, dim2...]) — bits must be
     // a literal; dims must be pre-bucketed non-negative ints (ZOrder doc)
     (new FunctionIdentifier("graft_zvalue"),

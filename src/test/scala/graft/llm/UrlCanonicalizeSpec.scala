@@ -48,6 +48,21 @@ class UrlCanonicalizeSpec extends SparkSpec {
     }
   }
 
+  test("graft_url_canonical SQL front end equals the pipe column") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val docs = spark.read.parquet(sf("documents"))
+      .withColumn("url", when(col("doc_id") % 9 === 0, lit("nope"))
+        .otherwise(concat(lit("HTTPS://H"), col("doc_id") % 5,
+          lit(".com:443/p?b=2&utm_x=1&a=1#z"))))
+    docs.createOrReplaceTempView("url_sql_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_url_canonical(url) AS c FROM url_sql_docs")
+    val viaPipe = UrlCanonicalizePipe("url")(docs)
+      .select(col("doc_id"), col("url_canonical").as("c"))
+    assert(viaSql.except(viaPipe).count() == 0)
+    assert(viaPipe.except(viaSql).count() == 0)
+  }
+
   test("map-only plan and row preservation over real data") {
     val docs = spark.read.parquet(sf("documents"))
       .withColumn("url", concat(lit("http://h"), col("doc_id") % 5,
