@@ -2113,6 +2113,27 @@ object Queries {
         .select("doc_id", "unigram_nll").orderBy("doc_id")),
 
     // ----- composed curation v2: the round-6 end-to-end cleaner -----
+    "pp_crawl_v1" -> ((s, d) => {
+      // the canonical web-crawl curation preset as ONE SequentialPipe:
+      // within-page repetition removal (map-only) -> C4 line battery ->
+      // page-keep floor -> Gopher lexical flags on the CLEANED page ->
+      // lexical floor -> token budget. Every stage's kernel is already
+      // individually oracled; this gate proves they COMPOSE — the oracle
+      // replays the whole chain stage by stage.
+      val pipe = SequentialPipe(Seq(
+        graft.llm.IntraDocLineDedupPipe("text"),
+        graft.llm.C4CleanPipe("text"),
+        LambdaPipe(_.filter(col("c4_keep")), "c4_floor"),
+        graft.llm.GopherQualityPipe("text"),
+        LambdaPipe(_.filter(col("rule_alpha_words") && col("rule_stopwords")),
+          "lexical_floor"),
+        graft.llm.TokenCountPipe("text")))
+      pipe(plantedC4(s, d))
+        .select("doc_id", "text", "n_intra_removed", "kept_lines",
+          "n_sentences", "alpha_words", "distinct_stopwords", "ws_tokens")
+        .orderBy("doc_id")
+    }),
+
     "pp_curate_v2" -> ((s, d) => {
       // line-wrap -> line dedup -> repetition stats -> repetition floor
       // -> stratified rebalance -> token count, as ONE SequentialPipe;
@@ -3852,6 +3873,36 @@ object Queries {
         |       FROM tk JOIN v USING (tok) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(sc.unigram_nll, 0) AS unigram_nll
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // the crawl preset replayed stage by stage: planted pages -> indexed
+    // first-occurrence line filter -> C4 battery + page floor -> Gopher
+    // lexical counts on the cleaned page + floor -> whitespace tokens
+    "pp_crawl_v1" ->
+      """WITH s AS (SELECT doc_id,
+        | (CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) || (CASE WHEN doc_id % 13 = 0 THEN '{ cfg }' || chr(10) ELSE '' END) || replace(replace(text, ' fast ', '.' || chr(10)), ' data ', '?' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Enable javascript to proceed now please.' ELSE '' END) AS text
+        | FROM documents),
+        |i0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines0 FROM s),
+        |i1 AS (SELECT doc_id, text, len(lines0) AS nl0, list_filter(lines0, (l, i) -> list_position(lines0, l) = i) AS lines1 FROM i0),
+        |i2 AS (SELECT doc_id, coalesce(array_to_string(lines1, chr(10)), '') AS text, CAST(nl0 - len(lines1) AS BIGINT) AS n_intra_removed FROM i1),
+        |m AS (SELECT doc_id, text, n_intra_removed, string_split(text, chr(10)) AS lines FROM i2),
+        |k AS (SELECT doc_id, text, n_intra_removed,
+        | list_filter(lines, l -> regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"”]$') AND length(trim(rtrim(l, ' ' || chr(9)))) > 0 AND len(regexp_split_to_array(trim(rtrim(l, ' ' || chr(9))), '\s+')) >= 5 AND NOT contains(lower(rtrim(l, ' ' || chr(9))), 'javascript')) AS kept
+        | FROM m),
+        |c AS (SELECT doc_id, text, n_intra_removed, kept, coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k),
+        |f AS (SELECT doc_id, n_intra_removed, clean,
+        | CAST(len(kept) AS BIGINT) AS kept_lines,
+        | CAST(len(regexp_extract_all(clean, '[.!?]+')) AS BIGINT) AS n_sentences,
+        | contains(lower(text), 'lorem ipsum') AS fl, contains(text, '{') AS fb
+        | FROM c),
+        |g AS (SELECT * FROM f WHERE n_sentences >= 3 AND NOT fl AND NOT fb),
+        |t AS (SELECT doc_id, n_intra_removed, clean, kept_lines, n_sentences, regexp_split_to_array(trim(clean), '\s+') AS toks FROM g),
+        |q AS (SELECT doc_id, n_intra_removed, clean, kept_lines, n_sentences,
+        | CAST(len(toks) AS BIGINT) AS n_words,
+        | CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        | CAST(len(list_distinct(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for')))) AS BIGINT) AS distinct_stopwords,
+        | CAST(len(toks) AS INTEGER) AS ws_tokens
+        | FROM t)
+        |SELECT doc_id, clean AS text, n_intra_removed, kept_lines, n_sentences, alpha_words, distinct_stopwords, ws_tokens
+        |FROM q WHERE alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "pp_curate_v2" ->
       """WITH t AS (SELECT doc_id, lang, regexp_replace(trim(text), '((?:\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g') AS txt FROM documents),
         |l0 AS (SELECT doc_id, lang, string_split(txt, chr(10)) AS ln FROM t),
