@@ -738,6 +738,22 @@ object Queries {
             concat_ws("/", col("lang"), substring(trim(col("text")), 1, 8))))
         .select(col("id_a"), col("id_b"), col("edit_distance"))
         .orderBy("id_a", "id_b")),
+    "dd_edit_sql" -> ((s, d) => {
+      // the BoundLevenshteinRule path end-to-end: the natural SQL
+      // predicate (unbounded levenshtein <= k) is auto-rewritten to the
+      // banded early-abandon kernel (the plan assert lives in
+      // BoundLevenshteinRuleSpec); values must equal DuckDB's unbounded
+      // replay of the same predicate.
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      val toks = split(col("text"), " ")
+      t(s, d, "documents").select(col("doc_id"), col("text"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
+          .as("mtext"))
+        .createOrReplaceTempView("graft_sql_lev")
+      s.sql("SELECT doc_id, levenshtein(text, mtext) AS edit_distance " +
+        "FROM graft_sql_lev WHERE levenshtein(text, mtext) <= 12 " +
+        "ORDER BY doc_id")
+    }),
     "dd_cosine_neardup" -> ((s, d) =>
       graft.llm.EmbeddingCosineDedupPipe("embedding", "vec_id", "label",
         threshold = 0.15)(t(s, d, "embeddings").filter(col("vec_id") < 150))
@@ -2608,6 +2624,13 @@ object Queries {
     // (eviction semantics are the multi-batch spec's job)
     "ev_stream_neardup" -> minhashPairOracle,
     "ev_stream_neardup_unique" -> minhashPairOracle,
+    // the rewritten banded predicate must select exactly what DuckDB's
+    // unbounded levenshtein selects
+    "dd_edit_sql" ->
+      """WITH m AS (SELECT doc_id, text, array_to_string(toks[1:greatest(len(toks)-2,1)], ' ') AS mtext
+        | FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id, CAST(levenshtein(text, mtext) AS INTEGER) AS edit_distance
+        |FROM m WHERE levenshtein(text, mtext) <= 12 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the same planted corpus + blocking, verified by DuckDB's own
     // unbounded levenshtein behind the identical length-gap prune
     "dd_edit_verify" ->

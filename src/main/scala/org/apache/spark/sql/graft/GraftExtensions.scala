@@ -20,8 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[FoldAccentsExpr]] — no UDF registration involved.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => BoundLevenshteinRule)
+  }
 }
 
 object GraftExtensions {
@@ -121,9 +123,15 @@ object GraftExtensions {
       }))
 
   /** Register into an already-built session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    // live-session analogue of injectOptimizerRule (getOrCreate ignores
+    // extensions on an already-built session); idempotent
+    if (!spark.experimental.extraOptimizations.contains(BoundLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundLevenshteinRule
+  }
 }
