@@ -219,8 +219,8 @@ object Queries {
     * doc_id%13 plants "{", doc_id%7 appends a javascript line that the
     * javascript rule (and only it) must drop.
     */
-  private def plantedC4(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").withColumn("text",
+  private def plantedC4Text(df: DataFrame): DataFrame =
+    df.withColumn("text",
       concat(
         when(col("doc_id") % 11 === 0, lit("Lorem ipsum dolor sit amet today.\n")).otherwise(lit("")),
         when(col("doc_id") % 13 === 0, lit("{ cfg }\n")).otherwise(lit("")),
@@ -228,6 +228,9 @@ object Queries {
           lit(" data "), lit("?\n")),
         when(col("doc_id") % 7 === 0,
           lit("\nEnable javascript to proceed now please.")).otherwise(lit(""))))
+
+  private def plantedC4(s: SparkSession, dir: String): DataFrame =
+    plantedC4Text(t(s, dir, "documents"))
 
   /** Deterministic sentence structure + a shared three-sentence
     * boilerplate passage appended to doc_id%10<3 docs for the span-dedup
@@ -2150,6 +2153,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "ev_stream_crawl" -> ((s, d) => {
+      // the ENTIRE crawl-curation preset running unchanged inside a REAL
+      // StreamingQuery: every stage is map-only, so the stream carries
+      // ZERO state, append emits each surviving page exactly once, and
+      // the batch gate's oracle replays it verbatim — the unified
+      // batch/stream story for the whole cleaner family at once.
+      val stream = plantedC4Text(
+        graft.streaming.EventStream.readStreamTable(s, d, "documents"))
+      val pipe = SequentialPipe(Seq(
+        graft.llm.IntraDocLineDedupPipe("text"),
+        graft.llm.C4CleanPipe("text"),
+        LambdaPipe(_.filter(col("c4_keep")), "c4_floor"),
+        graft.llm.GopherQualityPipe("text"),
+        LambdaPipe(_.filter(col("rule_alpha_words") && col("rule_stopwords")),
+          "lexical_floor"),
+        graft.llm.TokenCountPipe("text")))
+      graft.streaming.EventStream.runToMemorySink(
+        pipe(stream).select("doc_id", "text", "n_intra_removed",
+          "kept_lines", "n_sentences", "alpha_words", "distinct_stopwords",
+          "ws_tokens"), "append")
+        .orderBy("doc_id")
+    }),
+
     "pp_curate_v2" -> ((s, d) => {
       // line-wrap -> line dedup -> repetition stats -> repetition floor
       // -> stratified rebalance -> token count, as ONE SequentialPipe;
@@ -3899,6 +3925,34 @@ object Queries {
     // the crawl preset replayed stage by stage: planted pages -> indexed
     // first-occurrence line filter -> C4 battery + page floor -> Gopher
     // lexical counts on the cleaned page + floor -> whitespace tokens
+    // the streaming twin replays the identical chain
+    "ev_stream_crawl" ->
+      """WITH s AS (SELECT doc_id,
+        | (CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) || (CASE WHEN doc_id % 13 = 0 THEN '{ cfg }' || chr(10) ELSE '' END) || replace(replace(text, ' fast ', '.' || chr(10)), ' data ', '?' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Enable javascript to proceed now please.' ELSE '' END) AS text
+        | FROM documents),
+        |i0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines0 FROM s),
+        |i1 AS (SELECT doc_id, text, len(lines0) AS nl0, list_filter(lines0, (l, i) -> list_position(lines0, l) = i) AS lines1 FROM i0),
+        |i2 AS (SELECT doc_id, coalesce(array_to_string(lines1, chr(10)), '') AS text, CAST(nl0 - len(lines1) AS BIGINT) AS n_intra_removed FROM i1),
+        |m AS (SELECT doc_id, text, n_intra_removed, string_split(text, chr(10)) AS lines FROM i2),
+        |k AS (SELECT doc_id, text, n_intra_removed,
+        | list_filter(lines, l -> regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"”]$') AND length(trim(rtrim(l, ' ' || chr(9)))) > 0 AND len(regexp_split_to_array(trim(rtrim(l, ' ' || chr(9))), '\s+')) >= 5 AND NOT contains(lower(rtrim(l, ' ' || chr(9))), 'javascript')) AS kept
+        | FROM m),
+        |c AS (SELECT doc_id, text, n_intra_removed, kept, coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k),
+        |f AS (SELECT doc_id, n_intra_removed, clean,
+        | CAST(len(kept) AS BIGINT) AS kept_lines,
+        | CAST(len(regexp_extract_all(clean, '[.!?]+')) AS BIGINT) AS n_sentences,
+        | contains(lower(text), 'lorem ipsum') AS fl, contains(text, '{') AS fb
+        | FROM c),
+        |g AS (SELECT * FROM f WHERE n_sentences >= 3 AND NOT fl AND NOT fb),
+        |t AS (SELECT doc_id, n_intra_removed, clean, kept_lines, n_sentences, regexp_split_to_array(trim(clean), '\s+') AS toks FROM g),
+        |q AS (SELECT doc_id, n_intra_removed, clean, kept_lines, n_sentences,
+        | CAST(len(toks) AS BIGINT) AS n_words,
+        | CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        | CAST(len(list_distinct(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for')))) AS BIGINT) AS distinct_stopwords,
+        | CAST(len(toks) AS INTEGER) AS ws_tokens
+        | FROM t)
+        |SELECT doc_id, clean AS text, n_intra_removed, kept_lines, n_sentences, alpha_words, distinct_stopwords, ws_tokens
+        |FROM q WHERE alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "pp_crawl_v1" ->
       """WITH s AS (SELECT doc_id,
         | (CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) || (CASE WHEN doc_id % 13 = 0 THEN '{ cfg }' || chr(10) ELSE '' END) || replace(replace(text, ' fast ', '.' || chr(10)), ' data ', '?' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Enable javascript to proceed now please.' ELSE '' END) AS text
