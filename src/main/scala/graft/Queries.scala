@@ -1502,6 +1502,35 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s26_ivfpq_add" -> ((s, d) => {
+      // incremental maintenance for the COMPOSED index: residual IVF-PQ
+      // built over two thirds, addVectors the rest — only the new rows
+      // are tagged AND encoded, coarse centroids + codebooks pinned.
+      // Same deterministic formula state as s12, so the s12 oracle
+      // (exhaustive replay of every coarse + ADC term over the union)
+      // applies verbatim: incremental == build-over-union, bit for bit.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFPQDenseEngine(
+        vecs.filter(col("idx") % 3 =!= 0),
+        nlist = 8, nprobe = 8, m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        residual = true,
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivfpq-add"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":b23")
+      val eng = base.addVectors(vecs.filter(col("idx") % 3 === 0),
+        fingerprint = tableFp(s, d, "embeddings") + ":add3")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s14_lexical_dense_cascade" -> ((s, d) => {
       // the reference user guide's documented end-user flow
       // (user_guide/src/examples/index.py:46-63): elasticsearch(k=100) →
@@ -3835,6 +3864,33 @@ object Queries {
         |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
         |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
         |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // incremental residual IVF-PQ == the s12 build-over-union replay
+    "s26_ivfpq_add" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |res AS (SELECT vec_id, cid, list_transform(range(0,64), t -> v[t+1] - (((cid*29 + t*13) % 17) - 8) * 0.05) AS rv FROM cd),
+        |codes AS (SELECT vec_id, cid, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM res),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((codes.cid*29 + t*13) % 17) - 8) * 0.05)))
+        |  + list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |      qs.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM qs CROSS JOIN codes),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),

@@ -166,7 +166,12 @@ case class IVFDenseEngine(
     * fit runs only when neither cache exists (`fitted` is lazy and only
     * forced inside a cache-miss compute closure).
     */
-  lazy val (centroids: DataFrame, tagged: DataFrame) = build()
+  /** `taggedOwn` = the tag of THIS engine's `corpus` only (what the
+    * incremental fine quantizer of [[IVFPQDenseEngine]] encodes);
+    * `tagged` = taggedOwn plus any `baseTagged` — the full index.
+    */
+  lazy val (centroids: DataFrame, taggedOwn: DataFrame, tagged: DataFrame) =
+    build()
 
   private lazy val prepared: DataFrame = corpus.select(
     col(corpusIdxCol).cast("long").as("idx"),
@@ -177,7 +182,7 @@ case class IVFDenseEngine(
   private lazy val fitted =
     new KMeans().setK(nlist).setSeed(kmeansSeed).setMaxIter(20).fit(prepared)
 
-  def build(): (DataFrame, DataFrame) = {
+  def build(): (DataFrame, DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     def persisted(frame: String)(compute: => DataFrame): DataFrame =
       stateDir match {
@@ -225,7 +230,7 @@ case class IVFDenseEngine(
         .unionByName(taggedDf.select(col("idx"), col("__cv__"), col("cid")))
       case None => taggedDf
     }
-    (centsDf, withBase)
+    (centsDf, taggedDf, withBase)
   }
 
   /** `(rowId, __qv__, cid, __cscore__)` — each query row paired with its

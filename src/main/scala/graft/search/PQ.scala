@@ -57,7 +57,19 @@ case class PQDenseEngine(
       * the same corpus + params.
       */
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** Already-encoded base codes `(idx, __c0..__c{m-1})` appended
+      * verbatim after the encode — the incremental-add path: only
+      * `corpus` (the NEW vectors) is encoded. Requires `fixedCodebooks`
+      * (and, when rotating, `fixedRotation`): re-training either on only
+      * the new rows would silently move the quantizer.
+      */
+    baseCodes: Option[DataFrame] = None) extends SearchEngine {
+  require(baseCodes.isEmpty ||
+    (fixedCodebooks.isDefined && (!rotate || fixedRotation.isDefined)),
+    "baseCodes (incremental add) requires fixedCodebooks — and " +
+      "fixedRotation when rotate=true — so the base index's quantizer " +
+      "stays pinned, not re-fit")
 
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
@@ -74,9 +86,11 @@ case class PQDenseEngine(
     "seed" -> kmeansSeed.toString,
     "rotate" -> rotate.toString,
     "fixedRotation" -> fixedRotation.map(c =>
-      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
+    "incremental" -> baseCodes.isDefined.toString)
 
-  private lazy val n: Long = corpus.count()
+  private lazy val n: Long =
+    corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] = Some(n)
 
   lazy val dim: Int =
@@ -156,7 +170,13 @@ case class PQDenseEngine(
             (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$j")
           }: _*)
     }
-    (books, codesDf)
+    // incremental add: base codes append OUTSIDE the persisted stage, so
+    // the cache (and the encode) covers only the new rows
+    val withBase = baseCodes match {
+      case Some(base) => base.unionByName(codesDf)
+      case None => codesDf
+    }
+    (books, withBase)
   }
 
   /** Per-subspace KMeans codebooks, round-tripped through a (j, c,
@@ -327,7 +347,19 @@ case class IVFPQDenseEngine(
       * is learned on residuals).
       */
     residual: Boolean = false,
-    fixedCentroids: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
+    fixedCentroids: Option[Seq[Seq[Double]]] = None,
+    /** Pin the fine quantizer's rotation (forwarded to
+      * [[PQDenseEngine.fixedRotation]]) — required by the incremental
+      * path when `rotate = true`. */
+    fixedRotation: Option[Seq[Seq[Double]]] = None,
+    /** Incremental add (see [[addVectors]]): the base index's tagged
+      * rows and codes, appended verbatim to the coarse and fine
+      * quantizers respectively; only `corpus` (the NEW vectors) is
+      * tagged and encoded. Both or neither must be set. */
+    baseTagged: Option[DataFrame] = None,
+    baseCodes: Option[DataFrame] = None) extends SearchEngine {
+  require(baseTagged.isDefined == baseCodes.isDefined,
+    "incremental add needs BOTH baseTagged and baseCodes (or neither)")
 
   override def params = Map("k" -> config.k.toString, "nlist" -> nlist.toString,
     "nprobe" -> nprobe.toString, "m" -> m.toString,
@@ -337,20 +369,25 @@ case class IVFPQDenseEngine(
     "seed" -> kmeansSeed.toString,
     "rotate" -> rotate.toString, "residual" -> residual.toString,
     "fixedCents" -> fixedCentroids.map(c =>
-      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
+    "fixedRotation" -> fixedRotation.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
+    "incremental" -> baseTagged.isDefined.toString)
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
     config, corpusIdxCol, corpusVecCol, kmeansSeed,
     stateDir = stateDir, corpusFingerprint = corpusFingerprint,
-    fixedCentroids = fixedCentroids)
+    fixedCentroids = fixedCentroids, baseTagged = baseTagged)
 
   /** The frame the fine quantizer encodes: raw corpus, or per-list
-    * residuals (idx, __rv__ = x − centroid[cid]).
+    * residuals (idx, __rv__ = x − centroid[cid]) — of THIS engine's
+    * corpus only (`taggedOwn`): in the incremental case the base rows
+    * are already encoded and must not be re-encoded.
     */
   private lazy val fineCorpus: DataFrame =
     if (!residual) corpus
-    else ivf.tagged.join(broadcast(ivf.centroids), Seq("cid"))
+    else ivf.taggedOwn.join(broadcast(ivf.centroids), Seq("cid"))
       .select(col("idx"),
         zip_with(arrTransform(col("__cv__"), _.cast("double")), col("centroid"),
           (x, c) => x - c).as("__rv__"))
@@ -360,6 +397,7 @@ case class IVFPQDenseEngine(
     config, if (residual) "idx" else corpusIdxCol,
     if (residual) "__rv__" else corpusVecCol, kmeansSeed, fixedCodebooks,
     rotate = rotate,
+    fixedRotation = fixedRotation,
     stateDir = stateDir,
     // residual codes are a function of the COARSE quantizer too (the
     // residual corpus is x - centroid[cid]) — its fingerprint must be in
@@ -367,9 +405,35 @@ case class IVFPQDenseEngine(
     // silently reuse stale residual codes against fresh centroid scores
     corpusFingerprint =
       if (residual) s"$corpusFingerprint-resid-${ivf.fingerprint}"
-      else corpusFingerprint)
+      else corpusFingerprint,
+    baseCodes = baseCodes)
 
-  private lazy val n: Long = corpus.count()
+  /** Incremental index maintenance, the [[IVFDenseEngine.addVectors]]
+    * contract extended to the fine quantizer: a new engine over `extra`
+    * whose coarse centroids, PQ codebooks, AND rotation are THIS
+    * engine's (collected — all bounded by config, not data), with the
+    * standing tagged lists and codes appended verbatim. Only the new
+    * vectors are tagged and encoded — O(|extra|), never O(index) — and
+    * because per-row tagging and encoding are independent, the result
+    * searches EXACTLY like a pinned-state build over base ∪ extra
+    * (residual mode included: new residuals use the same pinned
+    * centroids the base codes were encoded against).
+    */
+  def addVectors(extra: DataFrame, fingerprint: String = ""): IVFPQDenseEngine = {
+    val cents = ivf.centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    copy(corpus = extra,
+      fixedCentroids = Some(cents),
+      fixedCodebooks = Some(pq.codebooks),
+      fixedRotation = pq.rotation,
+      baseTagged = Some(ivf.tagged.select(col("idx"), col("__cv__"), col("cid"))),
+      baseCodes = Some(pq.codes),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
+  private lazy val n: Long =
+    corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] = Some(n)
 
   /** Codes tagged with their inverted-list id: (cid, idx, __c0..__c{m-1}). */
