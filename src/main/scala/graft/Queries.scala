@@ -1502,6 +1502,32 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "ev_stream_dense_search" -> ((s, d) => {
+      // similarity search on ARRIVING queries: a standing IVF index
+      // (fixed centroids, state-cached once before the stream starts)
+      // answers each micro-batch of query vectors inside a REAL
+      // StreamingQuery via foreachBatch — the per-batch body IS the
+      // batch engine, so nprobe=nlist keeps it exact and the s1-style
+      // brute-force oracle applies to the streamed results verbatim.
+      val emb = t(s, d, "embeddings")
+      val eng = graft.search.IVFDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector")),
+        nlist = 8, nprobe = 8,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivf-stream"),
+        corpusFingerprint = tableFp(s, d, "embeddings"))
+      val queries = graft.streaming.EventStream
+        .readStreamTable(s, d, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      graft.streaming.SearchStream.runSearchStream(b => eng(b), queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s26_ivfpq_add" -> ((s, d) => {
       // incremental maintenance for the COMPOSED index: residual IVF-PQ
       // built over two thirds, addVectors the rest — only the new rows
@@ -3060,6 +3086,13 @@ object Queries {
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     // identical to s2: with nprobe = nlist the IVF candidate set is total,
     // so exact brute-force top-k is the oracle
+    // the streamed results must equal the batch brute-force replay
+    "ev_stream_dense_search" ->
+      scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score" FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s1_ivf_dense" ->
       scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),
