@@ -560,6 +560,29 @@ object Queries {
           transform(q("index.score"), v => round(v, 4)).as("index.score"))
         .orderBy("qid")
     }),
+    "ev_stream_bm25_search" -> ((s, d) => {
+      // the lexical twin of ev_stream_dense_search: arriving query TEXTS
+      // answered by a standing BM25 index (postings/dfreq/docs state
+      // cached once) through the same foreachBatch harness — the s3
+      // scoring oracle applies to the streamed results verbatim.
+      val docs = t(s, d, "documents")
+      val eng = graft.search.BM25Engine(docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-s3"),
+        corpusFingerprint = tableFp(s, d, "documents"))
+      val queries = graft.streaming.EventStream
+        .readStreamTable(s, d, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+      graft.streaming.SearchStream.runSearchStream(b => eng(b), queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
     "s3c_bm25_filter" -> ((s, d) => {
       // filterKey path: candidates restricted to corpus docs whose `lang`
       // equals the query's `query.lang` (the ES term-filter semantics:
@@ -3137,6 +3160,24 @@ object Queries {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // the streamed lexical results must equal the batch scoring replay
+    "ev_stream_bm25_search" ->
+      scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM c WHERE doc_id < 20),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     "s3_bm25" ->
       scl("""WITH c AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |dl AS (SELECT doc_id, len(toks) AS len FROM c),
