@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.IntegerType
   * Comparisons against negative literals, non-literal bounds, or an
   * already-bounded call are left untouched. The rewritten node carries a
   * defined threshold, so the rule is idempotent by construction.
+  *
+  * A second pass PROPAGATES proven bounds upward: in
+  * `SELECT levenshtein(a,b) ... WHERE levenshtein(a,b) <= k`, the
+  * projection only ever evaluates on rows the filter below already
+  * proved are within k — where the bounded kernel returns the identical
+  * exact distance — so the projection's full-matrix DP becomes the
+  * banded one too (the natural report-the-distance query then never
+  * runs an unbounded DP at all).
   */
 object BoundLevenshteinRule extends Rule[LogicalPlan] {
 
@@ -41,8 +49,58 @@ object BoundLevenshteinRule extends Rule[LogicalPlan] {
   private def bounded(l: Expression, r: Expression, k: Int): Expression =
     Levenshtein(l, r, Some(Literal(k)))
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+  /** Bounds a conjunct of a Filter condition proves: from the already-
+    * rewritten `bounded(k) >= 0` / `bounded(k) = k` shapes AND the
+    * not-yet-rewritten comparison shapes, `(l, r, k)` such that every
+    * row passing the filter satisfies `levenshtein(l, r) <= k`.
+    */
+  private def provenBounds(cond: Expression): Seq[(Expression, Expression, Int)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case GreaterThanOrEqual(Levenshtein(l, r, Some(IntLit(k))), IntLit(0)) =>
+        Some((l, r, k))
+      case EqualTo(Levenshtein(l, r, Some(IntLit(k))), IntLit(k2)) if k2 <= k =>
+        Some((l, r, k))
+      case LessThanOrEqual(Unbounded(l, r), IntLit(k)) if k >= 0 =>
+        Some((l, r, k))
+      case GreaterThanOrEqual(IntLit(k), Unbounded(l, r)) if k >= 0 =>
+        Some((l, r, k))
+      case LessThan(Unbounded(l, r), IntLit(k)) if k >= 1 =>
+        Some((l, r, k - 1))
+      case GreaterThan(IntLit(k), Unbounded(l, r)) if k >= 1 =>
+        Some((l, r, k - 1))
+      case EqualTo(Unbounded(l, r), IntLit(k)) if k >= 0 => Some((l, r, k))
+      case EqualTo(IntLit(k), Unbounded(l, r)) if k >= 0 => Some((l, r, k))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // pass 2 — bound propagation: a projection's UNBOUNDED levenshtein
+    // is only evaluated on rows the Filter below already proved are
+    // within k, where the bounded kernel returns the identical exact
+    // distance — so the full-matrix DP above a guarded filter is free
+    // to become the banded one.
+    val propagated = plan.transformUp {
+      case p @ Project(projList, f @ Filter(cond, _)) =>
+        val bounds = provenBounds(cond)
+        if (bounds.isEmpty) p
+        else {
+          val newList = projList.map(_.transformDown {
+            case lev @ Levenshtein(l, r, None) =>
+              bounds.collectFirst {
+                case (bl, br, k)
+                    if bl.semanticEquals(l) && br.semanticEquals(r) =>
+                  bounded(l, r, k)
+              }.getOrElse(lev)
+          }.asInstanceOf[NamedExpression])
+          Project(newList, f)
+        }
+    }
+    propagated.transformAllExpressions {
       // d <= k  /  k >= d
       case LessThanOrEqual(Unbounded(l, r), IntLit(k)) if k >= 0 =>
         GreaterThanOrEqual(bounded(l, r, k), Literal(0))
@@ -59,4 +117,5 @@ object BoundLevenshteinRule extends Rule[LogicalPlan] {
       case EqualTo(IntLit(k), Unbounded(l, r)) if k >= 0 =>
         EqualTo(bounded(l, r, k), Literal(k))
     }
+  }
 }

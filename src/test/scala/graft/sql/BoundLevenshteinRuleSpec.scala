@@ -79,6 +79,27 @@ class BoundLevenshteinRuleSpec extends SparkSpec {
     assert(b3 == 1 && u3 == 0)
   }
 
+  test("bound propagation: a guarded projection reuses the banded kernel") {
+    // a direct Project(Filter(scan)) shape — predicate pushdown through
+    // a Union splits the filter per branch and the propagation
+    // deliberately stays out of that attribute-remapping territory
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), " \\S+ \\S+$", "").as("mtext"))
+    docs.createOrReplaceTempView("lev_prop_docs")
+    val df = spark.sql("SELECT doc_id, levenshtein(text, mtext) AS d " +
+      "FROM lev_prop_docs WHERE levenshtein(text, mtext) <= 12")
+    val (b, u) = boundedCount(df)
+    assert(b == 2 && u == 0, s"projection must be bounded too: $b/$u")
+    // values: the propagated distance equals the unbounded one on
+    // every surviving row
+    val viaCol = docs
+      .withColumn("d", levenshtein(col("text"), col("mtext")))
+      .filter(col("d") <= 12).select("doc_id", "d")
+    assert(df.except(viaCol).count() == 0)
+    assert(viaCol.except(df).count() == 0)
+  }
+
   test("SQL front end gets the rewrite too") {
     pairs().createOrReplaceTempView("lev_docs")
     val df = spark.sql(
