@@ -776,9 +776,13 @@ object Queries {
         array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
           .as("mtext"))
         .createOrReplaceTempView("graft_sql_lev")
+      // materialize the survivors once before the presentation sort:
+      // a global orderBy re-executes its child inside the range
+      // partitioner's SAMPLING pass, which would run the whole
+      // edit-distance chain twice
       s.sql("SELECT doc_id, levenshtein(text, mtext) AS edit_distance " +
-        "FROM graft_sql_lev WHERE levenshtein(text, mtext) <= 12 " +
-        "ORDER BY doc_id")
+        "FROM graft_sql_lev WHERE levenshtein(text, mtext) <= 12")
+        .localCheckpoint(true).orderBy("doc_id")
     }),
     "dd_cosine_neardup" -> ((s, d) =>
       graft.llm.EmbeddingCosineDedupPipe("embedding", "vec_id", "label",
