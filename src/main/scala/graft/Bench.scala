@@ -134,7 +134,11 @@ object Bench {
     // (the r9 riser triage had to reach back to r5 for s3c/l6 baselines).
     // Persist the COMPLETE per-query map in-repo: bench_full_r<N>.json,
     // N = round (SPARK_GRAFT_ROUND override, else 1 + latest BENCH_r<N>).
-    try {
+    // ONLY for full-suite runs: a SPARK_GRAFT_ONLY subset overwriting the
+    // committed 160+-gate record with a 1-query map is exactly the r12
+    // artifact-hygiene slip (and it recurred in r13) — subset runs print
+    // their line but never touch the in-repo record.
+    if (only.isEmpty) try {
       val repo = java.nio.file.Paths.get(".").toAbsolutePath.normalize
       val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
         val re = "BENCH_r(\\d+)\\.json".r
