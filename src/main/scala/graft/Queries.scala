@@ -1031,6 +1031,38 @@ object Queries {
       graft.llm.IntraDocLineDedupPipe("text")(planted)
         .select("doc_id", "text", "n_intra_removed").orderBy("doc_id")
     }),
+    "mm_binary_ingest" -> ((s, d) => {
+      // multimodal INGEST through Spark's binaryFile source: a
+      // deterministic fixture of media-like files (ASCII magic
+      // stand-ins — real magic bytes aren't replayable through a SQL
+      // oracle's string algebra) is laid down from the documents table,
+      // read back as (path, length, content), and reduced to the typed
+      // metadata + content-digest shape every downstream multimodal
+      // pipe consumes. At scale this is the scan path for raw
+      // image/audio blobs: one file per task slot, no decode on read.
+      val rows = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text").collect()
+      val dir = new java.io.File(
+        s"/tmp/graft-media/${new java.io.File(d).getName}")
+      dir.mkdirs()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val magic = (id % 3) match {
+          case 0 => "PNG"; case 1 => "JPG"; case _ => "BIN" }
+        val payload = magic + r.getString(1).take(64)
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"$id%06d.bin").toPath,
+          payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(dir.getAbsolutePath + "/*.bin")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          substring(col("content"), 1, 3).cast("string").as("format"),
+          md5(col("content")).as("digest"))
+        .orderBy("doc_id")
+    }),
     "cu_url_canonicalize" -> ((s, d) => {
       // crawl-key normalizer over planted messy URLs: case, default
       // ports, fragments, tracker params, param order — all map-only;
@@ -3013,6 +3045,13 @@ object Queries {
         |k AS (SELECT doc_id, lines, list_filter(lines, (l, i) -> list_position(lines, l) = i) AS kept FROM m)
         |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text, CAST(len(lines) - len(kept) AS BIGINT) AS n_intra_removed
         |FROM k ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // byte-level replay of the fixture files the gate itself lays down
+    "mm_binary_ingest" ->
+      """WITH s AS (SELECT doc_id,
+        | (CASE doc_id % 3 WHEN 0 THEN 'PNG' WHEN 1 THEN 'JPG' ELSE 'BIN' END) || substr(text, 1, 64) AS payload
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(length(payload) AS BIGINT) AS length, substr(payload, 1, 3) AS format, md5(payload) AS digest
+        |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the identical anchored URL regex + list algebra over planted URLs
     "cu_url_canonicalize" ->
       """WITH s AS (SELECT doc_id,
