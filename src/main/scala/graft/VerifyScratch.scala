@@ -1059,6 +1059,70 @@ object VerifyScratch {
         s"-> ${got == exact && exact > 0 && bcast}")
     }
 
+    // [70] r13: crawl preset = ONE fused scan (filters in DataFilters,
+    // 2-col ReadSchema, no data shuffle) and its streaming twin matches
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("text", regexp_replace(col("text"), " (fast|data) ", ".\n"))
+      val pipe = graft.pipes.SequentialPipe(Seq(
+        graft.llm.IntraDocLineDedupPipe("text"),
+        graft.llm.C4CleanPipe("text"),
+        graft.pipes.LambdaPipe(_.filter(col("c4_keep")), "c4_floor"),
+        graft.llm.GopherQualityPipe("text")))
+      val out = pipe(docs).select("doc_id", "text", "n_sentences")
+      val plan = out.queryExecution.executedPlan.toString
+      val fused = !plan.contains("hashpartitioning") &&
+        plan.contains("DataFilters")
+      println(s"[70] crawl preset fused scan rows=${out.count()} -> $fused")
+    }
+
+    // [71] r13: incremental residual IVF-PQ == pinned union build
+    {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val cfg = graft.search.SearchConfig(k = 5, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val cents = graft.search.IVFDenseEngine.formulaCentroids(4, 64)
+      val books = graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)
+      val full = graft.search.IVFPQDenseEngine(emb, nlist = 4, nprobe = 2,
+        m = 8, codebookSize = 16, config = cfg, residual = true,
+        fixedCentroids = Some(cents), fixedCodebooks = Some(books))
+      val inc = graft.search.IVFPQDenseEngine(
+        emb.filter(col("idx") % 2 === 0), nlist = 4, nprobe = 2,
+        m = 8, codebookSize = 16, config = cfg, residual = true,
+        fixedCentroids = Some(cents), fixedCodebooks = Some(books))
+        .addVectors(emb.filter(col("idx") % 2 =!= 0))
+      val eq = inc(qs).orderBy("qid").collect()
+        .sameElements(full(qs).orderBy("qid").collect())
+      println(s"[71] ivfpq incremental == union build -> $eq")
+    }
+
+    // [72] r13: BoundLevenshteinRule bounds the predicate AND the
+    // guarded projection; values equal the unbounded column form
+    {
+      org.apache.spark.sql.graft.GraftExtensions.register(spark)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          regexp_replace(col("text"), " \\S+ \\S+$", "").as("mtext"))
+      docs.createOrReplaceTempView("vs_lev")
+      val df = spark.sql("SELECT doc_id, levenshtein(text, mtext) AS d " +
+        "FROM vs_lev WHERE levenshtein(text, mtext) <= 12")
+      var bounded = 0; var unbounded = 0
+      df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+        case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
+          if (l.threshold.isDefined) bounded += 1 else unbounded += 1
+        case _ =>
+      }))
+      val ref = docs.withColumn("d", levenshtein(col("text"), col("mtext")))
+        .filter(col("d") <= 12).select("doc_id", "d")
+      val eq = df.except(ref).count() == 0 && ref.except(df).count() == 0
+      println(s"[72] lev rule bounded=$bounded unbounded=$unbounded " +
+        s"valuesEq=$eq -> ${bounded == 2 && unbounded == 0 && eq}")
+    }
+
     // [69] r13: graft_gopher_keep SQL front end == pipe flag, map-only plan
     {
       org.apache.spark.sql.graft.GraftExtensions.register(spark)
