@@ -1123,6 +1123,57 @@ object VerifyScratch {
         s"valuesEq=$eq -> ${bounded == 2 && unbounded == 0 && eq}")
     }
 
+    // [73] r14: a `= -1` bounded predicate (distance > k rows) must NOT
+    // propagate a bound into the projection — the true distance, never
+    // the -1 sentinel, is reported
+    {
+      org.apache.spark.sql.graft.GraftExtensions.register(spark)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          regexp_replace(col("text"), " \\S+ \\S+$", "").as("mtext"))
+      docs.createOrReplaceTempView("vs_lev_neg")
+      val df = spark.sql("SELECT doc_id, levenshtein(text, mtext) AS d " +
+        "FROM vs_lev_neg WHERE levenshtein(text, mtext, 5) = -1")
+      var unbounded = 0
+      df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+        case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
+          if (l.threshold.isEmpty) unbounded += 1
+        case _ =>
+      }))
+      val ref = docs.withColumn("d", levenshtein(col("text"), col("mtext")))
+        .filter(col("d") > 5).select("doc_id", "d")
+      val eq = df.except(ref).count() == 0 && ref.except(df).count() == 0
+      val noSentinel = df.filter(col("d") === -1).count() == 0
+      println(s"[73] lev = -1 guard unbounded=$unbounded valuesEq=$eq " +
+        s"noSentinel=$noSentinel -> ${unbounded == 1 && eq && noSentinel}")
+    }
+
+    // [74] r14: StreamingWeightedSample crash-window recovery — a
+    // complete _staging with no _CURRENT is renamed into place by
+    // latest(), reservoir unchanged
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory("vs-sws").toString
+      graft.streaming.StreamingWeightedSample.seed(
+        docs, s"$dir/t", "n_chars", "doc_id")
+      graft.streaming.StreamingWeightedSample.applyBatch(
+        docs, s"$dir/t", "doc_id", "n_chars", 25, Nil, 17L)
+      val before = graft.streaming.StreamingWeightedSample
+        .latest(spark, s"$dir/t").get
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/t/_CURRENT"),
+        new org.apache.hadoop.fs.Path(s"$dir/t/_staging"))
+      val after = graft.streaming.StreamingWeightedSample
+        .latest(spark, s"$dir/t").get
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val healed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t/_CURRENT"))
+      println(s"[74] weighted-sample staging recovery eq=${before == after} " +
+        s"healed=$healed -> ${before == after && healed}")
+    }
+
     // [69] r13: graft_gopher_keep SQL front end == pipe flag, map-only plan
     {
       org.apache.spark.sql.graft.GraftExtensions.register(spark)

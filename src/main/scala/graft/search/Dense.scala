@@ -152,6 +152,13 @@ case class IVFDenseEngine(
     * content-addressed.
     */
   def addVectors(extra: DataFrame, fingerprint: String = ""): IVFDenseEngine = {
+    // With a stateDir, successive adds with an unchanged fingerprint
+    // would produce IDENTICAL persisted-state keys (params + fixedCents
+    // hash + corpusFingerprint don't see `extra`), so a second add would
+    // silently read the first add's cached tagged frame.
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "addVectors with stateDir requires a fingerprint covering base+extra " +
+        "— an unchanged state key would serve a previous add's cache")
     val cents = centroids.orderBy("cid").collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
     copy(corpus = extra, fixedCentroids = Some(cents),

@@ -420,6 +420,12 @@ case class IVFPQDenseEngine(
     * centroids the base codes were encoded against).
     */
   def addVectors(extra: DataFrame, fingerprint: String = ""): IVFPQDenseEngine = {
+    // Same state-key hazard as IVFDenseEngine.addVectors: with a stateDir
+    // and an unchanged fingerprint, a second add would silently read the
+    // first add's cached tagged/codes frames.
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "addVectors with stateDir requires a fingerprint covering base+extra " +
+        "— an unchanged state key would serve a previous add's cache")
     val cents = ivf.centroids.orderBy("cid").collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
     copy(corpus = extra,

@@ -270,7 +270,12 @@ object EventStream {
     // pathGlobFilter matches LEAF file names, so the single-file layout
     // needs it to isolate the table inside `dir`; a directory is loaded
     // directly — its part files wouldn't match the table-name glob.
-    if (new java.io.File(path).isDirectory)
+    // Hadoop FS API, not java.io.File: the layout check must hold on
+    // HDFS/S3 paths too, where a local-File probe would always say
+    // "not a directory" and the glob branch would load zero files.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory)
       spark.readStream.schema(schema).format("parquet").load(path)
     else
       spark.readStream.schema(schema).format("parquet")

@@ -62,12 +62,25 @@ object StreamingWeightedSample {
 
   /** The current reservoir (at most k rows per group, carrying the
     * `sample_key` column). None before seed.
+    *
+    * Crash recovery: [[commit]] deletes `_CURRENT` only AFTER the
+    * `_staging` write completed, so if `_CURRENT` is missing but a
+    * COMPLETE `_staging` (its `_SUCCESS` marker present) exists, a
+    * crash landed in the delete-then-rename window — finish the rename
+    * here and carry on. An incomplete `_staging` without `_CURRENT`
+    * stays None (never seeded, or seed itself crashed mid-write).
     */
   def latest(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val fs = path(stateDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path(s"$stateDir/_CURRENT"))) None
-    else Some(spark.read.parquet(s"$stateDir/_CURRENT"))
+    val cur = path(s"$stateDir/_CURRENT")
+    if (!fs.exists(cur)) {
+      val tmp = path(s"$stateDir/_staging")
+      if (fs.exists(path(s"$stateDir/_staging/_SUCCESS")) &&
+          fs.rename(tmp, cur)) {
+        Some(spark.read.parquet(cur.toString))
+      } else None
+    } else Some(spark.read.parquet(cur.toString))
   }
 
   private[graft] def applyBatch(
@@ -104,9 +117,9 @@ object StreamingWeightedSample {
         rankCol = None)(df)
 
   /** Write the reservoir to a temp dir and atomically swing the
-    * `_CURRENT` directory to it (delete-then-rename; the pre-rename
-    * window exposes only the ABSENCE of `_CURRENT`, and the idempotent
-    * merge re-derives it on replay after any crash).
+    * `_CURRENT` directory to it (delete-then-rename; a crash in the
+    * pre-rename window leaves a complete `_staging`, which [[latest]]
+    * renames into place on the next read — no state is lost).
     */
   private def commit(df: DataFrame, stateDir: String): Unit = {
     val spark = df.sparkSession

@@ -62,7 +62,11 @@ object BoundLevenshteinRule extends Rule[LogicalPlan] {
     conjuncts(cond).flatMap {
       case GreaterThanOrEqual(Levenshtein(l, r, Some(IntLit(k))), IntLit(0)) =>
         Some((l, r, k))
-      case EqualTo(Levenshtein(l, r, Some(IntLit(k))), IntLit(k2)) if k2 <= k =>
+      // k2 must be a REACHABLE in-bound distance: `bounded(k) = -1`
+      // selects exactly the rows with distance > k, so a negative k2
+      // proves the opposite of a bound and must not propagate.
+      case EqualTo(Levenshtein(l, r, Some(IntLit(k))), IntLit(k2))
+          if k2 >= 0 && k2 <= k =>
         Some((l, r, k))
       case LessThanOrEqual(Unbounded(l, r), IntLit(k)) if k >= 0 =>
         Some((l, r, k))

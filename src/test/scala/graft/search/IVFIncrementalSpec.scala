@@ -57,4 +57,20 @@ class IVFIncrementalSpec extends SparkSpec {
         baseTagged = Some(all.limit(1)))
     }
   }
+
+  test("addVectors with stateDir but no fingerprint is refused") {
+    // an unchanged state key would serve a previous add's cached tagged
+    // frame — the engine must demand a content fingerprint instead
+    val all = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf-add-fp").toString
+    val base = IVFDenseEngine(all.filter(col("idx") % 2 === 0), nlist = 8,
+      nprobe = 3, config = cfg, fixedCentroids = Some(cents),
+      stateDir = Some(dir), corpusFingerprint = "base-v1")
+    intercept[IllegalArgumentException] {
+      base.addVectors(all.filter(col("idx") % 2 =!= 0))
+    }
+    // with a fingerprint it proceeds (and distinct adds get distinct keys)
+    val inc = base.addVectors(all.filter(col("idx") % 2 =!= 0), "base+odd-v1")
+    assert(inc.corpusFingerprint == "base+odd-v1")
+  }
 }

@@ -100,6 +100,27 @@ class BoundLevenshteinRuleSpec extends SparkSpec {
     assert(viaCol.except(df).count() == 0)
   }
 
+  test("a `= -1` bounded predicate does NOT prove a bound for projections") {
+    // bounded(k) = -1 selects rows with distance > k; propagating k into
+    // a projected unbounded levenshtein would return -1 on every
+    // surviving row instead of the true distance.
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), " \\S+ \\S+$", "").as("mtext"))
+    docs.createOrReplaceTempView("lev_neg_docs")
+    val df = spark.sql("SELECT doc_id, levenshtein(text, mtext) AS d " +
+      "FROM lev_neg_docs WHERE levenshtein(text, mtext, 5) = -1")
+    val (_, u) = boundedCount(df)
+    assert(u == 1, "projection must stay unbounded under a = -1 guard")
+    val viaCol = docs
+      .withColumn("d", levenshtein(col("text"), col("mtext")))
+      .filter(col("d") > 5).select("doc_id", "d")
+    assert(df.except(viaCol).count() == 0)
+    assert(viaCol.except(df).count() == 0)
+    assert(df.filter(col("d") === -1).count() == 0,
+      "no row may report the sentinel -1 as its distance")
+  }
+
   test("SQL front end gets the rewrite too") {
     pairs().createOrReplaceTempView("lev_docs")
     val df = spark.sql(

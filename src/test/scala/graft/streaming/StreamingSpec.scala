@@ -314,6 +314,25 @@ class StreamingSpec extends SparkSpec {
         rows.take(3).toDF("doc_id", "n_chars"), s"$dir/never-seeded",
         "doc_id", "n_chars", 5, Nil, 17L)
     }
+    // crash window recovery: a crash between commit()'s delete of
+    // _CURRENT and the rename of _staging must NOT brick the state dir —
+    // latest() renames the complete _staging into place and the
+    // reservoir is unchanged
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val curP = new org.apache.hadoop.fs.Path(s"$dir/t/_CURRENT")
+    val stgP = new org.apache.hadoop.fs.Path(s"$dir/t/_staging")
+    fs.rename(curP, stgP) // simulate: staging written, _CURRENT deleted
+    val recovered = StreamingWeightedSample.latest(spark, s"$dir/t").get
+      .select("doc_id", "n_chars", "sample_key")
+      .collect().map(_.toString).sorted.toSeq
+    assert(recovered == expected)
+    assert(fs.exists(curP) && !fs.exists(stgP))
+    // an INCOMPLETE _staging (no _SUCCESS) without _CURRENT is not
+    // promoted — that's pre-seed, not a crash window
+    fs.rename(curP, stgP)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t/_staging/_SUCCESS"), false)
+    assert(StreamingWeightedSample.latest(spark, s"$dir/t").isEmpty)
   }
 
   test("streaming near-dedup pairs within the window, evicts past the watermark") {
