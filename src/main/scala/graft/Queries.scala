@@ -274,6 +274,56 @@ object Queries {
         "<script type=\"text/javascript\">var x = \"<p>not text</p>\";" +
         "</script></body></html>")).as("html"))
 
+  /** Real image fixtures for the decode/resize gates: one BMP (even ids)
+    * or PNG (odd ids) per doc_id < 200, pixel (x,y) = an exact integer
+    * formula of (doc_id, x, y) so a SQL oracle can regenerate every RGB
+    * value without reading the files. Both formats are lossless, so
+    * ImageIO decode must reproduce the formula bit-exactly — that round
+    * trip (formula → BufferedImage → encode → binaryFile scan → decode →
+    * digest) is what the gates verify. Returns the fixture directory.
+    */
+  private def plantedImages(s: SparkSession, dir: String): String = {
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select("doc_id").collect().map(_.getLong(0))
+    val out = new java.io.File(
+      s"/tmp/graft-media-img/${new java.io.File(dir).getName}")
+    out.mkdirs()
+    ids.foreach { id =>
+      val w = (8 + id % 9).toInt; val h = (6 + id % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+          val g = ((id * 11 + x * 5 + y * 17) % 256).toInt
+          val b = ((id * 3 + x * 23 + y * 29) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val fmt = if (id % 2 == 0) "bmp" else "png"
+      javax.imageio.ImageIO.write(img, fmt,
+        new java.io.File(out, f"$id%06d.$fmt"))
+    }
+    out.getAbsolutePath
+  }
+
+  /** Decoded images with the canonical pixel digest (md5 over the
+    * comma-joined decimal RGB ints, row-major) — shared by the decode
+    * and resize gates.
+    */
+  private def decodedImages(s: SparkSession, d: String): DataFrame = {
+    val fixtures = plantedImages(s, d)
+    s.read.format("binaryFile").load(fixtures + "/*.*")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.(?:bmp|png)$", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- core (C1-C8) -----
     "c1_identity" -> ((s, d) =>
@@ -1150,6 +1200,38 @@ object Queries {
     }),
 
     // ----- LLM data-pipeline: multimodal plumbing -----
+    "mm_decode_real" -> ((s, d) => {
+      // REAL image decode: formula-pixel BMP/PNG fixtures laid down from
+      // the documents table, scanned via binaryFile, decoded with
+      // javax.imageio inside mapPartitions; the oracle regenerates every
+      // RGB value from the same integer formula — so dims AND the
+      // md5 pixel digest must match byte-exactly, proving the decode
+      // (not a stub) end-to-end.
+      val dec = graft.llm.DecodeImagePipe("content")(decodedImages(s, d))
+      dec.select(col("doc_id"),
+        col("image.width").as("width"),
+        col("image.height").as("height"),
+        col("image.channels").as("channels"),
+        md5(array_join(
+          transform(col("image.pixels"), p => p.cast("string")), ",")
+          .cast("binary")).as("pix_digest"))
+        .orderBy("doc_id")
+    }),
+    "mm_resize_real" -> ((s, d) => {
+      // REAL image resize: decode + exact nearest-neighbor resample to
+      // 7x5 (src = floor(dst*srcDim/dstDim)); the oracle computes the
+      // same mapping over the formula pixels, so the resized digest
+      // replays byte-exactly.
+      val dec = graft.llm.ResizeImagePipe("content", targetW = 7,
+        targetH = 5)(decodedImages(s, d))
+      dec.select(col("doc_id"),
+        col("image_resized.width").as("width"),
+        col("image_resized.height").as("height"),
+        md5(array_join(
+          transform(col("image_resized.pixels"), p => p.cast("string")), ",")
+          .cast("binary")).as("pix_digest"))
+        .orderBy("doc_id")
+    }),
     "mm_media_meta" -> ((s, d) => {
       val out = graft.llm.ToMediaColumnPipe("text")(t(s, d, "documents"))
       out.select(col("doc_id"),
@@ -1160,7 +1242,7 @@ object Queries {
     "mm_decode_stub" -> ((s, d) => {
       val media = graft.llm.ToMediaColumnPipe("text")(
         t(s, d, "documents").select("doc_id", "text"))
-      graft.llm.DecodeMediaStubPipe("media", "doc_id", dim = 8)(media)
+      graft.llm.ByteFeaturesPipe("media", "doc_id", dim = 8)(media)
         .select(col("doc_id"),
           transform(col("media_features"), v => round(v, 4)).as("f"))
         .orderBy("doc_id")
@@ -2465,7 +2547,7 @@ object Queries {
       // text payload as the media binary (ASCII -> byte pos == char pos,
       // so the oracle replays the resample on the string side)
       val media = graft.llm.ToMediaColumnPipe("text")(t(s, d, "documents"))
-      graft.llm.ResizeMediaStubPipe("media", targetBytes = 32)(media)
+      graft.llm.ResampleBytesPipe("media", targetBytes = 32)(media)
         .select(col("doc_id"),
           col("media_resized").cast("string").as("resized_text"),
           col("resized_meta.n_bytes").as("n_bytes"))
@@ -3125,6 +3207,31 @@ object Queries {
         |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[0-9]', '0', 'g'), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS tn FROM planted)
         |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM norm GROUP BY tn ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // REAL decode oracle: the formula that painted the BMP/PNG fixtures
+    // regenerates every RGB value — dims and the md5 pixel digest must
+    // match the javax.imageio decode byte-exactly
+    "mm_decode_real" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents WHERE doc_id < 200),
+        |pix AS (SELECT i.doc_id, i.w, i.h, yy.y AS y, xx.x AS x,
+        | (i.doc_id*7 + xx.x*13 + yy.y*31) % 256 AS r,
+        | (i.doc_id*11 + xx.x*5 + yy.y*17) % 256 AS g,
+        | (i.doc_id*3 + xx.x*23 + yy.y*29) % 256 AS b
+        | FROM ids i, generate_series(0, 11) AS yy(y), generate_series(0, 15) AS xx(x)
+        | WHERE yy.y < i.h AND xx.x < i.w)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+        | md5(string_agg(r || ',' || g || ',' || b, ',' ORDER BY y, x)) AS pix_digest
+        |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // nearest-neighbor resample replay: out(x,y) = formula(x*w//7, y*h//5)
+    "mm_resize_real" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents WHERE doc_id < 200),
+        |pix AS (SELECT i.doc_id, yy.y AS y, xx.x AS x,
+        | (i.doc_id*7 + ((xx.x * i.w) // 7)*13 + ((yy.y * i.h) // 5)*31) % 256 AS r,
+        | (i.doc_id*11 + ((xx.x * i.w) // 7)*5 + ((yy.y * i.h) // 5)*17) % 256 AS g,
+        | (i.doc_id*3 + ((xx.x * i.w) // 7)*23 + ((yy.y * i.h) // 5)*29) % 256 AS b
+        | FROM ids i, generate_series(0, 4) AS yy(y), generate_series(0, 6) AS xx(x))
+        |SELECT doc_id, CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
+        | md5(string_agg(r || ',' || g || ',' || b, ',' ORDER BY y, x)) AS pix_digest
+        |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "mm_media_meta" ->
       "SELECT doc_id, 'utf8-text' AS format, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "mm_decode_stub" ->

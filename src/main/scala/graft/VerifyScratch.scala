@@ -403,7 +403,7 @@ object VerifyScratch {
     println(s"[31] pack materialization conserves tokens, tiles full -> $pmOk")
 
     // 32. resize stub: every output exactly targetBytes (non-empty media)
-    val rz = graft.llm.ResizeMediaStubPipe("media", 32)(
+    val rz = graft.llm.ResampleBytesPipe("media", 32)(
       graft.llm.ToMediaColumnPipe("text")(docs))
     val rzBad = rz.filter(length(col("text")) > 0 &&
       octet_length(col("media_resized")) =!= 32).count()
@@ -429,7 +429,7 @@ object VerifyScratch {
       val nBytes = 2200000
       val big = Array.tabulate[Byte](nBytes)(i => ((i / 8192) % 251).toByte)
       val t = 1024
-      val out = graft.llm.ResizeMediaStubPipe("media", t)(
+      val out = graft.llm.ResampleBytesPipe("media", t)(
         Seq((1L, big)).toDF("doc_id", "media"))
         .select("media_resized").head().getAs[Array[Byte]](0)
       val ok = out.length == t && (0 until t by 61).forall { i =>
@@ -665,7 +665,7 @@ object VerifyScratch {
         ("vocab_encode", graft.llm.VocabEncodePipe("text", "doc_id",
           vocabSize = 25)(_), Seq("doc_id", "token_ids", "n_oov")),
         ("resize_stub", (df: DF) =>
-          graft.llm.ResizeMediaStubPipe("media", targetBytes = 32)(
+          graft.llm.ResampleBytesPipe("media", targetBytes = 32)(
             graft.llm.ToMediaColumnPipe("text")(df)),
           Seq("doc_id", "resized_meta")))
       val results = cases.map { case (label, f, cols) =>

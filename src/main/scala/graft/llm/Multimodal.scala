@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video ride as opaque `binary`
-  * columns with typed metadata structs. The decode kernels are STUBBED
-  * with deterministic fakes (the real image/audio libraries are not in
-  * this container) — but the Spark-side shape is real: schemas, the
-  * per-partition batch iteration (`mapPartitions` — the Scala analogue of
-  * the reference ecosystem's `mapInPandas` batch loop), partitioning, and
-  * output encoders are all production plumbing a real decoder drops into.
+  * columns with typed metadata structs. IMAGE decode and resize are REAL
+  * (`javax.imageio` — [[DecodeImagePipe]] / [[ResizeImagePipe]], BMP/PNG/
+  * GIF/JPEG per the JDK's ImageIO registry); audio/video decode has no
+  * in-container codec, so the generic byte-level kernels
+  * ([[ByteFeaturesPipe]] / [[ResampleBytesPipe]]) stand in for those
+  * modalities with exact, engine-replayable arithmetic. All four share
+  * the production plumbing: schemas, the per-partition batch iteration
+  * (`mapPartitions` — the Scala analogue of the reference ecosystem's
+  * `mapInPandas` batch loop), partitioning, and output encoders.
   */
 object MultimodalOps {
   /** Metadata struct carried next to every media binary. */
@@ -23,6 +26,125 @@ object MultimodalOps {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
+
+  /** Decoded-image struct: dims + row-major interleaved RGB (0-255 ints,
+    * alpha dropped; `channels` reports the SOURCE's bands). Null when the
+    * blob is null or no ImageIO reader accepts it.
+    */
+  val imageType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false))))
+
+  /** Decode an image blob to (width, height, srcChannels, RGB pixels);
+    * null for null/undecodable input. getRGB goes through the color
+    * model, so the RGB values are the image's own — format-independent
+    * and exact for the lossless formats (BMP/PNG/GIF).
+    */
+  private[llm] def decodeImage(bytes: Array[Byte]): Row = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val ch = if (img.getColorModel.hasAlpha) 4 else 3
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        px(o) = (rgb >> 16) & 0xFF
+        px(o + 1) = (rgb >> 8) & 0xFF
+        px(o + 2) = rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    Row(w, h, ch, px.toIndexedSeq)
+  }
+}
+
+/** REAL image decode over a binary column: `javax.imageio.ImageIO.read`
+  * per blob inside `mapPartitions`, emitting the
+  * [[MultimodalOps.imageType]] struct (dims + row-major interleaved RGB).
+  * Map-only and linear — each task decodes its own partition's blobs, no
+  * shuffle; at 100 TB this runs as wide as the binaryFile scan feeding
+  * it. Undecodable/null blobs yield a null struct (filter downstream).
+  * Reference has no decode at all (media is out of its scope); this is
+  * the §8.1 north-star extension made concrete.
+  */
+case class DecodeImagePipe(
+    mediaCol: String,
+    outputCol: String = "image") extends Pipe {
+  override def params = Map("media" -> mediaCol, "out" -> outputCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val inSchema = df.schema
+    val idx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, MultimodalOps.imageType, nullable = true))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = MultimodalOps.decodeImage(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ img)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+}
+
+/** REAL image resize: decode (same kernel as [[DecodeImagePipe]]) then
+  * nearest-neighbor resample to `targetW`×`targetH` with the exact
+  * integer mapping `src = floor(dst * srcDim / dstDim)` — deterministic
+  * in any engine (no filtering/antialiasing), which is what makes the
+  * result externally replayable: out(x,y) = in(x*w/W, y*h/H). Emits the
+  * same image struct shape with the resized dims and pixels. Map-only.
+  */
+case class ResizeImagePipe(
+    mediaCol: String,
+    targetW: Int,
+    targetH: Int,
+    outputCol: String = "image_resized") extends Pipe {
+  require(targetW > 0 && targetH > 0, "target dims must be positive")
+  override def params = Map("media" -> mediaCol, "w" -> targetW.toString,
+    "h" -> targetH.toString, "out" -> outputCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val inSchema = df.schema
+    val idx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, MultimodalOps.imageType, nullable = true))
+    val (tw, th) = (targetW, targetH)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = MultimodalOps.decodeImage(r.getAs[Array[Byte]](idx))
+        val out = if (dec == null) null else {
+          val w = dec.getInt(0); val h = dec.getInt(1)
+          val px = dec.getAs[IndexedSeq[Int]](3)
+          val rp = new Array[Int](tw * th * 3)
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * h / th).toInt
+            var x = 0
+            while (x < tw) {
+              val sx = (x.toLong * w / tw).toInt
+              val si = (sy * w + sx) * 3
+              val di = (y * tw + x) * 3
+              rp(di) = px(si); rp(di + 1) = px(si + 1); rp(di + 2) = px(si + 2)
+              x += 1
+            }
+            y += 1
+          }
+          Row(tw, th, 3, rp.toIndexedSeq)
+        }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
 }
 
 /** Wrap a source column as a media binary + metadata. For the driver
@@ -46,14 +168,14 @@ case class ToMediaColumnPipe(
   }
 }
 
-/** "Decode" a media binary into a fixed-size feature vector via
-  * mapPartitions — batch shape identical to a real decoder (iterate the
-  * partition, decode each blob, emit features). The decode itself is a
-  * DETERMINISTIC FAKE: feature[j] = mean of bytes congruent to j mod dim,
-  * scaled — stable across runs/engines, so tests can assert values.
-  * Swap `decode` for an actual image/audio kernel to productionize.
+/** Fixed-size feature vector over RAW BYTES via mapPartitions:
+  * feature[j] = mean of bytes congruent to j mod dim, scaled — exact,
+  * engine-replayable arithmetic. The generic binary featurizer for
+  * modalities WITHOUT an in-container codec (audio/video payloads,
+  * arbitrary blobs); for images use the real [[DecodeImagePipe]], whose
+  * mapPartitions batch shape this shares.
   */
-case class DecodeMediaStubPipe(
+case class ByteFeaturesPipe(
     mediaCol: String,
     idCol: String,
     dim: Int = 8,
@@ -93,15 +215,14 @@ case class DecodeMediaStubPipe(
   }
 }
 
-/** Resize a media binary to a fixed byte length by nearest-neighbor
-  * resampling — the 1-D stand-in for image resize (out[i] =
-  * in[floor(i*n/target)], exact integer arithmetic, deterministic in any
-  * engine). Pure binary expressions, map-only; a REAL resampling kernel
-  * (PIL/ffmpeg) drops into [[DecodeMediaStubPipe]]'s mapPartitions shape
-  * instead — this pipe keeps the schema/meta plumbing honest meanwhile.
-  * Emits the resized binary and a refreshed metadata struct.
+/** Resample a media binary to a fixed byte length by 1-D
+  * nearest-neighbor (out[i] = in[floor(i*n/target)], exact integer
+  * arithmetic, deterministic in any engine) — the audio-style length
+  * normalizer over raw payloads. Pure binary expressions, map-only. For
+  * 2-D image resize use the real [[ResizeImagePipe]]. Emits the
+  * resampled binary and a refreshed metadata struct.
   */
-case class ResizeMediaStubPipe(
+case class ResampleBytesPipe(
     mediaCol: String,
     targetBytes: Int,
     outputCol: String = "media_resized",

@@ -76,9 +76,13 @@ class RegistrySpec extends SparkSpec {
       () => TextNormalizePipe("t", stripPunct = false)),
     ("FingerprintPipe", () => FingerprintPipe("t"), () => FingerprintPipe("u")),
     ("ToMediaColumnPipe", () => ToMediaColumnPipe("t"), () => ToMediaColumnPipe("u")),
-    ("DecodeMediaStubPipe", () => DecodeMediaStubPipe("m", "id"),
-      () => DecodeMediaStubPipe("m", "id", dim = 16)),
+    ("ByteFeaturesPipe", () => ByteFeaturesPipe("m", "id"),
+      () => ByteFeaturesPipe("m", "id", dim = 16)),
     ("FrameSamplePipe", () => FrameSamplePipe("m"), () => FrameSamplePipe("m", 32)),
+    ("DecodeImagePipe", () => DecodeImagePipe("m"),
+      () => DecodeImagePipe("n")),
+    ("ResizeImagePipe", () => ResizeImagePipe("m", 7, 5),
+      () => ResizeImagePipe("m", 8, 6)),
     ("SRPCosineDedupPipe", () => SRPCosineDedupPipe("v", "id"),
       () => SRPCosineDedupPipe("v", "id", nBits = 24)),
     ("SubstringDedupPipe", () => SubstringDedupPipe("t", "id"),
@@ -106,8 +110,8 @@ class RegistrySpec extends SparkSpec {
       () => PackSequencesPipe("c", 512, "id")),
     ("PackMaterializePipe", () => PackMaterializePipe("t", 256, "o", "id"),
       () => PackMaterializePipe("t", 512, "o", "id")),
-    ("ResizeMediaStubPipe", () => ResizeMediaStubPipe("m", 32),
-      () => ResizeMediaStubPipe("m", 64)),
+    ("ResampleBytesPipe", () => ResampleBytesPipe("m", 32),
+      () => ResampleBytesPipe("m", 64)),
     ("ShardAssignPipe", () => ShardAssignPipe("o", 64),
       () => ShardAssignPipe("o", 32)),
     ("AssignRowIdPipe", () => AssignRowIdPipe("o"), () => AssignRowIdPipe("p")),

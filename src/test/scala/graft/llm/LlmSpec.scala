@@ -55,7 +55,7 @@ class LlmSpec extends SparkSpec {
     val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
       .repartition(4)
     val media = ToMediaColumnPipe("text")(docs)
-    val out = DecodeMediaStubPipe("media", "doc_id", dim = 8)(media)
+    val out = ByteFeaturesPipe("media", "doc_id", dim = 8)(media)
     val rows = out.select("doc_id", "media_features").collect()
     assert(rows.length == docs.count())
     rows.foreach { r =>
@@ -64,7 +64,7 @@ class LlmSpec extends SparkSpec {
       assert(f.forall(v => v >= 0.0 && v <= 1.0))
     }
     // deterministic across runs
-    val again = DecodeMediaStubPipe("media", "doc_id", dim = 8)(media)
+    val again = ByteFeaturesPipe("media", "doc_id", dim = 8)(media)
       .select("doc_id", "media_features").collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
@@ -84,7 +84,7 @@ class LlmSpec extends SparkSpec {
   test("resize stub: nearest-neighbor resample, upscale and empty media") {
     val df = Seq((1L, "abcd"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
     val media = ToMediaColumnPipe("text")(df)
-    val out = ResizeMediaStubPipe("media", targetBytes = 8)(media)
+    val out = ResampleBytesPipe("media", targetBytes = 8)(media)
       .select(col("doc_id"), col("media_resized").cast("string").as("r"),
         col("resized_meta.n_bytes").as("nb"))
       .orderBy("doc_id").collect()
@@ -102,12 +102,68 @@ class LlmSpec extends SparkSpec {
     val bytes = Array.tabulate[Byte](n)(i => ((i / 8192) % 251).toByte)
     val df = Seq((1L, bytes)).toDF("doc_id", "media")
     val t = 1024
-    val out = ResizeMediaStubPipe("media", targetBytes = t)(df)
+    val out = ResampleBytesPipe("media", targetBytes = t)(df)
       .select("media_resized").head().getAs[Array[Byte]](0)
     assert(out.length == t)
     (0 until t by 97).foreach { i =>
       val src = (i.toLong * n / t).toInt
       assert(out(i) == bytes(src), s"position $i should sample source $src")
+    }
+  }
+
+  test("real image decode: BMP and PNG reproduce formula pixels exactly") {
+    def paint(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + x * 5 + y * 17) % 256).toInt
+        val b = ((id * 3 + x * 23 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, enc(paint(1L, 9, 7), "bmp")),
+      (2L, enc(paint(2L, 9, 7), "png")),
+      (3L, "not an image".getBytes), // undecodable -> null struct
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val out = DecodeImagePipe("media")(rows.toDF("doc_id", "media"))
+      .select("doc_id", "image").orderBy("doc_id").collect()
+    // both lossless formats decode to the SAME formula pixels
+    val img1 = out(0).getStruct(1); val img2 = out(1).getStruct(1)
+    assert(img1.getInt(0) == 9 && img1.getInt(1) == 7 && img1.getInt(2) == 3)
+    val expect = (id: Long) => (for (y <- 0 until 7; x <- 0 until 9;
+      c <- Seq((id*7 + x*13 + y*31) % 256, (id*11 + x*5 + y*17) % 256,
+        (id*3 + x*23 + y*29) % 256)) yield c.toInt).toSeq
+    assert(img1.getSeq[Int](3) == expect(1L))
+    assert(img2.getSeq[Int](3) == expect(2L))
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
+  test("real image resize: exact nearest-neighbor mapping") {
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 40) << 8) | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "media")
+    val out = ResizeImagePipe("media", targetW = 3, targetH = 2)(df)
+      .select("image_resized").head().getStruct(0)
+    assert(out.getInt(0) == 3 && out.getInt(1) == 2)
+    val px = out.getSeq[Int](3)
+    // out(x,y) = in(x*8/3, y*6/2): srcX = 0,2,5; srcY = 0,3
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val sx = x * 8 / 3; val sy = y * 6 / 2
+      val o = (y * 3 + x) * 3
+      assert(px(o) == sx * 40 && px(o + 1) == sy * 40 && px(o + 2) == 7,
+        s"pixel ($x,$y) must sample source ($sx,$sy)")
     }
   }
 
