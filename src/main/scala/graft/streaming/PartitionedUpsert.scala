@@ -91,14 +91,25 @@ object PartitionedUpsert {
       stateDir: String,
       keys: Seq[String],
       deleteCol: Option[String],
-      checkpointDir: String): StreamingQuery =
-    changes.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, id, stateDir, keys, deleteCol)
+      checkpointDir: String): StreamingQuery = {
+    // single-writer lease (see [[WriterLock]]): the manifest/pointer
+    // protocol assumes one maintenance query per stateDir
+    val spark = changes.sparkSession
+    val token = WriterLock.acquire(spark, stateDir, "PartitionedUpsert")
+    val q =
+      try changes.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          applyBatch(batch, id, stateDir, keys, deleteCol)
+        }
+        .start()
+      catch { case e: Throwable =>
+        WriterLock.release(spark, stateDir, token); throw e
       }
-      .start()
+    WriterLock.bind(spark, stateDir, token, q)
+    q
+  }
 
   /** Apply one change batch: merge into ONLY the partitions whose hash
     * buckets the batch's keys occupy, leaving every other partition's

@@ -25,6 +25,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * format: versions are immutable, the pointer is the only mutable
   * cell, old versions remain for time travel until vacuumed.
   *
+  * SINGLE WRITER: the protocol assumes one maintenance query per
+  * stateDir — [[run]] takes the [[WriterLock]] lease (create-exclusive
+  * `_WRITER_LOCK`, auto-released on query termination), so a second
+  * concurrent `run()` fails loudly instead of interleaving pointer
+  * flips; after a foreign-process crash, `WriterLock.forceRelease`
+  * reclaims the dir.
+  *
   * Scale shape: the rewrite cost is one [[graft.operators.UpsertMerge]]
   * — a broadcast anti-join of the batch's keys against the base plus the
   * union — so each micro-batch streams the base through once without
@@ -54,14 +61,26 @@ object StreamingUpsert {
         * commit writes a full version, the evolved schema takes effect
         * for all readers at the pointer flip — no backfill rewrite.
         */
-      allowNewColumns: Boolean = false): StreamingQuery =
-    changes.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, id, stateDir, keys, deleteCol, allowNewColumns)
+      allowNewColumns: Boolean = false): StreamingQuery = {
+    // single-writer lease: a second concurrent run() against this
+    // stateDir would interleave pointer flips silently — fail it loudly
+    // instead (released automatically when the query terminates)
+    val spark = changes.sparkSession
+    val token = WriterLock.acquire(spark, stateDir, "StreamingUpsert")
+    val q =
+      try changes.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          applyBatch(batch, id, stateDir, keys, deleteCol, allowNewColumns)
+        }
+        .start()
+      catch { case e: Throwable =>
+        WriterLock.release(spark, stateDir, token); throw e
       }
-      .start()
+    WriterLock.bind(spark, stateDir, token, q)
+    q
+  }
 
   /** Apply one change batch onto the versioned table (the foreachBatch
     * body, visible for direct idempotence testing). At-least-once replay

@@ -199,6 +199,52 @@ class UpsertStreamSpec extends SparkSpec {
     assert(StreamingUpsert.latest(spark, s"$dir/t").isEmpty)
   }
 
+  test("single-writer lease: a second concurrent run() fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("upslock").toString
+    val base = Seq((1L, "a", 10.0)).toDF("k", "s", "v")
+    StreamingUpsert.seed(base, s"$dir/t")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, Boolean)]
+    val q = StreamingUpsert.run(mem.toDF.toDF("k", "s", "v", "del"),
+      s"$dir/t", Seq("k"), Some("del"), s"$dir/ckpt")
+    try {
+      // the lease exists and names this process
+      val h = WriterLock.holder(spark, s"$dir/t")
+      assert(h.exists(_.contains("StreamingUpsert")))
+      assert(h.exists(_.contains(
+        s""""pid":${ProcessHandle.current().pid()}""")))
+      // a second writer against the SAME stateDir refuses
+      val mem2 = MemoryStream[(Long, String, Double, Boolean)]
+      val e = intercept[IllegalStateException] {
+        StreamingUpsert.run(mem2.toDF.toDF("k", "s", "v", "del"),
+          s"$dir/t", Seq("k"), Some("del"), s"$dir/ckpt2")
+      }
+      assert(e.getMessage.contains("writer"))
+      // a FOREIGN-process lock (different pid) also refuses, and names
+      // the escape hatch
+      val otherDir = s"$dir/other"
+      new java.io.File(otherDir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$otherDir/_WRITER_LOCK"),
+        """{"token":"x","pid":1,"app":"other","label":"z","ts":1}""")
+      val e2 = intercept[IllegalStateException] {
+        WriterLock.acquire(spark, otherDir, "test")
+      }
+      assert(e2.getMessage.contains("forceRelease"))
+      WriterLock.forceRelease(spark, otherDir)
+      assert(WriterLock.holder(spark, otherDir).isEmpty)
+    } finally q.stop()
+    // after stop, a successor run() on the same stateDir reclaims the
+    // lease (no manual step needed within one JVM)
+    val mem3 = MemoryStream[(Long, String, Double, Boolean)]
+    val q3 = StreamingUpsert.run(mem3.toDF.toDF("k", "s", "v", "del"),
+      s"$dir/t", Seq("k"), Some("del"), s"$dir/ckpt")
+    mem3.addData((2L, "b", 20.0, false))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(StreamingUpsert.latest(spark, s"$dir/t").get.count() == 2)
+  }
+
   test("run before seed fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ups2").toString
     implicit val sq = spark.sqlContext
