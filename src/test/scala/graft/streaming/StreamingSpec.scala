@@ -373,6 +373,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dedup on the RocksDB state store is bit-identical to the default provider") {
+    // the 100 TB shape runs flatMapGroupsWithState state on RocksDB, not
+    // the in-memory HDFSBackedStateStoreProvider — same algorithm, same
+    // results, different state backend. Drive the SAME multi-batch
+    // corpus (real sf0.001 documents with planted near-dups + watermark
+    // eviction) through both providers and compare the full pair sets.
+    implicit val sctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def drive(): Set[(Long, Long)] = {
+      val mem = MemoryStream[(Long, String, String)]
+      val in = mem.toDF().toDF("doc_id", "text", "t")
+        .withColumn("ts", to_timestamp(col("t"))).drop("t")
+      val name = s"nd_rocks_${System.nanoTime()}"
+      val q = StreamingNearDedup(in, "text", "doc_id", "ts",
+        watermark = "1 hour").toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: originals; batch 2: near-dup twins 10 min later;
+        // batch 3: far-future rows that evict everything, then one twin
+        // whose only in-window partner is its own batch
+        mem.addData(docs.map { case (id, tx) =>
+          (id, tx, "2024-01-01 00:10:00") }.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(docs.take(30).map { case (id, tx) =>
+          (id + 100000L, tx + " tail", "2024-01-01 00:20:00") }.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(Seq(
+          (900001L, docs.head._2, "2024-01-01 09:30:00"),
+          (900002L, docs.head._2, "2024-01-01 09:40:00")))
+        q.processAllAvailable()
+        spark.table(name).select("id_a", "id_b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val default = drive()
+    val before = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks =
+      try drive()
+      finally before match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    assert(rocks == default,
+      s"RocksDB pair set diverged: only-default=${default -- rocks} " +
+        s"only-rocks=${rocks -- default}")
+    assert(default.contains((900001L, 900002L)),
+      "watermark eviction scenario must be exercised")
+    assert(default.nonEmpty && default.size >= 30)
+  }
+
   test("streaming near-dedup unique: chained in-query dedup emits each pair once") {
     implicit val sctx = spark.sqlContext
     // identical text -> identical signatures -> the pair is found by ALL
