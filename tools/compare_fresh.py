@@ -4,10 +4,17 @@ oracle (a shared connection accumulates allocations and dies with
 bad-alloc mid-suite at sf1 — SURVEY §6 round-8 note) plus a spill
 temp_directory and a memory cap.
 
-Usage: python3 tools/compare_fresh.py <sf_dir> <out_dir> [name...]
+By default every oracle additionally runs in its OWN python subprocess:
+one DuckDB segfault or allocator corruption (observed once at sf1 after
+a low-mem retry, r13) then kills only that gate's process instead of
+cascading bad-allocs through every later oracle. `--in-process` restores
+the single-process loop (faster for small sweeps on known-good oracles).
+
+Usage: python3 tools/compare_fresh.py <sf_dir> <out_dir> [--in-process] [name...]
 """
 import json
 import os
+import subprocess
 import sys
 
 import duckdb
@@ -61,38 +68,65 @@ def run_one(sf_dir, out_dir, name, sql, low_mem=False, wide_mem=False):
     return True, f"{len(orws)} rows"
 
 
-def main(sf_dir, out_dir, only):
+def run_with_retries(sf_dir, out_dir, name, sql):
+    """The three-rung memory protocol: default -> low-mem -> wide-mem."""
+    try:
+        return run_one(sf_dir, out_dir, name, sql)
+    except duckdb.OutOfMemoryException:
+        try:
+            good, msg = run_one(sf_dir, out_dir, name, sql, low_mem=True)
+            return good, msg + ", low-mem retry"
+        except duckdb.OutOfMemoryException:
+            try:
+                good, msg = run_one(sf_dir, out_dir, name, sql, wide_mem=True)
+                return good, msg + ", wide-mem retry"
+            except Exception as e:
+                return False, f"exec error (after both retries): {e}"
+        except Exception as e:
+            return False, f"exec error (after low-mem retry): {e}"
+    except Exception as e:
+        return False, f"exec error: {e}"
+
+
+def main(sf_dir, out_dir, only, isolate=True):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = [n for n in sorted(oracle) if not only or n in only]
     ok = fail = 0
     for name in names:
-        try:
-            good, msg = run_one(sf_dir, out_dir, name, oracle[name])
-        except duckdb.OutOfMemoryException:
-            try:
-                good, msg = run_one(sf_dir, out_dir, name, oracle[name],
-                                    low_mem=True)
-                msg += ", low-mem retry"
-            except duckdb.OutOfMemoryException:
-                try:
-                    good, msg = run_one(sf_dir, out_dir, name, oracle[name],
-                                        wide_mem=True)
-                    msg += ", wide-mem retry"
-                except Exception as e:
-                    good, msg = False, f"exec error (after both retries): {e}"
-            except Exception as e:
-                good, msg = False, f"exec error (after low-mem retry): {e}"
-        except Exception as e:
-            good, msg = False, f"exec error: {e}"
-        if good:
-            print(f"ok   {name} ({msg})")
-            ok += 1
+        if isolate:
+            # one process per oracle: a segfault (negative returncode)
+            # or a poisoned allocator dies with this gate only
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 sf_dir, out_dir, "--in-process", name],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = (r.stdout.strip().splitlines() or [""])[0]
+            if r.returncode == 0 and line.startswith("ok"):
+                print(line)
+                ok += 1
+            else:
+                detail = line if line else (r.stderr.strip().splitlines()
+                                            or ["no output"])[-1]
+                if r.returncode < 0:
+                    detail += f" [subprocess died with signal {-r.returncode}]"
+                print(f"FAIL {name}: {detail}" if not line.startswith("FAIL")
+                      else detail)
+                fail += 1
         else:
-            print(f"FAIL {name}: {msg}")
-            fail += 1
+            good, msg = run_with_retries(sf_dir, out_dir, name, oracle[name])
+            if good:
+                print(f"ok   {name} ({msg})")
+                ok += 1
+            else:
+                print(f"FAIL {name}: {msg}")
+                fail += 1
     print(f"\n{ok} ok, {fail} fail, {len(names)} total")
     return 1 if fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
+    args = sys.argv[1:]
+    in_process = "--in-process" in args
+    args = [a for a in args if a != "--in-process"]
+    sys.exit(main(args[0], args[1], set(args[2:]), isolate=not in_process))
