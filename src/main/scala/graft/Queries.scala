@@ -74,6 +74,90 @@ object Queries {
       |r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM m)
       |SELECT doc_id, n_chars FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Stage-by-stage replay of the FLAGSHIP ingest cascade — shared by
+    * pp_ingest_v1 (batch) and ev_stream_ingest (the foreachBatch twin):
+    * plantedC4 pages (corpus = doc_id%3≠1; arrivals = re-crawls with an
+    * appended tail + the %3==1 pages as genuinely-new) → the pp_crawl_v1
+    * cleaner chain → exact inverted-index Jaccard dedup (threshold 0.5,
+    * 3-word shingles; drop = cross-pair batch side ∪ within-batch larger
+    * id) → byte-features (16 classes, mean/255) → formula linear model →
+    * formula coarse tagging (8 centroids) → residual PQ codes (m=4,
+    * 16 codes of dsub 4). Every constant mirrors the Scala preset.
+    */
+  private val ingestOracle: String = {
+    val planted = "(CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) || (CASE WHEN doc_id % 13 = 0 THEN '{ cfg }' || chr(10) ELSE '' END) || replace(replace(text, ' fast ', '.' || chr(10)), ' data ', '?' || chr(10)) || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Enable javascript to proceed now please.' ELSE '' END)"
+    val cent = "(((%s*29 + t*13) %% 17) - 8) * 0.05"
+    val inner =
+      s"""WITH pl AS (SELECT doc_id, $planted AS text FROM documents),
+        |raw AS (
+        | SELECT doc_id, 0 AS grp, text FROM pl WHERE doc_id % 3 <> 1
+        | UNION ALL SELECT doc_id + 500000, 1, text || chr(10) || 'Extra tail sentence appended here okay.' FROM pl WHERE doc_id % 3 = 0
+        | UNION ALL SELECT doc_id + 600000, 1, text FROM pl WHERE doc_id % 3 = 1),
+        |i0 AS (SELECT doc_id, grp, text, string_split(text, chr(10)) AS lines0 FROM raw),
+        |i1 AS (SELECT doc_id, grp, list_filter(lines0, (l, i) -> list_position(lines0, l) = i) AS lines1 FROM i0),
+        |i2 AS (SELECT doc_id, grp, coalesce(array_to_string(lines1, chr(10)), '') AS text FROM i1),
+        |k AS (SELECT doc_id, grp, text,
+        | list_filter(string_split(text, chr(10)), l -> regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"”]$$') AND length(trim(rtrim(l, ' ' || chr(9)))) > 0 AND len(regexp_split_to_array(trim(rtrim(l, ' ' || chr(9))), '\\s+')) >= 5 AND NOT contains(lower(rtrim(l, ' ' || chr(9))), 'javascript')) AS kept
+        | FROM i2),
+        |f AS (SELECT doc_id, grp, coalesce(array_to_string(kept, chr(10)), '') AS clean,
+        | CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]+')) AS BIGINT) AS n_sentences,
+        | contains(lower(text), 'lorem ipsum') AS fl, contains(text, '{') AS fb
+        | FROM k),
+        |g AS (SELECT doc_id, grp, clean FROM f WHERE n_sentences >= 3 AND NOT fl AND NOT fb),
+        |t AS (SELECT doc_id, grp, clean, regexp_split_to_array(trim(clean), '\\s+') AS toks FROM g),
+        |q AS (SELECT doc_id, grp, clean,
+        | CAST(len(toks) AS BIGINT) AS n_words,
+        | CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        | CAST(len(list_distinct(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for')))) AS BIGINT) AS distinct_stopwords,
+        | CAST(len(toks) AS INTEGER) AS ws_tokens
+        | FROM t),
+        |clean AS (SELECT doc_id, grp, clean AS text, ws_tokens FROM q WHERE alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2),
+        |sh AS (SELECT doc_id, grp, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s
+        | FROM (SELECT doc_id, grp, text, string_split_regex(trim(text), '\\s+') AS toks FROM clean)),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |invb AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE grp = 1),
+        |invc AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE grp = 0),
+        |crossp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS inter
+        | FROM invb a JOIN invc c USING (g) GROUP BY 1, 2),
+        |batp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM invb a JOIN invb b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |drop0 AS (
+        | SELECT crossp.id_a AS doc_id FROM crossp
+        |  JOIN sz sa ON sa.doc_id = crossp.id_a JOIN sz sb ON sb.doc_id = crossp.id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        | UNION SELECT batp.id_b FROM batp
+        |  JOIN sz sa ON sa.doc_id = batp.id_a JOIN sz sb ON sb.doc_id = batp.id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |keep AS (SELECT doc_id, text, ws_tokens FROM clean
+        | WHERE grp = 0 OR doc_id NOT IN (SELECT doc_id FROM drop0)),
+        |feats AS (SELECT doc_id, text, ws_tokens,
+        | list_transform(range(0,16), j -> list_avg(list_transform(range(j+1, length(text)+1, 16), i -> unicode(text[i]))) / 255) AS f
+        | FROM keep),
+        |emb AS (SELECT doc_id, text, ws_tokens,
+        | list_transform(range(0,16), o -> list_sum(list_transform(range(0,16), i -> ((((o*7 + i*3) % 5) - 2) * 0.25) * f[i+1])) + o * 0.125) AS v
+        | FROM feats),
+        |cd AS (SELECT doc_id, text, ws_tokens, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,16), t -> (v[t+1] - ${cent.format("c")}) * (v[t+1] - ${cent.format("c")})))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,16), t -> (v[t+1] - ${cent.format("c")}) * (v[t+1] - ${cent.format("c")})))))) - 1 AS cid
+        | FROM emb),
+        |res AS (SELECT doc_id, text, ws_tokens, v, cid,
+        | list_transform(range(0,16), t -> v[t+1] - ${cent.format("cid")}) AS rv FROM cd),
+        |cds AS (SELECT doc_id, text, ws_tokens, v, cid, list_transform(range(0,4), j ->
+        |  list_position(
+        |   list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,4), t ->
+        |     rv[j*4+t+1] - ((((c*31 + t*7 + j*13) % 10) * 0.1) - 0.4)), dd -> dd*dd))),
+        |   list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,4), t ->
+        |     rv[j*4+t+1] - ((((c*31 + t*7 + j*13) % 10) * 0.1) - 0.4)), dd -> dd*dd))))) - 1) AS codes
+        | FROM res)
+        |SELECT doc_id, text, ws_tokens, list_transform(v, x -> round(x, 4)) AS vector,
+        | CAST(cid AS INT) AS cid, codes
+        |FROM cds ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    scl(inner, "doc_id" -> "", "text" -> "", "ws_tokens" -> "",
+      "vector" -> "d", "cid" -> "", "codes" -> "i")
+  }
+
   private val decontaminateOracle: String =
     """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) ELSE [] END) AS g FROM tok),
@@ -239,6 +323,23 @@ object Queries {
     * the identical trimmed final span, which must dedup to its global
     * first (doc_id, pos) occurrence.
     */
+  /** Arrivals for the ingest flagship: re-crawls of corpus pages
+    * (doc_id%3==0, one appended tail sentence — near-dups the standing
+    * corpus must drop) and genuinely new pages (doc_id%3==1, EXCLUDED
+    * from the corpus seed — they must survive). Offsets +500000/+600000
+    * are collision-free against the fixture id structure (originals
+    * < 10^5 per replica, replicas at k·10^7).
+    */
+  private def ingestArrivals(s: SparkSession, dir: String): DataFrame = {
+    val planted = plantedC4(s, dir)
+    planted.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"),
+          lit("\nExtra tail sentence appended here okay.")).as("text"))
+      .unionByName(planted.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+  }
+
   private def plantedSpans(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").withColumn("text",
       concat(
@@ -2372,6 +2473,60 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "pp_ingest_v1" -> ((s, d) => {
+      // the FLAGSHIP end-to-end ingest driver (see [[graft.llm
+      // .IngestPreset]]): raw crawl pages → pp_crawl_v1 cleaner chain →
+      // incremental MinHash dedup against the standing corpus →
+      // PredictWithCache embeddings → IVFPQDenseEngine.addVectors →
+      // PartitionedUpsert commit. The final table row for every page
+      // carries each stage's evidence (cleaned text, ws_tokens, rounded
+      // vector, coarse cell id, PQ codes); the oracle replays the whole
+      // cascade stage by stage from the documents fixture.
+      val fp = tableFp(s, d, "documents")
+      val corpusRaw = plantedC4(s, d).filter(col("doc_id") % 3 =!= 1)
+        .select("doc_id", "text")
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft-ingest").toString + "/t"
+      val corpus = graft.llm.IngestPreset.seed(
+        corpusRaw, tableDir, "/tmp/graft-cache", s"$fp:ingest-corpus")
+      val res = graft.llm.IngestPreset.run(
+        ingestArrivals(s, d), corpus, tableDir, "/tmp/graft-cache",
+        s"$fp:ingest-corpus", s"$fp:ingest-b0")
+      res.table.orderBy("doc_id")
+    }),
+
+    "ev_stream_ingest" -> ((s, d) => {
+      // the streaming twin: the identical ingest cascade running as the
+      // foreachBatch body of a REAL StreamingQuery over arriving raw
+      // pages — clean, dedup vs the standing corpus, embed, addVectors,
+      // partitioned commit — same oracle as pp_ingest_v1.
+      val fp = tableFp(s, d, "documents")
+      val corpusRaw = plantedC4(s, d).filter(col("doc_id") % 3 =!= 1)
+        .select("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ingest-s").toString
+      val corpus = graft.llm.IngestPreset.seed(
+        corpusRaw, s"$dir/t", "/tmp/graft-cache", s"$fp:ingest-corpus")
+      val stream = plantedC4Text(
+        graft.streaming.EventStream.readStreamTable(s, d, "documents"))
+      val arrivals = stream.select(explode(array(
+        when(col("doc_id") % 3 === 0, struct(
+          (col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"),
+            lit("\nExtra tail sentence appended here okay.")).as("text"))),
+        when(col("doc_id") % 3 === 1, struct(
+          (col("doc_id") + 600000).as("doc_id"),
+          col("text").as("text"))))).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      val q = graft.llm.IngestPreset.runStream(arrivals, corpus, s"$dir/t",
+        "/tmp/graft-cache", s"$fp:ingest-corpus", s"$fp:ingest-stream",
+        s"$dir/ckpt")
+      q.processAllAvailable(); q.stop()
+      graft.streaming.PartitionedUpsert.latest(s, s"$dir/t").get
+        .orderBy("doc_id")
+    }),
+
     "pp_curate_v2" -> ((s, d) => {
       // line-wrap -> line dedup -> repetition stats -> repetition floor
       // -> stratified rebalance -> token count, as ONE SequentialPipe;
@@ -4260,6 +4415,10 @@ object Queries {
         | FROM t)
         |SELECT doc_id, clean AS text, n_intra_removed, kept_lines, n_sentences, alpha_words, distinct_stopwords, ws_tokens
         |FROM q WHERE alpha_words*5 >= n_words*4 AND distinct_stopwords >= 2 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the flagship cascade replayed stage by stage (shared with the
+    // streaming twin — identical semantics, one micro-batch)
+    "pp_ingest_v1" -> ingestOracle,
+    "ev_stream_ingest" -> ingestOracle,
     "pp_curate_v2" ->
       """WITH t AS (SELECT doc_id, lang, regexp_replace(trim(text), '((?:\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g') AS txt FROM documents),
         |l0 AS (SELECT doc_id, lang, string_split(txt, chr(10)) AS ln FROM t),

@@ -917,8 +917,15 @@ case class IncrementalMinHashDedupPipe(
     "cacheDir" -> cacheDir.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    // ONLY the corpus side goes through the persisted signature cache:
+    // the batch is one-shot by definition (an arriving micro-batch is a
+    // LogicalRDD whose plan fingerprint carries no content identity — a
+    // cached batch stage could silently serve another batch's
+    // signatures; caught by the r14 ev_stream_ingest dual-scale audit).
+    // localCheckpoint (the cacheDir=None path) still bounds the batch
+    // plan.
     val (baseB, bandedB) = DedupOps.minhashBanded(
-      df, textCol, idCol, numHashes, bands, shingleSize, cacheDir)
+      df, textCol, idCol, numHashes, bands, shingleSize, None)
     val (baseC, bandedC) = DedupOps.minhashBanded(
       corpus, corpusTextCol, corpusIdCol, numHashes, bands, shingleSize, cacheDir)
     val na = col("n_a").cast("double")

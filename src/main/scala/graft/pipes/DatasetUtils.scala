@@ -107,6 +107,14 @@ object DatasetFingerprint {
           fs.location.rootPaths.mkString(",") + ":" + fs.sizeInBytes
         case other => other.toString
       }
+      // an RDD-backed leaf (foreachBatch micro-batch, rdd.toDF) has NO
+      // content identity in its canonicalized plan — two different
+      // batches with the same schema render EQUAL and would alias one
+      // cache key. Fold the RDD id: keys become unique per
+      // materialization, so a persisted cache can never serve another
+      // batch's data (it just never hits for RDD-backed frames).
+      case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+        s"rdd:${rdd.rdd.id}:" + render(rdd.canonicalized)
       case leaf => render(leaf.canonicalized)
     }
     graft.core.Fingerprint.hash(
