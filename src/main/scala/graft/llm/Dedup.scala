@@ -732,9 +732,15 @@ case class SRPCosineDedupPipe(
       * 16× fewer candidates at the 200k-vector audit scale, measured
       * 15.3× → inside the scale envelope) after the audit corpus's
       * richer near-dup structure re-heated the 8-bit bands. Raise
-      * further for corpora past ~10^7 vectors (cap 62: the signature
-      * must fit a signed long, and maxHamming must stay < bands for
-      * pigeonhole-exact recall).
+      * further for corpora past ~10^7 vectors. Past 62 bits (r14) the
+      * signature packs into 60-bit words (array<long>) — r = nBits/bands
+      * must then divide 60 (e.g. 120 bits / 6 bands: 2^20 buckets per
+      * band, occupancy 0.2 at 200k vectors where r=10 ran quadratic);
+      * maxHamming must stay < bands for pigeonhole-exact recall. Note
+      * the hamming prune is over the FULL signature, so a wider layout
+      * tightens the implicit angle it admits — right for near-duplicate
+      * detection (true dups differ in ~0-2 bits at any width), not for
+      * loose-similarity search.
       */
     nBits: Int = 60,
     bands: Int = 6,
@@ -749,7 +755,8 @@ case class SRPCosineDedupPipe(
       */
     cacheDir: Option[String] = None) extends Pipe {
   require(nBits % bands == 0, "bands must divide nBits")
-  require(nBits <= 62, "signature must fit a long")
+  require(nBits <= 62 || 60 % (nBits / bands) == 0,
+    "wide signatures pack 60-bit words: bits-per-band must divide 60")
   require(maxHamming < bands,
     "recall is pigeonhole-exact only for maxHamming <= bands-1")
   override def params = Map("vec" -> vecCol, "id" -> idCol,
@@ -762,12 +769,27 @@ case class SRPCosineDedupPipe(
       Seq.tabulate(dim)(t => (((b * 37 + t * 11) % 21) - 10) / 10.0))
     val slim = df.select(qcol(idCol).cast("long").as("id"),
       arrTransform(qcol(vecCol), _.cast("double")).as("v"))
-    val sigExpr = (0 until nBits).map { b =>
-      val dot = aggregate(
-        zip_with(col("v"), typedLit(planes(b)), (x, p) => x * p),
-        lit(0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val r = nBits / bands
+    def dotBit(b: Int) = aggregate(
+      zip_with(col("v"), typedLit(planes(b)), (x, p) => x * p),
+      lit(0d), (acc, x) => acc + x)
+    val wide = nBits > 62
+    // narrow (<= 62 bits): ONE long signature — the historical layout,
+    // expressions kept verbatim so persisted caches and oracles replay
+    // byte-identically. Wide (> 62 bits, the scale path for corpora
+    // whose bucket occupancy n/2^r re-heats at r <= 10): the signature
+    // packs into 60-bit words (array<long>); r must divide 60 so no
+    // band spans a word boundary.
+    val sigExpr: Column =
+      if (!wide)
+        (0 until nBits).map { b =>
+          when(dotBit(b) > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      else array((0 until (nBits + 59) / 60).map { w =>
+        (w * 60 until math.min(nBits, (w + 1) * 60)).map { b =>
+          when(dotBit(b) > 0, lit(1L << (b - w * 60))).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
     val baseRaw = Pipe.widen(slim).select(col("id"), col("v"), sigExpr.as("sg"))
     val base = cacheDir match {
       case Some(dir) =>
@@ -782,23 +804,31 @@ case class SRPCosineDedupPipe(
         graft.core.CachedStage(df.sparkSession, dir, key)(baseRaw)
       case None => baseRaw.localCheckpoint(true)
     }
-    val r = nBits / bands
     val mask = (1L << r) - 1
+    def bandHash(sg: Column, b: Int): Column =
+      if (!wide) shiftrightunsigned(sg, b * r).bitwiseAND(mask)
+      else shiftrightunsigned(
+        element_at(sg, b * r / 60 + 1), (b * r) % 60).bitwiseAND(mask)
+    def hammingOf(a: Column, b: Column): Column =
+      if (!wide) bit_count(a.bitwiseXOR(b)).cast("long")
+      else (0 until (nBits + 59) / 60).map(w =>
+        bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+          .cast("long")).reduce(_ + _)
     // Candidate volume per band grows with bucket occupancy² while
-    // hamming survivors stay near-linear, so the signature (8 bytes)
-    // rides the band join and hamming prunes BEFORE the pair dedup and
-    // before any vector is shuffled; only survivors fetch vectors.
+    // hamming survivors stay near-linear, so the signature (8 bytes
+    // per word) rides the band join and hamming prunes BEFORE the pair
+    // dedup and before any vector is shuffled; only survivors fetch
+    // vectors.
     val banded = base.select(col("id"), col("sg"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sg"), b * r).bitwiseAND(mask)): _*))
+        bandHash(col("sg"), b)): _*))
         .as(Seq("band", "bh")))
     val pairs = banded.select(col("band"), col("bh"),
         col("id").as("id_a"), col("sg").as("sg_a"))
       .join(banded.select(col("band"), col("bh"),
         col("id").as("id_b"), col("sg").as("sg_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming",
-        bit_count(col("sg_a").bitwiseXOR(col("sg_b"))).cast("long"))
+      .withColumn("hamming", hammingOf(col("sg_a"), col("sg_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
     pairs

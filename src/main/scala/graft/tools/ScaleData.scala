@@ -70,15 +70,30 @@ object ScaleData {
       docs)
     writeSingleFile(spark, docsOut, s"$dst/documents.parquet")
 
-    // embeddings: replica k circular-shifts the vector by k components
+    // embeddings: replica k circular-shifts the vector by k components.
+    // Past one full rotation (k >= dim, the sf10 rung) the shift alone
+    // would duplicate replica-0 vectors verbatim — every ANN/dedup gate
+    // would then measure a wall of exact cross-replica duplicates
+    // instead of data growth — so those replicas additionally flip
+    // signs by a per-(component, replica) hash: norms and magnitudes
+    // identical, cross-replica cosine decorrelated. k < dim replicas
+    // are byte-identical to the historical sf1 output.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embDim = emb.select(max(size(col("embedding")))).head().getInt(0)
     val embOut = replicas(
       identity,
-      (df, k) => df.select(
-        (col("vec_id") + k * off).as("vec_id"),
-        expr(s"slice(embedding, ${k + 1}, size(embedding) - $k) || slice(embedding, 1, $k)")
-          .as("embedding"),
-        col("label")),
+      (df, k) => {
+        val sh = k % embDim
+        val shifted =
+          s"slice(embedding, ${sh + 1}, size(embedding) - $sh) || slice(embedding, 1, $sh)"
+        val mutated =
+          if (k < embDim) shifted
+          else s"transform($shifted, (x, t) -> CASE WHEN hash(t, $k) % 2 = 0 THEN -x ELSE x END)"
+        df.select(
+          (col("vec_id") + k * off).as("vec_id"),
+          expr(mutated).as("embedding"),
+          col("label"))
+      },
       emb)
     embOut.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 

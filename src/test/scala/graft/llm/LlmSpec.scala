@@ -111,6 +111,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("SRP wide multi-word signature: plants found, pairs nest in the narrow layout") {
+    // > 62 bits packs 60-bit words (array<long>); wide band w concatenates
+    // two narrow bands, so a wide match implies a narrow match — the wide
+    // pair set must be a SUBSET of the narrow one — while exact copies
+    // (hamming 0 at any width) are found by both.
+    val emb = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val planted = emb.unionByName(emb.filter(col("id") < 30)
+      .select((col("id") + 10000).as("id"), col("v")))
+    def run(bits: Int): Set[(Long, Long)] =
+      SRPCosineDedupPipe("v", "id", nBits = bits)(planted)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val narrow = run(60)
+    val wide = run(120)
+    (0 until 30).foreach { i =>
+      assert(wide.contains((i.toLong, i + 10000L)), s"wide missed plant $i") }
+    assert(wide.subsetOf(narrow),
+      s"wide must nest in narrow: extra=${wide -- narrow}")
+    // invalid wide layout (r does not divide 60) refused
+    intercept[IllegalArgumentException] {
+      SRPCosineDedupPipe("v", "id", nBits = 128, bands = 8)
+    }
+  }
+
   test("real image decode: BMP and PNG reproduce formula pixels exactly") {
     def paint(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
