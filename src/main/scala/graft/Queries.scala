@@ -151,11 +151,11 @@ object Queries {
         |   list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,4), t ->
         |     rv[j*4+t+1] - ((((c*31 + t*7 + j*13) % 10) * 0.1) - 0.4)), dd -> dd*dd))))) - 1) AS codes
         | FROM res)
-        |SELECT doc_id, text, ws_tokens, list_transform(v, x -> round(x, 4)) AS vector,
+        |SELECT doc_id, text, ws_tokens, list_transform(v, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS vector,
         | CAST(cid AS INT) AS cid, codes
         |FROM cds ORDER BY doc_id""".stripMargin.replace("\n", " ")
     scl(inner, "doc_id" -> "", "text" -> "", "ws_tokens" -> "",
-      "vector" -> "d", "cid" -> "", "codes" -> "i")
+      "vector" -> "i", "cid" -> "", "codes" -> "i")
   }
 
   private val decontaminateOracle: String =

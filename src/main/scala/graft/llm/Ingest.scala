@@ -97,13 +97,19 @@ object IngestPreset {
       corpusFingerprint = corpusFp)
 
   /** Shape (cleaned + embedded + index-tagged) rows into the table
-    * schema: (doc_id, text, ws_tokens, vector round-4, cid, codes).
+    * schema: (doc_id, text, ws_tokens, vector, cid, codes). The vector
+    * is stored FIXED-POINT e4 (floor(x·10⁴ + 0.5) as long): `round(x,4)`
+    * is engine-ambiguous on .00005 boundaries (the r12 find — Spark
+    * rounds the shortest-decimal, DuckDB the binary value; one sf1
+    * component landed exactly there), while floor over the identical
+    * binary double replays bit-for-bit in any engine.
     */
   private def tableRows(withVec: DataFrame, tagged: DataFrame): DataFrame =
     withVec
       .join(tagged.withColumnRenamed("idx", "doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("ws_tokens"),
-        transform(col("vector"), v => round(v, 4)).as("vector"),
+        transform(col("vector"),
+          v => floor(v * 10000 + 0.5).cast("long")).as("vector"),
         col("cid").cast("int").as("cid"),
         array((0 until m).map(j => col(s"__c$j").cast("int")): _*).as("codes"))
 
