@@ -862,6 +862,25 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "m4_mlp_batched" -> ((s, d) => {
+      // REAL batched inference shape: a two-layer formula MLP
+      // (GEMM -> bias -> ReLU -> GEMM -> bias) over the embeddings
+      // table, executed as BLOCKED dense GEMMs inside mapPartitions
+      // (blockSize 128 exercises block boundaries at every sf) with the
+      // PredictWithCache persistence contract; output fixed-point e4.
+      // The oracle recomputes both layers from the weight formula —
+      // k-ascending accumulation makes the doubles bit-identical.
+      val m = graft.predict.MlpModel.formula(64, 32, 16)
+      graft.predict.BatchedPredictPipe(m, "embedding", "vector", "vec_id",
+        blockSize = 128, cacheDir = Some("/tmp/graft-cache"),
+        datasetFingerprint = s"mlp:${tableFp(s, d, "embeddings")}")(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          transform(col("vector"),
+            v => floor(v * 10000 + 0.5).cast("long")).as("vector"))
+        .orderBy("vec_id")
+    }),
+
     // ----- LLM data-pipeline: dedup -----
     "dd_exact" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -3406,6 +3425,14 @@ object Queries {
     "m2_predict_cached" ->
       scl("""SELECT vec_id, [round(list_sum(CAST(embedding AS DOUBLE[])), 4), round(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (i-1))) + 0.5, 4)] AS vector FROM embeddings ORDER BY vec_id""",
         "vec_id" -> "", "vector" -> "d"),
+    // both GEMM layers replayed from the weight formula (k-ascending
+    // sums; ReLU = greatest; fixed-point e4 output, no round())
+    "m4_mlp_batched" ->
+      scl("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |h AS (SELECT vec_id, list_transform(range(0,32), j -> greatest(list_sum(list_transform(range(0,64), k -> x[k+1] * ((((k*7 + j*11) % 9) - 4) * 0.125))) + (j % 5) * 0.0625, 0)) AS h FROM v),
+        |y AS (SELECT vec_id, list_transform(range(0,16), j -> list_sum(list_transform(range(0,32), k -> h[k+1] * ((((k*13 + j*5) % 9) - 4) * 0.125))) + (j % 7) * 0.0625) AS y FROM h)
+        |SELECT vec_id, list_transform(y, e -> CAST(floor(e * 10000 + 0.5) AS BIGINT)) AS vector FROM y ORDER BY vec_id""".stripMargin.replace("\n", " "),
+        "vec_id" -> "", "vector" -> "i"),
     "s2_dense_bruteforce" ->
       scl("""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, CAST(e.embedding AS DOUBLE[])) AS score FROM qs CROSS JOIN embeddings e),

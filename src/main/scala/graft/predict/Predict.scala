@@ -100,3 +100,153 @@ object Predict {
     case None => PredictWithoutCache(model, inputCol, outputCol)
   }
 }
+
+/** Deterministic two-layer MLP (GEMM → bias → ReLU → GEMM → bias) — the
+  * "transformer-shaped" inference kernel: unlike [[LinearModel]]'s
+  * per-row Column expressions, [[BatchedPredictPipe]] runs it as BLOCKED
+  * dense GEMMs inside `mapPartitions` (one X·W per block of rows, flat
+  * double arrays, k-ascending accumulation), which is the throughput
+  * shape real model serving needs — weights broadcast once per task,
+  * arithmetic over contiguous buffers, no per-element expression
+  * interpretation. Accumulation is strictly k-ascending per output, so
+  * any engine replays the values bit-for-bit (the m4 gate's DuckDB
+  * oracle recomputes both layers from the weight formula).
+  *
+  * Reference: pipes/predict.py:151-191 runs actual torch checkpoints
+  * through Lightning; this carries the same pipe contract with a
+  * deterministic, engine-replayable network.
+  */
+case class MlpModel(
+    w1: Seq[Seq[Double]], b1: Seq[Double],
+    w2: Seq[Seq[Double]], b2: Seq[Double]) extends Serializable {
+  require(w1.nonEmpty && w1.head.size == b1.size, "w1 is dIn x dHidden")
+  require(w2.size == b1.size && w2.head.size == b2.size, "w2 is dHidden x dOut")
+  val dIn: Int = w1.size
+  val dHidden: Int = b1.size
+  val dOut: Int = b2.size
+
+  def fingerprint: String = Fingerprint.ofStruct("MlpModel", Map(
+    "w1" -> w1.map(_.mkString(",")).mkString(";"), "b1" -> b1.mkString(","),
+    "w2" -> w2.map(_.mkString(",")).mkString(";"), "b2" -> b2.mkString(",")))
+
+  @transient private lazy val fw1: Array[Double] =
+    w1.flatten.toArray // row-major [k][j]
+  @transient private lazy val fw2: Array[Double] = w2.flatten.toArray
+  @transient private lazy val fb1: Array[Double] = b1.toArray
+  @transient private lazy val fb2: Array[Double] = b2.toArray
+
+  /** One blocked forward pass: `xs` is n rows of dIn; returns n rows of
+    * dOut. i-k-j loop order — contiguous access on both the input row
+    * and the weight row, still k-ascending per (i, j) output.
+    */
+  def forward(xs: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = xs.length
+    val h = Array.ofDim[Double](n, dHidden)
+    var i = 0
+    while (i < n) {
+      val x = xs(i); val hi = h(i)
+      var k = 0
+      while (k < dIn) {
+        val xk = x(k); val wOff = k * dHidden
+        var j = 0
+        while (j < dHidden) { hi(j) += xk * fw1(wOff + j); j += 1 }
+        k += 1
+      }
+      var j = 0
+      while (j < dHidden) {
+        val v = hi(j) + fb1(j)
+        hi(j) = if (v > 0) v else 0d
+        j += 1
+      }
+      i += 1
+    }
+    val y = Array.ofDim[Double](n, dOut)
+    i = 0
+    while (i < n) {
+      val hi = h(i); val yi = y(i)
+      var k = 0
+      while (k < dHidden) {
+        val hk = hi(k); val wOff = k * dOut
+        var j = 0
+        while (j < dOut) { yi(j) += hk * fw2(wOff + j); j += 1 }
+        k += 1
+      }
+      var j = 0
+      while (j < dOut) { yi(j) += fb2(j); j += 1 }
+      i += 1
+    }
+    y
+  }
+}
+
+object MlpModel {
+  /** Formula weights for gates/specs — integer arithmetic then one exact
+    * binary scale, replayable in any engine:
+    * w1[k][j] = ((k·7+j·11) mod 9 − 4)/8,  b1[j] = (j mod 5)/16,
+    * w2[k][j] = ((k·13+j·5) mod 9 − 4)/8,  b2[j] = (j mod 7)/16.
+    */
+  def formula(dIn: Int, dHidden: Int, dOut: Int): MlpModel = MlpModel(
+    (0 until dIn).map(k => (0 until dHidden).map(j =>
+      (((k * 7 + j * 11) % 9) - 4) * 0.125)),
+    (0 until dHidden).map(j => (j % 5) * 0.0625),
+    (0 until dHidden).map(k => (0 until dOut).map(j =>
+      (((k * 13 + j * 5) % 9) - 4) * 0.125)),
+    (0 until dOut).map(j => (j % 7) * 0.0625))
+}
+
+/** Batched model inference: blocks of `blockSize` rows per GEMM inside
+  * `mapPartitions` — map-only, runs as wide as the scan, weights ride
+  * the closure (serialized once per task). Null inputs yield null
+  * vectors. With `cacheDir` the computed (id, vector) frame persists
+  * under the (datasetFingerprint, model fingerprint) key exactly like
+  * [[PredictWithCache]].
+  */
+case class BatchedPredictPipe(
+    model: MlpModel,
+    inputCol: String,
+    outputCol: String,
+    idCol: String,
+    blockSize: Int = 256,
+    cacheDir: Option[String] = None,
+    datasetFingerprint: String = "") extends Pipe {
+  require(blockSize > 0, "blockSize must be positive")
+  require(cacheDir.isEmpty || datasetFingerprint.nonEmpty,
+    "a persisted predict cache needs a dataset fingerprint")
+  override def update: Boolean = true
+  override def params = Map("model" -> model.fingerprint, "in" -> inputCol,
+    "out" -> outputCol, "id" -> idCol, "block" -> blockSize.toString,
+    "dataset" -> datasetFingerprint)
+
+  protected def transform(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val m = model
+    val bs = blockSize
+    def compute: DataFrame = {
+      val in = df.select(qcol(idCol), qcol(inputCol).as("__x__"))
+      val outSchema = StructType(Seq(in.schema.head,
+        StructField(outputCol, ArrayType(DoubleType), nullable = true)))
+      in.mapPartitions { rows =>
+        rows.grouped(bs).flatMap { block =>
+          val live = block.filter(!_.isNullAt(1))
+          val xs = live.map(_.getSeq[Any](1)
+            .map(v => v.asInstanceOf[Number].doubleValue()).toArray).toArray
+          val ys = m.forward(xs)
+          var j = -1
+          block.map { r =>
+            if (r.isNullAt(1)) Row(r.get(0), null)
+            else { j += 1; Row(r.get(0), ys(j).toIndexedSeq) }
+          }
+        }
+      }(RowEncoder.encoderFor(outSchema))
+    }
+    val vectors = cacheDir match {
+      case Some(dir) => CachedStage(spark, dir,
+        CachedStage.cacheKey(datasetFingerprint, fingerprint))(compute)
+      case None => compute
+    }
+    df.join(vectors, Seq(idCol))
+  }
+}
