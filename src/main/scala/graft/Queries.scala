@@ -1026,6 +1026,25 @@ object Queries {
           round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "dd_srp_wide" -> ((s, d) => {
+      // the r14 WIDE signature layout (120 bits in two 60-bit words,
+      // 2^20 buckets per band — the sizing knob that keeps SRP linear at
+      // 200k+ vectors where the 60-bit layout ran quadratic): same
+      // planted near-copies, the oracle replays both words' bit packing,
+      // the word-spanning band extraction, and the two-word hamming.
+      val raw = t(s, d, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = raw.unionByName(raw.filter(col("vec_id") < 30).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((i % 5) - 2) * 0.01).as("embedding")))
+      graft.llm.SRPCosineDedupPipe("embedding", "vec_id", nBits = 120,
+        cacheDir = Some("/tmp/graft-cache/srp-wide-planted"))(planted)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "dd_clusters" -> ((s, d) => {
       val pairs = graft.llm.MinHashLSHDedupPipe("text", "doc_id",
         jaccardThreshold = 0.5,
@@ -3733,6 +3752,35 @@ object Queries {
         | FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
         |ham AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         | FROM cand WHERE bit_count(xor(sa, sb)) <= 5),
+        |pairs AS (SELECT id_a, id_b, hamming,
+        |  list_sum(list_transform(range(0,64), t -> a.v[t+1]*b.v[t+1]))
+        |   / (sqrt(list_sum(list_transform(range(0,64), t -> a.v[t+1]*a.v[t+1])))
+        |    * sqrt(list_sum(list_transform(range(0,64), t -> b.v[t+1]*b.v[t+1])))) AS cosine
+        | FROM ham JOIN sig a ON a.id = ham.id_a JOIN sig b ON b.id = ham.id_b)
+        |SELECT id_a, id_b, hamming, round(cosine,4) AS cosine FROM pairs
+        |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // wide two-word layout: bit packing, word-spanning band extraction,
+    // two-word hamming — replayed verbatim
+    "dd_srp_wide" ->
+      """WITH raw AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |base AS (SELECT id, v FROM raw
+        | UNION ALL SELECT id+10000, list_transform(range(0,64), t -> v[t+1] + ((t % 5) - 2) * 0.01) FROM raw WHERE id < 30),
+        |bits AS (SELECT id, v, list_transform(range(0,120), b ->
+        |  CASE WHEN list_sum(list_transform(range(0,64), t ->
+        |    v[t+1] * ((((b*37 + t*11) % 21) - 10) / 10.0))) > 0 THEN 1 ELSE 0 END) AS bt
+        | FROM base),
+        |sig AS (SELECT id, v,
+        |  CAST(list_sum(list_transform(range(0,60), b -> bt[b+1] * CAST(2**b AS BIGINT))) AS BIGINT) AS w0,
+        |  CAST(list_sum(list_transform(range(60,120), b -> bt[b+1] * CAST(2**(b-60) AS BIGINT))) AS BIGINT) AS w1
+        | FROM bits),
+        |bnd AS (SELECT id, w0, w1, z.b AS b,
+        |  CASE WHEN z.b < 3 THEN (w0 // (1::BIGINT << CAST(z.b*20 AS INT))) % 1048576
+        |       ELSE (w1 // (1::BIGINT << CAST((z.b-3)*20 AS INT))) % 1048576 END AS bv
+        | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
+        | FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
+        |ham AS (SELECT id_a, id_b, CAST(bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) AS BIGINT) AS hamming
+        | FROM cand WHERE bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) <= 5),
         |pairs AS (SELECT id_a, id_b, hamming,
         |  list_sum(list_transform(range(0,64), t -> a.v[t+1]*b.v[t+1]))
         |   / (sqrt(list_sum(list_transform(range(0,64), t -> a.v[t+1]*a.v[t+1])))
