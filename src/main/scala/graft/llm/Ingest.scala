@@ -171,13 +171,25 @@ object IngestPreset {
     */
   def runStream(newRaw: DataFrame, corpus: DataFrame, tableDir: String,
       cacheDir: String, corpusFp: String, fpPrefix: String,
-      checkpointDir: String): StreamingQuery =
-    newRaw.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        run(batch, corpus, tableDir, cacheDir, corpusFp,
-          s"$fpPrefix:b$id", id): Unit
+      checkpointDir: String): StreamingQuery = {
+    // same single-writer lease as PartitionedUpsert.run: a second
+    // concurrent ingest stream against one tableDir fails loudly
+    val spark = newRaw.sparkSession
+    val token = graft.streaming.WriterLock.acquire(
+      spark, tableDir, "IngestPreset")
+    val q =
+      try newRaw.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          run(batch, corpus, tableDir, cacheDir, corpusFp,
+            s"$fpPrefix:b$id", id): Unit
+        }
+        .start()
+      catch { case e: Throwable =>
+        graft.streaming.WriterLock.release(spark, tableDir, token); throw e
       }
-      .start()
+    graft.streaming.WriterLock.bind(spark, tableDir, token, q)
+    q
+  }
 }
