@@ -1192,6 +1192,50 @@ object VerifyScratch {
         s"kept=$kept -> ${eq && mapOnly}")
     }
 
+    // [75] r15: WriterLock refuses a lease whose pid matches but whose
+    // applicationId differs (HDFS pid-collision scenario), and still
+    // reclaims a same-pid same-app stopped lease
+    {
+      val dir = java.nio.file.Files.createTempDirectory("vs_wl").toString
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val lp = new org.apache.hadoop.fs.Path(s"$dir/_WRITER_LOCK")
+      val pid = ProcessHandle.current().pid()
+      val foreign = s"""{"token":"x","pid":$pid,"app":"application_foreign_1",""" +
+        s""""label":"other-host","ts":0}"""
+      val out = fs.create(lp, false)
+      out.write(foreign.getBytes("UTF-8")); out.close()
+      val refused = try {
+        graft.streaming.WriterLock.acquire(spark, dir, "vs"); false
+      } catch { case _: IllegalStateException => true }
+      // now rewrite as OUR pid + OUR app (a stopped same-process lease):
+      // acquire must reclaim
+      fs.delete(lp, false)
+      val ours = s"""{"token":"y","pid":$pid,""" +
+        s""""app":"${spark.sparkContext.applicationId}","label":"me","ts":0}"""
+      val out2 = fs.create(lp, false)
+      out2.write(ours.getBytes("UTF-8")); out2.close()
+      val tok = graft.streaming.WriterLock.acquire(spark, dir, "vs2")
+      graft.streaming.WriterLock.release(spark, dir, tok)
+      println(s"[75] writer-lock foreign-app refused=$refused reclaimed=" +
+        s"${tok.nonEmpty} -> ${refused && tok.nonEmpty}")
+    }
+
+    // [76] r15: DatasetFingerprint folds applicationId for RDD-backed
+    // leaves — two same-schema RDD frames differ, and each embeds the
+    // session's applicationId in its keyed identity (checked indirectly:
+    // fingerprints are stable within the session but distinct across rdds)
+    {
+      import spark.implicits._
+      val a = spark.sparkContext.parallelize(Seq(1, 2, 3)).toDF("v")
+      val b = spark.sparkContext.parallelize(Seq(1, 2, 3)).toDF("v")
+      val fa = graft.pipes.DatasetFingerprint.of(a)
+      val fb = graft.pipes.DatasetFingerprint.of(b)
+      val stable = fa == graft.pipes.DatasetFingerprint.of(a)
+      println(s"[76] rdd fingerprints distinct=${fa != fb} stable=$stable " +
+        s"-> ${fa != fb && stable}")
+    }
+
     spark.stop()
   }
 }

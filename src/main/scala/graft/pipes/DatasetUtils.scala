@@ -110,11 +110,20 @@ object DatasetFingerprint {
       // an RDD-backed leaf (foreachBatch micro-batch, rdd.toDF) has NO
       // content identity in its canonicalized plan — two different
       // batches with the same schema render EQUAL and would alias one
-      // cache key. Fold the RDD id: keys become unique per
-      // materialization, so a persisted cache can never serve another
-      // batch's data (it just never hits for RDD-backed frames).
+      // cache key. Fold the applicationId AND the RDD id: rdd ids restart
+      // from 0 per SparkContext, so rdd.id alone still aliases across
+      // application runs sharing a persisted cacheDir. With both, keys
+      // are unique per materialization per application, so a persisted
+      // cache can never serve another batch's data (it just never hits
+      // for RDD-backed frames).
       case rdd: org.apache.spark.sql.execution.LogicalRDD =>
-        s"rdd:${rdd.rdd.id}:" + render(rdd.canonicalized)
+        s"rdd:${df.sparkSession.sparkContext.applicationId}:${rdd.rdd.id}:" +
+          render(rdd.canonicalized)
+      // same hazard, other wrapper: sparkContext.parallelize(...).toDF /
+      // createDataFrame(rdd) analyze to ExternalRDD, not LogicalRDD
+      case ext: org.apache.spark.sql.execution.ExternalRDD[_] =>
+        s"rdd:${df.sparkSession.sparkContext.applicationId}:${ext.rdd.id}:" +
+          render(ext.canonicalized)
       case leaf => render(leaf.canonicalized)
     }
     graft.core.Fingerprint.hash(

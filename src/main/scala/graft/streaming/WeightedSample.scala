@@ -79,6 +79,11 @@ object StreamingWeightedSample {
       if (fs.exists(path(s"$stateDir/_staging/_SUCCESS")) &&
           fs.rename(tmp, cur)) {
         Some(spark.read.parquet(cur.toString))
+      } else if (fs.exists(cur)) {
+        // the rename lost a race: a concurrent latest() (or commit's
+        // rename) won the delete-then-rename window — _CURRENT exists
+        // now, so read it rather than wrongly reporting "never seeded"
+        Some(spark.read.parquet(cur.toString))
       } else None
     } else Some(spark.read.parquet(cur.toString))
   }
@@ -132,7 +137,13 @@ object StreamingWeightedSample {
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val cur = path(s"$stateDir/_CURRENT")
     if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    if (!fs.rename(tmp, cur) && !fs.exists(cur))
+      // a failed rename with no _CURRENT means the swing did NOT land
+      // (staging is still complete, so latest() recovers) — but the
+      // caller must know the commit didn't take effect this call
+      throw new java.io.IOException(
+        s"WeightedSample.commit: rename $tmp -> $cur failed; " +
+          "reservoir left in _staging (latest() will recover it)")
   }
 
   private def path(p: String) = new org.apache.hadoop.fs.Path(p)

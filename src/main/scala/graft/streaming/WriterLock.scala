@@ -67,7 +67,15 @@ object WriterLock {
       val payload = holder(spark, stateDir).getOrElse("")
       val heldPid = "\"pid\":(\\d+)".r
         .findFirstMatchIn(payload).map(_.group(1).toLong)
-      if (!heldPid.contains(ourPid))
+      val heldApp = "\"app\":\"([^\"]*)\"".r
+        .findFirstMatchIn(payload).map(_.group(1))
+      // Reclaim only when BOTH pid and applicationId match: on a shared
+      // filesystem (HDFS) a pid collides across hosts, so pid alone would
+      // let a foreign process delete a LIVE lease — exactly the dual-writer
+      // interleaving the lock exists to prevent.
+      val ours = heldPid.contains(ourPid) &&
+        heldApp.contains(spark.sparkContext.applicationId)
+      if (!ours)
         throw new IllegalStateException(
           s"state dir $stateDir already has a writer: $payload — two " +
             "concurrent maintenance queries would interleave pointer " +
