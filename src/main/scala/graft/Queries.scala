@@ -425,6 +425,59 @@ object Queries {
         col("content"))
   }
 
+  /** Real WAV fixtures for the audio decode/resample gates: one 16-bit
+    * little-endian signed PCM WAV per doc_id < 200, written through
+    * `javax.sound.sampled.AudioSystem` itself, with sample (frame i,
+    * channel c) = an exact integer formula of (doc_id, i, c) so a SQL
+    * oracle regenerates every amplitude without reading the files. PCM is
+    * lossless, so the decode must reproduce the formula bit-exactly —
+    * that round trip (formula → AudioInputStream → WAV encode →
+    * binaryFile scan → decode → digest) is what the gates verify.
+    */
+  private def plantedAudio(s: SparkSession, dir: String): String = {
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select("doc_id").collect().map(_.getLong(0))
+    val out = new java.io.File(
+      s"/tmp/graft-media-wav/${new java.io.File(dir).getName}")
+    out.mkdirs()
+    ids.foreach { id =>
+      val sr = (8000 + (id % 3) * 4000).toInt
+      val ch = (1 + id % 2).toInt
+      val nf = (40 + id % 25).toInt
+      val data = new Array[Byte](nf * ch * 2)
+      var i = 0
+      while (i < nf) {
+        var c = 0
+        while (c < ch) {
+          val v = ((id * 31 + i * 17 + c * 101) % 65536).toInt - 32768
+          val o = (i * ch + c) * 2
+          data(o) = (v & 0xFF).toByte          // little-endian
+          data(o + 1) = ((v >> 8) & 0xFF).toByte
+          c += 1
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sr.toFloat, 16, ch, ch * 2, sr.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nf.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(out, f"$id%06d.wav"))
+    }
+    out.getAbsolutePath
+  }
+
+  private def decodedAudio(s: SparkSession, d: String): DataFrame = {
+    val fixtures = plantedAudio(s, d)
+    s.read.format("binaryFile").load(fixtures + "/*.wav")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.wav$", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- core (C1-C8) -----
     "c1_identity" -> ((s, d) =>
@@ -1369,6 +1422,38 @@ object Queries {
         md5(array_join(
           transform(col("image_resized.pixels"), p => p.cast("string")), ",")
           .cast("binary")).as("pix_digest"))
+        .orderBy("doc_id")
+    }),
+    "mm_audio_decode" -> ((s, d) => {
+      // REAL audio decode: formula-sample PCM WAV fixtures scanned via
+      // binaryFile, decoded with javax.sound.sampled inside
+      // mapPartitions; the oracle regenerates every amplitude from the
+      // same integer formula — format fields AND the md5 sample digest
+      // must match byte-exactly, proving the decode end-to-end.
+      val dec = graft.llm.DecodeAudioPipe("content")(decodedAudio(s, d))
+      dec.select(col("doc_id"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.channels").as("channels"),
+        col("audio.n_frames").as("n_frames"),
+        md5(array_join(
+          transform(col("audio.samples"), v => v.cast("string")), ",")
+          .cast("binary")).as("sample_digest"))
+        .orderBy("doc_id")
+    }),
+    "mm_audio_resample" -> ((s, d) => {
+      // REAL audio resample: decode + exact nearest-neighbor frame
+      // resample to 24 frames (src = floor(dst*nFrames/24), channels
+      // copied); the oracle computes the same mapping over the formula
+      // samples, so the resampled digest replays byte-exactly.
+      val dec = graft.llm.ResampleAudioPipe("content", targetFrames = 24)(
+        decodedAudio(s, d))
+      dec.select(col("doc_id"),
+        col("audio_resampled.sample_rate").as("sample_rate"),
+        col("audio_resampled.channels").as("channels"),
+        col("audio_resampled.n_frames").as("n_frames"),
+        md5(array_join(
+          transform(col("audio_resampled.samples"), v => v.cast("string")), ",")
+          .cast("binary")).as("sample_digest"))
         .orderBy("doc_id")
     }),
     "mm_media_meta" -> ((s, d) => {
@@ -3425,6 +3510,29 @@ object Queries {
         |SELECT doc_id, CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
         | md5(string_agg(r || ',' || g || ',' || b, ',' ORDER BY y, x)) AS pix_digest
         |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // REAL audio decode oracle: the formula that wrote the PCM WAV
+    // fixtures regenerates every amplitude — format fields and the md5
+    // sample digest must match the javax.sound.sampled decode exactly
+    "mm_audio_decode" ->
+      """WITH ids AS (SELECT doc_id, 8000 + (doc_id % 3)*4000 AS sr, 1 + doc_id % 2 AS ch, 40 + doc_id % 25 AS nf FROM documents WHERE doc_id < 200),
+        |smp AS (SELECT i.doc_id, i.sr, i.ch, i.nf, ff.i AS frame, cc.c AS c,
+        | ((i.doc_id*31 + ff.i*17 + cc.c*101) % 65536) - 32768 AS v
+        | FROM ids i, generate_series(0, 64) AS ff(i), generate_series(0, 1) AS cc(c)
+        | WHERE ff.i < i.nf AND cc.c < i.ch)
+        |SELECT doc_id, CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels, CAST(nf AS INT) AS n_frames,
+        | md5(string_agg(v, ',' ORDER BY frame, c)) AS sample_digest
+        |FROM smp GROUP BY doc_id, sr, ch, nf ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // nearest-neighbor frame resample replay: out frame j reads source
+    // frame (j*nf)//24, every channel copied
+    "mm_audio_resample" ->
+      """WITH ids AS (SELECT doc_id, 8000 + (doc_id % 3)*4000 AS sr, 1 + doc_id % 2 AS ch, 40 + doc_id % 25 AS nf FROM documents WHERE doc_id < 200),
+        |smp AS (SELECT i.doc_id, i.sr, i.ch, jj.j AS frame, cc.c AS c,
+        | ((i.doc_id*31 + ((jj.j*i.nf)//24)*17 + cc.c*101) % 65536) - 32768 AS v
+        | FROM ids i, generate_series(0, 23) AS jj(j), generate_series(0, 1) AS cc(c)
+        | WHERE cc.c < i.ch)
+        |SELECT doc_id, CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels, CAST(24 AS INT) AS n_frames,
+        | md5(string_agg(v, ',' ORDER BY frame, c)) AS sample_digest
+        |FROM smp GROUP BY doc_id, sr, ch ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "mm_media_meta" ->
       "SELECT doc_id, 'utf8-text' AS format, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "mm_decode_stub" ->

@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata structs. IMAGE decode and resize are REAL
   * (`javax.imageio` — [[DecodeImagePipe]] / [[ResizeImagePipe]], BMP/PNG/
-  * GIF/JPEG per the JDK's ImageIO registry); audio/video decode has no
+  * GIF/JPEG per the JDK's ImageIO registry). AUDIO decode and resample
+  * are REAL for WAV/PCM and the other `javax.sound.sampled` registry
+  * formats ([[DecodeAudioPipe]] / [[ResampleAudioPipe]] — PCM needs no
+  * external codec, the parser ships in the JDK). VIDEO has no
   * in-container codec, so the generic byte-level kernels
-  * ([[ByteFeaturesPipe]] / [[ResampleBytesPipe]]) stand in for those
-  * modalities with exact, engine-replayable arithmetic. All four share
-  * the production plumbing: schemas, the per-partition batch iteration
-  * (`mapPartitions` — the Scala analogue of the reference ecosystem's
-  * `mapInPandas` batch loop), partitioning, and output encoders.
+  * ([[ByteFeaturesPipe]] / [[ResampleBytesPipe]]) stand in for that
+  * modality (and arbitrary blobs) with exact, engine-replayable
+  * arithmetic. All share the production plumbing: schemas, the
+  * per-partition batch iteration (`mapPartitions` — the Scala analogue of
+  * the reference ecosystem's `mapInPandas` batch loop), partitioning, and
+  * output encoders.
   */
 object MultimodalOps {
   /** Metadata struct carried next to every media binary. */
@@ -66,6 +70,73 @@ object MultimodalOps {
       y += 1
     }
     Row(w, h, ch, px.toIndexedSeq)
+  }
+
+  /** Decoded-audio struct: PCM sample stream + format. `samples` is
+    * frame-major channel-interleaved (frame 0 ch 0, frame 0 ch 1, frame 1
+    * ch 0, ...), each value the raw integer PCM amplitude (16-bit signed
+    * → [-32768, 32767]; 8-bit unsigned recentered to [-128, 127]). Null
+    * when the blob is null or no AudioSystem reader accepts it.
+    */
+  val audioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false))))
+
+  /** Decode an audio blob (WAV/AIFF/AU — whatever the JDK's
+    * `javax.sound.sampled` registry parses; PCM WAV needs no external
+    * codec) to (sampleRate, channels, nFrames, interleaved samples).
+    * 16-bit PCM is read exactly (signed, either endianness); 8-bit is
+    * recentered to signed. Compressed/float encodings are routed through
+    * AudioSystem's own converter to 16-bit signed PCM first, so the
+    * emitted samples are always integer-exact for lossless inputs. Null
+    * for null/unparseable input.
+    */
+  private[llm] def decodeAudio(bytes: Array[Byte]): Row = {
+    if (bytes == null) return null
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais0 =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val f0 = ais0.getFormat
+      val isPcm = f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        f0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      val ais = if (isPcm) ais0 else {
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+          f0.getSampleRate, false)
+        AudioSystem.getAudioInputStream(target, ais0)
+      }
+      val f = ais.getFormat
+      val data = ais.readAllBytes()
+      val bytesPerSample = (f.getSampleSizeInBits + 7) / 8
+      val nSamples = data.length / bytesPerSample
+      val out = new Array[Int](nSamples)
+      var i = 0
+      if (bytesPerSample == 1) {
+        val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        while (i < nSamples) {
+          out(i) = if (unsigned) (data(i) & 0xFF) - 128 else data(i).toInt
+          i += 1
+        }
+      } else {
+        // 16-bit; wider depths fall back to their top 16 bits via the
+        // converter path above (isPcm strictly 16/8 after conversion)
+        val be = f.isBigEndian
+        while (i < nSamples) {
+          val o = i * bytesPerSample
+          val lo = if (be) data(o + 1) else data(o)
+          val hi = if (be) data(o) else data(o + 1)
+          out(i) = ((hi.toInt << 8) | (lo & 0xFF)).toShort.toInt
+          i += 1
+        }
+      }
+      Row(f.getSampleRate.toInt, f.getChannels,
+        nSamples / math.max(f.getChannels, 1), out.toIndexedSeq)
+    } catch { case _: Exception => null }
+    finally ais0.close()
   }
 }
 
@@ -140,6 +211,79 @@ case class ResizeImagePipe(
             y += 1
           }
           Row(tw, th, 3, rp.toIndexedSeq)
+        }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+}
+
+/** REAL audio decode over a binary column: `javax.sound.sampled` per blob
+  * inside `mapPartitions`, emitting the [[MultimodalOps.audioType]] struct
+  * (format + interleaved integer PCM samples). WAV/PCM parses with the
+  * JDK alone — no external codec. Map-only and linear: each task decodes
+  * its own partition's blobs, no shuffle; at 100 TB this runs as wide as
+  * the binaryFile scan feeding it. Unparseable/null blobs yield a null
+  * struct (filter downstream). Reference has no audio decode (media is
+  * out of its scope); §8.1 extension, same plumbing as [[DecodeImagePipe]].
+  */
+case class DecodeAudioPipe(
+    mediaCol: String,
+    outputCol: String = "audio") extends Pipe {
+  override def params = Map("media" -> mediaCol, "out" -> outputCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val inSchema = df.schema
+    val idx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, MultimodalOps.audioType, nullable = true))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val audio = MultimodalOps.decodeAudio(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ audio)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+}
+
+/** REAL audio resample: decode (same kernel as [[DecodeAudioPipe]]) then
+  * nearest-neighbor FRAME resample to `targetFrames` with the exact
+  * integer mapping `srcFrame = floor(dstFrame * nFrames / targetFrames)`
+  * — all channels of the chosen source frame are copied, so channel
+  * interleaving survives. No filtering/interpolation: deterministic in
+  * any engine, externally replayable sample-for-sample. Emits the same
+  * audio struct shape with `n_frames = targetFrames` and the source rate
+  * (rate metadata rescaling is the caller's policy decision). Map-only.
+  */
+case class ResampleAudioPipe(
+    mediaCol: String,
+    targetFrames: Int,
+    outputCol: String = "audio_resampled") extends Pipe {
+  require(targetFrames > 0, "targetFrames must be positive")
+  override def params = Map("media" -> mediaCol,
+    "frames" -> targetFrames.toString, "out" -> outputCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val inSchema = df.schema
+    val idx = inSchema.fieldIndex(mediaCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, MultimodalOps.audioType, nullable = true))
+    val tf = targetFrames
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = MultimodalOps.decodeAudio(r.getAs[Array[Byte]](idx))
+        val out = if (dec == null || dec.getInt(2) == 0) null else {
+          val ch = dec.getInt(1); val nf = dec.getInt(2)
+          val in = dec.getAs[IndexedSeq[Int]](3)
+          val rs = new Array[Int](tf * ch)
+          var j = 0
+          while (j < tf) {
+            val sj = (j.toLong * nf / tf).toInt
+            var c = 0
+            while (c < ch) { rs(j * ch + c) = in(sj * ch + c); c += 1 }
+            j += 1
+          }
+          Row(dec.getInt(0), ch, tf, rs.toIndexedSeq)
         }
         Row.fromSeq(r.toSeq :+ out)
       }

@@ -191,6 +191,66 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("real audio decode: PCM WAV reproduces formula samples exactly") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(id: Long, sr: Int, ch: Int, nf: Int, bigEndian: Boolean): Array[Byte] = {
+      val data = new Array[Byte](nf * ch * 2)
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val v = ((id * 31 + i * 17 + c * 101) % 65536).toInt - 32768
+        val o = (i * ch + c) * 2
+        if (bigEndian) { data(o) = ((v >> 8) & 0xFF).toByte; data(o + 1) = (v & 0xFF).toByte }
+        else { data(o) = (v & 0xFF).toByte; data(o + 1) = ((v >> 8) & 0xFF).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sr.toFloat, 16, ch, ch * 2, sr.toFloat, bigEndian)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nf.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(1L, 8000, 1, 20, bigEndian = false)),
+      (2L, wav(2L, 16000, 2, 15, bigEndian = false)),
+      (3L, "not audio".getBytes), // unparseable -> null struct
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val out = DecodeAudioPipe("media")(rows.toDF("doc_id", "media"))
+      .select("doc_id", "audio").orderBy("doc_id").collect()
+    val a1 = out(0).getStruct(1); val a2 = out(1).getStruct(1)
+    assert(a1.getInt(0) == 8000 && a1.getInt(1) == 1 && a1.getInt(2) == 20)
+    assert(a2.getInt(0) == 16000 && a2.getInt(1) == 2 && a2.getInt(2) == 15)
+    def expect(id: Long, ch: Int, nf: Int) = (for (i <- 0 until nf; c <- 0 until ch)
+      yield ((id * 31 + i * 17 + c * 101) % 65536).toInt - 32768).toSeq
+    assert(a1.getSeq[Int](3) == expect(1L, 1, 20))
+    assert(a2.getSeq[Int](3) == expect(2L, 2, 15))
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
+  test("real audio resample: exact nearest-neighbor frame mapping") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 10 stereo frames, sample(i, c) = i*100 + c
+    val nf = 10; val ch = 2
+    val data = new Array[Byte](nf * ch * 2)
+    for (i <- 0 until nf; c <- 0 until ch) {
+      val v = i * 100 + c; val o = (i * ch + c) * 2
+      data(o) = (v & 0xFF).toByte; data(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, ch, ch * 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nf.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "media")
+    val out = ResampleAudioPipe("media", targetFrames = 4)(df)
+      .select("audio_resampled").head().getStruct(0)
+    assert(out.getInt(1) == 2 && out.getInt(2) == 4)
+    // out frame j = in frame j*10/4: 0, 2, 5, 7 — both channels copied
+    val got = out.getSeq[Int](3)
+    val want = Seq(0, 2, 5, 7).flatMap(i => Seq(i * 100, i * 100 + 1))
+    assert(got == want, s"$got vs $want")
+  }
+
   test("text normalization: ccnet steps, toggles, null safety") {
     val df = Seq(
       (1L, "Hello,  World! 42 things"),
