@@ -1236,6 +1236,39 @@ object VerifyScratch {
         s"-> ${fa != fb && stable}")
     }
 
+    // [77] r16: wide-PCM decode routes through the converter — a 24-bit
+    // little-endian WAV decodes to its TOP 16 bits (±1 JDK rounding), not
+    // the low-16 noise the old passthrough produced; 16-bit path unchanged
+    {
+      import spark.implicits._
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      def wav(bits: Int, nf: Int, sample: Int => Int): Array[Byte] = {
+        val bps = bits / 8
+        val data = new Array[Byte](nf * bps)
+        for (i <- 0 until nf; b <- 0 until bps)
+          data(i * bps + b) = ((sample(i) >> (8 * b)) & 0xFF).toByte
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, bits, 1, bps, 8000f, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nf.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      def s24(i: Int): Int = i * 1000000 - 4000000
+      def s16(i: Int): Int = i * 1000 - 5000
+      val df = Seq((1L, wav(24, 10, s24)), (2L, wav(16, 10, s16)))
+        .toDF("doc_id", "media")
+      val rows = graft.llm.DecodeAudioPipe("media")(df)
+        .select("doc_id", "audio").orderBy("doc_id").collect()
+      val g24 = rows(0).getStruct(1).getSeq[Int](3)
+      val g16 = rows(1).getStruct(1).getSeq[Int](3)
+      val top16 = (0 until 10).forall(i => math.abs(g24(i) - (s24(i) >> 8)) <= 1)
+      val exact16 = (0 until 10).forall(i => g16(i) == s16(i))
+      println(s"[77] wide-pcm decode top16=$top16 exact16=$exact16 " +
+        s"-> ${top16 && exact16}")
+    }
+
     spark.stop()
   }
 }

@@ -101,9 +101,19 @@ object MultimodalOps {
       catch { case _: Exception => return null }
     try {
       val f0 = ais0.getFormat
-      val isPcm = f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-        f0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
-      val ais = if (isPcm) ais0 else {
+      // Directly readable without conversion: 16-bit signed PCM (the
+      // standard WAV case) or 8-bit PCM (signed or unsigned; recentered
+      // below). Everything else — 24/32-bit PCM, 16-bit unsigned PCM,
+      // float, compressed — routes through AudioSystem's converter to
+      // 16-bit signed first, so wider depths keep their TOP 16 bits
+      // rather than being read low-16 as noise.
+      val directlyReadable =
+        (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          f0.getSampleSizeInBits == 16) ||
+        ((f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+          f0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) &&
+          f0.getSampleSizeInBits == 8)
+      val ais = if (directlyReadable) ais0 else {
         val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
           f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
           f0.getSampleRate, false)
@@ -122,8 +132,9 @@ object MultimodalOps {
           i += 1
         }
       } else {
-        // 16-bit; wider depths fall back to their top 16 bits via the
-        // converter path above (isPcm strictly 16/8 after conversion)
+        // 16-bit signed; wider/unsigned depths were already converted to
+        // 16-bit signed above, so this 2-byte read is always the full
+        // sample
         val be = f.isBigEndian
         while (i < nSamples) {
           val o = i * bytesPerSample

@@ -226,6 +226,49 @@ class LlmSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(3).isNullAt(1))
   }
 
+  test("real audio decode: 24/32-bit PCM routes through the converter (top 16 bits, not low)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // Regression for the wide-PCM passthrough bug: a direct 2-byte read of
+    // 24/32-bit little-endian samples would return the LOW 16 bits (noise).
+    // The converter path must keep the TOP 16 bits (JDK rounds, so ±1).
+    def wideWav(bits: Int, ch: Int, nf: Int, sample: (Int, Int) => Int): Array[Byte] = {
+      val bps = bits / 8
+      val data = new Array[Byte](nf * ch * bps)
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val v = sample(i, c)
+        val o = (i * ch + c) * bps
+        for (b <- 0 until bps) data(o + b) = ((v >> (8 * b)) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, bits, ch, ch * bps, 8000f, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nf.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def s24(i: Int, c: Int): Int = i * 1000000 - 4000000 + c * 333333   // 24-bit range
+    def s32(i: Int, c: Int): Int = i * 100000000 - 250000000 + c * 7777777
+    val rows = Seq(
+      (1L, wideWav(24, 1, 10, s24)),
+      (2L, wideWav(32, 2, 6, s32)))
+    val out = DecodeAudioPipe("media")(rows.toDF("doc_id", "media"))
+      .select("doc_id", "audio").orderBy("doc_id").collect()
+    val a24 = out(0).getStruct(1); val a32 = out(1).getStruct(1)
+    assert(a24.getInt(0) == 8000 && a24.getInt(1) == 1 && a24.getInt(2) == 10)
+    assert(a32.getInt(1) == 2 && a32.getInt(2) == 6)
+    val g24 = a24.getSeq[Int](3); val g32 = a32.getSeq[Int](3)
+    for (i <- 0 until 10) {
+      val want = s24(i, 0) >> 8
+      assert(math.abs(g24(i) - want) <= 1, s"24-bit sample $i: got ${g24(i)}, want ~$want")
+    }
+    for (i <- 0 until 6; c <- 0 until 2) {
+      val want = s32(i, c) >> 16
+      val got = g32(i * 2 + c)
+      assert(math.abs(got - want) <= 1, s"32-bit sample ($i,$c): got $got, want ~$want")
+    }
+  }
+
   test("real audio resample: exact nearest-neighbor frame mapping") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 10 stereo frames, sample(i, c) = i*100 + c
