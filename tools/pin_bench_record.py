@@ -51,8 +51,13 @@ def main():
     a = ap.parse_args()
     allow = {g for g in a.allow.split(",") if g}
 
-    runs = [load(p)[0] for p in a.runs]
+    loaded = [load(p) for p in a.runs]
+    runs = [ok for ok, _ in loaded]
+    raw_gates = set().union(*[set(d["queries"]) for _, d in loaded])
     gates = set().union(*[set(r) for r in runs])
+    # present in a run file but failed (v<0) in EVERY run — would
+    # otherwise vanish silently from the pinned record
+    always_failed = sorted(raw_gates - gates)
     missing = [g for g in gates if any(g not in r for r in runs)]
     if missing:
         print(f"WARN: {len(missing)} gates absent/failed in some run: "
@@ -72,9 +77,23 @@ def main():
               f"(median {med:.2f})")
 
     prior_path = Path(a.prior) if a.prior else newest_record()
-    suspect = []
+    suspect, disappeared = [], []
     if prior_path and prior_path.exists():
         prior = load(prior_path)[0]
+        # a gate in the prior record but absent from every run (or failed
+        # in every run) must not vanish silently — the total would shrink
+        # and round-over-round comparisons mislead
+        disappeared = sorted(g for g in prior if g not in pinned)
+        bad_gone = [g for g in disappeared if g not in allow]
+        if bad_gone:
+            print(f"\nREFUSING to pin: {len(bad_gone)} gates present in the "
+                  f"prior record ({prior_path.name}) are absent from every "
+                  "run — the record would quietly shrink. Pass --allow for "
+                  "gates deliberately removed:", file=sys.stderr)
+            for g in bad_gone:
+                state = "failed in all runs" if g in always_failed else "absent"
+                print(f"  {g} ({state})", file=sys.stderr)
+            sys.exit(2)
         for g, v in pinned.items():
             pv = prior.get(g)
             if pv and pv > 0.3 and v < 0.45 * pv and g not in allow:
@@ -90,14 +109,16 @@ def main():
 
     total = sum(pinned.values())
     qs = ",".join(f'"{k}":{v:.3f}' for k, v in pinned.items())
-    sf = load(a.runs[0])[1].get("sf", "")
+    sf = loaded[0][1].get("sf", "")
+    failed = len(always_failed) + len([g for g in disappeared
+                                       if g not in always_failed])
     line = (f'{{"metric":"total","value":{total:.3f},"unit":"sec",'
-            f'"queries":{{{qs}}},"sf":"{sf}","failed":0,'
+            f'"queries":{{{qs}}},"sf":"{sf}","failed":{failed},'
             f'"pinned_from":{len(runs)}}}')
     Path(a.out).write_text(line + "\n")
     print(f"\npinned {len(pinned)} gates, total {total:.1f} s "
-          f"(min over {len(runs)} runs, {len(demoted)} fluke minima demoted) "
-          f"-> {a.out}")
+          f"(min over {len(runs)} runs, {len(demoted)} fluke minima demoted, "
+          f"{failed} dropped/failed) -> {a.out}")
 
 
 if __name__ == "__main__":
