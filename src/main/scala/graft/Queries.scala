@@ -934,6 +934,34 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "m5_mlp_from_file" -> ((s, d) => {
+      // Weight-FILE import closing the checkpointed-model story
+      // (reference: torch checkpoints, pipes/predict.py:151-191): the
+      // formula weights are round-tripped through a real safetensors
+      // file (written F32 — every formula value is a small multiple of
+      // 2^-4, so the widening back to double is exact), loaded via the
+      // WeightIO reader, and run through the SAME batched GEMM as m4 —
+      // uncached, exercising the in-place map-only path. The oracle
+      // replays the formula, so any byte-layout slip in the writer or
+      // reader shifts amplitudes and fails the hash. Model fingerprint
+      // here is the file's SHA-256, not the structural weight hash.
+      val m0 = graft.predict.MlpModel.formula(64, 32, 16)
+      val path = "/tmp/graft-fixtures/mlp_formula_64_32_16.safetensors"
+      graft.predict.WeightIO.writeSafeTensors(path, Seq(
+        "w1" -> graft.predict.WeightIO.Tensor(Seq(64, 32), m0.w1.flatten.toArray),
+        "b1" -> graft.predict.WeightIO.Tensor(Seq(32), m0.b1.toArray),
+        "w2" -> graft.predict.WeightIO.Tensor(Seq(32, 16), m0.w2.flatten.toArray),
+        "b2" -> graft.predict.WeightIO.Tensor(Seq(16), m0.b2.toArray)))
+      val m = graft.predict.MlpModel.fromSafeTensors(path)
+      graft.predict.BatchedPredictPipe(m, "embedding", "vector", "vec_id",
+        blockSize = 128)(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          transform(col("vector"),
+            v => floor(v * 10000 + 0.5).cast("long")).as("vector"))
+        .orderBy("vec_id")
+    }),
+
     // ----- LLM data-pipeline: dedup -----
     "dd_exact" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -3555,6 +3583,14 @@ object Queries {
     // both GEMM layers replayed from the weight formula (k-ascending
     // sums; ReLU = greatest; fixed-point e4 output, no round())
     "m4_mlp_batched" ->
+      scl("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |h AS (SELECT vec_id, list_transform(range(0,32), j -> greatest(list_sum(list_transform(range(0,64), k -> x[k+1] * ((((k*7 + j*11) % 9) - 4) * 0.125))) + (j % 5) * 0.0625, 0)) AS h FROM v),
+        |y AS (SELECT vec_id, list_transform(range(0,16), j -> list_sum(list_transform(range(0,32), k -> h[k+1] * ((((k*13 + j*5) % 9) - 4) * 0.125))) + (j % 7) * 0.0625) AS y FROM h)
+        |SELECT vec_id, list_transform(y, e -> CAST(floor(e * 10000 + 0.5) AS BIGINT)) AS vector FROM y ORDER BY vec_id""".stripMargin.replace("\n", " "),
+        "vec_id" -> "", "vector" -> "i"),
+    // identical weights to m4 (the file round-trip is F32-exact), so the
+    // same formula replay is the oracle
+    "m5_mlp_from_file" ->
       scl("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
         |h AS (SELECT vec_id, list_transform(range(0,32), j -> greatest(list_sum(list_transform(range(0,64), k -> x[k+1] * ((((k*7 + j*11) % 9) - 4) * 0.125))) + (j % 5) * 0.0625, 0)) AS h FROM v),
         |y AS (SELECT vec_id, list_transform(range(0,16), j -> list_sum(list_transform(range(0,32), k -> h[k+1] * ((((k*13 + j*5) % 9) - 4) * 0.125))) + (j % 7) * 0.0625) AS y FROM h)

@@ -1269,6 +1269,34 @@ object VerifyScratch {
         s"-> ${top16 && exact16}")
     }
 
+    // [78] r16: weight-file import — formula weights round-tripped through
+    // a real safetensors file produce BIT-IDENTICAL batched inference to
+    // the in-code model on the sf0.001 embeddings, and the loaded model's
+    // fingerprint is the file digest (distinct from the structural hash)
+    {
+      import graft.predict.{BatchedPredictPipe, MlpModel, WeightIO}
+      val m0 = MlpModel.formula(64, 32, 16)
+      val p = "/tmp/graft-fixtures/vscratch_mlp.safetensors"
+      WeightIO.writeSafeTensors(p, Seq(
+        "w1" -> WeightIO.Tensor(Seq(64, 32), m0.w1.flatten.toArray),
+        "b1" -> WeightIO.Tensor(Seq(32), m0.b1.toArray),
+        "w2" -> WeightIO.Tensor(Seq(32, 16), m0.w2.flatten.toArray),
+        "b2" -> WeightIO.Tensor(Seq(16), m0.b2.toArray)))
+      val mf = MlpModel.fromSafeTensors(p)
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding")
+      def run(m: MlpModel) =
+        BatchedPredictPipe(m, "embedding", "vector", "vec_id", blockSize = 128)(emb)
+          .select("vec_id", "vector").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val a = run(mf); val b = run(m0)
+      val eq = a.keySet == b.keySet && a.forall { case (k, v) => v == b(k) }
+      val fpOk = mf.fingerprint != m0.fingerprint &&
+        mf.sourceDigest.exists(_.length == 64)
+      println(s"[78] weight-file import bitEq=$eq rows=${a.size} " +
+        s"digestFp=$fpOk -> ${eq && fpOk && a.nonEmpty}")
+    }
+
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ trait VectorModel extends Serializable {
   * test oracle `DummyModel`, tests/utils/dummy_model.py:10-38) as a pure
   * expression: `transform` over weight rows, `aggregate` dot product.
   */
-case class LinearModel(weights: Seq[Seq[Double]], bias: Seq[Double])
+case class LinearModel(weights: Seq[Seq[Double]], bias: Seq[Double],
+    sourceDigest: Option[String] = None)
     extends VectorModel {
   require(weights.nonEmpty && weights.size == bias.size)
 
@@ -38,10 +39,36 @@ case class LinearModel(weights: Seq[Seq[Double]], bias: Seq[Double])
     array(rows: _*)
   }
 
-  def fingerprint: String = Fingerprint.ofStruct(
-    "LinearModel",
-    Map("weights" -> weights.map(_.mkString(",")).mkString(";"),
-      "bias" -> bias.mkString(",")))
+  /** File-loaded models fingerprint by the SOURCE FILE digest (O(1) for
+    * real checkpoint sizes); in-code models by the weight values.
+    */
+  def fingerprint: String = sourceDigest match {
+    case Some(d) => Fingerprint.ofStruct("LinearModel", Map("file_sha256" -> d))
+    case None => Fingerprint.ofStruct(
+      "LinearModel",
+      Map("weights" -> weights.map(_.mkString(",")).mkString(";"),
+        "bias" -> bias.mkString(",")))
+  }
+}
+
+object LinearModel {
+  /** Load from a safetensors checkpoint. The weight matrix is expected in
+    * the torch `Linear` layout `[out, in]` (each row one output unit —
+    * [[LinearModel]]'s own layout); pass `transposed = true` for files
+    * that store `[in, out]`. Fingerprint = file SHA-256.
+    */
+  def fromSafeTensors(
+      path: String,
+      wName: String = "weight",
+      bName: String = "bias",
+      transposed: Boolean = false): LinearModel = {
+    val ts = WeightIO.readSafeTensors(path)
+    def get(n: String) = ts.getOrElse(n, throw new IllegalArgumentException(
+      s"$path has no tensor '$n' (present: ${ts.keys.toSeq.sorted.mkString(", ")})"))
+    val w = if (transposed) get(wName).transposed else get(wName)
+    LinearModel(w.matrix, get(bName).vector,
+      sourceDigest = Some(WeightIO.fileDigest(path)))
+  }
 }
 
 /** M1 `PredictWithoutCache` (predict.py:34-64): run the model inline. */
@@ -118,16 +145,23 @@ object Predict {
   */
 case class MlpModel(
     w1: Seq[Seq[Double]], b1: Seq[Double],
-    w2: Seq[Seq[Double]], b2: Seq[Double]) extends Serializable {
+    w2: Seq[Seq[Double]], b2: Seq[Double],
+    sourceDigest: Option[String] = None) extends Serializable {
   require(w1.nonEmpty && w1.head.size == b1.size, "w1 is dIn x dHidden")
   require(w2.size == b1.size && w2.head.size == b2.size, "w2 is dHidden x dOut")
   val dIn: Int = w1.size
   val dHidden: Int = b1.size
   val dOut: Int = b2.size
 
-  def fingerprint: String = Fingerprint.ofStruct("MlpModel", Map(
-    "w1" -> w1.map(_.mkString(",")).mkString(";"), "b1" -> b1.mkString(","),
-    "w2" -> w2.map(_.mkString(",")).mkString(";"), "b2" -> b2.mkString(",")))
+  /** File-loaded models fingerprint by the SOURCE FILE digest (O(1) for
+    * real checkpoint sizes); in-code models by the weight values.
+    */
+  def fingerprint: String = sourceDigest match {
+    case Some(d) => Fingerprint.ofStruct("MlpModel", Map("file_sha256" -> d))
+    case None => Fingerprint.ofStruct("MlpModel", Map(
+      "w1" -> w1.map(_.mkString(",")).mkString(";"), "b1" -> b1.mkString(","),
+      "w2" -> w2.map(_.mkString(",")).mkString(";"), "b2" -> b2.mkString(",")))
+  }
 
   @transient private lazy val fw1: Array[Double] =
     w1.flatten.toArray // row-major [k][j]
@@ -192,6 +226,43 @@ object MlpModel {
     (0 until dHidden).map(k => (0 until dOut).map(j =>
       (((k * 13 + j * 5) % 9) - 4) * 0.125)),
     (0 until dOut).map(j => (j % 7) * 0.0625))
+
+  /** Load from a safetensors checkpoint with tensors (w1, b1, w2, b2).
+    * Default layout matches [[MlpModel]]: `w1` is `[dIn, dHidden]`, `w2`
+    * `[dHidden, dOut]`. With `torchLayout = true` the weight matrices are
+    * taken as torch `Linear` `[out, in]` and transposed on load (e.g.
+    * names = ("fc1.weight","fc1.bias","fc2.weight","fc2.bias") for a
+    * torch-exported two-layer probe). F32 values widen exactly to the
+    * doubles the GEMM runs on; fingerprint = file SHA-256.
+    */
+  def fromSafeTensors(
+      path: String,
+      names: (String, String, String, String) = ("w1", "b1", "w2", "b2"),
+      torchLayout: Boolean = false): MlpModel =
+    fromTensors(path, WeightIO.readSafeTensors(path), names, torchLayout)
+
+  /** Load from an npz checkpoint (zip of npy arrays), same contract as
+    * [[fromSafeTensors]].
+    */
+  def fromNpz(
+      path: String,
+      names: (String, String, String, String) = ("w1", "b1", "w2", "b2"),
+      torchLayout: Boolean = false): MlpModel =
+    fromTensors(path, WeightIO.readNpz(path), names, torchLayout)
+
+  private def fromTensors(
+      path: String,
+      ts: Map[String, WeightIO.Tensor],
+      names: (String, String, String, String),
+      torchLayout: Boolean): MlpModel = {
+    def get(n: String) = ts.getOrElse(n, throw new IllegalArgumentException(
+      s"$path has no tensor '$n' (present: ${ts.keys.toSeq.sorted.mkString(", ")})"))
+    def mat(n: String) =
+      (if (torchLayout) get(n).transposed else get(n)).matrix
+    MlpModel(mat(names._1), get(names._2).vector,
+      mat(names._3), get(names._4).vector,
+      sourceDigest = Some(WeightIO.fileDigest(path)))
+  }
 }
 
 /** Batched model inference: blocks of `blockSize` rows per GEMM inside
