@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
 /** Similarity search on ARRIVING queries: a STANDING index serves each
@@ -16,13 +17,57 @@ import org.apache.spark.sql.types.StructType
   * so there is no watermark, no state store, and a replayed batch
   * re-derives identical results (search is deterministic).
   *
-  * At scale the per-batch results stream straight to a sink; the gate
-  * harness drains them into a driver buffer (bounded: k rows per query
-  * per batch) to hand the oracle one batch frame — the memory-sink
-  * analogue, same as the other ev_* gates.
+  * Two entry points:
+  *   - [[runSearchStreamTo]] — the PRODUCTION shape: per-batch results
+  *     go straight to the caller's sink (parquet append, upsert, queue)
+  *     and never touch the driver; returns the live [[StreamingQuery]].
+  *   - [[runSearchStream]] — the TEST/gate harness: drains every batch
+  *     into a bounded driver buffer (k rows per query per batch) and
+  *     returns one batch frame for the oracle. Do NOT point this at an
+  *     unbounded production stream — the buffer grows with total
+  *     queries served.
   */
 object SearchStream {
 
+  /** Production variant: serve each arriving micro-batch with `engine`
+    * and hand the result frame to `sink` (executed on the cluster —
+    * e.g. `_.write.mode("append").parquet(out)`). Results scale with the
+    * stream, not with driver memory. The returned query is LIVE: the
+    * caller owns its lifecycle (`awaitTermination`/`stop`); pass a
+    * `checkpointDir` for restart-exactly-once bookkeeping of which
+    * query batches were already served.
+    */
+  def runSearchStreamTo(
+      engine: DataFrame => DataFrame,
+      queries: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(engine(batch), batchId)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** Parquet-append convenience over [[runSearchStreamTo]]: per-batch
+    * top-k results land under `outDir` as they are computed.
+    */
+  def runSearchStreamToParquet(
+      engine: DataFrame => DataFrame,
+      queries: DataFrame,
+      outDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery =
+    runSearchStreamTo(engine, queries,
+      (res, _) => res.write.mode("append").parquet(outDir), checkpointDir)
+
+  /** TEST/GATE harness variant: process everything currently available,
+    * stop, and return ALL results as one batch frame via a driver-side
+    * buffer. Bounded only by (queries seen) × k — fine for gates and
+    * specs, wrong for unbounded production streams; use
+    * [[runSearchStreamTo]] there.
+    */
   def runSearchStream(engine: DataFrame => DataFrame,
       queries: DataFrame): DataFrame = {
     val spark = queries.sparkSession

@@ -463,4 +463,36 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("search stream production sink: parquet append equals the test drain") {
+    implicit val sctx = spark.sqlContext
+    // a deterministic "engine": score = qid*10 + batch row's own value,
+    // standing in for a real index probe (the search semantics are the
+    // batch engine's and covered by the s*/ev_stream_*_search gates —
+    // this spec pins the SINK plumbing: results reach parquet per batch,
+    // never a driver buffer, and match the drain variant row-for-row)
+    def engine(batch: org.apache.spark.sql.DataFrame) =
+      batch.select(col("qid"), (col("qid") * 10 + col("v")).as("score"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sstream").toString
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L, 1L), (2L, 2L))
+    val q = SearchStream.runSearchStreamToParquet(
+      b => engine(b), mem.toDF().toDF("qid", "v"), s"$out/res",
+      checkpointDir = Some(s"$out/ckpt"))
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, 3L)) // second micro-batch appends
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(s"$out/res")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sunk == Set((1L, 11L), (2L, 22L), (3L, 33L)), s"got $sunk")
+    // drain variant over the same inputs returns the identical rows
+    val mem2 = MemoryStream[(Long, Long)]
+    mem2.addData((1L, 1L), (2L, 2L), (3L, 3L))
+    val drained = SearchStream.runSearchStream(
+      b => engine(b), mem2.toDF().toDF("qid", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drained == sunk)
+  }
 }
