@@ -128,6 +128,50 @@ object IngestPreset {
     clean
   }
 
+  /** Cleaned-corpus cache: the cleaner chain is deterministic in the raw
+    * text, so its output parquet-materializes ONCE per corpus fingerprint
+    * via [[graft.core.CachedStage]] — without it the whole
+    * C4/Gopher/token chain re-executes for every downstream consumer
+    * (dedup corpus side, corpus embed, table rows) and again on every
+    * re-run of an unchanged corpus.
+    */
+  def cleanCached(corpusRaw: DataFrame, cacheDir: String,
+      corpusFp: String): DataFrame =
+    graft.core.CachedStage(corpusRaw.sparkSession, cacheDir,
+      graft.core.Fingerprint.combine(corpusFp, "ingest-clean")) {
+      cleaner(corpusRaw.select("doc_id", "text"))
+        .select("doc_id", "text", "ws_tokens")
+    }
+
+  /** Fingerprint-keyed standing state: every seed artifact (cleaned
+    * corpus, embeddings, index state, the partitioned table itself) is
+    * deterministic in the corpus fingerprint, so the table lives under
+    * `cacheDir/ingest-table/<hash(corpusFp, variant)>` and an existing
+    * manifest skips the whole seed — a warm re-seed costs one manifest
+    * read. Returns (tableDir, cleaned corpus). Combined with
+    * [[graft.streaming.PartitionedUpsert.applyBatch]]'s replay guard (a
+    * committed batch id re-applies as a no-op — the upsert's own
+    * crash-recovery contract), re-running an identical ingest against
+    * the keyed table is read-mostly end to end. A REGENERATED source
+    * corpus changes `corpusFp` and re-seeds from scratch; concurrent
+    * ingests against one variant are serialized by the table's writer
+    * lease exactly as before.
+    */
+  def seedCached(corpusRaw: DataFrame, cacheDir: String, corpusFp: String,
+      variant: String, nParts: Int = 8): (String, DataFrame) = {
+    val spark = corpusRaw.sparkSession
+    val tableDir = s"$cacheDir/ingest-table/" +
+      graft.core.Fingerprint.combine(corpusFp, variant)
+    val clean = cleanCached(corpusRaw, cacheDir, corpusFp)
+    if (graft.streaming.PartitionedUpsert.readManifest(spark, tableDir).isEmpty) {
+      val vec = embed(clean, cacheDir, s"$corpusFp:corpus-embed")
+      val base = indexBase(vec, cacheDir, corpusFp)
+      graft.streaming.PartitionedUpsert.seed(
+        tableRows(vec, base.taggedCodes), tableDir, Seq("doc_id"), nParts)
+    }
+    (tableDir, clean)
+  }
+
   case class Ingested(
       clean: DataFrame, dropped: DataFrame, unique: DataFrame,
       engine: graft.search.IVFPQDenseEngine, table: DataFrame)
