@@ -1325,6 +1325,58 @@ object VerifyScratch {
         s"-> ${occOk && plantsFound && wide == graft.llm.SrpLayout.Layout(120, 6, 5)}")
     }
 
+    // [80] r16: BF16 checkpoint path end-to-end — a hand-built BF16
+    // safetensors file (formula weights truncated to bf16 = top 16 float
+    // bits) loads and runs BatchedPredictPipe on the real sf0.001
+    // embeddings BIT-IDENTICALLY to an in-code model carrying the same
+    // truncated weights (the widening chain bf16 -> f32 -> f64 is exact)
+    {
+      import graft.predict.{BatchedPredictPipe, MlpModel}
+      def bf16(d: Double): Double = java.lang.Float.intBitsToFloat(
+        (java.lang.Float.floatToRawIntBits(d.toFloat) >>> 16) << 16).toDouble
+      val m0 = graft.predict.MlpModel.formula(64, 32, 16)
+      // perturb the formula weights so bf16 truncation actually bites
+      // (formula values are exactly representable at any width)
+      def jig(m: Seq[Seq[Double]]) = m.map(_.map(v => v + 1.0 / 3.0))
+      val w1 = jig(m0.w1); val w2 = jig(m0.w2)
+      val truncated = MlpModel(
+        w1.map(_.map(bf16)), m0.b1.map(bf16), w2.map(_.map(bf16)),
+        m0.b2.map(bf16))
+      val p = "/tmp/graft-fixtures/vscratch_bf16.safetensors"
+      // hand-write the BF16 buffer (writer emits F32/F64 only)
+      val flat = Seq("w1" -> (Seq(64, 32), w1.flatten),
+        "b1" -> (Seq(32), m0.b1), "w2" -> (Seq(32, 16), w2.flatten),
+        "b2" -> (Seq(16), m0.b2))
+      val header = flat.foldLeft((Seq.empty[String], 0L)) {
+        case ((hs, off), (nm, (shape, vs))) =>
+          val end = off + vs.size * 2
+          (hs :+ s""""$nm":{"dtype":"BF16","shape":[${shape.mkString(",")}],"data_offsets":[$off,$end]}""",
+            end)
+      }
+      val hj = ("{" + header._1.mkString(",") + "}").getBytes("UTF-8")
+      val pad = (8 - hj.length % 8) % 8
+      val buf = java.nio.ByteBuffer
+        .allocate(8 + hj.length + pad + header._2.toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putLong((hj.length + pad).toLong).put(hj)
+        .put(Array.fill(pad)(' '.toByte))
+      flat.foreach { case (_, (_, vs)) => vs.foreach(v => buf.putShort(
+        (java.lang.Float.floatToRawIntBits(v.toFloat) >>> 16).toShort)) }
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), buf.array())
+      val mf = MlpModel.fromSafeTensors(p)
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding")
+      def run(m: MlpModel) =
+        BatchedPredictPipe(m, "embedding", "vector", "vec_id", blockSize = 64)(emb)
+          .select("vec_id", "vector").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val a = run(mf); val b = run(truncated)
+      val eq = a.keySet == b.keySet && a.forall { case (k, v) => v == b(k) }
+      val bites = mf.w1 != w1 // truncation must have changed something
+      println(s"[80] bf16 checkpoint bitEq=$eq rows=${a.size} " +
+        s"truncationBites=$bites -> ${eq && bites && a.nonEmpty}")
+    }
+
     spark.stop()
   }
 }

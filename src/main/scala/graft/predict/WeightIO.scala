@@ -15,9 +15,11 @@ import com.fasterxml.jackson.databind.node.JsonNodeFactory
   * buffer) and **npy/npz** (the NumPy formats: magic + python-literal
   * header per array; npz = zip of npy entries).
   *
-  * Values are surfaced as doubles — float32 → float64 widening is exact,
-  * so an F32 checkpoint loads bit-for-bit into [[MlpModel]] /
-  * [[LinearModel]] and the GEMM replays identically to in-code weights.
+  * Values are surfaced as doubles — the widening from every supported
+  * storage type (F32, and the half-precision F16/BF16 real checkpoints
+  * usually ship) is exact, so a checkpoint loads bit-for-bit into
+  * [[MlpModel]] / [[LinearModel]] and the GEMM replays identically to
+  * in-code weights.
   * A loaded model's fingerprint is the SOURCE FILE's SHA-256 digest (not
   * the structural weight hash) so cache keys stay O(1) for real-sized
   * checkpoints.
@@ -76,11 +78,32 @@ object WeightIO {
 
   private val mapper = new ObjectMapper()
 
+  /** IEEE-754 half (binary16) → float, exact: both subnormal
+    * (mant · 2⁻²⁴) and normal ((1 + mant/1024) · 2^(exp−15)) forms are
+    * sums of powers of two well inside float32's range and precision.
+    * (JDK 20's `Float.float16ToFloat` equivalent — this repo runs 17.)
+    */
+  private[graft] def halfToFloat(h: Int): Float = {
+    val sign = if ((h & 0x8000) != 0) -1f else 1f
+    val exp = (h >>> 10) & 0x1F
+    val mant = h & 0x3FF
+    if (exp == 0) sign * mant * 5.9604645e-8f // 2^-24
+    else if (exp == 0x1F) {
+      if (mant == 0) sign * Float.PositiveInfinity else Float.NaN
+    } else sign * (1f + mant / 1024f) *
+      java.lang.Math.scalb(1f, exp - 15)
+  }
+
+  /** bfloat16 → float, exact: bf16 IS the top 16 bits of a float32. */
+  private[graft] def bf16ToFloat(h: Int): Float =
+    java.lang.Float.intBitsToFloat((h & 0xFFFF) << 16)
+
   /** Read a safetensors file: `u64le header_len | header JSON | buffer`.
     * Header maps tensor name → {dtype, shape, data_offsets:[begin,end)}
     * with offsets relative to the buffer start; data is little-endian
-    * C-order. Supported dtypes: F64, F32, I64, I32 (widened to double —
-    * exact for F32/I32 and for I64 magnitudes < 2^53).
+    * C-order. Supported dtypes: F64, F32, F16, BF16, I64, I32 (widened
+    * to double — exact for every value the narrower types can hold; I64
+    * exact below 2^53).
     */
   def readSafeTensors(path: String): Map[String, Tensor] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
@@ -116,8 +139,10 @@ object WeightIO {
         val width = dtype match {
           case "F64" | "I64" => 8
           case "F32" | "I32" => 4
+          case "F16" | "BF16" => 2
           case other => throw new IllegalArgumentException(
-            s"tensor $name: unsupported dtype $other (supported: F64 F32 I64 I32)")
+            s"tensor $name: unsupported dtype $other " +
+              "(supported: F64 F32 F16 BF16 I64 I32)")
         }
         require(end - begin == n.toLong * width,
           s"tensor $name: ${end - begin} bytes != $n x $width")
@@ -128,6 +153,10 @@ object WeightIO {
         dtype match {
           case "F64" => while (i < n) { data(i) = tb.getDouble; i += 1 }
           case "F32" => while (i < n) { data(i) = tb.getFloat.toDouble; i += 1 }
+          case "F16" =>
+            while (i < n) { data(i) = halfToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
+          case "BF16" =>
+            while (i < n) { data(i) = bf16ToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
           case "I64" => while (i < n) { data(i) = tb.getLong.toDouble; i += 1 }
           case "I32" => while (i < n) { data(i) = tb.getInt.toDouble; i += 1 }
         }
@@ -221,8 +250,9 @@ object WeightIO {
     val width = descr match {
       case "<f8" | "<i8" => 8
       case "<f4" | "<i4" => 4
+      case "<f2" => 2
       case other => throw new IllegalArgumentException(
-        s"unsupported npy descr $other (supported: <f8 <f4 <i8 <i4)")
+        s"unsupported npy descr $other (supported: <f8 <f4 <f2 <i8 <i4)")
     }
     val tb = ByteBuffer.wrap(readN(n * width)).order(ByteOrder.LITTLE_ENDIAN)
     val data = new Array[Double](n)
@@ -230,6 +260,8 @@ object WeightIO {
     descr match {
       case "<f8" => while (i < n) { data(i) = tb.getDouble; i += 1 }
       case "<f4" => while (i < n) { data(i) = tb.getFloat.toDouble; i += 1 }
+      case "<f2" =>
+        while (i < n) { data(i) = halfToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
       case "<i8" => while (i < n) { data(i) = tb.getLong.toDouble; i += 1 }
       case "<i4" => while (i < n) { data(i) = tb.getInt.toDouble; i += 1 }
     }
