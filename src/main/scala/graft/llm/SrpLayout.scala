@@ -52,11 +52,11 @@ object SrpLayout {
     Layout(r * bands, bands, bands - 1)
   }
 
-  /** Layout for engines that require a single-long signature (e.g.
-    * [[graft.search.LSHDenseEngine]]): the occupancy-chosen r capped at
-    * `62 / bands`. Past the cap the engine's recall/candidate knobs are
-    * `probes`/`bands` — or move to IVF, which scales by partitioning the
-    * corpus instead of widening signatures.
+  /** Layout capped to a single-long signature (nBits <= 62) for
+    * consumers that need one — the occupancy-chosen r capped at
+    * `62 / bands`. [[graft.search.LSHDenseEngine]] reads the packed wide
+    * layouts natively since r16, so its `sized` uses [[forCorpus]]; this
+    * stays for callers that pin the narrow representation.
     */
   def forCorpusNarrow(n: Long, bands: Int = 6, targetOccupancy: Double = 1.0): Layout = {
     require(bands >= 2, "need at least 2 bands for pigeonhole recall")

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions.{transform => arrTransform, _}
   * dedup/version lookup); recall for far neighbors collapses by design,
   * and a query may return FEWER than k rows (use `dense_ivf`/`ivf_pq` for
   * general ANN). Bucket occupancy `n / 2^(nBits/bands)` is the sizing
-  * knob, exactly as documented on the dedup pipe.
+  * knob, exactly as documented on the dedup pipe — auto-computed by
+  * [[LSHDenseEngine.sized]], and signatures past 62 bits pack 60-bit
+  * words (r16) so the ladder extends to any corpus size.
   *
   * Scale shape: the banded corpus frame carries (band, bucket, idx) longs
   * only; candidate vectors are fetched back by idx AFTER bucket pruning,
@@ -49,9 +51,17 @@ case class LSHDenseEngine(
     stateDir: Option[String] = None,
     corpusFingerprint: String = "") extends SearchEngine {
   require(nBits % bands == 0, "bands must divide nBits")
-  require(nBits <= 62, "signature must fit a long")
+  // narrow (<= 62 bits) signatures are ONE long — the historical layout,
+  // kept byte-identical so persisted caches replay; past 62 bits the
+  // signature packs 60-bit words (array<long>, r16 — same layout as
+  // SRPCosineDedupPipe's wide path), so bits-per-band must divide 60 and
+  // no band spans a word boundary
+  require(nBits <= 62 || 60 % (nBits / bands) == 0,
+    "wide signatures pack 60-bit words: bits-per-band must divide 60")
   require(probes >= 0 && probes <= nBits / bands,
     s"probes must be in [0, ${nBits / bands}] (band width)")
+
+  private def wide: Boolean = nBits > 62
 
   override def params = Map("k" -> config.k.toString, "engine" -> "dense_lsh",
     "nBits" -> nBits.toString, "bands" -> bands.toString,
@@ -74,17 +84,37 @@ case class LSHDenseEngine(
           "the hyperplanes are built for")
     }
 
-  /** Signature bits as one long; same formula as SRPCosineDedupPipe. */
+  /** Signature bits — one long (narrow) or packed 60-bit words (wide);
+    * same hyperplane formula as SRPCosineDedupPipe at either width.
+    */
   private def sigExpr(vec: Column): Column = {
     val planes: Seq[Seq[Double]] = Seq.tabulate(nBits)(b =>
       Seq.tabulate(dim)(t => (((b * 37 + t * 11) % 21) - 10) / 10.0))
-    (0 until nBits).map { b =>
-      val dot = aggregate(
-        zip_with(arrTransform(vec, _.cast("double")), typedLit(planes(b)),
-          (x, p) => x * p),
-        lit(0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    def dotBit(b: Int): Column = aggregate(
+      zip_with(arrTransform(vec, _.cast("double")), typedLit(planes(b)),
+        (x, p) => x * p),
+      lit(0d), (acc, x) => acc + x)
+    if (!wide)
+      (0 until nBits).map { b =>
+        when(dotBit(b) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    else array((0 until (nBits + 59) / 60).map { w =>
+      (w * 60 until math.min(nBits, (w + 1) * 60)).map { b =>
+        when(dotBit(b) > 0, lit(1L << (b - w * 60))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Band `b`'s bucket hash out of a signature column — the one place
+    * that knows the narrow-vs-wide bit layout (r = nBits/bands divides
+    * 60 in the wide case, so a band never spans a word).
+    */
+  private def bandHash(sg: Column, b: Int): Column = {
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    if (!wide) shiftrightunsigned(sg, b * r).bitwiseAND(mask)
+    else shiftrightunsigned(
+      element_at(sg, b * r / 60 + 1), (b * r) % 60).bitwiseAND(mask)
   }
 
   /** `(idx, sg)` — persisted under the fingerprint cache. */
@@ -100,14 +130,11 @@ case class LSHDenseEngine(
     }
   }
 
-  private def banded(sigs: DataFrame): DataFrame = {
-    val r = nBits / bands
-    val mask = (1L << r) - 1
+  private def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("idx"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sg"), b * r).bitwiseAND(mask)): _*))
+        bandHash(col("sg"), b)): _*))
         .as(Seq("band", "bh")))
-  }
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val qv = qcol(s"${config.queryField}.vector")
@@ -124,12 +151,11 @@ case class LSHDenseEngine(
       qv)
     val qsig = stamped.select(col(rowId), qvChecked.as("__qv__"))
       .withColumn("sg", sigExpr(col("__qv__")))
-    val r = nBits / bands
     val probeEntries = for {
       b <- 0 until bands
       p <- 0 to probes
     } yield {
-      val base = shiftrightunsigned(col("sg"), b * r).bitwiseAND((1L << r) - 1)
+      val base = bandHash(col("sg"), b)
       val bh = if (p == 0) base else base.bitwiseXOR(lit(1L << (p - 1)))
       struct(lit(b).as("band"), bh.as("bh"))
     }
@@ -155,11 +181,11 @@ case class LSHDenseEngine(
 
 object LSHDenseEngine {
   /** Corpus-count-sized constructor: bits-per-band from
-    * [[graft.llm.SrpLayout.forCorpusNarrow]] (occupancy-targeted, capped
-    * at the engine's single-long signature limit `62 / bands`). Past the
-    * cap the recall/candidate knobs are `probes`/`bands` — or move to
-    * `dense_ivf`, which scales by partitioning the corpus instead of
-    * widening signatures.
+    * [[graft.llm.SrpLayout.forCorpus]] — the full occupancy ladder,
+    * including the packed wide layouts (r16: the engine reads them
+    * natively, same 60-bit-word layout as the dedup pipe), so bucket
+    * occupancy stays at the target at any corpus size instead of
+    * saturating at the old single-long cap.
     */
   def sized(
       corpus: DataFrame,
@@ -172,7 +198,7 @@ object LSHDenseEngine {
       stateDir: Option[String] = None,
       corpusFingerprint: String = "",
       targetOccupancy: Double = 1.0): LSHDenseEngine = {
-    val l = graft.llm.SrpLayout.forCorpusNarrow(corpusCount, bands, targetOccupancy)
+    val l = graft.llm.SrpLayout.forCorpus(corpusCount, bands, targetOccupancy)
     LSHDenseEngine(corpus, l.nBits, l.bands, probes, config,
       corpusIdxCol, corpusVecCol, stateDir, corpusFingerprint)
   }

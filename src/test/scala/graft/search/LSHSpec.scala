@@ -135,4 +135,49 @@ class LSHSpec extends SparkSpec {
       LSHDenseEngine(corpus, nBits = 48, bands = 6, probes = 9, config = cfg)
     }
   }
+
+  test("wide 120-bit signatures: self-match, near-dup bucket-mate, multiprobe superset") {
+    val weng = LSHDenseEngine(corpus, nBits = 120, bands = 6, config = cfg)
+    // identical signature at ANY width shares all bands -> self at rank 1
+    val out = weng(queries(6))
+      .select(col("qid").cast("long"), element_at(col("`index.idx`"), 1))
+      .as[(Long, Long)].collect()
+    out.foreach { case (qid, top) => assert(top == qid, s"query $qid") }
+    // a sub-quantization perturbation keeps every sign bit -> still found
+    val qv = spark.read.parquet(sf("embeddings")).filter(col("vec_id") === 3)
+      .select(lit(99999L).as("qid"),
+        transform(col("embedding"), v => v + lit(1e-6f)).as("query.vector"))
+    assert(weng(qv).select(element_at(col("`index.idx`"), 1)).head.getLong(0) == 3L)
+    // multiprobe stays a candidate superset in the wide layout
+    def retrieved(p: Int): Map[Long, Set[Long]] =
+      LSHDenseEngine(corpus, nBits = 120, bands = 6, probes = p,
+        config = cfg.copy(k = 2000))(queries(6))
+        .select(col("qid").cast("long"), col("`index.idx`"))
+        .as[(Long, Seq[Long])].collect().toMap
+        .map { case (q, is) => q -> is.filter(_ >= 0).toSet }
+    val base = retrieved(0); val probed = retrieved(2)
+    base.foreach { case (q, s0) =>
+      assert(s0.subsetOf(probed(q)), s"query $q lost candidates under probing") }
+  }
+
+  test("wide signature words carry the exact narrow bits (prefix parity)") {
+    // the first 60 bits of the 120-bit layout equal the 60-bit narrow
+    // signature built from the same hyperplanes: word 0 of wide == narrow
+    val narrow = LSHDenseEngine(corpus, nBits = 60, bands = 6, config = cfg)
+      .signatures.select(col("idx"), col("sg").as("n"))
+    val wide = LSHDenseEngine(corpus, nBits = 120, bands = 6, config = cfg)
+      .signatures.select(col("idx"), element_at(col("sg"), 1).as("w0"))
+    val diff = narrow.join(wide, "idx").filter(col("n") =!= col("w0")).count()
+    assert(diff == 0)
+  }
+
+  test("sized() picks the wide layout at 200k and an invalid layout is impossible") {
+    val e = LSHDenseEngine.sized(corpus, corpusCount = 200000L)
+    assert(e.nBits == 120 && e.bands == 6)
+    val small = LSHDenseEngine.sized(corpus, corpusCount = 500L)
+    assert(small.nBits == 60 && small.bands == 6)
+    intercept[IllegalArgumentException] {
+      LSHDenseEngine(corpus, nBits = 128, bands = 8, config = cfg) // r=16, 60%16!=0
+    }
+  }
 }
