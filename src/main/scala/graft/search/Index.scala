@@ -103,7 +103,15 @@ object AutoSearchEngine {
       stateDir: Option[String] = None,
       corpusFingerprint: String = "",
       /** Multi-probe count for `dense_lsh` (query-time; see LSHDenseEngine). */
-      probes: Int = 0): Map[String, Factory] = Map(
+      probes: Int = 0,
+      /** Signature layout for `dense_lsh` (BUILD-affecting: forks the
+        * persisted signature state). Via [[AutoSearchEngine.apply]] opts:
+        * `lshBits` = an explicit width or `"auto"` (occupancy-sized from
+        * the corpus count through [[graft.llm.SrpLayout]], wide layouts
+        * included), `lshBands` = band count.
+        */
+      lshBits: Int = 48,
+      lshBands: Int = 6): Map[String, Factory] = Map(
     "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
     // the explicit opt-in for exact search over a >cap corpus: plans the
     // quadratic partitioned cartesian the bare `dense` refuses
@@ -149,7 +157,8 @@ object AutoSearchEngine {
     // FAISS IndexLSH by capability: SRP signatures + band buckets; finds
     // HIGH-cosine neighbors only (near-duplicate retrieval), may return
     // fewer than k rows — general ANN belongs to dense_ivf / ivf_pq
-    "dense_lsh" -> ((c, cfg) => LSHDenseEngine(c, probes = probes, config = cfg,
+    "dense_lsh" -> ((c, cfg) => LSHDenseEngine(c, nBits = lshBits,
+      bands = lshBands, probes = probes, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     // n-gram Jaccard lexical search (the contamination-lookup metric as
@@ -182,7 +191,16 @@ object AutoSearchEngine {
       roundScores = opts.get("roundScores").map(_.toInt),
       stateDir = opts.get("stateDir"),
       corpusFingerprint = opts.getOrElse("fingerprint", ""),
-      probes = opts.get("probes").map(_.toInt).getOrElse(0))
+      probes = opts.get("probes").map(_.toInt).getOrElse(0),
+      lshBits = opts.get("lshBits") match {
+        // "auto": occupancy-sized from the corpus count (one count job;
+        // the full SrpLayout ladder, wide layouts included)
+        case Some("auto") => graft.llm.SrpLayout.forCorpus(corpus.count(),
+          opts.get("lshBands").map(_.toInt).getOrElse(6)).nBits
+        case Some(v) => v.toInt
+        case None => 48
+      },
+      lshBands = opts.get("lshBands").map(_.toInt).getOrElse(6))
     reg.get(name) match {
       case Some(factory) => factory(corpus, cfg)
       // a reference config's FAISS factory string ("OPQ32,IVF4096,PQ32")

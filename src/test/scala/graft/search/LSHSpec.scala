@@ -171,6 +171,26 @@ class LSHSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("registry threads the LSH layout: explicit bits, bands, and auto sizing") {
+    val wide = AutoSearchEngine("dense_lsh", corpus, cfg,
+      Map("lshBits" -> "120", "lshBands" -> "6"))
+      .asInstanceOf[LSHDenseEngine]
+    assert(wide.nBits == 120 && wide.bands == 6)
+    // auto on the small spec corpus picks the narrow floor (occupancy <= 1)
+    val auto = AutoSearchEngine("dense_lsh", corpus, cfg,
+      Map("lshBits" -> "auto")).asInstanceOf[LSHDenseEngine]
+    assert(auto.nBits == 60 && auto.bands == 6)
+    // default unchanged (existing oracles/caches)
+    val dflt = AutoSearchEngine("dense_lsh", corpus, cfg)
+      .asInstanceOf[LSHDenseEngine]
+    assert(dflt.nBits == 48 && dflt.bands == 6)
+    // the wide registry engine actually answers
+    val out = wide(queries(3))
+      .select(col("qid").cast("long"), element_at(col("`index.idx`"), 1))
+      .as[(Long, Long)].collect()
+    out.foreach { case (qid, top) => assert(top == qid) }
+  }
+
   test("sized() picks the wide layout at 200k and an invalid layout is impossible") {
     val e = LSHDenseEngine.sized(corpus, corpusCount = 200000L)
     assert(e.nBits == 120 && e.bands == 6)
