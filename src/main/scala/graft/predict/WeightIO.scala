@@ -101,9 +101,9 @@ object WeightIO {
   /** Read a safetensors file: `u64le header_len | header JSON | buffer`.
     * Header maps tensor name → {dtype, shape, data_offsets:[begin,end)}
     * with offsets relative to the buffer start; data is little-endian
-    * C-order. Supported dtypes: F64, F32, F16, BF16, I64, I32 (widened
-    * to double — exact for every value the narrower types can hold; I64
-    * exact below 2^53).
+    * C-order. Supported dtypes: F64, F32, F16, BF16, I64, I32, I16, I8,
+    * U8, BOOL (widened to double — exact for every value the narrower
+    * types can hold; I64 exact below 2^53; BOOL/U8 read unsigned).
     */
   def readSafeTensors(path: String): Map[String, Tensor] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
@@ -139,10 +139,11 @@ object WeightIO {
         val width = dtype match {
           case "F64" | "I64" => 8
           case "F32" | "I32" => 4
-          case "F16" | "BF16" => 2
+          case "F16" | "BF16" | "I16" => 2
+          case "I8" | "U8" | "BOOL" => 1
           case other => throw new IllegalArgumentException(
             s"tensor $name: unsupported dtype $other " +
-              "(supported: F64 F32 F16 BF16 I64 I32)")
+              "(supported: F64 F32 F16 BF16 I64 I32 I16 I8 U8 BOOL)")
         }
         require(end - begin == n.toLong * width,
           s"tensor $name: ${end - begin} bytes != $n x $width")
@@ -159,6 +160,10 @@ object WeightIO {
             while (i < n) { data(i) = bf16ToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
           case "I64" => while (i < n) { data(i) = tb.getLong.toDouble; i += 1 }
           case "I32" => while (i < n) { data(i) = tb.getInt.toDouble; i += 1 }
+          case "I16" => while (i < n) { data(i) = tb.getShort.toDouble; i += 1 }
+          case "I8" => while (i < n) { data(i) = tb.get.toDouble; i += 1 }
+          case "U8" | "BOOL" =>
+            while (i < n) { data(i) = (tb.get & 0xFF).toDouble; i += 1 }
         }
         out += name -> Tensor(shape, data)
       }
