@@ -163,11 +163,22 @@ object IngestPreset {
     val tableDir = s"$cacheDir/ingest-table/" +
       graft.core.Fingerprint.combine(corpusFp, variant)
     val clean = cleanCached(corpusRaw, cacheDir, corpusFp)
+    // warm path is read-only and lock-free; the COLD seed takes the
+    // table's single-writer lease (a concurrent seeder of the same keyed
+    // dir fails loudly instead of interleaving staged partition writes)
+    // and re-checks the manifest under it — the loser of the race skips
     if (graft.streaming.PartitionedUpsert.readManifest(spark, tableDir).isEmpty) {
-      val vec = embed(clean, cacheDir, s"$corpusFp:corpus-embed")
-      val base = indexBase(vec, cacheDir, corpusFp)
-      graft.streaming.PartitionedUpsert.seed(
-        tableRows(vec, base.taggedCodes), tableDir, Seq("doc_id"), nParts)
+      val token = graft.streaming.WriterLock.acquire(
+        spark, tableDir, "IngestPreset.seed")
+      try {
+        if (graft.streaming.PartitionedUpsert
+            .readManifest(spark, tableDir).isEmpty) {
+          val vec = embed(clean, cacheDir, s"$corpusFp:corpus-embed")
+          val base = indexBase(vec, cacheDir, corpusFp)
+          graft.streaming.PartitionedUpsert.seed(
+            tableRows(vec, base.taggedCodes), tableDir, Seq("doc_id"), nParts)
+        }
+      } finally graft.streaming.WriterLock.release(spark, tableDir, token)
     }
     (tableDir, clean)
   }
@@ -182,7 +193,12 @@ object IngestPreset {
     */
   def run(newRaw: DataFrame, corpus: DataFrame, tableDir: String,
       cacheDir: String, corpusFp: String, batchFp: String,
-      batchId: Long = 0L): Ingested = {
+      batchId: Long = 0L,
+      /** True when the caller already holds the table's writer lease
+        * (the streaming twin holds it across batches); a standalone
+        * batch ingest takes it around its own commit.
+        */
+      leased: Boolean = false): Ingested = {
     val spark = newRaw.sparkSession
     val clean = cleaner(newRaw.select("doc_id", "text"))
       .select("doc_id", "text", "ws_tokens")
@@ -200,11 +216,24 @@ object IngestPreset {
     val eng = indexBase(corpusVec, cacheDir, corpusFp)
       .addVectors(newVec.select(col("doc_id").as("idx"), col("vector")),
         fingerprint = batchFp)
-    graft.streaming.PartitionedUpsert.applyBatch(
+    def commit(): Unit = graft.streaming.PartitionedUpsert.applyBatch(
       tableRows(newVec,
         eng.taggedCodes.join(
           newVec.select(col("doc_id").as("idx")), Seq("idx"))),
       batchId, tableDir, Seq("doc_id"), None)
+    val committed = graft.streaming.PartitionedUpsert
+      .readManifest(spark, tableDir).map(_.id)
+    if (committed.contains(batchId)) {
+      // replayed batch id: the upsert's no-op contract — read-only, so
+      // no lease is taken (keeps warm identical re-runs lock-free)
+    } else if (leased) commit()
+    else {
+      // standalone commit: same single-writer contract as the stream
+      val token = graft.streaming.WriterLock.acquire(
+        spark, tableDir, "IngestPreset.run")
+      try commit()
+      finally graft.streaming.WriterLock.release(spark, tableDir, token)
+    }
     Ingested(clean, dropped, unique, eng,
       graft.streaming.PartitionedUpsert.latest(spark, tableDir).get)
   }
@@ -227,7 +256,7 @@ object IngestPreset {
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, id: Long) =>
           run(batch, corpus, tableDir, cacheDir, corpusFp,
-            s"$fpPrefix:b$id", id): Unit
+            s"$fpPrefix:b$id", id, leased = true): Unit
         }
         .start()
       catch { case e: Throwable =>
