@@ -1023,9 +1023,15 @@ object Queries {
       // replay of the same predicate.
       org.apache.spark.sql.graft.GraftExtensions.register(s)
       val toks = split(col("text"), " ")
-      t(s, d, "documents").select(col("doc_id"), col("text"),
-        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
-          .as("mtext"))
+      // widen past the fixture's single file split: the banded DP is
+      // CPU-heavy per row and would otherwise run on ONE task (3.4 s
+      // serial at sf0.1, r16 StageProf); the stateless repartition
+      // carries only the raw text
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"),
+          array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(1))), " ")
+            .as("mtext"))
         .createOrReplaceTempView("graft_sql_lev")
       // materialize the survivors once before the presentation sort:
       // a global orderBy re-executes its child inside the range
