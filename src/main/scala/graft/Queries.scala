@@ -1901,6 +1901,39 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s27_ivf_rebalance" -> ((s, d) => {
+      // coarse-quantizer maintenance: build over two thirds, addVectors
+      // the rest (tags pinned to the ORIGINAL formula centroids), then
+      // REBALANCE onto a different deterministic quantizer — every row
+      // re-tagged, the incremental base dissolved. nprobe=4 < nlist=8
+      // keeps the search genuinely pruned, so the oracle replaying the
+      // NEW centroids (probe + tagging + member top-k over the full
+      // corpus) passes ONLY if the re-tag actually happened.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFDenseEngine(
+        vecs.filter(col("idx") % 3 =!= 0), nlist = 8, nprobe = 4,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivf-rebalance"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":rb-base")
+      val grown = base.addVectors(vecs.filter(col("idx") % 3 === 0),
+        fingerprint = tableFp(s, d, "embeddings") + ":rb-add")
+      // the retrained quantizer: a different integer formula, replayable
+      val cents2 = (0 until 8).map(c => (0 until 64).map(t =>
+        (((c * 31 + t * 7) % 17) - 8) * 0.05))
+      val eng = grown.rebalance(
+        fingerprint = tableFp(s, d, "embeddings") + ":rb2",
+        newFixedCentroids = Some(cents2))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "ev_stream_dense_search" -> ((s, d) => {
       // similarity search on ARRIVING queries: a standing IVF index
       // (fixed centroids, state-cached once before the stream starts)
@@ -4475,6 +4508,27 @@ object Queries {
         |pr AS (SELECT qid, qv, cid FROM (
         |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
         |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
+        |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-rebalance search == the replay over the NEW quantizer formula
+    // (c*31 + t*7): tagging, probe pruning, and member top-k over the
+    // FULL corpus — the pre-rebalance (c*29 + t*13) lists must be gone
+    "s27_ivf_rebalance" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05) * (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05) * (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*31 + t*7) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
         |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
         |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)

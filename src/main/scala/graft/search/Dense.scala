@@ -166,6 +166,41 @@ case class IVFDenseEngine(
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
+
+  /** Coarse-quantizer maintenance for LIST SKEW: [[addVectors]] pins the
+    * centroids, so a drifting ingest grows hot lists (probe cost follows
+    * the largest probed list, not n/nlist — watch [[listSizes]]). Returns
+    * a fresh NON-incremental engine over the full standing index rows
+    * with the quantizer retrained — a seeded KMeans fit over the full
+    * corpus by default, or `newFixedCentroids` for an externally
+    * replayable quantizer — and every row re-tagged. O(index) by design
+    * (a re-tag is a full pass): run it as a periodic maintenance job,
+    * not per batch; the O(new) add path stays [[addVectors]]. Search at
+    * nprobe = nlist is exactly invariant (total probe ≡ brute force for
+    * ANY quantizer); partial-probe recall follows the new balanced lists.
+    */
+  def rebalance(
+      fingerprint: String = "",
+      newNlist: Option[Int] = None,
+      newFixedCentroids: Option[Seq[Seq[Double]]] = None): IVFDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "rebalance with stateDir requires a fresh fingerprint — an unchanged " +
+        "state key would serve the pre-rebalance tags")
+    copy(
+      corpus = tagged.select(col("idx").as(corpusIdxCol),
+        col("__cv__").as(corpusVecCol)),
+      nlist = newNlist.getOrElse(nlist),
+      fixedCentroids = newFixedCentroids,
+      baseTagged = None,
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
+  /** Inverted-list occupancy `(cid, count)` — the skew monitor
+    * [[rebalance]] acts on.
+    */
+  def listSizes: DataFrame = tagged.groupBy("cid").count()
+
   protected def fillRange: Option[Long] = Some(n)
 
   /** (cid, centroid array<double>) + corpus tagged with cid. With

@@ -73,4 +73,52 @@ class IVFIncrementalSpec extends SparkSpec {
     val inc = base.addVectors(all.filter(col("idx") % 2 =!= 0), "base+odd-v1")
     assert(inc.corpusFingerprint == "base+odd-v1")
   }
+
+  test("rebalance shrinks a skewed hot list and preserves exact total-probe search") {
+    // base: spread vectors near the pinned centroids' region; adds: 200
+    // DIVERSE vectors shifted far outside it (ingest drift) — under the
+    // PINNED quantizer they all collapse into whichever list is nearest
+    // to the new region, while a retrained quantizer allocates several
+    // centroids to their internal structure
+    def vec(i: Int): Seq[Float] =
+      Seq.tabulate(64)(t => (((i * 13 + t * 7) % 19) - 9).toFloat / 9f)
+    val base = (0 until 100).map(i => (i.toLong, vec(i)))
+    val hot = (0 until 200).map(i =>
+      (1000L + i, vec(i).map(_ + 10f)))
+    val df = (base ++ hot).toDF("idx", "vector")
+    val pinned = IVFDenseEngine(df.filter(col("idx") < 100), nlist = 8,
+      nprobe = 8, config = cfg, fixedCentroids = Some(cents))
+      .addVectors(df.filter(col("idx") >= 1000))
+    val maxBefore = pinned.listSizes.agg(max("count")).head().getLong(0)
+    assert(maxBefore >= 200, "the adds must pile into one pinned list")
+    // retrain: seeded KMeans over the FULL standing index
+    val rb = pinned.rebalance()
+    val maxAfter = rb.listSizes.agg(max("count")).head().getLong(0)
+    assert(maxAfter < maxBefore,
+      s"rebalance must shrink the hot list ($maxBefore -> $maxAfter)")
+    assert(rb.listSizes.agg(sum("count")).head().getLong(0) == 300,
+      "re-tag must cover every standing row exactly once")
+    // nprobe = nlist: search is exactly invariant under ANY quantizer
+    val qs = df.filter(col("idx") < 4)
+      .select(col("idx").as("qid"), col("vector").as("query.vector"))
+    val a = pinned(qs).orderBy("qid").collect()
+    val b = rb.copy(nprobe = 8)(qs).orderBy("qid").collect()
+    assert(a.sameElements(b))
+    // deterministic variant: caller-pinned new quantizer re-tags by the
+    // same argmin rule (the s27 gate replays this path in DuckDB)
+    val cents2 = (0 until 8).map(c => (0 until 64).map(t =>
+      (((c * 31 + t * 7) % 17) - 8) * 0.05))
+    val rb2 = pinned.rebalance(newFixedCentroids = Some(cents2))
+    assert(rb2.listSizes.agg(sum("count")).head().getLong(0) == 300)
+  }
+
+  test("rebalance with stateDir but no fingerprint is refused") {
+    val all = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rb-fp").toString
+    val eng = IVFDenseEngine(all, nlist = 8, nprobe = 3, config = cfg,
+      fixedCentroids = Some(cents), stateDir = Some(dir),
+      corpusFingerprint = "rb-v1")
+    intercept[IllegalArgumentException] { eng.rebalance() }
+    assert(eng.rebalance(fingerprint = "rb-v2").corpusFingerprint == "rb-v2")
+  }
 }
