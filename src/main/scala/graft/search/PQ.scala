@@ -438,6 +438,36 @@ case class IVFPQDenseEngine(
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
 
+  /** Coarse-quantizer maintenance for the composed engine — the
+    * [[IVFDenseEngine.rebalance]] contract over IVF-PQ: retrain (seeded
+    * KMeans) or replace (`newFixedCentroids`) the coarse quantizer over
+    * the FULL standing rows, re-tag every row, and RE-ENCODE every code
+    * against it (with `residual`, codes quantize x − centroid[cid], so a
+    * quantizer change necessarily re-encodes). The fine quantizer's
+    * codebooks and learned rotation stay PINNED from this engine —
+    * retraining those is a full rebuild, not a rebalance. O(index) by
+    * design; the O(new) path stays [[addVectors]]. `listSizes` on the
+    * embedded [[ivf]] is the skew monitor.
+    */
+  def rebalance(
+      fingerprint: String = "",
+      newNlist: Option[Int] = None,
+      newFixedCentroids: Option[Seq[Seq[Double]]] = None): IVFPQDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "rebalance with stateDir requires a fresh fingerprint — an unchanged " +
+        "state key would serve the pre-rebalance tags/codes")
+    copy(
+      corpus = ivf.tagged.select(col("idx").as(corpusIdxCol),
+        col("__cv__").as(corpusVecCol)),
+      nlist = newNlist.getOrElse(nlist),
+      fixedCentroids = newFixedCentroids,
+      fixedCodebooks = Some(pq.codebooks),
+      fixedRotation = pq.rotation,
+      baseTagged = None, baseCodes = None,
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
   private lazy val n: Long =
     corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] = Some(n)

@@ -55,6 +55,30 @@ class IVFPQIncrementalSpec extends SparkSpec {
     assert(inc.pq.codes.count() == all.count())
   }
 
+  test("rebalance == pinned build from scratch over the same rows and quantizer") {
+    val all = corpus()
+    val base = all.filter(col("idx") % 3 =!= 0)
+    val extra = all.filter(col("idx") % 3 === 0)
+    val grown = IVFPQDenseEngine(base, nlist = 8, nprobe = 4, m = 8,
+      codebookSize = 16, config = cfg, residual = true,
+      fixedCentroids = Some(cents), fixedCodebooks = Some(books))
+      .addVectors(extra)
+    // a different deterministic quantizer — every row re-tags and every
+    // residual code re-encodes against it
+    val cents2 = (0 until 8).map(c => (0 until 64).map(t =>
+      (((c * 31 + t * 7) % 17) - 8) * 0.05))
+    val rb = grown.rebalance(newFixedCentroids = Some(cents2))
+    val fresh = IVFPQDenseEngine(all, nlist = 8, nprobe = 4, m = 8,
+      codebookSize = 16, config = cfg, residual = true,
+      fixedCentroids = Some(cents2), fixedCodebooks = Some(books))
+    assert(rb(queries()).orderBy("qid").collect()
+      .sameElements(fresh(queries()).orderBy("qid").collect()),
+      "rebalanced incremental engine must equal a from-scratch pinned build")
+    // the incremental base is dissolved: all rows live in the new corpus
+    assert(rb.ivf.listSizes.agg(sum("count")).head().getLong(0) ==
+      all.count())
+  }
+
   test("half-set incremental state is refused") {
     intercept[IllegalArgumentException] {
       IVFPQDenseEngine(corpus(), config = cfg,
