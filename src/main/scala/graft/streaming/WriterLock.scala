@@ -12,10 +12,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * - `acquire` creates `_WRITER_LOCK` create-exclusively (atomic on HDFS;
   *   the local-FS window is negligible for a lease) with
-  *   `{token, pid, app, label, ts}`.
-  * - A lock held by ANOTHER process always refuses — cross-process
-  *   liveness can't be probed portably, so a crashed foreign writer needs
-  *   an explicit [[forceRelease]] (the error message says so).
+  *   `{token, pid, app, host, label, ts}`.
+  * - A lock held by a SAME-HOST process whose pid is no longer alive is
+  *   reclaimed (r16): on one host `ProcessHandle.of(pid)` is a reliable
+  *   liveness probe, so a crashed writer self-heals instead of blocking
+  *   every successor until manual intervention. Cross-host (or a legacy
+  *   payload without `host`) liveness can't be probed portably, so a
+  *   crashed FOREIGN-host writer still needs an explicit [[forceRelease]]
+  *   (the error message says so).
   * - A lock held by THIS process is reclaimed iff its query is no longer
   *   active (stopped or crashed mid-session) — sequential `run()`s over
   *   one stateDir in one JVM need no manual step.
@@ -31,6 +35,10 @@ object WriterLock {
     */
   private val live =
     new java.util.concurrent.ConcurrentHashMap[String, (String, StreamingQuery)]()
+
+  private lazy val hostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown-host" }
 
   private def path(p: String) = new org.apache.hadoop.fs.Path(p)
   private def lockPath(stateDir: String) = path(s"$stateDir/_WRITER_LOCK")
@@ -69,25 +77,37 @@ object WriterLock {
         .findFirstMatchIn(payload).map(_.group(1).toLong)
       val heldApp = "\"app\":\"([^\"]*)\"".r
         .findFirstMatchIn(payload).map(_.group(1))
+      val heldHost = "\"host\":\"([^\"]*)\"".r
+        .findFirstMatchIn(payload).map(_.group(1))
       // Reclaim only when BOTH pid and applicationId match: on a shared
       // filesystem (HDFS) a pid collides across hosts, so pid alone would
       // let a foreign process delete a LIVE lease — exactly the dual-writer
       // interleaving the lock exists to prevent.
       val ours = heldPid.contains(ourPid) &&
         heldApp.contains(spark.sparkContext.applicationId)
-      if (!ours)
+      // r16: a SAME-HOST holder whose pid is dead is a crashed writer —
+      // ProcessHandle is a reliable liveness probe on one host, so the
+      // lease self-heals instead of blocking every successor. A live
+      // same-host pid, any foreign host, or a legacy payload without
+      // `host` still refuses.
+      val staleSameHost = !ours && hostName != "unknown-host" &&
+        heldHost.contains(hostName) &&
+        heldPid.exists(p => ProcessHandle.of(p).isEmpty)
+      if (!ours && !staleSameHost)
         throw new IllegalStateException(
           s"state dir $stateDir already has a writer: $payload — two " +
             "concurrent maintenance queries would interleave pointer " +
             "flips silently. Stop the other writer; after a crash, " +
             s"WriterLock.forceRelease(spark, \"$stateDir\") reclaims it")
-      // ours and (per the live-registry check above) not active: a
-      // stopped or crashed query in this very process — reclaim
+      // ours and (per the live-registry check above) not active — a
+      // stopped or crashed query in this very process — or a dead
+      // same-host holder: reclaim
       fs.delete(lp, false)
     }
     val token = java.util.UUID.randomUUID().toString
     val payload = s"""{"token":"$token","pid":$ourPid,""" +
       s""""app":"${spark.sparkContext.applicationId}",""" +
+      s""""host":"$hostName",""" +
       s""""label":"$label","ts":${System.currentTimeMillis()}}"""
     val out = fs.create(lp, false) // create-exclusive
     try out.write(payload.getBytes("UTF-8")) finally out.close()

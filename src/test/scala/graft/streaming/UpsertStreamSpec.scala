@@ -245,6 +245,46 @@ class UpsertStreamSpec extends SparkSpec {
     assert(StreamingUpsert.latest(spark, s"$dir/t").get.count() == 2)
   }
 
+  test("lease self-heals after a crashed SAME-HOST writer; foreign hosts still refuse") {
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // a definitely-dead same-host pid
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    val deadPid = p.pid()
+    def lock(dir: String, pid: Long, h: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_WRITER_LOCK"),
+        s"""{"token":"x","pid":$pid,"app":"other","host":"$h","label":"z","ts":1}""")
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("lk1").toString + "/t"
+    lock(d1, deadPid, host)
+    // dead pid on THIS host: acquire reclaims instead of demanding
+    // forceRelease — the crashed-bench-JVM footgun
+    val tok = WriterLock.acquire(spark, d1, "heal")
+    assert(tok.nonEmpty)
+    WriterLock.release(spark, d1, tok)
+    // the same dead pid claimed by ANOTHER host: refuse (pids collide
+    // across hosts on a shared filesystem)
+    val d2 = java.nio.file.Files.createTempDirectory("lk2").toString + "/t"
+    lock(d2, deadPid, "some-other-host")
+    val e = intercept[IllegalStateException] {
+      WriterLock.acquire(spark, d2, "heal")
+    }
+    assert(e.getMessage.contains("forceRelease"))
+    // a LIVE same-host pid: refuse (pid 1 is alive)
+    val d3 = java.nio.file.Files.createTempDirectory("lk3").toString + "/t"
+    lock(d3, 1L, host)
+    intercept[IllegalStateException] { WriterLock.acquire(spark, d3, "heal") }
+    // legacy payload without host: refuse (no liveness claim possible)
+    val d4 = java.nio.file.Files.createTempDirectory("lk4").toString + "/t"
+    new java.io.File(d4).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d4/_WRITER_LOCK"),
+      s"""{"token":"x","pid":$deadPid,"app":"other","label":"z","ts":1}""")
+    intercept[IllegalStateException] { WriterLock.acquire(spark, d4, "heal") }
+  }
+
   test("run before seed fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ups2").toString
     implicit val sq = spark.sqlContext
