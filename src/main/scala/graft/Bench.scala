@@ -148,16 +148,18 @@ object Bench {
     // tools/pin_bench_record.py merges quiet runs (min-of-N), sanity-checks
     // per-gate minima vs the prior record, and writes bench_full_r<N>.json.
     // Subset runs (SPARK_GRAFT_ONLY) never touch even the run file.
-    // Each full run ALSO writes a unique pid-suffixed copy so consecutive
-    // quiet runs accumulate for pin_bench_record.py's min-of-N instead of
-    // clobbering each other (a forgotten manual copy used to silently
-    // degrade min-of-N to min-of-fewer).
+    // Each full run ALSO writes a unique timestamp+pid-suffixed copy so
+    // consecutive quiet runs accumulate for pin_bench_record.py's
+    // min-of-N instead of clobbering each other (a forgotten manual copy
+    // used to silently degrade min-of-N to min-of-fewer; the timestamp
+    // keeps a RECYCLED pid from overwriting an earlier day's run).
     if (only.isEmpty) try {
       val repo = java.nio.file.Paths.get(".").toAbsolutePath.normalize
       java.nio.file.Files.writeString(
         repo.resolve("bench_full_run.json"), line + "\n")
       java.nio.file.Files.writeString(
-        repo.resolve(s"bench_full_run.${ProcessHandle.current().pid()}.json"),
+        repo.resolve("bench_full_run." +
+          s"${System.currentTimeMillis() / 1000}-${ProcessHandle.current().pid()}.json"),
         line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-map persist failed: $e")

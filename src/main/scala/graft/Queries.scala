@@ -2698,7 +2698,12 @@ object Queries {
       // r16: same fingerprint-keyed standing state as pp_ingest_v1 (its
       // own table variant — the stream commits its own v0); the fresh
       // per-run checkpoint replays batch 0, which the upsert's replay
-      // guard no-ops against the committed table on warm runs.
+      // guard no-ops against the committed table on warm runs. This
+      // assumes the arrivals land in ONE micro-batch (true for the
+      // single-file fixture read without maxFilesPerTrigger); if a
+      // layout change ever split them, a warm replay of batch 0 against
+      // a committed id > 0 fails LOUDLY via the behind-id guard (the
+      // deliberate contract — wipe the keyed table to re-seed).
       val fp = tableFp(s, d, "documents")
       val corpusRaw = plantedC4(s, d).filter(col("doc_id") % 3 =!= 1)
         .select("doc_id", "text")

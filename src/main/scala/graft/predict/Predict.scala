@@ -62,12 +62,11 @@ object LinearModel {
       wName: String = "weight",
       bName: String = "bias",
       transposed: Boolean = false): LinearModel = {
-    val ts = WeightIO.readSafeTensors(path)
+    val (ts, digest) = WeightIO.readSafeTensorsWithDigest(path)
     def get(n: String) = ts.getOrElse(n, throw new IllegalArgumentException(
       s"$path has no tensor '$n' (present: ${ts.keys.toSeq.sorted.mkString(", ")})"))
     val w = if (transposed) get(wName).transposed else get(wName)
-    LinearModel(w.matrix, get(bName).vector,
-      sourceDigest = Some(WeightIO.fileDigest(path)))
+    LinearModel(w.matrix, get(bName).vector, sourceDigest = Some(digest))
   }
 }
 
@@ -238,8 +237,10 @@ object MlpModel {
   def fromSafeTensors(
       path: String,
       names: (String, String, String, String) = ("w1", "b1", "w2", "b2"),
-      torchLayout: Boolean = false): MlpModel =
-    fromTensors(path, WeightIO.readSafeTensors(path), names, torchLayout)
+      torchLayout: Boolean = false): MlpModel = {
+    val (ts, digest) = WeightIO.readSafeTensorsWithDigest(path)
+    fromTensors(path, ts, digest, names, torchLayout)
+  }
 
   /** Load from an npz checkpoint (zip of npy arrays), same contract as
     * [[fromSafeTensors]].
@@ -247,12 +248,15 @@ object MlpModel {
   def fromNpz(
       path: String,
       names: (String, String, String, String) = ("w1", "b1", "w2", "b2"),
-      torchLayout: Boolean = false): MlpModel =
-    fromTensors(path, WeightIO.readNpz(path), names, torchLayout)
+      torchLayout: Boolean = false): MlpModel = {
+    val (ts, digest) = WeightIO.readNpzWithDigest(path)
+    fromTensors(path, ts, digest, names, torchLayout)
+  }
 
   private def fromTensors(
       path: String,
       ts: Map[String, WeightIO.Tensor],
+      digest: String,
       names: (String, String, String, String),
       torchLayout: Boolean): MlpModel = {
     def get(n: String) = ts.getOrElse(n, throw new IllegalArgumentException(
@@ -261,7 +265,7 @@ object MlpModel {
       (if (torchLayout) get(n).transposed else get(n)).matrix
     MlpModel(mat(names._1), get(names._2).vector,
       mat(names._3), get(names._4).vector,
-      sourceDigest = Some(WeightIO.fileDigest(path)))
+      sourceDigest = Some(digest))
   }
 }
 

@@ -30,9 +30,16 @@ import com.fasterxml.jackson.databind.node.JsonNodeFactory
   */
 object WeightIO {
 
+  /** Element count as a Long — `shape.product` on Ints overflows for
+    * adversarial headers (e.g. 65536×65536 wraps to 0), which would let
+    * a truncated file pass the size checks as an "empty" tensor.
+    */
+  private def countOf(shape: Seq[Int]): Long =
+    shape.foldLeft(1L)((a, d) => a * d)
+
   /** A loaded tensor: row-major (C-order) values widened to double. */
   final case class Tensor(shape: Seq[Int], data: Array[Double]) {
-    require(shape.forall(_ >= 0) && shape.product == data.length,
+    require(shape.forall(_ >= 0) && countOf(shape) == data.length.toLong,
       s"shape ${shape.mkString("x")} != ${data.length} values")
 
     /** View a rank-2 tensor as rows. */
@@ -105,9 +112,17 @@ object WeightIO {
     * U8, BOOL (widened to double — exact for every value the narrower
     * types can hold; I64 exact below 2^53; BOOL/U8 read unsigned).
     */
-  def readSafeTensors(path: String): Map[String, Tensor] = {
+  def readSafeTensors(path: String): Map[String, Tensor] =
+    readSafeTensorsWithDigest(path)._1
+
+  /** Read + SHA-256 in ONE pass over the file bytes — the model loaders
+    * use this so fingerprinting a multi-GB checkpoint never re-reads it.
+    */
+  def readSafeTensorsWithDigest(path: String): (Map[String, Tensor], String) = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    readSafeTensorsBytes(bytes)
+    val digest = MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+    (readSafeTensorsBytes(bytes), digest)
   }
 
   private[predict] def readSafeTensorsBytes(bytes: Array[Byte]): Map[String, Tensor] = {
@@ -135,7 +150,10 @@ object WeightIO {
         val end = e.get("data_offsets").get(1).asLong()
         require(begin >= 0 && end >= begin && dataStart + end <= bytes.length,
           s"tensor $name offsets [$begin,$end) overrun the buffer")
-        val n = shape.product
+        val nL = countOf(shape)
+        require(nL <= Int.MaxValue,
+          s"tensor $name: ${shape.mkString("x")} has $nL elements (> Int.MaxValue)")
+        val n = nL.toInt
         val width = dtype match {
           case "F64" | "I64" => 8
           case "F32" | "I32" => 4
@@ -145,7 +163,7 @@ object WeightIO {
             s"tensor $name: unsupported dtype $other " +
               "(supported: F64 F32 F16 BF16 I64 I32 I16 I8 U8 BOOL)")
         }
-        require(end - begin == n.toLong * width,
+        require(end - begin == nL * width,
           s"tensor $name: ${end - begin} bytes != $n x $width")
         val tb = ByteBuffer.wrap(bytes, dataStart + begin.toInt, (end - begin).toInt)
           .order(ByteOrder.LITTLE_ENDIAN)
@@ -251,7 +269,10 @@ object WeightIO {
       case Nil => Seq(1) // scalar () — one value
       case s => s
     }
-    val n = shape.product
+    val nL = countOf(shape)
+    require(nL <= Int.MaxValue / 8,
+      s"npy shape ${shape.mkString("x")} has $nL elements — too large")
+    val n = nL.toInt
     val width = descr match {
       case "<f8" | "<i8" => 8
       case "<f4" | "<i4" => 4
@@ -276,16 +297,36 @@ object WeightIO {
   /** Read an npz archive: each `name.npy` zip entry becomes tensor `name`. */
   def readNpz(path: String): Map[String, Tensor] = {
     val zin = new ZipInputStream(new BufferedInputStream(new FileInputStream(path)))
+    try readNpzEntries(zin) finally zin.close()
+  }
+
+  /** npz read + SHA-256 in ONE streaming pass (see
+    * [[readSafeTensorsWithDigest]]); the trailing central directory is
+    * drained so the digest covers the WHOLE file, matching
+    * [[fileDigest]].
+    */
+  def readNpzWithDigest(path: String): (Map[String, Tensor], String) = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val din = new java.security.DigestInputStream(
+      new BufferedInputStream(new FileInputStream(path)), md)
+    val zin = new ZipInputStream(din)
     try {
-      val out = Map.newBuilder[String, Tensor]
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory && e.getName.endsWith(".npy"))
-          out += e.getName.stripSuffix(".npy") -> readNpy(zin)
-        e = zin.getNextEntry
-      }
-      out.result()
+      val entries = readNpzEntries(zin)
+      val buf = new Array[Byte](1 << 16)
+      while (din.read(buf) >= 0) ()
+      (entries, md.digest().map(b => f"$b%02x").mkString)
     } finally zin.close()
+  }
+
+  private def readNpzEntries(zin: ZipInputStream): Map[String, Tensor] = {
+    val out = Map.newBuilder[String, Tensor]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory && e.getName.endsWith(".npy"))
+        out += e.getName.stripSuffix(".npy") -> readNpy(zin)
+      e = zin.getNextEntry
+    }
+    out.result()
   }
 
   private def npyBytes(t: Tensor, descr: String): Array[Byte] = {

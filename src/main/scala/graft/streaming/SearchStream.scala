@@ -34,8 +34,11 @@ object SearchStream {
     * e.g. `_.write.mode("append").parquet(out)`). Results scale with the
     * stream, not with driver memory. The returned query is LIVE: the
     * caller owns its lifecycle (`awaitTermination`/`stop`); pass a
-    * `checkpointDir` for restart-exactly-once bookkeeping of which
-    * query batches were already served.
+    * `checkpointDir` so a restart resumes from the committed source
+    * offsets. foreachBatch delivery is AT-LEAST-ONCE — a batch replayed
+    * after a crash reaches the sink again with the same `batchId`, so
+    * make the sink idempotent per batch id (as
+    * [[runSearchStreamToParquet]] does) for end-to-end exactly-once.
     */
   def runSearchStreamTo(
       engine: DataFrame => DataFrame,
@@ -51,8 +54,12 @@ object SearchStream {
     writer.start()
   }
 
-  /** Parquet-append convenience over [[runSearchStreamTo]]: per-batch
-    * top-k results land under `outDir` as they are computed.
+  /** Parquet convenience over [[runSearchStreamTo]]: per-batch top-k
+    * results land under `outDir/batch=<id>` as they are computed —
+    * batch-id-keyed OVERWRITE, not a flat append, so a micro-batch
+    * replayed after a crash (foreachBatch is at-least-once) rewrites its
+    * own directory instead of duplicating rows; `spark.read.parquet(
+    * outDir)` reads everything with `batch` as a partition column.
     */
   def runSearchStreamToParquet(
       engine: DataFrame => DataFrame,
@@ -60,7 +67,8 @@ object SearchStream {
       outDir: String,
       checkpointDir: Option[String] = None): StreamingQuery =
     runSearchStreamTo(engine, queries,
-      (res, _) => res.write.mode("append").parquet(outDir), checkpointDir)
+      (res, id) => res.write.mode("overwrite").parquet(s"$outDir/batch=$id"),
+      checkpointDir)
 
   /** TEST/GATE harness variant: process everything currently available,
     * stop, and return ALL results as one batch frame via a driver-side

@@ -101,8 +101,20 @@ object WriterLock {
             s"WriterLock.forceRelease(spark, \"$stateDir\") reclaims it")
       // ours and (per the live-registry check above) not active — a
       // stopped or crashed query in this very process — or a dead
-      // same-host holder: reclaim
-      fs.delete(lp, false)
+      // same-host holder: reclaim ATOMICALLY. A bare delete would race a
+      // concurrent successor (both observe the stale lock, both delete —
+      // the second delete removing the FIRST successor's fresh lease →
+      // dual live writers). Rename-to-tombstone is atomic: exactly one
+      // claimer's rename succeeds; the loser fails loudly here (or at
+      // the create-exclusive below if it raced past the exists check).
+      val tomb = path(s"$stateDir/._WRITER_LOCK.claimed." +
+        java.util.UUID.randomUUID().toString)
+      val claimed = try fs.rename(lp, tomb) catch { case _: Exception => false }
+      if (!claimed)
+        throw new IllegalStateException(
+          s"state dir $stateDir: lost the stale-lease reclaim race to a " +
+            "concurrent successor — retry acquire against its live lease")
+      fs.delete(tomb, false)
     }
     val token = java.util.UUID.randomUUID().toString
     val payload = s"""{"token":"$token","pid":$ourPid,""" +

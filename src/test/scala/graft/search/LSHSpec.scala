@@ -171,6 +171,30 @@ class LSHSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("wide word packing matches an independent formula recomputation (dedup-layout parity)") {
+    // The engine's wide packing is documented as byte-identical to
+    // SRPCosineDedupPipe's 60-bit-word layout; nothing shares the code,
+    // so this pins BOTH to the formula: word w bit (b - 60w) = sign of
+    // plane-b dot, planes (((b*37 + t*11) mod 21) - 10)/10.
+    val dim = 64
+    val planes = Seq.tabulate(120)(b =>
+      Seq.tabulate(dim)(t => (((b * 37 + t * 11) % 21) - 10) / 10.0))
+    def dotBit(b: Int) = aggregate(
+      zip_with(transform(col("vector"), _.cast("double")),
+        typedLit(planes(b)), (x, p) => x * p),
+      lit(0d), (acc, x) => acc + x)
+    val expected = corpus.select(col("idx").cast("long").as("idx"),
+      array((0 until 2).map { w =>
+        (w * 60 until (w + 1) * 60).map { b =>
+          when(dotBit(b) > 0, lit(1L << (b - w * 60))).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*).as("sg"))
+    val eng = LSHDenseEngine(corpus, nBits = 120, bands = 6, config = cfg)
+    val diff = eng.signatures.as("a").join(expected.as("b"), "idx")
+      .filter(col("a.sg") =!= col("b.sg")).count()
+    assert(diff == 0)
+  }
+
   test("registry threads the LSH layout: explicit bits, bands, and auto sizing") {
     val wide = AutoSearchEngine("dense_lsh", corpus, cfg,
       Map("lshBits" -> "120", "lshBands" -> "6"))

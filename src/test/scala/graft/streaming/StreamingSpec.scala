@@ -484,7 +484,14 @@ class StreamingSpec extends SparkSpec {
       mem.addData((3L, 3L)) // second micro-batch appends
       q.processAllAvailable()
     } finally q.stop()
-    val sunk = spark.read.parquet(s"$out/res")
+    val sunkDf = spark.read.parquet(s"$out/res")
+    // batch-id-keyed layout: each micro-batch owns its own overwrite dir
+    // (replay-idempotent), surfaced as a `batch` partition column
+    assert(sunkDf.columns.contains("batch"))
+    assert(new java.io.File(s"$out/res").listFiles()
+      .count(_.getName.startsWith("batch=")) >= 2,
+      "two micro-batches must produce two batch dirs")
+    val sunk = sunkDf.select("qid", "score")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sunk == Set((1L, 11L), (2L, 22L), (3L, 33L)), s"got $sunk")
     // drain variant over the same inputs returns the identical rows
