@@ -38,9 +38,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * shuffling it. (A format with file-level deletes — Delta/Iceberg —
   * beats a full rewrite when batches are tiny relative to the table;
   * rebuilding THAT is out of scope, the operator contract here is the
-  * merge semantics + pointer protocol.)
+  * merge semantics + pointer protocol.) Because the rewrite is still
+  * O(table) per micro-batch, [[applyBatch]] refuses once the pointed
+  * version exceeds [[FullRewriteByteCap]] unless `allowFullRewrite` is
+  * set — [[PartitionedUpsert]] is the production path past that size.
   */
 object StreamingUpsert {
+
+  /** Max bytes of the current version a micro-batch may fully rewrite.
+    * The flat layout rewrites O(table) per batch BY DESIGN (it is the
+    * semantics reference for the merge + pointer protocol) — past this
+    * size that cost dominates every batch and [[PartitionedUpsert]]
+    * (O(touched partitions), migrate via `seedFromFlat`) is the
+    * production path, so [[applyBatch]] refuses instead of silently
+    * burning a full-table write per trigger. Same refusal convention as
+    * [[graft.search.BruteForceDenseEngine.BroadcastRowCap]]: loud error
+    * with the scale-path pointer, `allowFullRewrite = true` to opt back
+    * in deliberately. The check reads only FS metadata (content summary
+    * of the pointed version dir), never the data.
+    */
+  val FullRewriteByteCap: Long = 1L << 30 // 1 GiB
 
   /** Seed the versioned table with its initial contents. */
   def seed(base: DataFrame, stateDir: String): Unit =
@@ -61,7 +78,11 @@ object StreamingUpsert {
         * commit writes a full version, the evolved schema takes effect
         * for all readers at the pointer flip — no backfill rewrite.
         */
-      allowNewColumns: Boolean = false): StreamingQuery = {
+      allowNewColumns: Boolean = false,
+      /** Opt-in past [[FullRewriteByteCap]]: acknowledge that every
+        * micro-batch rewrites the whole table at its current size.
+        */
+      allowFullRewrite: Boolean = false): StreamingQuery = {
     // single-writer lease: a second concurrent run() against this
     // stateDir would interleave pointer flips silently — fail it loudly
     // instead (released automatically when the query terminates)
@@ -72,7 +93,8 @@ object StreamingUpsert {
         .option("checkpointLocation", checkpointDir)
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          applyBatch(batch, id, stateDir, keys, deleteCol, allowNewColumns)
+          applyBatch(batch, id, stateDir, keys, deleteCol, allowNewColumns,
+            allowFullRewrite)
         }
         .start()
       catch { case e: Throwable =>
@@ -96,13 +118,29 @@ object StreamingUpsert {
       stateDir: String,
       keys: Seq[String],
       deleteCol: Option[String],
-      allowNewColumns: Boolean = false): Unit = {
+      allowNewColumns: Boolean = false,
+      allowFullRewrite: Boolean = false,
+      /** Injectable for tests; production callers keep the default. */
+      fullRewriteByteCap: Long = FullRewriteByteCap): Unit = {
     val spark = batch.sparkSession
     val curName = pointer(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"StreamingUpsert.run before seed: no _LATEST under $stateDir"))
     val curOrd = ordinal(curName)
     if (curOrd < id) {
+      if (!allowFullRewrite) {
+        val fs = path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes =
+          fs.getContentSummary(path(s"$stateDir/$curName")).getLength
+        if (bytes > fullRewriteByteCap) throw new IllegalStateException(
+          s"StreamingUpsert: current version '$curName' is $bytes bytes " +
+            s"(> FullRewriteByteCap=$fullRewriteByteCap) and the flat " +
+            "layout rewrites the WHOLE table every micro-batch — use " +
+            "PartitionedUpsert (migrate with PartitionedUpsert." +
+            "seedFromFlat, O(touched partitions) per batch), or pass " +
+            "allowFullRewrite=true to accept the O(table)-per-batch cost")
+      }
       val cur = spark.read.parquet(s"$stateDir/$curName")
       val merged = graft.operators.UpsertMerge(cur, batch, keys, deleteCol,
         allowNewColumns = allowNewColumns)

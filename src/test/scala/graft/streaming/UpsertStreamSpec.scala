@@ -103,6 +103,35 @@ class UpsertStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/._LATEST.tmp").exists())
   }
 
+  test("full-rewrite byte cap refuses oversized flat tables, opt-in overrides") {
+    val dir = java.nio.file.Files.createTempDirectory("ups-cap").toString
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    StreamingUpsert.seed(base, s"$dir/t")
+    val b0 = Seq((2L, 21.0, false), (3L, 30.0, false)).toDF("k", "v", "del")
+    // any real parquet version dir exceeds a 1-byte cap — the guard fires
+    // BEFORE the merge reads data and names the production path
+    val refused = intercept[IllegalStateException] {
+      StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"),
+        fullRewriteByteCap = 1L)
+    }
+    assert(refused.getMessage.contains("PartitionedUpsert"))
+    assert(refused.getMessage.contains("allowFullRewrite"))
+    // the refusal left the table untouched: no v0, pointer still vinit
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("vinit"))
+    assert(StreamingUpsert.versions(spark, s"$dir/t") == Seq("vinit"))
+    // explicit opt-in accepts the O(table) rewrite under the same cap
+    StreamingUpsert.applyBatch(b0, 0, s"$dir/t", Seq("k"), Some("del"),
+      allowFullRewrite = true, fullRewriteByteCap = 1L)
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v0"))
+    assert(StreamingUpsert.latest(spark, s"$dir/t").get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+    // the production default cap (1 GiB) passes fixture-sized tables
+    val b1 = Seq((1L, 11.0, false)).toDF("k", "v", "del")
+    StreamingUpsert.applyBatch(b1, 1, s"$dir/t", Seq("k"), Some("del"))
+    assert(StreamingUpsert.pointer(spark, s"$dir/t").contains("v1"))
+  }
+
   test("additive schema evolution: new change columns null-fill untouched rows") {
     val dir = java.nio.file.Files.createTempDirectory("ups-evo").toString
     import spark.implicits._
