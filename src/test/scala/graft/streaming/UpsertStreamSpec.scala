@@ -274,44 +274,120 @@ class UpsertStreamSpec extends SparkSpec {
     assert(StreamingUpsert.latest(spark, s"$dir/t").get.count() == 2)
   }
 
-  test("lease self-heals after a crashed SAME-HOST writer; foreign hosts still refuse") {
+  test("lease self-heals after a crashed SAME-NAMESPACE writer; others refuse") {
     val host = java.net.InetAddress.getLocalHost.getHostName
-    // a definitely-dead same-host pid
+    val ns = WriterLock.namespaceId
+    assume(ns != "unknown-ns") // Linux container/CI always has /proc
+    // a definitely-dead same-namespace pid
     val p = new ProcessBuilder("true").start()
     p.waitFor()
     val deadPid = p.pid()
-    def lock(dir: String, pid: Long, h: String): Unit = {
+    def lock(dir: String, pid: Long, h: String, n: String): Unit = {
       new java.io.File(dir).mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/_WRITER_LOCK"),
-        s"""{"token":"x","pid":$pid,"app":"other","host":"$h","label":"z","ts":1}""")
+        s"""{"token":"x","pid":$pid,"app":"other","host":"$h","ns":"$n","label":"z","ts":1}""")
     }
     val d1 = java.nio.file.Files.createTempDirectory("lk1").toString + "/t"
-    lock(d1, deadPid, host)
-    // dead pid on THIS host: acquire reclaims instead of demanding
-    // forceRelease — the crashed-bench-JVM footgun
+    lock(d1, deadPid, host, ns)
+    // dead pid in THIS pid namespace: acquire reclaims instead of
+    // demanding forceRelease — the crashed-bench-JVM footgun
     val tok = WriterLock.acquire(spark, d1, "heal")
     assert(tok.nonEmpty)
     WriterLock.release(spark, d1, tok)
     // the same dead pid claimed by ANOTHER host: refuse (pids collide
     // across hosts on a shared filesystem)
     val d2 = java.nio.file.Files.createTempDirectory("lk2").toString + "/t"
-    lock(d2, deadPid, "some-other-host")
+    lock(d2, deadPid, "some-other-host", "other-boot:pid:[1]")
     val e = intercept[IllegalStateException] {
       WriterLock.acquire(spark, d2, "heal")
     }
     assert(e.getMessage.contains("forceRelease"))
-    // a LIVE same-host pid: refuse (pid 1 is alive)
+    // same HOSTNAME but a different pid namespace (two containers with
+    // identical hostnames on a network FS): ProcessHandle would probe
+    // the wrong namespace, so refuse — hostname is not proof
+    val d5 = java.nio.file.Files.createTempDirectory("lk5").toString + "/t"
+    lock(d5, deadPid, host, "foreign-boot-id:pid:[4026530000]")
+    intercept[IllegalStateException] { WriterLock.acquire(spark, d5, "heal") }
+    // a LIVE same-namespace pid: refuse (pid 1 is alive)
     val d3 = java.nio.file.Files.createTempDirectory("lk3").toString + "/t"
-    lock(d3, 1L, host)
+    lock(d3, 1L, host, ns)
     intercept[IllegalStateException] { WriterLock.acquire(spark, d3, "heal") }
-    // legacy payload without host: refuse (no liveness claim possible)
+    // legacy payload without host/ns: refuse (no liveness claim possible)
     val d4 = java.nio.file.Files.createTempDirectory("lk4").toString + "/t"
     new java.io.File(d4).mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$d4/_WRITER_LOCK"),
       s"""{"token":"x","pid":$deadPid,"app":"other","label":"z","ts":1}""")
     intercept[IllegalStateException] { WriterLock.acquire(spark, d4, "heal") }
+  }
+
+  test("ttl lease: expired foreign leases reclaim, heartbeat-fresh ones never") {
+    def lock(dir: String, ttl: Long, ts: Long): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_WRITER_LOCK"),
+        s"""{"token":"x","pid":999999,"app":"other","host":"elsewhere",""" +
+          s""""ns":"foreign:pid:[1]","label":"z","ts":$ts,"ttlMs":$ttl}""")
+    }
+    // foreign-host lease, declared ttl, no heartbeat, lease ts ancient:
+    // expired → reclaim (the case that used to demand manual forceRelease)
+    val d1 = java.nio.file.Files.createTempDirectory("ttl1").toString + "/t"
+    lock(d1, 1000L, 1L)
+    val tok = WriterLock.acquire(spark, d1, "ttl")
+    assert(tok.nonEmpty)
+    WriterLock.release(spark, d1, tok)
+    // same shape but with a FRESH heartbeat naming the held token: the
+    // holder is alive — never reclaimed (mtime of the heartbeat file is
+    // fresh too, which is the signal a shared FS serves both parties)
+    val d2 = java.nio.file.Files.createTempDirectory("ttl2").toString + "/t"
+    lock(d2, 60000L, 1L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d2/_WRITER_HEARTBEAT"),
+      s"""{"token":"x","ts":${System.currentTimeMillis()}}""")
+    intercept[IllegalStateException] { WriterLock.acquire(spark, d2, "ttl") }
+    // a heartbeat from a PREVIOUS holder (token mismatch) gives no
+    // liveness credit: the lease's own stale ts decides → reclaim
+    val d3 = java.nio.file.Files.createTempDirectory("ttl3").toString + "/t"
+    lock(d3, 1000L, 1L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d3/_WRITER_HEARTBEAT"),
+      s"""{"token":"previous","ts":${System.currentTimeMillis()}}""")
+    val tok3 = WriterLock.acquire(spark, d3, "ttl")
+    assert(tok3.nonEmpty)
+    WriterLock.release(spark, d3, tok3)
+    // a ttl-less lease (ttlMs absent or 0) never expires, however old
+    val d4 = java.nio.file.Files.createTempDirectory("ttl4").toString + "/t"
+    new java.io.File(d4).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d4/_WRITER_LOCK"),
+      s"""{"token":"x","pid":999999,"app":"other","host":"elsewhere",""" +
+        s""""ns":"foreign:pid:[1]","label":"z","ts":1}""")
+    intercept[IllegalStateException] { WriterLock.acquire(spark, d4, "ttl") }
+  }
+
+  test("ttl lease holder refreshes the heartbeat; release removes it") {
+    val dir = java.nio.file.Files.createTempDirectory("ttlhb").toString + "/t"
+    val t0 = System.currentTimeMillis()
+    val tok = WriterLock.acquire(spark, dir, "hb", ttlMs = 4000L)
+    // refresher runs every ttl/4 = 1 s; after 2.5 s the heartbeat must be
+    // newer than acquire time (i.e. it was refreshed at least once)
+    Thread.sleep(2500L)
+    val hb = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_WRITER_HEARTBEAT"))
+    assert(hb.contains(s""""token":"$tok""""))
+    val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(hb).get.group(1).toLong
+    assert(ts > t0, s"heartbeat ts $ts not after acquire $t0")
+    // a live, heartbeat-kept lease is never reclaimed by a successor even
+    // though its ttl (4 s) is shorter than... the heartbeat is fresh
+    // (regression guard for the live-writer-never-reclaimed property —
+    // the registry sees `ours`+inactive so strip it to simulate a foreign
+    // observer by checking the staleness inputs directly)
+    val age = System.currentTimeMillis() - ts
+    assert(age < 4000L, s"heartbeat age $age exceeded the ttl while live")
+    WriterLock.release(spark, dir, tok)
+    assert(!new java.io.File(s"$dir/_WRITER_HEARTBEAT").exists())
+    assert(!new java.io.File(s"$dir/_WRITER_LOCK").exists())
   }
 
   test("run before seed fails loudly") {
