@@ -1,6 +1,6 @@
 package graft.predict
 
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream, InputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, File, FileInputStream, FileOutputStream, InputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.security.MessageDigest
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
@@ -22,7 +22,10 @@ import com.fasterxml.jackson.databind.node.JsonNodeFactory
   * in-code weights.
   * A loaded model's fingerprint is the SOURCE FILE's SHA-256 digest (not
   * the structural weight hash) so cache keys stay O(1) for real-sized
-  * checkpoints.
+  * checkpoints. Reads and writes STREAM in bounded chunks (r17): a
+  * checkpoint past the JVM's 2 GiB array cap loads and round-trips —
+  * the only whole-buffer allocations are the JSON header (bounded by
+  * [[MaxHeaderBytes]]) and each tensor's decoded double[].
   *
   * Reference counterpart: checkpointed-model inference,
   * warp_pipes/pipes/predict.py:151-191 (torch checkpoints through
@@ -115,25 +118,118 @@ object WeightIO {
   def readSafeTensors(path: String): Map[String, Tensor] =
     readSafeTensorsWithDigest(path)._1
 
+  /** Max safetensors header bytes (the format's own published bound is
+    * 100 MB) — the ONLY full-buffer allocation the reader makes, so a
+    * multi-GB checkpoint streams with bounded memory.
+    */
+  val MaxHeaderBytes: Long = 100L * 1000 * 1000
+
   /** Read + SHA-256 in ONE pass over the file bytes — the model loaders
     * use this so fingerprinting a multi-GB checkpoint never re-reads it.
+    * Streams through a DigestInputStream in 64 KiB chunks: files past
+    * the JVM's 2 GiB array cap load fine; per-tensor memory is the
+    * double[] values only.
     */
   def readSafeTensorsWithDigest(path: String): (Map[String, Tensor], String) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val digest = MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map(b => f"$b%02x").mkString
-    (readSafeTensorsBytes(bytes), digest)
+    val totalLen = new File(path).length()
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = new java.security.DigestInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16), md)
+    try {
+      val tensors = readSafeTensorsStream(in, totalLen)
+      // drain any trailing bytes the header didn't claim so the digest
+      // covers the WHOLE file, matching fileDigest (DigestInputStream
+      // .skip would bypass the digest — always read)
+      val buf = new Array[Byte](1 << 16)
+      while (in.read(buf) >= 0) ()
+      (tensors, md.digest().map(b => f"$b%02x").mkString)
+    } finally in.close()
   }
 
-  private[predict] def readSafeTensorsBytes(bytes: Array[Byte]): Map[String, Tensor] = {
-    require(bytes.length >= 8, "truncated safetensors: no header length")
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val headerLen = bb.getLong(0)
-    require(headerLen > 0 && headerLen <= bytes.length - 8,
-      s"bad safetensors header length $headerLen for ${bytes.length}-byte file")
-    val header = mapper.readTree(bytes, 8, headerLen.toInt)
-    val dataStart = 8 + headerLen.toInt
-    val out = Map.newBuilder[String, Tensor]
+  private[predict] def readSafeTensorsBytes(bytes: Array[Byte]): Map[String, Tensor] =
+    readSafeTensorsStream(new java.io.ByteArrayInputStream(bytes), bytes.length.toLong)
+
+  private def widthOf(dtype: String, name: String): Int = dtype match {
+    case "F64" | "I64" => 8
+    case "F32" | "I32" => 4
+    case "F16" | "BF16" | "I16" => 2
+    case "I8" | "U8" | "BOOL" => 1
+    case other => throw new IllegalArgumentException(
+      s"tensor $name: unsupported dtype $other " +
+        "(supported: F64 F32 F16 BF16 I64 I32 I16 I8 U8 BOOL)")
+  }
+
+  private def readExact(in: InputStream, b: Array[Byte], n: Int, what: String): Unit = {
+    var got = 0
+    while (got < n) {
+      val r = in.read(b, got, n - got)
+      if (r < 0) throw new EOFException(s"truncated safetensors: $what at $got/$n")
+      got += r
+    }
+  }
+
+  /** Decode `n` little-endian elements of `dtype` from the stream into
+    * doubles, one bounded chunk at a time — a 16 GiB F64 tensor never
+    * materializes as bytes (only its double[] values, which the 2^31
+    * element bound already caps).
+    */
+  private def readElements(
+      in: InputStream, dtype: String, width: Int, n: Int, name: String): Array[Double] = {
+    val data = new Array[Double](n)
+    val chunkElems = math.max(1, (1 << 16) / width)
+    val chunk = new Array[Byte](chunkElems * width)
+    var i = 0
+    while (i < n) {
+      val m = math.min(chunkElems, n - i)
+      readExact(in, chunk, m * width, s"tensor $name data")
+      val tb = ByteBuffer.wrap(chunk, 0, m * width).order(ByteOrder.LITTLE_ENDIAN)
+      var j = 0
+      dtype match {
+        case "F64" => while (j < m) { data(i + j) = tb.getDouble; j += 1 }
+        case "F32" => while (j < m) { data(i + j) = tb.getFloat.toDouble; j += 1 }
+        case "F16" =>
+          while (j < m) { data(i + j) = halfToFloat(tb.getShort & 0xFFFF).toDouble; j += 1 }
+        case "BF16" =>
+          while (j < m) { data(i + j) = bf16ToFloat(tb.getShort & 0xFFFF).toDouble; j += 1 }
+        case "I64" => while (j < m) { data(i + j) = tb.getLong.toDouble; j += 1 }
+        case "I32" => while (j < m) { data(i + j) = tb.getInt.toDouble; j += 1 }
+        case "I16" => while (j < m) { data(i + j) = tb.getShort.toDouble; j += 1 }
+        case "I8" => while (j < m) { data(i + j) = tb.get.toDouble; j += 1 }
+        case "U8" | "BOOL" =>
+          while (j < m) { data(i + j) = (tb.get & 0xFF).toDouble; j += 1 }
+      }
+      i += m
+    }
+    data
+  }
+
+  private def drainExact(in: InputStream, count: Long, what: String): Unit = {
+    val buf = new Array[Byte](1 << 16)
+    var left = count
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (r < 0) throw new EOFException(s"truncated safetensors: $what")
+      left -= r
+    }
+  }
+
+  private def readSafeTensorsStream(in: InputStream, totalLen: Long): Map[String, Tensor] = {
+    require(totalLen >= 8, "truncated safetensors: no header length")
+    val lenBuf = new Array[Byte](8)
+    readExact(in, lenBuf, 8, "header length")
+    val headerLen = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getLong
+    require(headerLen > 0 && headerLen <= totalLen - 8,
+      s"bad safetensors header length $headerLen for $totalLen-byte file")
+    require(headerLen <= MaxHeaderBytes,
+      s"safetensors header $headerLen bytes exceeds the format's " +
+        s"$MaxHeaderBytes-byte bound")
+    val headerBytes = new Array[Byte](headerLen.toInt)
+    readExact(in, headerBytes, headerLen.toInt, "header JSON")
+    val header = mapper.readTree(headerBytes)
+    val bufLen = totalLen - 8 - headerLen
+    final case class Entry(name: String, dtype: String, shape: Seq[Int],
+      begin: Long, end: Long, n: Int, width: Int)
+    val entries = Seq.newBuilder[Entry]
     val names = header.fieldNames()
     while (names.hasNext) {
       val name = names.next()
@@ -148,43 +244,29 @@ object WeightIO {
         }
         val begin = e.get("data_offsets").get(0).asLong()
         val end = e.get("data_offsets").get(1).asLong()
-        require(begin >= 0 && end >= begin && dataStart + end <= bytes.length,
+        require(begin >= 0 && end >= begin && end <= bufLen,
           s"tensor $name offsets [$begin,$end) overrun the buffer")
         val nL = countOf(shape)
         require(nL <= Int.MaxValue,
           s"tensor $name: ${shape.mkString("x")} has $nL elements (> Int.MaxValue)")
-        val n = nL.toInt
-        val width = dtype match {
-          case "F64" | "I64" => 8
-          case "F32" | "I32" => 4
-          case "F16" | "BF16" | "I16" => 2
-          case "I8" | "U8" | "BOOL" => 1
-          case other => throw new IllegalArgumentException(
-            s"tensor $name: unsupported dtype $other " +
-              "(supported: F64 F32 F16 BF16 I64 I32 I16 I8 U8 BOOL)")
-        }
+        val width = widthOf(dtype, name)
         require(end - begin == nL * width,
-          s"tensor $name: ${end - begin} bytes != $n x $width")
-        val tb = ByteBuffer.wrap(bytes, dataStart + begin.toInt, (end - begin).toInt)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        val data = new Array[Double](n)
-        var i = 0
-        dtype match {
-          case "F64" => while (i < n) { data(i) = tb.getDouble; i += 1 }
-          case "F32" => while (i < n) { data(i) = tb.getFloat.toDouble; i += 1 }
-          case "F16" =>
-            while (i < n) { data(i) = halfToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
-          case "BF16" =>
-            while (i < n) { data(i) = bf16ToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
-          case "I64" => while (i < n) { data(i) = tb.getLong.toDouble; i += 1 }
-          case "I32" => while (i < n) { data(i) = tb.getInt.toDouble; i += 1 }
-          case "I16" => while (i < n) { data(i) = tb.getShort.toDouble; i += 1 }
-          case "I8" => while (i < n) { data(i) = tb.get.toDouble; i += 1 }
-          case "U8" | "BOOL" =>
-            while (i < n) { data(i) = (tb.get & 0xFF).toDouble; i += 1 }
-        }
-        out += name -> Tensor(shape, data)
+          s"tensor $name: ${end - begin} bytes != $nL x $width")
+        entries += Entry(name, dtype, shape, begin, end, nL.toInt, width)
       }
+    }
+    // decode in buffer order so one forward pass serves every tensor;
+    // overlapping ranges would force a seek, which a digest stream
+    // cannot do — and no real writer emits them
+    val sorted = entries.result().sortBy(_.begin)
+    var pos = 0L
+    val out = Map.newBuilder[String, Tensor]
+    for (e <- sorted) {
+      require(e.begin >= pos,
+        s"tensor ${e.name} data [${e.begin},${e.end}) overlaps the previous tensor")
+      drainExact(in, e.begin - pos, s"gap before tensor ${e.name}")
+      out += e.name -> Tensor(e.shape, readElements(in, e.dtype, e.width, e.n, e.name))
+      pos = e.end
     }
     out.result()
   }
@@ -220,13 +302,36 @@ object WeightIO {
     // spec: header padded with spaces to an 8-byte boundary
     val pad = (8 - (headerBytes0.length % 8)) % 8
     val headerBytes = headerBytes0 ++ Array.fill(pad)(' '.toByte)
-    val buf = ByteBuffer.allocate(8 + headerBytes.length + off.toInt)
+    // stream tensor data in bounded chunks — `off` stays a Long, so a
+    // buffer past 2 GiB writes fine (no single allocation of the file)
+    atomicWriteStream(path) { out =>
+      val lenBuf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(headerBytes.length.toLong).array()
+      out.write(lenBuf)
+      out.write(headerBytes)
+      writeElements(out, tensors, width)
+    }
+  }
+
+  /** Stream tensor values little-endian through a bounded chunk. */
+  private def writeElements(out: java.io.OutputStream,
+      tensors: Seq[(String, Tensor)], width: Int): Unit = {
+    val chunkElems = math.max(1, (1 << 16) / width)
+    val chunk = ByteBuffer.allocate(chunkElems * width)
       .order(ByteOrder.LITTLE_ENDIAN)
-    buf.putLong(headerBytes.length.toLong)
-    buf.put(headerBytes)
-    for ((_, t) <- tensors; v <- t.data)
-      if (width == 4) buf.putFloat(v.toFloat) else buf.putDouble(v)
-    atomicWrite(path, buf.array())
+    for ((_, t) <- tensors) {
+      var i = 0
+      val n = t.data.length
+      while (i < n) {
+        val m = math.min(chunkElems, n - i)
+        chunk.clear()
+        var j = 0
+        if (width == 4) while (j < m) { chunk.putFloat(t.data(i + j).toFloat); j += 1 }
+        else while (j < m) { chunk.putDouble(t.data(i + j)); j += 1 }
+        out.write(chunk.array(), 0, m * width)
+        i += m
+      }
+    }
   }
 
   // ---------------------------------------------------------------- npy / npz
@@ -270,28 +375,21 @@ object WeightIO {
       case s => s
     }
     val nL = countOf(shape)
-    require(nL <= Int.MaxValue / 8,
+    require(nL <= Int.MaxValue,
       s"npy shape ${shape.mkString("x")} has $nL elements — too large")
     val n = nL.toInt
-    val width = descr match {
-      case "<f8" | "<i8" => 8
-      case "<f4" | "<i4" => 4
-      case "<f2" => 2
+    // map the numpy descr onto the safetensors dtype decoder and stream
+    // the values chunked — a multi-GiB entry never materializes as bytes
+    val dtype = descr match {
+      case "<f8" => "F64"
+      case "<f4" => "F32"
+      case "<f2" => "F16"
+      case "<i8" => "I64"
+      case "<i4" => "I32"
       case other => throw new IllegalArgumentException(
         s"unsupported npy descr $other (supported: <f8 <f4 <f2 <i8 <i4)")
     }
-    val tb = ByteBuffer.wrap(readN(n * width)).order(ByteOrder.LITTLE_ENDIAN)
-    val data = new Array[Double](n)
-    var i = 0
-    descr match {
-      case "<f8" => while (i < n) { data(i) = tb.getDouble; i += 1 }
-      case "<f4" => while (i < n) { data(i) = tb.getFloat.toDouble; i += 1 }
-      case "<f2" =>
-        while (i < n) { data(i) = halfToFloat(tb.getShort & 0xFFFF).toDouble; i += 1 }
-      case "<i8" => while (i < n) { data(i) = tb.getLong.toDouble; i += 1 }
-      case "<i4" => while (i < n) { data(i) = tb.getInt.toDouble; i += 1 }
-    }
-    Tensor(shape, data)
+    Tensor(shape, readElements(in, dtype, widthOf(dtype, "npy"), n, "npy"))
   }
 
   /** Read an npz archive: each `name.npy` zip entry becomes tensor `name`. */
@@ -329,7 +427,7 @@ object WeightIO {
     out.result()
   }
 
-  private def npyBytes(t: Tensor, descr: String): Array[Byte] = {
+  private def writeNpyEntry(out: java.io.OutputStream, t: Tensor, descr: String): Unit = {
     val width = descr match {
       case "<f8" => 8
       case "<f4" => 4
@@ -344,42 +442,39 @@ object WeightIO {
     // total header (magic 8 + len 2 + dict) padded to 64 bytes, ending \n
     val padTo = ((8 + 2 + head0.length + 1 + 63) / 64) * 64
     val head = head0 + " " * (padTo - 8 - 2 - head0.length - 1) + "\n"
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
     out.write(0x93); out.write("NUMPY".getBytes("ASCII"))
     out.write(1); out.write(0)
     out.write(head.length & 0xFF); out.write((head.length >> 8) & 0xFF)
     out.write(head.getBytes("ASCII"))
-    val buf = ByteBuffer.allocate(t.data.length * width)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    t.data.foreach(v => if (width == 4) buf.putFloat(v.toFloat) else buf.putDouble(v))
-    out.write(buf.array())
-    out.flush()
-    bos.toByteArray
+    writeElements(out, Seq("" -> t), width)
   }
 
-  /** Write tensors as an npz archive (atomic: temp + rename). */
+  /** Write tensors as an npz archive (atomic: temp + rename; streamed —
+    * the archive never materializes in memory).
+    */
   def writeNpz(
       path: String,
       tensors: Seq[(String, Tensor)],
-      descr: String = "<f4"): Unit = {
-    val bos = new ByteArrayOutputStream()
-    val zout = new ZipOutputStream(bos)
-    for ((name, t) <- tensors) {
-      zout.putNextEntry(new ZipEntry(s"$name.npy"))
-      zout.write(npyBytes(t, descr))
-      zout.closeEntry()
+      descr: String = "<f4"): Unit =
+    atomicWriteStream(path) { out =>
+      val zout = new ZipOutputStream(out)
+      for ((name, t) <- tensors) {
+        zout.putNextEntry(new ZipEntry(s"$name.npy"))
+        writeNpyEntry(zout, t, descr)
+        zout.closeEntry()
+      }
+      zout.finish()
     }
-    zout.close()
-    atomicWrite(path, bos.toByteArray)
-  }
 
-  private def atomicWrite(path: String, bytes: Array[Byte]): Unit = {
+  /** Write-to-temp + atomic rename, streaming through `body` so files
+    * past the 2 GiB array cap need no single allocation.
+    */
+  private def atomicWriteStream(path: String)(body: java.io.OutputStream => Unit): Unit = {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val tmp = File.createTempFile(f.getName, ".tmp", f.getParentFile)
-    val out = new BufferedOutputStream(new FileOutputStream(tmp))
-    try { out.write(bytes); out.flush() } finally out.close()
+    val out = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
+    try { body(out); out.flush() } finally out.close()
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
