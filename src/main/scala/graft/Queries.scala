@@ -1934,6 +1934,48 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s28_ivfpq_rebalance" -> ((s, d) => {
+      // composed-engine maintenance end-to-end: residual IVF-PQ built
+      // over two thirds, addVectors the rest (coarse centroids +
+      // codebooks pinned), then REBALANCE onto a different deterministic
+      // coarse quantizer — every row re-tagged AND its residual code
+      // re-encoded against the NEW centroids (fine codebooks stay
+      // pinned; with residual=true a quantizer change necessarily
+      // re-encodes). nprobe=4 < nlist=8 keeps the search genuinely
+      // pruned, so the oracle replaying probe + re-tag + residual
+      // re-encode + ADC over the NEW formula passes ONLY if both the
+      // re-tag and the re-encode actually happened (the s27 gate
+      // construction applied to the composed engine; reference
+      // counterpart: IVF retrain over a standing PQ index,
+      // vector_base/utils/faiss.py:247-410).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFPQDenseEngine(
+        vecs.filter(col("idx") % 3 =!= 0),
+        nlist = 8, nprobe = 4, m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        residual = true,
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivfpq-rebalance"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":rbq-base")
+      val grown = base.addVectors(vecs.filter(col("idx") % 3 === 0),
+        fingerprint = tableFp(s, d, "embeddings") + ":rbq-add")
+      // the retrained coarse quantizer: s27's replayable integer formula
+      val cents2 = (0 until 8).map(c => (0 until 64).map(t =>
+        (((c * 31 + t * 7) % 17) - 8) * 0.05))
+      val eng = grown.rebalance(
+        fingerprint = tableFp(s, d, "embeddings") + ":rbq2",
+        newFixedCentroids = Some(cents2))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "ev_stream_dense_search" -> ((s, d) => {
       // similarity search on ARRIVING queries: a standing IVF index
       // (fixed centroids, state-cached once before the stream starts)
@@ -4536,6 +4578,41 @@ object Queries {
         |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*31 + t*7) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
         |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
         |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-rebalance IVF-PQ == the full replay over the NEW coarse
+    // formula (c*31 + t*7): re-tag, residual RE-ENCODE (rv and the ADC
+    // coarse term both use the new centroids; codebooks unchanged),
+    // probe pruning at nprobe=4, ADC top-k — the pre-rebalance
+    // (c*29 + t*13) tags/codes must be gone for this to hash-match
+    "s28_ivfpq_rebalance" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05) * (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05) * (v[t+1] - (((c*31 + t*7) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |res AS (SELECT vec_id, cid, list_transform(range(0,64), t -> v[t+1] - (((cid*31 + t*7) % 17) - 8) * 0.05) AS rv FROM cd),
+        |codes AS (SELECT vec_id, cid, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM res),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*31 + t*7) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
+        |sc AS (SELECT pr.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,64), t -> pr.qv[t+1] * ((((codes.cid*31 + t*7) % 17) - 8) * 0.05)))
+        |  + list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |      pr.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM pr JOIN codes ON pr.cid = codes.cid),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
