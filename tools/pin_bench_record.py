@@ -11,6 +11,13 @@ fluke minima on a whole gate family and manufacturing phantom risers):
                  constituent runs (a fluke window), in which case the
                  second-smallest value is pinned instead.
 
+It ALSO pins the per-gate MEDIAN of the constituent runs ("medians" in
+the output). The min is the structural round-over-round comparator; the
+median is what graft.Bench's 2x contention guard keys on — a min pinned
+on a fast morning host made the guard re-run every CPU-bound sub-second
+gate on a slower session host (r16 finding #2), while the median tracks
+what a typical quiet run actually measures.
+
 It then sanity-checks the pinned map against the previous committed
 record: any gate pinned <0.45x the prior record is listed loudly (history
 says whole-suite medians drift ~5-7% run-over-run; a 2x+ drop on a gate
@@ -63,10 +70,11 @@ def main():
         print(f"WARN: {len(missing)} gates absent/failed in some run: "
               f"{sorted(missing)[:8]}...", file=sys.stderr)
 
-    pinned, demoted = {}, []
+    pinned, medians, demoted = {}, {}, []
     for g in sorted(gates):
         vals = sorted(r[g] for r in runs if g in r)
         med = statistics.median(vals)
+        medians[g] = med
         if len(vals) >= 3 and vals[0] < 0.5 * med:
             pinned[g] = vals[1]          # fluke window: pin 2nd-smallest
             demoted.append((g, vals[0], vals[1], med))
@@ -109,12 +117,16 @@ def main():
 
     total = sum(pinned.values())
     qs = ",".join(f'"{k}":{v:.3f}' for k, v in pinned.items())
+    ms = ",".join(f'"{k}":{v:.3f}' for k, v in medians.items())
     sf = loaded[0][1].get("sf", "")
-    failed = len(always_failed) + len([g for g in disappeared
-                                       if g not in always_failed])
+    # deliberate removals (--allow) are not failures; non-allowed
+    # disappearances hard-exit above, so they never reach this line
+    failed = len([g for g in always_failed if g not in allow]) + \
+        len([g for g in disappeared
+             if g not in allow and g not in always_failed])
     line = (f'{{"metric":"total","value":{total:.3f},"unit":"sec",'
-            f'"queries":{{{qs}}},"sf":"{sf}","failed":{failed},'
-            f'"pinned_from":{len(runs)}}}')
+            f'"queries":{{{qs}}},"medians":{{{ms}}},"sf":"{sf}",'
+            f'"failed":{failed},"pinned_from":{len(runs)}}}')
     Path(a.out).write_text(line + "\n")
     print(f"\npinned {len(pinned)} gates, total {total:.1f} s "
           f"(min over {len(runs)} runs, {len(demoted)} fluke minima demoted, "
