@@ -31,15 +31,47 @@ object SrpLayout {
     */
   private val ladder = Seq(10, 12, 15, 20, 30, 60)
 
+  /** Hysteresis slack on the occupancy target: a layout steps up only
+    * once expected occupancy exceeds the target by 25%. Without it the
+    * boundary sits EXACTLY at `target * 2^r` — and corpora naturally
+    * sit at powers of two, so a corpus hovering at 1024/1025 rows would
+    * flip 60<->72 bits between runs, forking every persisted signature
+    * cache and pipe fingerprint keyed via `sized()`/auto even though
+    * the corpus is effectively unchanged. With the slack, round sizes
+    * sit comfortably inside a step (1024 and 1280 both keep r=10; the
+    * flip moved to 1281 — not a size anything naturally hovers at).
+    */
+  val OccupancySlack: Double = 1.25
+
+  /** Occupancy presets for [[graft.search.LSHDenseEngine.sized]], from
+    * the measured crossover (tools/LshScale, 200k vectors x 100 queries,
+    * cold: narrow 60/6 3.72 s vs wide 120/6 4.29 s; recall 100/100 at
+    * both): RETRIEVAL candidate volume is LINEAR in occupancy, so a
+    * STANDING index — signature build state-cached once, queries
+    * amortize it — wants tight buckets (target 1, the default). A
+    * ONE-SHOT scan pays the signature build every time and the finer
+    * buckets don't repay it at that scale — tolerate ~200 rows/bucket
+    * (keeps 200k narrow, still widens past millions of rows). DEDUP
+    * ([[SRPCosineDedupPipe.sized]]) is all-pairs — occupancy² — so its
+    * one-shot target stays 1 regardless.
+    */
+  val StandingOccupancy: Double = 1.0
+  val OneShotRetrievalOccupancy: Double = 200.0
+
   /** Bits per band for `n` vectors at `targetOccupancy` expected rows
-    * per bucket: the smallest ladder step with `n / 2^r <=` target.
+    * per bucket: the smallest ladder step with `n / 2^r <= target *`
+    * [[OccupancySlack]] (the slack is the layout-stability hysteresis).
     */
   def bitsPerBand(n: Long, targetOccupancy: Double = 1.0): Int = {
     require(n >= 0, "corpus count must be non-negative")
     require(targetOccupancy > 0, "target occupancy must be positive")
     val needed =
       if (n == 0) 0
-      else math.ceil(math.log(n / targetOccupancy) / math.log(2)).toInt
+      // tiny epsilon: log(2^k)/log(2) may land an ulp above k and a
+      // corpus of exactly 2^k rows would then step up spuriously
+      else math.ceil(
+        math.log(n / (targetOccupancy * OccupancySlack)) / math.log(2)
+          - 1e-9).toInt
     ladder.find(_ >= needed).getOrElse(ladder.last)
   }
 

@@ -186,6 +186,15 @@ object LSHDenseEngine {
     * natively, same 60-bit-word layout as the dedup pipe), so bucket
     * occupancy stays at the target at any corpus size instead of
     * saturating at the old single-long cap.
+    *
+    * `targetOccupancy` presets: the default 1.0
+    * ([[graft.llm.SrpLayout.StandingOccupancy]]) is right for a
+    * STANDING index (signature build state-cached once, queries
+    * amortize it). A ONE-SHOT scan pays the signature build every call
+    * and the measured 200k-vector crossover (tools/LshScale) shows the
+    * finer buckets don't repay it — pass
+    * [[graft.llm.SrpLayout.OneShotRetrievalOccupancy]] there so the
+    * auto-sizer doesn't quietly cost one-shot callers the 2x build.
     */
   def sized(
       corpus: DataFrame,

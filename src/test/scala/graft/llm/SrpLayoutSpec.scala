@@ -31,10 +31,32 @@ class SrpLayoutSpec extends SparkSpec {
       val r = SrpLayout.bitsPerBand(n)
       assert(r >= prev, s"ladder must be monotone in n (n=$n)")
       prev = r
-      if (r < 60) // below the cap the target must actually hold
-        assert(n.toDouble / math.pow(2, r) <= 1.0 + 1e-9,
+      if (r < 60) // below the cap the target (x hysteresis slack) holds
+        assert(n.toDouble / math.pow(2, r) <=
+          SrpLayout.OccupancySlack + 1e-9,
           s"occupancy target violated at n=$n r=$r")
     }
+  }
+
+  test("hysteresis: corpora hovering at a power of two keep a stable layout") {
+    // the ADVICE r16 case: 1024 vs 1025 must NOT flip 60<->72 bits
+    assert(SrpLayout.bitsPerBand(1024L) == 10)
+    assert(SrpLayout.bitsPerBand(1025L) == 10)
+    // the step-up boundary moved to target*slack*2^r = 1280 — inclusive
+    // (occupancy 1.25 is allowed), exclusive above
+    assert(SrpLayout.bitsPerBand(1280L) == 10)
+    assert(SrpLayout.bitsPerBand(1281L) == 12)
+    // same at the next round size retrieval corpora hover at
+    assert(SrpLayout.bitsPerBand(4096L) == 12)
+    assert(SrpLayout.bitsPerBand(4097L) == 12)
+    // the one-shot retrieval preset keeps the measured 200k regime
+    // narrow (the LshScale crossover), and still widens eventually
+    assert(SrpLayout.forCorpusNarrow(200000L, 6,
+      SrpLayout.OneShotRetrievalOccupancy) == SrpLayout.Layout(60, 6, 5))
+    assert(SrpLayout.bitsPerBand(200000L,
+      SrpLayout.OneShotRetrievalOccupancy) == 10)
+    assert(SrpLayout.bitsPerBand(100000000L,
+      SrpLayout.OneShotRetrievalOccupancy) == 20)
   }
 
   test("every ladder layout satisfies the pipe's constructor constraints") {
