@@ -2002,6 +2002,35 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s29_filtered_ivf" -> ((s, d) => {
+      // filtered ANN (FAISS IDSelector / vector-DB payload filter): the
+      // `label` payload column is carried into the tagged index state at
+      // build time, and a query-time predicate (label % 3 = 1, ~30%
+      // selectivity) prunes inverted-list members BEFORE the dot
+      // products — composing multiplicatively with the nprobe=4 < nlist=8
+      // probe pruning. The oracle replays probe + tag + FILTER + member
+      // top-k, so it passes only if the predicate actually restricted
+      // the scored set (an unfiltered engine returns different top-10s).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = graft.search.IVFDenseEngine(
+        emb.select(col("vec_id").as("idx"), col("embedding").as("vector"),
+          col("label")),
+        nlist = 8, nprobe = 4,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivf-filtered"),
+        corpusFingerprint = tableFp(s, d, "embeddings"),
+        carryCols = Seq("label"),
+        memberFilter = Some(col("label") % 3 === 1))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s26_ivfpq_add" -> ((s, d) => {
       // incremental maintenance for the COMPOSED index: residual IVF-PQ
       // built over two thirds, addVectors the rest — only the new rows
@@ -4613,6 +4642,28 @@ object Queries {
         |  + list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
         |      pr.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
         | FROM pr JOIN codes ON pr.cid = codes.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // filtered IVF: probe pruning (nprobe=4 over the c*29+t*13 formula
+    // quantizer) AND the label % 3 = 1 payload predicate both replayed —
+    // member top-k over probed ∩ filtered only
+    "s29_filtered_ivf" ->
+      scl("""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, label, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
+        |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score
+        | FROM pr JOIN cd ON pr.cid = cd.cid WHERE cd.label % 3 = 1),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),

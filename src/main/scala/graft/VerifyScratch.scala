@@ -1377,6 +1377,46 @@ object VerifyScratch {
         s"truncationBites=$bites -> ${eq && bites && a.nonEmpty}")
     }
 
+    // [81] r17: filtered ANN — the member predicate must (a) restrict the
+    // result set exactly, (b) survive into the PHYSICAL plan as a data
+    // filter on the tagged-state scan (PushedFilters on the carried
+    // payload column once the state is persisted parquet), composing with
+    // the probe pruning rather than post-filtering the top-k.
+    {
+      import graft.search._
+      val dir = java.nio.file.Files
+        .createTempDirectory("vs-ivf-filter").toString
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("idx"), col("embedding").as("vector"),
+          col("label"))
+      val cfg = SearchConfig(k = 10, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val eng = IVFDenseEngine(emb, nlist = 4, nprobe = 2, cfg,
+        fixedCentroids = Some(IVFDenseEngine.formulaCentroids(4, 64)),
+        stateDir = Some(dir), corpusFingerprint = "vs81",
+        carryCols = Seq("label"),
+        memberFilter = Some(col("label") % 3 === 1))
+      val out = eng(qs)
+      val plan = out.queryExecution.executedPlan.toString
+      // the tagged state is parquet on disk after the first run — re-plan
+      // and check the predicate reached that scan
+      out.collect()
+      val plan2 = eng(qs).queryExecution.executedPlan.toString
+      val pushed = plan2.contains("PushedFilters") &&
+        plan2.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*")
+      val lbl = emb.select(col("idx").cast("long"), col("label"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val idxs = out.select(explode(col("`index.idx`")).as("i"))
+        .select(col("i").cast("long")).collect().map(_.getLong(0))
+      val allMatch = idxs.nonEmpty && idxs.forall(i => lbl(i) % 3 == 1)
+      println(s"[81] filtered ivf predMatch=$allMatch pushedToStateScan=$pushed " +
+        s"results=${idxs.length} -> ${allMatch && pushed}")
+      if (!pushed) println(plan.linesIterator.take(40).mkString("\n"))
+    }
+
     spark.stop()
   }
 }

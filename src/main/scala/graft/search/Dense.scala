@@ -43,14 +43,35 @@ case class BruteForceDenseEngine(
       * it unless explicitly opted in here (registry name `dense_exact`);
       * use `dense_ivf` / `ivf_pq` for large corpora instead.
       */
-    allowCartesian: Boolean = false) extends SearchEngine {
+    allowCartesian: Boolean = false,
+    /** Filtered search (FAISS `IDSelector` / vector-DB payload-filter
+      * capability): a predicate over the CORPUS frame's columns; only
+      * matching rows are scored. Applied BEFORE the cross join, so at
+      * scale the predicate reaches the corpus scan (parquet pushdown) and
+      * selectivity directly cuts the quadratic scoring work. Exact: the
+      * result is exactly brute-force search over the filtered corpus.
+      * Masked-index fill is disabled under a filter — a pseudo-random
+      * id from [0, n) could violate the predicate, which would be a
+      * silent correctness trap for the caller's downstream filter logic.
+      */
+    corpusFilter: Option[org.apache.spark.sql.Column] = None)
+  extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString,
     "indexField" -> config.indexField, "engine" -> "dense_bruteforce",
-    "allowCartesian" -> allowCartesian.toString)
+    "allowCartesian" -> allowCartesian.toString,
+    // content hash of the predicate expression: engines differing only
+    // in filter must not share a pipe fingerprint (results differ)
+    "filter" -> corpusFilter.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
 
-  private lazy val n: Long = corpus.count()
-  protected def fillRange: Option[Long] = Some(n)
+  /** Corpus restricted to the filter (identity when none). */
+  private lazy val searchable: DataFrame =
+    corpusFilter.map(corpus.filter).getOrElse(corpus)
+
+  private lazy val n: Long = searchable.count()
+  protected def fillRange: Option[Long] =
+    if (corpusFilter.isDefined) None else Some(n)
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     if (n > BruteForceDenseEngine.BroadcastRowCap && !allowCartesian)
@@ -61,7 +82,7 @@ case class BruteForceDenseEngine(
           "this scale, or opt into the exact quadratic scan explicitly with " +
           "allowCartesian=true (registry name 'dense_exact').")
     val qv = qcol(s"${config.queryField}.vector")
-    val cSel = corpus.select(
+    val cSel = searchable.select(
       col(corpusIdxCol).cast("long").as("idx"),
       col(corpusVecCol).as("__cv__"))
     val c =
@@ -116,7 +137,28 @@ case class IVFDenseEngine(
       * Requires `fixedCentroids` (re-fitting KMeans on only the new
       * rows would silently move the coarse quantizer).
       */
-    baseTagged: Option[DataFrame] = None) extends SearchEngine {
+    baseTagged: Option[DataFrame] = None,
+    /** Payload columns carried from the corpus INTO the tagged index
+      * (and its persisted state) — the filterable attributes of the
+      * vector-DB payload-filter capability. BUILD-affecting: different
+      * carried columns fork the persisted state key. `baseTagged` frames
+      * (incremental add) must carry the same columns.
+      */
+    carryCols: Seq[String] = Nil,
+    /** Filtered search (FAISS `IDSelector` / vector-DB payload filter):
+      * a predicate over `idx` and the carried payload columns, applied
+      * to the inverted-list members AFTER probe pruning — selectivity
+      * multiplies with nprobe/nlist, and the expensive dot products run
+      * only on rows passing both. QUERY-TIME: the predicate does not
+      * fork the persisted index state (same `buildStateKey`), exactly
+      * like `nprobe`. Honest ANN caveat (FAISS has the same): under a
+      * selective filter the probed lists may hold fewer than k matches —
+      * the result is the exact top-k of (probed ∩ filtered), which can
+      * be SHORT; raise nprobe for recall. Masked-index fill is disabled
+      * under a filter (a random fill id could violate the predicate).
+      */
+    memberFilter: Option[org.apache.spark.sql.Column] = None)
+  extends SearchEngine {
   require(baseTagged.isEmpty || fixedCentroids.isDefined,
     "baseTagged (incremental add) requires fixedCentroids — the base " +
       "index's coarse quantizer must be pinned, not re-fit")
@@ -132,7 +174,18 @@ case class IVFDenseEngine(
     // content hash: different fixed centroids must not share a state key
     "fixedCents" -> fixedCentroids.map(c =>
       graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
-    "incremental" -> baseTagged.isDefined.toString)
+    "incremental" -> baseTagged.isDefined.toString,
+    // build-affecting: carried payload columns live in the tagged state
+    "carryCols" -> carryCols.mkString(","),
+    // pipe-fingerprint-affecting but QUERY-TIME for the state key
+    "filter" -> memberFilter.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+
+  /** The member predicate selects which already-built lists' rows score —
+    * like `nprobe` it must hit the SAME persisted index, not fork it.
+    */
+  override protected def queryTimeParams: Set[String] =
+    super.queryTimeParams + "filter"
 
   private lazy val n: Long =
     corpus.count() + baseTagged.map(_.count()).getOrElse(0L)
@@ -162,7 +215,8 @@ case class IVFDenseEngine(
     val cents = centroids.orderBy("cid").collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
     copy(corpus = extra, fixedCentroids = Some(cents),
-      baseTagged = Some(tagged.select(col("idx"), col("__cv__"), col("cid"))),
+      baseTagged = Some(tagged.select(
+        (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -187,8 +241,9 @@ case class IVFDenseEngine(
       "rebalance with stateDir requires a fresh fingerprint — an unchanged " +
         "state key would serve the pre-rebalance tags")
     copy(
-      corpus = tagged.select(col("idx").as(corpusIdxCol),
-        col("__cv__").as(corpusVecCol)),
+      corpus = tagged.select(
+        col("idx").as(corpusIdxCol) +: col("__cv__").as(corpusVecCol) +:
+          carryCols.map(col): _*),
       nlist = newNlist.getOrElse(nlist),
       fixedCentroids = newFixedCentroids,
       baseTagged = None,
@@ -201,7 +256,8 @@ case class IVFDenseEngine(
     */
   def listSizes: DataFrame = tagged.groupBy("cid").count()
 
-  protected def fillRange: Option[Long] = Some(n)
+  protected def fillRange: Option[Long] =
+    if (memberFilter.isDefined) None else Some(n)
 
   /** (cid, centroid array<double>) + corpus tagged with cid. With
     * `stateDir` both frames are fingerprint-cached parquet; the KMeans
@@ -216,10 +272,11 @@ case class IVFDenseEngine(
     build()
 
   private lazy val prepared: DataFrame = corpus.select(
-    col(corpusIdxCol).cast("long").as("idx"),
-    col(corpusVecCol).as("__cv__"),
-    array_to_vector(org.apache.spark.sql.functions.transform(
-      col(corpusVecCol), _.cast("double"))).as("features"))
+    col(corpusIdxCol).cast("long").as("idx") +:
+      col(corpusVecCol).as("__cv__") +:
+      array_to_vector(org.apache.spark.sql.functions.transform(
+        col(corpusVecCol), _.cast("double"))).as("features") +:
+      carryCols.map(col): _*)
 
   private lazy val fitted =
     new KMeans().setK(nlist).setSeed(kmeansSeed).setMaxIter(20).fit(prepared)
@@ -257,19 +314,22 @@ case class IVFDenseEngine(
             typedLit(cents), c =>
               aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
                 lit(0d), (acc, d) => acc + d))
-          prepared.select(col("idx"), col("__cv__"),
-            (array_position(dists, array_min(dists)) - 1).cast("int").as("cid"))
+          prepared.select(col("idx") +: col("__cv__") +:
+            (array_position(dists, array_min(dists)) - 1).cast("int").as("cid") +:
+            carryCols.map(col): _*)
         case None =>
           fitted.transform(prepared)
-            .select(col("idx"), col("__cv__"), col("prediction").as("cid"))
+            .select(col("idx") +: col("__cv__") +:
+              col("prediction").as("cid") +: carryCols.map(col): _*)
       }
     }
     // incremental add: the base index is appended OUTSIDE the persisted
     // stage, so the cache (and the tag computation) covers only the new
     // rows — O(|extra|) maintenance, never O(index)
+    val idxCols = Seq("idx", "__cv__", "cid") ++ carryCols
     val withBase = baseTagged match {
-      case Some(base) => base.select(col("idx"), col("__cv__"), col("cid"))
-        .unionByName(taggedDf.select(col("idx"), col("__cv__"), col("cid")))
+      case Some(base) => base.select(idxCols.map(col): _*)
+        .unionByName(taggedDf.select(idxCols.map(col): _*))
       case None => taggedDf
     }
     (centsDf, taggedDf, withBase)
@@ -295,8 +355,11 @@ case class IVFDenseEngine(
   }
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
-    // score only the probed clusters' members
-    val exploded = probes(stamped, rowId).join(tagged, Seq("cid"))
+    // score only the probed clusters' members; the payload filter prunes
+    // members BEFORE the dot products, composing multiplicatively with
+    // the nprobe/nlist pruning
+    val members = memberFilter.map(tagged.filter).getOrElse(tagged)
+    val exploded = probes(stamped, rowId).join(members, Seq("cid"))
       .select(col(rowId), col("idx"),
         SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))
     SearchEngine.collapseTopK(stamped, exploded, rowId, config.k)

@@ -111,15 +111,27 @@ object AutoSearchEngine {
         * included), `lshBands` = band count.
         */
       lshBits: Int = 48,
-      lshBands: Int = 6): Map[String, Factory] = Map(
-    "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol, corpusVecCol)),
+      lshBands: Int = 6,
+      /** Filtered search (payload filter): a predicate over corpus
+        * metadata — threaded to the raw-vector and IVF-PQ dense engines
+        * as [[IVFDenseEngine.memberFilter]] (query-time) with `carryCols`
+        * naming the payload columns carried into the tagged index state
+        * (build-affecting). Via [[AutoSearchEngine.apply]] opts:
+        * `memberFilter` = an ANSI SQL predicate string, `carryCols` = a
+        * comma list.
+        */
+      memberFilter: Option[org.apache.spark.sql.Column] = None,
+      carryCols: Seq[String] = Nil): Map[String, Factory] = Map(
+    "dense" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol,
+      corpusVecCol, corpusFilter = memberFilter)),
     // the explicit opt-in for exact search over a >cap corpus: plans the
     // quadratic partitioned cartesian the bare `dense` refuses
     "dense_exact" -> ((c, cfg) => BruteForceDenseEngine(c, cfg, corpusIdxCol,
-      corpusVecCol, allowCartesian = true)),
+      corpusVecCol, allowCartesian = true, corpusFilter = memberFilter)),
     "dense_ivf" -> ((c, cfg) => IVFDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+      carryCols = carryCols, memberFilter = memberFilter)),
     "dense_pq" -> ((c, cfg) => PQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
@@ -131,20 +143,23 @@ object AutoSearchEngine {
       stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
     "ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+      carryCols = carryCols, memberFilter = memberFilter)),
     // the reference's FULL default factory: OPQ rotation + IVF pruning +
     // residual PQ codes (vector_base/utils/faiss.py:30-87; FAISS
     // IndexIVFPQ encodes residuals by default — by_residual=true)
     "opq_ivf_pq" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       rotate = true, residual = true,
-      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+      carryCols = carryCols, memberFilter = memberFilter)),
     // residual-only variant: codes quantize x - centroid[cid], scores
     // decompose q·centroid + ADC
     "ivf_pq_resid" -> ((c, cfg) => IVFPQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
       residual = true,
-      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+      carryCols = carryCols, memberFilter = memberFilter)),
     // FAISS IndexScalarQuantizer QT_8bit (factory "SQ8"): deterministic
     // per-dim min/max train, 1-byte-per-dim codes, ADC scan
     "dense_sq" -> ((c, cfg) => SQDenseEngine(c, cfg, corpusIdxCol, corpusVecCol,
@@ -200,7 +215,12 @@ object AutoSearchEngine {
         case Some(v) => v.toInt
         case None => 48
       },
-      lshBands = opts.get("lshBands").map(_.toInt).getOrElse(6))
+      lshBands = opts.get("lshBands").map(_.toInt).getOrElse(6),
+      // filtered search: an ANSI predicate string over idx + carried cols
+      memberFilter = opts.get("memberFilter")
+        .map(org.apache.spark.sql.functions.expr),
+      carryCols = opts.get("carryCols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     reg.get(name) match {
       case Some(factory) => factory(corpus, cfg)
       // a reference config's FAISS factory string ("OPQ32,IVF4096,PQ32")

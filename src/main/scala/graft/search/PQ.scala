@@ -357,7 +357,20 @@ case class IVFPQDenseEngine(
       * quantizers respectively; only `corpus` (the NEW vectors) is
       * tagged and encoded. Both or neither must be set. */
     baseTagged: Option[DataFrame] = None,
-    baseCodes: Option[DataFrame] = None) extends SearchEngine {
+    baseCodes: Option[DataFrame] = None,
+    /** Payload columns carried into the coarse tagged state — see
+      * [[IVFDenseEngine.carryCols]]. The codes frame stays payload-free;
+      * the filter applies through the tagged join in [[taggedCodes]].
+      */
+    carryCols: Seq[String] = Nil,
+    /** Filtered search over the compressed index — see
+      * [[IVFDenseEngine.memberFilter]]: a query-time predicate over
+      * `idx` + carried payload columns, pruning code rows BEFORE the ADC
+      * lookups. Same honest-ANN caveat (probed ∩ filtered can be short)
+      * and same fill-disabled rule.
+      */
+    memberFilter: Option[org.apache.spark.sql.Column] = None)
+  extends SearchEngine {
   require(baseTagged.isDefined == baseCodes.isDefined,
     "incremental add needs BOTH baseTagged and baseCodes (or neither)")
 
@@ -372,13 +385,20 @@ case class IVFPQDenseEngine(
       graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
     "fixedRotation" -> fixedRotation.map(c =>
       graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
-    "incremental" -> baseTagged.isDefined.toString)
+    "incremental" -> baseTagged.isDefined.toString,
+    "carryCols" -> carryCols.mkString(","),
+    "filter" -> memberFilter.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+
+  override protected def queryTimeParams: Set[String] =
+    super.queryTimeParams + "filter"
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
     config, corpusIdxCol, corpusVecCol, kmeansSeed,
     stateDir = stateDir, corpusFingerprint = corpusFingerprint,
-    fixedCentroids = fixedCentroids, baseTagged = baseTagged)
+    fixedCentroids = fixedCentroids, baseTagged = baseTagged,
+    carryCols = carryCols)
 
   /** The frame the fine quantizer encodes: raw corpus, or per-list
     * residuals (idx, __rv__ = x − centroid[cid]) — of THIS engine's
@@ -432,7 +452,8 @@ case class IVFPQDenseEngine(
       fixedCentroids = Some(cents),
       fixedCodebooks = Some(pq.codebooks),
       fixedRotation = pq.rotation,
-      baseTagged = Some(ivf.tagged.select(col("idx"), col("__cv__"), col("cid"))),
+      baseTagged = Some(ivf.tagged.select(
+        (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
       baseCodes = Some(pq.codes),
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
@@ -457,8 +478,9 @@ case class IVFPQDenseEngine(
       "rebalance with stateDir requires a fresh fingerprint — an unchanged " +
         "state key would serve the pre-rebalance tags/codes")
     copy(
-      corpus = ivf.tagged.select(col("idx").as(corpusIdxCol),
-        col("__cv__").as(corpusVecCol)),
+      corpus = ivf.tagged.select(
+        col("idx").as(corpusIdxCol) +: col("__cv__").as(corpusVecCol) +:
+          carryCols.map(col): _*),
       nlist = newNlist.getOrElse(nlist),
       fixedCentroids = newFixedCentroids,
       fixedCodebooks = Some(pq.codebooks),
@@ -470,11 +492,15 @@ case class IVFPQDenseEngine(
 
   private lazy val n: Long =
     corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
-  protected def fillRange: Option[Long] = Some(n)
+  protected def fillRange: Option[Long] =
+    if (memberFilter.isDefined) None else Some(n)
 
-  /** Codes tagged with their inverted-list id: (cid, idx, __c0..__c{m-1}). */
+  /** Codes tagged with their inverted-list id (+ carried payload):
+    * (cid, idx, __c0..__c{m-1}, carryCols*).
+    */
   lazy val taggedCodes: DataFrame =
-    pq.codes.join(ivf.tagged.select(col("idx"), col("cid")), Seq("idx"))
+    pq.codes.join(ivf.tagged.select(
+      (Seq("idx", "cid") ++ carryCols).map(col): _*), Seq("idx"))
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val dsub = pq.dim / m
@@ -490,9 +516,12 @@ case class IVFPQDenseEngine(
           SearchEngine.dot(slice(rqv, j * dsub + 1, dsub), c))
           .as(s"__t$j")
       }: _*)
+    // the payload filter prunes code rows BEFORE broadcast and ADC —
+    // selectivity composes multiplicatively with the nprobe/nlist pruning
+    val filteredCodes = memberFilter.map(taggedCodes.filter).getOrElse(taggedCodes)
     val c =
-      if (n <= PQDenseEngine.BroadcastCodeRowCap) broadcast(taggedCodes)
-      else taggedCodes
+      if (n <= PQDenseEngine.BroadcastCodeRowCap) broadcast(filteredCodes)
+      else filteredCodes
     val adc = (0 until m).map(j =>
       element_at(col(s"__t$j"), col(s"__c$j") + 1)).reduce(_ + _)
     // residual decomposition: exact coarse term + ADC over the residual
