@@ -166,6 +166,30 @@ object Queries {
       |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
       |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
+  /** Exact replay of the overlap-FRACTION protocol — shared by
+    * cu_overlap_frac (batch) and ev_stream_overlap_frac (the stateless
+    * streaming twin): the planted partial contamination (eval tokens
+    * appended to doc_id % 7 == 3), distinct 8-grams, the per-doc matched
+    * count against the eval gram set, and the integer bp/threshold
+    * arithmetic — all replayed value-for-value.
+    */
+  private val overlapFracOracle: String =
+    """WITH ev0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+      |pl AS (SELECT d.doc_id, CASE WHEN d.doc_id % 7 = 3
+      |  THEN d.text || ' ' || array_to_string((string_split_regex(trim(e.text), '\s+'))[1:40], ' ')
+      |  ELSE d.text END AS text
+      | FROM documents d JOIN ev0 e ON e.doc_id = d.doc_id % 30),
+      |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM pl),
+      |gr AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')) ELSE [] END) AS gs FROM tok),
+      |evt AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM ev0),
+      |evg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')) ELSE [] END) AS g FROM evt),
+      |m AS (SELECT x.doc_id, count(*) AS mc FROM (SELECT doc_id, unnest(gs) AS g FROM gr) x JOIN evg USING (g) GROUP BY 1),
+      |f AS (SELECT gr.doc_id, coalesce(mc, 0) AS matched, len(gs) AS total FROM gr LEFT JOIN m ON gr.doc_id = m.doc_id)
+      |SELECT doc_id, CAST(matched AS INT) AS matched_ngrams, CAST(total AS INT) AS total_ngrams,
+      | CAST(CASE WHEN total > 0 THEN (matched*10000) // total ELSE 0 END AS INT) AS overlap_bp,
+      | (total > 0 AND matched*10000 >= 2000*total) AS contaminated
+      |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Bit-exact replay of [[graft.llm.BloomDecontaminatePipe]] (n=4,
     * m=2^20, k=4): the dual-fold [[graft.llm.BloomOps.gramHash]] per
     * distinct n-gram, the k affine bit positions (coefficients
@@ -2627,6 +2651,41 @@ object Queries {
       // static eval corpus — same flags as the batch pipe and oracle
       graft.streaming.EventStream.runDecontaminateStream(s, d)
         .select("doc_id", "contaminated").orderBy("doc_id")),
+    "cu_overlap_frac" -> ((s, d) => {
+      // the GPT-3/PaLM FRACTIONAL protocol (Brown et al. 2005.14165 App.
+      // C; Chowdhery et al. 2204.02311 §8): flag only when >= 20% of a
+      // doc's distinct 8-grams appear in the eval set. Partial
+      // contamination is PLANTED — docs with doc_id % 7 == 3 get the
+      // first 40 tokens of eval doc (doc_id % 30) appended, yielding
+      // mid-range fractions; eval docs themselves sit at 100%, organic
+      // docs near 0 — so the integer bp arithmetic is exercised across
+      // the whole range, not just at the endpoints.
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("doc_id") < 30).select("doc_id", "text")
+      val evalSide = eval.select(col("doc_id").as("__eid__"),
+        col("text").as("__etext__"))
+      val planted = docs.select("doc_id", "text")
+        .withColumn("__eid__", col("doc_id") % 30)
+        .join(broadcast(evalSide), Seq("__eid__"))
+        .withColumn("text", when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" "), concat_ws(" ",
+            slice(graft.llm.TextAnalysisOps.toks(col("__etext__")), 1, 40))))
+          .otherwise(col("text")))
+        .drop("__eid__", "__etext__")
+      graft.llm.OverlapFractionPipe(eval, "text", "doc_id",
+        ngramSize = 8, thresholdBp = 2000)(planted)
+        .select("doc_id", "matched_ngrams", "total_ngrams", "overlap_bp",
+          "contaminated")
+        .orderBy("doc_id")
+    }),
+    "ev_stream_overlap_frac" -> ((s, d) =>
+      // REAL StreamingQuery: the fraction folded to a stateless per-row
+      // array_intersect projection — counts, bp, and flag bit-identical
+      // to the batch pipe, SAME oracle
+      graft.streaming.EventStream.runOverlapFractionStream(s, d)
+        .select("doc_id", "matched_ngrams", "total_ngrams", "overlap_bp",
+          "contaminated")
+        .orderBy("doc_id")),
     "ev_stream_weighted_sample" -> ((s, d) =>
       // REAL StreamingQuery: Efraimidis-Spirakis reservoir folded per
       // micro-batch (O(k) state) — the final sample is bit-identical to
@@ -4735,6 +4794,8 @@ object Queries {
         | round(CASE WHEN coalesce(nbg,0) > 0 THEN dup/nbg ELSE 0 END, 4) AS dup_bigram_frac
         |FROM tok LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "cu_decontaminate" -> decontaminateOracle,
+    "cu_overlap_frac" -> overlapFracOracle,
+    "ev_stream_overlap_frac" -> overlapFracOracle,
     "cu_bloom_decontam" -> bloomDecontamOracle,
     "ev_stream_bloom_decontam" -> bloomDecontamOracle,
     "ev_stream_decontam" -> decontaminateOracle,

@@ -140,6 +140,91 @@ case class DecontaminatePipe(
   }
 }
 
+/** Overlap-FRACTION decontamination — the published large-model
+  * protocol next to [[DecontaminatePipe]]'s any-shared-n-gram flag:
+  * GPT-3 (Brown et al. 2005.14165, Appendix C) and PaLM (Chowdhery et
+  * al. 2204.02311, §8 "Dataset Contamination") flag a training document
+  * only when a high FRACTION of its n-grams appears in the eval set
+  * (PaLM: ≥70% of 8-grams) — a single shared n-gram is common phrasing,
+  * not leakage, so the exists-flag over-fires on long benchmark suites.
+  *
+  * Semantics: per document, over its DISTINCT word `ngramSize`-grams,
+  * `matched` = how many appear among the eval corpus's distinct n-grams,
+  * `total` = how many there are; the document is contaminated when
+  * `matched * 10000 >= thresholdBp * total` (and `total > 0`). All
+  * integer arithmetic — no float fraction ever compared, so any engine
+  * replays the flag exactly; `overlap_bp` (= matched*10000 div total, 0
+  * when gramless) is emitted for audit/threshold-tuning.
+  *
+  * Shape at scale: `total` is map-only (array_distinct + size on the
+  * token array); `matched` explodes the distinct grams, semi-joins the
+  * broadcast eval set, and counts per doc id — one shuffle on the doc id
+  * (unique key, perfectly even) plus the count join back. The 100 TB
+  * side is never shuffled by gram text; set `broadcastEval = false` for
+  * an oversized eval corpus.
+  */
+case class OverlapFractionPipe(
+    evalDf: DataFrame,
+    textCol: String,
+    idCol: String,
+    ngramSize: Int = 8,
+    /** Contamination threshold in basis points of distinct n-grams
+      * matched (7000 = PaLM's 70%).
+      */
+    thresholdBp: Int = 7000,
+    flagCol: String = "contaminated",
+    matchedCol: String = "matched_ngrams",
+    totalCol: String = "total_ngrams",
+    bpCol: String = "overlap_bp",
+    broadcastEval: Boolean = true) extends Pipe {
+  require(thresholdBp > 0 && thresholdBp <= 10000,
+    s"thresholdBp must be in (0, 10000], got $thresholdBp")
+  override def params = Map("text" -> textCol, "id" -> idCol,
+    "n" -> ngramSize.toString, "thresholdBp" -> thresholdBp.toString,
+    "flag" -> flagCol, "broadcastEval" -> broadcastEval.toString)
+
+  /** Distinct n-grams of a doc, null text folded to the empty set. */
+  private def grams(text: Column): Column = {
+    val tk = TextAnalysisOps.toks(text)
+    coalesce(array_distinct(CurationOps.wordNgrams(tk, ngramSize)),
+      array().cast("array<string>"))
+  }
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val evalNg = evalDf
+      .select(explode(grams(qcol(textCol))).as("__ng__")).distinct()
+    val probe = if (broadcastEval) broadcast(evalNg) else evalNg
+    // widen: the per-row n-gram HOF is map-only and would serialize on a
+    // single input split (the recurring widen hazard)
+    val wide = Pipe.widen(df)
+      // stage the distinct-gram array once: total reads its size map-side
+      // and matched explodes the same staged column
+      .withColumn("__of_ng__", grams(qcol(textCol)))
+      .withColumn(totalCol, size(col("__of_ng__")))
+    val matched = wide
+      .select(qcol(idCol).as("__cid__"), explode(col("__of_ng__")).as("__ng__"))
+      .join(probe, Seq("__ng__"), "left_semi")
+      .groupBy(col("__cid__")).agg(count(lit(1)).as("__mc__"))
+    val m = coalesce(col("__mc__"), lit(0L)).cast("int")
+    wide.join(matched, qcol(idCol) === col("__cid__"), "left")
+      .withColumn(matchedCol, m)
+      .withColumn(bpCol, {
+        // exact integer division (Column./ is DOUBLE division — its floor
+        // can round a near-integer quotient the wrong way): subtract the
+        // remainder first, then the double division is remainder-free and
+        // IEEE-exact for any quotient below 2^53
+        val num = m.cast("long") * 10000L
+        val den = col(totalCol).cast("long")
+        when(col(totalCol) > 0,
+          ((num - pmod(num, den)) / den).cast("int")).otherwise(lit(0))
+      })
+      .withColumn(flagCol,
+        col(totalCol) > 0 &&
+          m.cast("long") * 10000L >= lit(thresholdBp.toLong) * col(totalCol))
+      .drop("__cid__", "__mc__", "__of_ng__")
+  }
+}
+
 /** Engine-reproducible Bloom position algebra shared by
   * [[BloomDecontaminatePipe]] and its gate oracle.
   */

@@ -159,4 +159,79 @@ object StreamingDecontaminate {
       spark.read.parquet(outDir)
     } finally evalNg.unpersist()
   }
+
+  /** Overlap-FRACTION decontamination ON THE STREAM — the stateless twin
+    * of [[graft.llm.OverlapFractionPipe]] (the GPT-3/PaLM protocol: flag
+    * when ≥ thresholdBp/10000 of a document's distinct n-grams appear in
+    * the eval set). The batch pipe's explode → semi-join → per-doc count
+    * needs aggregation state on a stream; here the fraction folds to a
+    * PURE per-row projection instead: the eval corpus's distinct n-grams
+    * collect ONCE into a literal set and each arriving row computes
+    * `matched = size(array_intersect(grams, evalSet))` — map-only,
+    * codegen'd, ZERO streaming state, flags and counts bit-identical to
+    * the batch pipe (same tokenizer, same distinct-gram algebra, same
+    * integer threshold arithmetic).
+    *
+    * Bounded by the same `maxEvalNgrams` literal cap as [[apply]]. Past
+    * the cap there is NO exact stateless form (a Bloom membership probe
+    * would inflate `matched` by false positives — a one-sided FLAG is
+    * sound, a one-sided COUNT is not): a batch frame degrades to the
+    * relational batch pipe in-plan; a stream fails loudly pointing at
+    * running [[graft.llm.OverlapFractionPipe]] per micro-batch via
+    * `foreachBatch` (the [[runOverCapToParquet]] shape).
+    */
+  def fraction(
+      df: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      ngramSize: Int = 8,
+      thresholdBp: Int = 7000,
+      flagCol: String = "contaminated",
+      maxEvalNgrams: Int = 2000000): DataFrame = {
+    require(!evalDf.isStreaming,
+      "the eval corpus must be a static frame — its n-gram set is " +
+        "collected once before the stream starts")
+    val grams: Column => Column = text =>
+      coalesce(array_distinct(graft.llm.CurationOps.wordNgrams(
+        graft.llm.TextAnalysisOps.toks(text), ngramSize)),
+        array().cast("array<string>"))
+    val evalNg = evalDf.select(explode(grams(col(textCol))).as("__ng__"))
+      .distinct().limit(maxEvalNgrams + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (evalNg.size > maxEvalNgrams) {
+      require(!df.isStreaming,
+        s"eval corpus has more than $maxEvalNgrams distinct $ngramSize-grams" +
+          " — a stream cannot carry the literal set in-plan and a Bloom" +
+          " probe would inflate the matched COUNT (one-sided error is" +
+          " sound for a flag, not a fraction); run" +
+          " graft.llm.OverlapFractionPipe per micro-batch via foreachBatch" +
+          " (the runOverCapToParquet shape) instead")
+      return graft.llm.OverlapFractionPipe(evalDf, textCol, idCol,
+        ngramSize, thresholdBp, flagCol, broadcastEval = false)(df)
+    }
+    val wide = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // stage the distinct-gram array once (the HOF-inline hazard: the
+      // tokenizer + n-gram lambdas would otherwise re-evaluate per use)
+      .withColumn("__of_ng__", grams(col(textCol)))
+    // doc grams ride on the LEFT of array_intersect (the smaller side);
+    // matched counts DISTINCT grams exactly like the batch pipe because
+    // both input arrays are distinct
+    val matched =
+      size(array_intersect(col("__of_ng__"), typedLit(evalNg))).cast("int")
+    val total = size(col("__of_ng__")).cast("int")
+    val num = matched.cast("long") * 10000L
+    val den = total.cast("long")
+    wide
+      .withColumn("matched_ngrams", matched)
+      .withColumn("total_ngrams", total)
+      // exact integer division — see OverlapFractionPipe (Column./ is
+      // double division; strip the remainder first)
+      .withColumn("overlap_bp",
+        when(total > 0, ((num - pmod(num, den)) / den).cast("int"))
+          .otherwise(lit(0)))
+      .withColumn(flagCol,
+        total > 0 && num >= lit(thresholdBp.toLong) * den)
+      .drop("__of_ng__")
+  }
 }

@@ -297,6 +297,33 @@ object EventStream {
       "append")
   }
 
+  /** Overlap-fraction decontamination on the stream (gate
+    * `ev_stream_overlap_frac`): the GPT-3/PaLM fractional protocol on
+    * ARRIVING documents — the same planted partial-contamination frame
+    * as the batch gate (eval tokens appended to doc_id % 7 == 3 via a
+    * stateless broadcast stream-static join), then
+    * [[StreamingDecontaminate.fraction]]'s pure per-row projection:
+    * counts, bp, and flag bit-identical to the batch pipe and oracle.
+    */
+  def runOverlapFractionStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = readStreamTable(spark, dir, "documents").select("doc_id", "text")
+    val eval = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 30).select("doc_id", "text")
+    val evalSide = eval.select(col("doc_id").as("__eid__"),
+      col("text").as("__etext__"))
+    val planted = docs.withColumn("__eid__", col("doc_id") % 30)
+      .join(org.apache.spark.sql.functions.broadcast(evalSide), Seq("__eid__"))
+      .withColumn("text", when(col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" "), concat_ws(" ",
+          slice(graft.llm.TextAnalysisOps.toks(col("__etext__")), 1, 40))))
+        .otherwise(col("text")))
+      .drop("__eid__", "__etext__")
+    runToMemorySink(
+      StreamingDecontaminate.fraction(planted, eval, "text", "doc_id",
+        ngramSize = 8, thresholdBp = 2000),
+      "append")
+  }
+
   /** Weighted sampling on the stream (gate `ev_stream_weighted_sample`):
     * documents flow through [[StreamingWeightedSample]] inside a REAL
     * StreamingQuery; the final reservoir must be BIT-IDENTICAL to the
