@@ -2055,6 +2055,32 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s30_sq_add" -> ((s, d) => {
+      // incremental maintenance for the SCALAR quantizer: SQ8 built over
+      // two thirds (per-dim min/max trained THERE), addVectors the rest
+      // — new rows encode against the PINNED stats, so components
+      // outside the trained range must SATURATE at code 0/255. Min/max
+      // training is deterministic, so the oracle replays the pinned
+      // train + full encode (clamp included) + ADC with NO fixed-state
+      // injection — the only incremental gate with that property.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.SQDenseEngine(
+        vecs.filter(col("idx") % 3 =!= 0),
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        stateDir = Some("/tmp/graft-cache/sq-add"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":sq-base")
+      val eng = base.addVectors(vecs.filter(col("idx") % 3 === 0),
+        fingerprint = tableFp(s, d, "embeddings") + ":sq-add")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s26_ivfpq_add" -> ((s, d) => {
       // incremental maintenance for the COMPOSED index: residual IVF-PQ
       // built over two thirds, addVectors the rest — only the new rows
@@ -3230,10 +3256,13 @@ object Queries {
   /** DuckDB replay of [[graft.search.SQDenseEngine]]: train (per-dim
     * min/max), encode (round half-up, clamp to [0,255], constant dims
     * encode 0), ADC (`qmin + qd·codes`), top-k with idx tie-break.
+    * `trainWhere` restricts the TRAINED rows (the incremental-add gate
+    * trains on the base two thirds and encodes everything — out-of-range
+    * added components must saturate at 0/255 exactly like the engine).
     */
-  private def sqOracle(k: Int, qmax: Int): String = scl(
+  private def sqOracle(k: Int, qmax: Int, trainWhere: String = "TRUE"): String = scl(
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-      |d AS (SELECT generate_subscripts(ev, 1) AS p, unnest(ev) AS x FROM v),
+      |d AS (SELECT generate_subscripts(ev, 1) AS p, unnest(ev) AS x FROM v WHERE $trainWhere),
       |st AS (SELECT p, min(x) AS mn, max(x) - min(x) AS df FROM d GROUP BY p),
       |stl AS (SELECT list(mn ORDER BY p) AS vmin, list(df ORDER BY p) AS vdiff FROM st),
       |cd AS (SELECT vec_id, list_transform(range(1, length(ev)+1), i -> CASE WHEN vdiff[i] <= 0 THEN CAST(0 AS DOUBLE) ELSE least(greatest(round((ev[i]-vmin[i])/vdiff[i]*255, 0), 0), 255) END) AS codes FROM v, stl),
@@ -4212,6 +4241,11 @@ object Queries {
     // min/max train over the corpus, 8-bit encode (round half-up, clamp,
     // constant dims -> 0), ADC score qmin + qd·codes, top-k
     "s15_sq8_dense" -> sqOracle(k = 10, qmax = 10),
+    // incremental SQ add: stats trained on the base two thirds only;
+    // the full-corpus encode against those pinned stats (saturating
+    // clamp on out-of-range added components) must match the engine
+    "s30_sq_add" -> sqOracle(k = 10, qmax = 10,
+      trainWhere = "vec_id % 3 <> 0"),
     // IVF8,SQ8 with nprobe = nlist: candidate set is total, so the SAME
     // flat-SQ replay is exact (KMeans only picks list assignment)
     "s16_ivf_sq8" -> sqOracle(k = 8, qmax = 8),

@@ -168,7 +168,8 @@ object AutoSearchEngine {
     // over the SQ codes
     "ivf_sq" -> ((c, cfg) => IVFSQDenseEngine(c, config = cfg,
       corpusIdxCol = corpusIdxCol, corpusVecCol = corpusVecCol,
-      stateDir = stateDir, corpusFingerprint = corpusFingerprint)),
+      stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+      carryCols = carryCols, memberFilter = memberFilter)),
     // FAISS IndexLSH by capability: SRP signatures + band buckets; finds
     // HIGH-cosine neighbors only (near-duplicate retrieval), may return
     // fewer than k rows — general ANN belongs to dense_ivf / ivf_pq

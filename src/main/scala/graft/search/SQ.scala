@@ -35,12 +35,56 @@ case class SQDenseEngine(
       * pipes/index.py:65-99).
       */
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** Caller-pinned `(vmin, vdiff)` — the incremental-add path (see
+      * [[addVectors]]): new vectors encode against the STANDING
+      * quantizer. A new component outside the trained range CLAMPS to
+      * code 0/255 (the honest saturation semantics of any pinned uniform
+      * quantizer — FAISS behaves the same after `add` without retrain);
+      * watch for drift and RETRAIN by rebuilding from the source corpus
+      * when it bites — codes are lossy, so unlike [[IVFDenseEngine
+      * .rebalance]] a retrain cannot be derived from the index itself.
+      */
+    fixedStats: Option[(Seq[Double], Seq[Double])] = None,
+    /** Already-encoded base codes `(idx, codes)` appended verbatim after
+      * the encode — only `corpus` (the NEW vectors) is encoded. Requires
+      * `fixedStats`: re-training min/max on only the new rows would
+      * silently move the quantizer.
+      */
+    baseCodes: Option[DataFrame] = None) extends SearchEngine {
+  require(baseCodes.isEmpty || fixedStats.isDefined,
+    "baseCodes (incremental add) requires fixedStats — the base index's " +
+      "quantizer must be pinned, not re-trained")
 
-  override def params = Map("k" -> config.k.toString, "engine" -> "dense_sq")
+  override def params = Map("k" -> config.k.toString, "engine" -> "dense_sq",
+    "fixedStats" -> fixedStats.map(s =>
+      graft.core.Fingerprint.hash(s.toString)).getOrElse(""),
+    "incremental" -> baseCodes.isDefined.toString)
 
-  private lazy val n: Long = corpus.count()
+  private lazy val n: Long =
+    corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] = Some(n)
+
+  /** Incremental index maintenance — the [[IVFDenseEngine.addVectors]]
+    * contract for the scalar quantizer: a new engine over `extra` whose
+    * per-dim stats are THIS engine's (collected — 2·dim doubles), with
+    * the standing codes appended verbatim. Only the new vectors are
+    * encoded — O(|extra|), never O(index) — and per-row encoding is
+    * independent, so search equals a pinned-stats build over
+    * base ∪ extra exactly. Out-of-range new components saturate (see
+    * [[fixedStats]]).
+    */
+  def addVectors(extra: DataFrame, fingerprint: String = ""): SQDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "addVectors with stateDir requires a fingerprint covering base+extra " +
+        "— an unchanged state key would serve a previous add's cache")
+    val row = stats.head()
+    copy(corpus = extra,
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))),
+      baseCodes = Some(codes),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
 
   /** `stats`: ONE row `(vmin array<double>, vdiff array<double>)`;
     * `codes`: `(idx, codes array<int>)`.
@@ -57,16 +101,21 @@ case class SQDenseEngine(
         case None => compute
       }
     val statsDf = persisted("sqstats") {
-      corpus
-        .select(posexplode(arrTransform(qcol(corpusVecCol), _.cast("double")))
-          .as(Seq("p", "x")))
-        .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
-        .agg(sort_array(collect_list(struct(col("p"), col("mn"), col("mx"))))
-          .as("e"))
-        .select(
-          arrTransform(col("e"), _.getField("mn")).as("vmin"),
-          arrTransform(col("e"), e => e.getField("mx") - e.getField("mn"))
-            .as("vdiff"))
+      fixedStats match {
+        case Some((mn, df)) =>
+          spark.createDataFrame(Seq((mn, df))).toDF("vmin", "vdiff")
+        case None =>
+          corpus
+            .select(posexplode(arrTransform(qcol(corpusVecCol), _.cast("double")))
+              .as(Seq("p", "x")))
+            .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+            .agg(sort_array(collect_list(struct(col("p"), col("mn"), col("mx"))))
+              .as("e"))
+            .select(
+              arrTransform(col("e"), _.getField("mn")).as("vmin"),
+              arrTransform(col("e"), e => e.getField("mx") - e.getField("mn"))
+                .as("vdiff"))
+      }
     }
     val codesDf = persisted("codes") {
       // constant dims (vdiff <= 0) encode as 0 and reconstruct to vmin
@@ -82,7 +131,14 @@ case class SQDenseEngine(
               .cast("int"))
             .as("codes"))
     }
-    (statsDf, codesDf)
+    // incremental add: base codes append OUTSIDE the persisted stage, so
+    // the cache (and the encode) covers only the new rows
+    val withBase = baseCodes match {
+      case Some(base) => base.select(col("idx"), col("codes"))
+        .unionByName(codesDf.select(col("idx"), col("codes")))
+      case None => codesDf
+    }
+    (statsDf, withBase)
   }
 
   /** `(rowId, __qmin__, __qd__)` — the per-query ADC table, reusable by
@@ -136,39 +192,103 @@ case class IVFSQDenseEngine(
     kmeansSeed: Long = 42L,
     stateDir: Option[String] = None,
     corpusFingerprint: String = "",
-    fixedCentroids: Option[Seq[Seq[Double]]] = None) extends SearchEngine {
+    fixedCentroids: Option[Seq[Seq[Double]]] = None,
+    /** Pinned per-dim stats — required by the incremental path; see
+      * [[SQDenseEngine.fixedStats]] (saturation semantics included).
+      */
+    fixedStats: Option[(Seq[Double], Seq[Double])] = None,
+    /** Incremental add (see [[addVectors]]): the standing tagged rows
+      * and codes, appended verbatim; only `corpus` (the NEW vectors) is
+      * tagged and encoded. Both or neither.
+      */
+    baseTagged: Option[DataFrame] = None,
+    baseCodes: Option[DataFrame] = None,
+    /** Payload columns carried into the coarse tagged state — see
+      * [[IVFDenseEngine.carryCols]]. */
+    carryCols: Seq[String] = Nil,
+    /** Filtered search — see [[IVFDenseEngine.memberFilter]]: query-time
+      * predicate pruning code rows BEFORE the ADC scan; same honest-ANN
+      * short-result caveat and fill-disabled rule.
+      */
+    memberFilter: Option[org.apache.spark.sql.Column] = None)
+  extends SearchEngine {
+  require(baseTagged.isDefined == baseCodes.isDefined,
+    "incremental add needs BOTH baseTagged and baseCodes (or neither)")
 
   override def params = Map("k" -> config.k.toString,
     "nlist" -> nlist.toString, "nprobe" -> nprobe.toString,
     "engine" -> "ivf_sq", "seed" -> kmeansSeed.toString,
     "fixedCents" -> fixedCentroids.map(c =>
+      graft.core.Fingerprint.hash(c.toString)).getOrElse(""),
+    "fixedStats" -> fixedStats.map(s =>
+      graft.core.Fingerprint.hash(s.toString)).getOrElse(""),
+    "incremental" -> baseTagged.isDefined.toString,
+    "carryCols" -> carryCols.mkString(","),
+    "filter" -> memberFilter.map(c =>
       graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+
+  override protected def queryTimeParams: Set[String] =
+    super.queryTimeParams + "filter"
 
   /** Coarse quantizer (centroids + list assignment). */
   lazy val ivf: IVFDenseEngine = IVFDenseEngine(corpus, nlist, nprobe,
     config, corpusIdxCol, corpusVecCol, kmeansSeed,
     stateDir = stateDir, corpusFingerprint = corpusFingerprint,
-    fixedCentroids = fixedCentroids)
+    fixedCentroids = fixedCentroids, baseTagged = baseTagged,
+    carryCols = carryCols)
 
   /** Fine quantizer (per-dim stats + codes). */
   lazy val sq: SQDenseEngine = SQDenseEngine(corpus, config,
     corpusIdxCol, corpusVecCol,
-    stateDir = stateDir, corpusFingerprint = corpusFingerprint)
+    stateDir = stateDir, corpusFingerprint = corpusFingerprint,
+    fixedStats = fixedStats, baseCodes = baseCodes)
 
-  private lazy val n: Long = corpus.count()
-  protected def fillRange: Option[Long] = Some(n)
+  /** Incremental index maintenance — [[IVFDenseEngine.addVectors]]
+    * extended to the scalar fine quantizer: coarse centroids AND per-dim
+    * stats pinned from this engine, standing tagged rows + codes
+    * appended verbatim, only the new vectors tagged and encoded —
+    * O(|extra|), never O(index); search ≡ a pinned-state build over
+    * base ∪ extra exactly (per-row independence on both quantizers).
+    */
+  def addVectors(extra: DataFrame, fingerprint: String = ""): IVFSQDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "addVectors with stateDir requires a fingerprint covering base+extra " +
+        "— an unchanged state key would serve a previous add's cache")
+    val cents = ivf.centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    val row = sq.stats.head()
+    copy(corpus = extra,
+      fixedCentroids = Some(cents),
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))),
+      baseTagged = Some(ivf.tagged.select(
+        (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
+      baseCodes = Some(sq.codes),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
 
-  /** Codes tagged with their inverted-list id: (cid, idx, codes). */
+  private lazy val n: Long =
+    corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
+  protected def fillRange: Option[Long] =
+    if (memberFilter.isDefined) None else Some(n)
+
+  /** Codes tagged with their inverted-list id (+ carried payload):
+    * (cid, idx, codes, carryCols*).
+    */
   lazy val taggedCodes: DataFrame =
-    sq.codes.join(ivf.tagged.select(col("idx"), col("cid")), Seq("idx"))
+    sq.codes.join(ivf.tagged.select(
+      (Seq("idx", "cid") ++ carryCols).map(col): _*), Seq("idx"))
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val probed = ivf.probes(stamped, rowId)
       .join(sq.queryTables(stamped, rowId), Seq(rowId))
       .select(col(rowId), col("cid"), col("__qmin__"), col("__qd__"))
+    // payload filter prunes code rows BEFORE broadcast and the ADC scan
+    val filteredCodes =
+      memberFilter.map(taggedCodes.filter).getOrElse(taggedCodes)
     val c =
-      if (n <= PQDenseEngine.BroadcastCodeRowCap) broadcast(taggedCodes)
-      else taggedCodes
+      if (n <= PQDenseEngine.BroadcastCodeRowCap) broadcast(filteredCodes)
+      else filteredCodes
     val scored = probed.join(c, Seq("cid"))
       .select(col(rowId), col("idx"), sq.adcScore.as("score"))
     SearchEngine.collapseTopK(stamped, scored, rowId, config.k)

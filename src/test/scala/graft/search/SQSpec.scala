@@ -64,6 +64,77 @@ class SQSpec extends SparkSpec {
     assert(ivf == flat)
   }
 
+  test("SQ addVectors equals a pinned-stats build over the union (saturation included)") {
+    val base = SQDenseEngine(corpus.filter(col("idx") % 3 =!= 0), cfg)
+    val grown = base.addVectors(corpus.filter(col("idx") % 3 === 0))
+    // union build with the SAME pinned stats (collected from the base) —
+    // per-row encoding independence makes the two engines identical even
+    // where added components saturate at code 0/255
+    val row = base.stats.head()
+    val pinned = SQDenseEngine(corpus, cfg,
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))))
+    def out(e: SearchEngine) = e(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    assert(out(grown) == out(pinned))
+    // the add genuinely saturates somewhere: some full-corpus code hits
+    // 0/255 where the FULL-trained engine (whose stats cover the range)
+    // gives interior codes — i.e. grown differs from a plain full build
+    assert(out(grown) != out(SQDenseEngine(corpus, cfg)),
+      "expected the pinned ⅔-trained quantizer to differ from a full train")
+  }
+
+  test("IVF,SQ8 addVectors equals a pinned build over the union") {
+    val cents = IVFDenseEngine.formulaCentroids(4, 64)
+    val base = IVFSQDenseEngine(corpus.filter(col("idx") % 3 =!= 0),
+      nlist = 4, nprobe = 2, cfg, fixedCentroids = Some(cents))
+    val grown = base.addVectors(corpus.filter(col("idx") % 3 === 0))
+    val row = base.sq.stats.head()
+    val pinned = IVFSQDenseEngine(corpus, nlist = 4, nprobe = 2, cfg,
+      fixedCentroids = Some(cents),
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))))
+    def out(e: SearchEngine) = e(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    assert(out(grown) == out(pinned))
+  }
+
+  test("incremental SQ refusals: baseCodes needs fixedStats; stateDir add needs a fingerprint") {
+    intercept[IllegalArgumentException] {
+      SQDenseEngine(corpus, cfg, baseCodes = Some(corpus.limit(1)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq-addfp").toString
+    val withState = SQDenseEngine(corpus.filter(col("idx") % 3 =!= 0), cfg,
+      stateDir = Some(dir), corpusFingerprint = "sq-add-base")
+    withState(queries(3)).collect()
+    intercept[IllegalArgumentException] {
+      withState.addVectors(corpus.filter(col("idx") % 3 === 0))
+    }
+  }
+
+  test("filtered IVF,SQ8 returns only predicate rows and equals the pinned pre-filtered build") {
+    val payload = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").as("idx"), col("embedding").as("vector"),
+        col("label"))
+    val pred = col("label") % 3 === 1
+    val cents = IVFDenseEngine.formulaCentroids(4, 64)
+    val full = IVFSQDenseEngine(payload, nlist = 4, nprobe = 2, cfg,
+      fixedCentroids = Some(cents),
+      carryCols = Seq("label"), memberFilter = Some(pred))
+    val fullStats = full.sq.stats.head()
+    val pre = IVFSQDenseEngine(payload.filter(pred), nlist = 4, nprobe = 2,
+      cfg, fixedCentroids = Some(cents),
+      fixedStats = Some((fullStats.getSeq[Double](0),
+        fullStats.getSeq[Double](1))))
+    def out(e: SearchEngine) = e(queries(6))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    assert(out(full) == out(pre))
+  }
+
   test("persisted SQ state reloads into a fresh engine with equal results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sq-state").toString
     val fp = "sqspec-corpus"
