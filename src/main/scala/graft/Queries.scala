@@ -2055,6 +2055,36 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s31_recall_eval" -> ((s, d) => {
+      // the recall-measurement operator a production ANN deployment runs
+      // continuously: a genuinely PRUNED candidate (nprobe=2 < nlist=8,
+      // deterministic formula quantizer) evaluated against the exact
+      // brute-force truth — per-query hits / truth_k / fixed-point
+      // recall_bp, all integer-exact. The oracle replays BOTH engines
+      // and the intersection, so it passes only if the measurement is
+      // exactly the two rankings' overlap (recall here is well under
+      // 10000 bp — the pruning genuinely bites).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val cand = graft.search.IVFDenseEngine(
+        vecs, nlist = 8, nprobe = 2,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivf-recall"),
+        corpusFingerprint = tableFp(s, d, "embeddings"))
+      val truth = graft.search.BruteForceDenseEngine(
+        vecs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid"), indexField = "truth",
+          mergePreviousResults = false))
+      graft.search.RecallEval.vs(cand, truth, queries, "qid")
+        .select("qid", "hits", "truth_k", "recall_bp")
+        .orderBy("qid")
+    }),
+
     "s30_sq_add" -> ((s, d) => {
       // incremental maintenance for the SCALAR quantizer: SQ8 built over
       // two thirds (per-dim min/max trained THERE), addVectors the rest
@@ -4241,6 +4271,34 @@ object Queries {
     // min/max train over the corpus, 8-bit encode (round half-up, clamp,
     // constant dims -> 0), ADC score qmin + qd·codes, top-k
     "s15_sq8_dense" -> sqOracle(k = 10, qmax = 10),
+    // recall measurement: BOTH engines replayed — the pruned candidate
+    // (probe top-2 over the c*29+t*13 formula quantizer, member top-10)
+    // and the exact brute-force truth top-10 — then the intersection
+    // size and the remainder-stripped bp division
+    "s31_recall_eval" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 20),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 2),
+        |isc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
+        |irk AS (SELECT qid, idx, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM isc),
+        |ci AS (SELECT qid, list(idx ORDER BY r) AS cl FROM irk WHERE r <= 10 GROUP BY qid),
+        |bsc AS (SELECT qs.qid, e.vec_id AS idx, list_dot_product(qs.qv, e.v) AS score FROM qs CROSS JOIN emb e),
+        |brk AS (SELECT qid, idx, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM bsc),
+        |ti AS (SELECT qid, list(idx ORDER BY r) AS tl FROM brk WHERE r <= 10 GROUP BY qid),
+        |j AS (SELECT ci.qid, len(list_intersect(ci.cl, ti.tl)) AS hits, len(ti.tl) AS tk FROM ci JOIN ti USING (qid))
+        |SELECT qid, CAST(hits AS INT) AS hits, CAST(tk AS INT) AS truth_k,
+        | CAST(CASE WHEN tk > 0 THEN (hits*10000) // tk ELSE 10000 END AS INT) AS recall_bp
+        |FROM j ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "hits" -> "", "truth_k" -> "", "recall_bp" -> ""),
     // incremental SQ add: stats trained on the base two thirds only;
     // the full-corpus encode against those pinned stats (saturating
     // clamp on out-of-range added components) must match the engine
