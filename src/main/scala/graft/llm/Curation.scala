@@ -193,35 +193,45 @@ case class OverlapFractionPipe(
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
     val evalNg = evalDf
       .select(explode(grams(qcol(textCol))).as("__ng__")).distinct()
-    val probe = if (broadcastEval) broadcast(evalNg) else evalNg
+    val probe = (if (broadcastEval) broadcast(evalNg) else evalNg)
+      .withColumn("__hit__", lit(1))
     // widen: the per-row n-gram HOF is map-only and would serialize on a
     // single input split (the recurring widen hazard)
     val wide = Pipe.widen(df)
-      // stage the distinct-gram array once: total reads its size map-side
-      // and matched explodes the same staged column
-      .withColumn("__of_ng__", grams(qcol(textCol)))
-      .withColumn(totalCol, size(col("__of_ng__")))
-    val matched = wide
-      .select(qcol(idCol).as("__cid__"), explode(col("__of_ng__")).as("__ng__"))
-      .join(probe, Seq("__ng__"), "left_semi")
-      .groupBy(col("__cid__")).agg(count(lit(1)).as("__mc__"))
-    val m = coalesce(col("__mc__"), lit(0L)).cast("int")
-    wide.join(matched, qcol(idCol) === col("__cid__"), "left")
+    // ONE evaluation of the tokenizer + n-gram chain per document: stage
+    // (id, grams), carry the total THROUGH the generator, mark matches
+    // with a left join against the (distinct) eval set — 0/1 hit per
+    // distinct doc gram — and fold to one (id, matched, total) row. The
+    // raw side of the final join never touches the gram chain (the first
+    // cut computed it on BOTH join branches — measured ~2x on the sf0.1
+    // gate; explode_outer keeps gramless docs as a (null-gram, total 0)
+    // row so every doc id survives the fold).
+    val counts = wide
+      .select(qcol(idCol).as("__cid__"), grams(qcol(textCol)).as("__of_ng__"))
+      .select(col("__cid__"), size(col("__of_ng__")).as("__tot__"),
+        explode_outer(col("__of_ng__")).as("__ng__"))
+      .join(probe, Seq("__ng__"), "left")
+      .groupBy(col("__cid__"))
+      .agg(first(col("__tot__")).as("__tot__"),
+        sum(coalesce(col("__hit__"), lit(0))).cast("int").as("__mc__"))
+    val m = coalesce(col("__mc__"), lit(0)).cast("int")
+    val tot = coalesce(col("__tot__"), lit(0)).cast("int")
+    wide.join(counts, qcol(idCol) === col("__cid__"), "left")
       .withColumn(matchedCol, m)
+      .withColumn(totalCol, tot)
       .withColumn(bpCol, {
         // exact integer division (Column./ is DOUBLE division — its floor
         // can round a near-integer quotient the wrong way): subtract the
         // remainder first, then the double division is remainder-free and
         // IEEE-exact for any quotient below 2^53
         val num = m.cast("long") * 10000L
-        val den = col(totalCol).cast("long")
-        when(col(totalCol) > 0,
+        val den = tot.cast("long")
+        when(tot > 0,
           ((num - pmod(num, den)) / den).cast("int")).otherwise(lit(0))
       })
       .withColumn(flagCol,
-        col(totalCol) > 0 &&
-          m.cast("long") * 10000L >= lit(thresholdBp.toLong) * col(totalCol))
-      .drop("__cid__", "__mc__", "__of_ng__")
+        tot > 0 && m.cast("long") * 10000L >= lit(thresholdBp.toLong) * tot.cast("long"))
+      .drop("__cid__", "__mc__", "__tot__")
   }
 }
 
