@@ -183,11 +183,29 @@ object Pipe {
         // or logical stats under autoBroadcastJoinThreshold.
         def hintedBc(h: Option[HintInfo]): Boolean =
           h.exists(_.strategy.contains(BROADCAST))
+        // On the pre-optimized plan widen sees, a functions.broadcast()
+        // hint is NOT in j.hint yet — it sits as a Resolved/UnresolvedHint
+        // NODE wrapping the child (EliminateResolvedHint folds it into the
+        // join only during optimization). Missing it reported shufflePart
+        // for scan ⋈ broadcast(tiny) plans, skipping exactly the widen the
+        // r9 advice added — measured as a ONE-task 335 s gram stage on a
+        // single-row-group 500k-doc parquet at the r17 sf10 rung (the
+        // broadcast side contributes no partitions; the narrow stream side
+        // needed the repartition).
+        def hintedBcNode(p: LogicalPlan): Boolean = p match {
+          case h: ResolvedHint => h.hints.strategy.contains(BROADCAST)
+          case u: UnresolvedHint =>
+            Set("broadcast", "broadcastjoin", "mapjoin")
+              .contains(u.name.toLowerCase(java.util.Locale.ROOT))
+          case _ => false
+        }
         def sizedBc(p: LogicalPlan): Boolean = autoBcThreshold > 0 &&
           (try p.stats.sizeInBytes <= autoBcThreshold
            catch { case _: Throwable => false })
-        val leftBc = hintedBc(j.hint.leftHint) || sizedBc(j.left)
-        val rightBc = hintedBc(j.hint.rightHint) || sizedBc(j.right)
+        val leftBc = hintedBc(j.hint.leftHint) || hintedBcNode(j.left) ||
+          sizedBc(j.left)
+        val rightBc = hintedBc(j.hint.rightHint) || hintedBcNode(j.right) ||
+          sizedBc(j.right)
         if (rightBc && !leftBc) est(j.left)
         else if (leftBc && !rightBc) est(j.right)
         // both broadcastable: the planner streams ONE side but which is
