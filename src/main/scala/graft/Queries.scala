@@ -2055,6 +2055,61 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s32_lsh_add" -> ((s, d) => {
+      // incremental maintenance for the SIGNATURE index: LSH built over
+      // two thirds, addVectors the rest — only the new rows are signed,
+      // the standing signatures and vectors append verbatim. The
+      // hyperplanes are a corpus-independent formula (no training), so
+      // add ≡ full build EXACTLY and the s17 oracle applies VERBATIM —
+      // the only engine family whose incremental add needs no pinning.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.LSHDenseEngine(
+        vecs.filter(col("idx") % 3 =!= 0),
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        stateDir = Some("/tmp/graft-cache/lsh-add"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":lsh-base")
+      val eng = base.addVectors(vecs.filter(col("idx") % 3 === 0),
+        fingerprint = tableFp(s, d, "embeddings") + ":lsh-add")
+      val pairs = filter(
+        zip_with(q("index.idx"), q("index.score"),
+          (i, sc) => struct(i.as("i"), sc.as("s"))),
+        p => p.getField("i") >= 0)
+      eng(queries)
+        .select(col("qid"),
+          transform(pairs, _.getField("i")).as("index.idx"),
+          transform(pairs, p => round(p.getField("s"), 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s33_jaccard_add" -> ((s, d) => {
+      // incremental maintenance for the lexical inverted index: Jaccard
+      // built over two thirds, addDocuments the rest — only the new docs
+      // are shingled, postings/sizes append verbatim. Per-doc shingling
+      // has no corpus statistics (unlike BM25's df/avgdl merge), so add
+      // ≡ full build exactly and the s22 oracle applies VERBATIM.
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("query.text"))
+      val base = graft.search.JaccardEngine(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text", roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/jaccard-add"),
+        corpusFingerprint = tableFp(s, d, "documents") + ":jc-base")
+      val eng = base.addDocuments(docs.filter(col("doc_id") % 3 === 0),
+        fingerprint = tableFp(s, d, "documents") + ":jc-add")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s31_recall_eval" -> ((s, d) => {
       // the recall-measurement operator a production ANN deployment runs
       // continuously: a genuinely PRUNED candidate (nprobe=2 < nlist=8,
@@ -5422,5 +5477,11 @@ object Queries {
   val oracleSql: Map[String, String] = oracleBase ++ Map(
     "tx_html_extract_sql" -> oracleBase("tx_html_extract"),
     "ta_langid_sql" -> oracleBase("ta_langid"),
-    "ta_fingerprint_sql" -> oracleBase("ta_fingerprint"))
+    "ta_fingerprint_sql" -> oracleBase("ta_fingerprint"),
+    // incremental add == full build EXACTLY for the signature index
+    // (formula hyperplanes, nothing trained) and the lexical inverted
+    // index (per-doc shingles, no corpus statistics) — the full-build
+    // oracles apply VERBATIM to the incrementally-built engines
+    "s32_lsh_add" -> oracleBase("s17_lsh_dense"),
+    "s33_jaccard_add" -> oracleBase("s22_jaccard_search"))
 }

@@ -31,12 +31,43 @@ case class JaccardEngine(
     hashShingles: Boolean = false,
     roundScores: Option[Int] = None,
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** Incremental add (see [[addDocuments]]): the standing inverted
+      * index `(g, docId)` and per-doc sizes `(docId, n)` — appended
+      * verbatim; only `corpus` (the NEW documents) is shingled. Both or
+      * neither. Shingling is per-document — no corpus-level statistics
+      * (unlike BM25's df/avgdl) — so add ≡ full build EXACTLY.
+      */
+    baseIndex: Option[DataFrame] = None,
+    baseSizes: Option[DataFrame] = None) extends SearchEngine {
+  require(baseIndex.isDefined == baseSizes.isDefined,
+    "incremental add needs BOTH baseIndex and baseSizes (or neither)")
 
   override def params = Map("k" -> config.k.toString,
     "shingleSize" -> shingleSize.toString,
     "hashShingles" -> hashShingles.toString,
-    "roundScores" -> roundScores.mkString, "engine" -> "jaccard")
+    "roundScores" -> roundScores.mkString, "engine" -> "jaccard",
+    "incremental" -> baseIndex.isDefined.toString)
+
+  /** Incremental index maintenance — the [[IVFDenseEngine.addVectors]]
+    * contract for the lexical inverted index: a new engine over `extra`
+    * whose standing postings and sizes append verbatim; only the new
+    * documents are shingled — O(|extra|), never O(index). Per-document
+    * shingling has no corpus statistics, so search equals a build over
+    * base ∪ extra exactly (the BM25 merge needed a df re-sum; this one
+    * needs nothing).
+    */
+  def addDocuments(extra: DataFrame, fingerprint: String = ""): JaccardEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "addDocuments with stateDir requires a fingerprint covering " +
+        "base+extra — an unchanged state key would serve a previous " +
+        "add's cache")
+    val (inv, sizes, _) = state
+    copy(corpus = extra,
+      baseIndex = Some(inv), baseSizes = Some(sizes),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
 
   // scoring/truncation knobs must hit the same persisted index
   override protected def queryTimeParams: Set[String] = Set("k", "roundScores")
@@ -57,9 +88,18 @@ case class JaccardEngine(
         case None =>
           compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    val inv = persisted("inv")(
-      sh.select(col("docId"), explode(col("__s__")).as("g")))
-    val sizes = persisted("sizes")(sh.select(col("docId"), size(col("__s__")).as("n")))
+    // incremental add: base frames append OUTSIDE the persisted stage,
+    // so the cache (and the shingling) covers only the new documents
+    val inv = {
+      val own = persisted("inv")(
+        sh.select(col("docId"), explode(col("__s__")).as("g")))
+      baseIndex.fold(own)(own.unionByName(_))
+    }
+    val sizes = {
+      val own = persisted("sizes")(
+        sh.select(col("docId"), size(col("__s__")).as("n")))
+      baseSizes.fold(own)(own.unionByName(_))
+    }
     (inv, sizes, sizes.count())
   }
 

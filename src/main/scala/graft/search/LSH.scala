@@ -49,7 +49,18 @@ case class LSHDenseEngine(
     corpusIdxCol: String = "idx",
     corpusVecCol: String = "vector",
     stateDir: Option[String] = None,
-    corpusFingerprint: String = "") extends SearchEngine {
+    corpusFingerprint: String = "",
+    /** Incremental add (see [[addVectors]]): the standing index's
+      * signature frame `(idx, sg)` and raw vectors `(idx, vector)` —
+      * appended verbatim; only `corpus` (the NEW vectors) is signed.
+      * Both or neither. The hyperplanes are a pure (nBits, dim) formula
+      * — no training — so unlike the KMeans engines nothing needs
+      * pinning: add ≡ full build EXACTLY at any split.
+      */
+    baseSignatures: Option[DataFrame] = None,
+    baseVectors: Option[DataFrame] = None) extends SearchEngine {
+  require(baseSignatures.isDefined == baseVectors.isDefined,
+    "incremental add needs BOTH baseSignatures and baseVectors (or neither)")
   require(nBits % bands == 0, "bands must divide nBits")
   // narrow (<= 62 bits) signatures are ONE long — the historical layout,
   // kept byte-identical so persisted caches replay; past 62 bits the
@@ -65,7 +76,31 @@ case class LSHDenseEngine(
 
   override def params = Map("k" -> config.k.toString, "engine" -> "dense_lsh",
     "nBits" -> nBits.toString, "bands" -> bands.toString,
-    "probes" -> probes.toString)
+    "probes" -> probes.toString,
+    "incremental" -> baseSignatures.isDefined.toString)
+
+  /** Incremental index maintenance — the [[IVFDenseEngine.addVectors]]
+    * contract for the signature index: a new engine over `extra` whose
+    * standing signatures and vectors append verbatim; only the new
+    * vectors are signed — O(|extra|), never O(index) — and because the
+    * hyperplanes are a corpus-independent formula, search over the
+    * result is EXACTLY the search of an engine built over base ∪ extra
+    * (no quantizer to pin, no drift — the one engine whose incremental
+    * add is unconditionally exact).
+    */
+  def addVectors(extra: DataFrame, fingerprint: String = ""): LSHDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "addVectors with stateDir requires a fingerprint covering base+extra " +
+        "— an unchanged state key would serve a previous add's cache")
+    val own = corpus.select(
+      qcol(corpusIdxCol).cast("long").as("idx"),
+      qcol(corpusVecCol).as("__cv__"))
+    copy(corpus = extra,
+      baseSignatures = Some(signatures),
+      baseVectors = Some(baseVectors.fold(own)(own.unionByName)),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
 
   /** `bands` only re-slices the persisted signatures at query time (the
     * signature bits depend on nBits alone) and `probes` only widens the
@@ -73,15 +108,21 @@ case class LSHDenseEngine(
     */
   override protected def queryTimeParams: Set[String] = Set("k", "bands", "probes")
 
-  private lazy val n: Long = corpus.count()
+  private lazy val n: Long =
+    corpus.count() + baseVectors.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] = Some(n)
 
   private lazy val dim: Int =
     corpus.select(size(qcol(corpusVecCol))).limit(1).collect() match {
       case Array(r) => r.getInt(0)
-      case _ => sys.error(
-        "dense_lsh: empty corpus — cannot infer the vector dimension " +
-          "the hyperplanes are built for")
+      case _ => baseVectors.map(_.select(size(col("__cv__")))
+        .limit(1).collect()) match {
+        // an empty add batch: the hyperplane dim comes from the base
+        case Some(Array(r)) => r.getInt(0)
+        case _ => sys.error(
+          "dense_lsh: empty corpus — cannot infer the vector dimension " +
+            "the hyperplanes are built for")
+      }
     }
 
   /** Signature bits — one long (narrow) or packed 60-bit words (wide);
@@ -117,17 +158,21 @@ case class LSHDenseEngine(
       element_at(sg, b * r / 60 + 1), (b * r) % 60).bitwiseAND(mask)
   }
 
-  /** `(idx, sg)` — persisted under the fingerprint cache. */
+  /** `(idx, sg)` — persisted under the fingerprint cache; incremental
+    * base signatures append OUTSIDE the persisted stage, so the cache
+    * (and the signing) covers only the new rows.
+    */
   lazy val signatures: DataFrame = {
     val spark = corpus.sparkSession
     val compute = corpus.select(qcol(corpusIdxCol).cast("long").as("idx"),
       sigExpr(qcol(corpusVecCol)).as("sg"))
-    stateDir match {
+    val own = stateDir match {
       case Some(dir) =>
         graft.core.CachedStage(spark, dir,
           buildStateKey(corpusFingerprint, "lshsigs"))(compute)
       case None => compute
     }
+    baseSignatures.fold(own)(own.unionByName(_))
   }
 
   private def banded(sigs: DataFrame): DataFrame =
@@ -170,8 +215,9 @@ case class LSHDenseEngine(
       .join(banded(signatures), Seq("band", "bh"))
       .select(col(rowId), col("__qv__"), col("idx"))
       .dropDuplicates(rowId, "idx")
-    val vecs = corpus.select(qcol(corpusIdxCol).cast("long").as("idx"),
+    val own = corpus.select(qcol(corpusIdxCol).cast("long").as("idx"),
       qcol(corpusVecCol).as("__cv__"))
+    val vecs = baseVectors.fold(own)(own.unionByName(_))
     val scored = cands.join(vecs, Seq("idx"))
       .select(col(rowId), col("idx"),
         SearchEngine.dot(col("__qv__"), col("__cv__")).as("score"))

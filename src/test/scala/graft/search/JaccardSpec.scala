@@ -27,6 +27,29 @@ class JaccardSpec extends SparkSpec {
     assert(out.getSeq[Double](1).take(2) == Seq(0.5, 0.2))
   }
 
+  test("addDocuments equals a full build exactly (no corpus statistics)") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"))
+    val cfg = SearchConfig(k = 10, fillMaskedIndices = false,
+      queryIdCol = Some("qid"))
+    val qs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("query.text"))
+    def eng(c: org.apache.spark.sql.DataFrame) = JaccardEngine(c, cfg,
+      corpusIdxCol = "doc_id", corpusTextCol = "text", roundScores = Some(6))
+    def out(e: SearchEngine) = e(qs)
+      .select(col("qid"), col("`index.idx`"), col("`index.score`"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    val whole = out(eng(docs))
+    val grown = eng(docs.filter(col("doc_id") % 3 =!= 0))
+      .addDocuments(docs.filter(col("doc_id") % 3 === 0))
+    assert(out(grown) == whole)
+    intercept[IllegalArgumentException] {
+      JaccardEngine(docs, cfg, corpusIdxCol = "doc_id",
+        corpusTextCol = "text", baseIndex = Some(docs.limit(1)))
+    }
+  }
+
   test("short query falls back to whole-text shingle") {
     val qs = Seq((9L, "a b")).toDF("qid", "t")
       .select(col("qid"), col("t").as("query.text"))

@@ -26,6 +26,29 @@ class LSHSpec extends SparkSpec {
     out.foreach { case (qid, top) => assert(top == qid) }
   }
 
+  test("addVectors equals a full build exactly (no quantizer to pin)") {
+    val base = LSHDenseEngine(corpus.filter(col("idx") % 3 =!= 0), config = cfg)
+    val grown = base.addVectors(corpus.filter(col("idx") % 3 === 0))
+    val whole = LSHDenseEngine(corpus, config = cfg)
+    def out(e: SearchEngine) = e(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    assert(out(grown) == out(whole))
+    // chained: a second add still equals the whole build
+    val base2 = LSHDenseEngine(corpus.filter(col("idx") % 3 === 1), config = cfg)
+    val chained = base2.addVectors(corpus.filter(col("idx") % 3 === 2))
+      .addVectors(corpus.filter(col("idx") % 3 === 0))
+    assert(out(chained) == out(whole))
+    // stateDir add without a fresh fingerprint is refused
+    val dir = java.nio.file.Files.createTempDirectory("lsh-addfp").toString
+    val withState = LSHDenseEngine(corpus.filter(col("idx") % 3 =!= 0),
+      config = cfg, stateDir = Some(dir), corpusFingerprint = "lsh-add-base")
+    intercept[IllegalArgumentException] {
+      withState.addVectors(corpus.filter(col("idx") % 3 === 0))
+    }
+  }
+
   test("a near-duplicate of a corpus vector is retrieved as a bucket-mate") {
     // perturb vector 3 far below the quantization that flips sign bits:
     // its signature equals vector 3's, so every band collides and the
