@@ -2026,6 +2026,90 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s34_ivf_remove" -> ((s, d) => {
+      // deletion — the third maintenance verb (add O(new) s25, rebalance
+      // O(index) s27, now remove = a map-side filter over the standing
+      // tagged lists, centroids pinned): build over the FULL corpus,
+      // removeVectors(idx % 5 = 2). nprobe=4 < nlist=8 keeps the search
+      // genuinely pruned, and the oracle replays tag + probe + member
+      // top-k over ONLY the surviving rows — queries 2 and 7 are
+      // themselves deleted, so their self-match must vanish from the
+      // results for the hash to pass.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFDenseEngine(
+        vecs, nlist = 8, nprobe = 4,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivf-remove"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":full")
+      val eng = base.removeVectors(col("idx") % 5 === 2,
+        fingerprint = tableFp(s, d, "embeddings") + ":rm5")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s35_ivfpq_remove" -> ((s, d) => {
+      // deletion on the COMPOSED compressed index: residual IVF-PQ over
+      // the full corpus, removeVectors(idx % 5 = 2) — tagged lists
+      // map-side filtered AND the payload-free codes anti-joined against
+      // the removed ids; centroids, codebooks, rotation all stay pinned,
+      // nothing re-encodes. The oracle replays tag + residual encode +
+      // probe + ADC over ONLY the surviving rows (the s12 replay with a
+      // WHERE), so orphan codes or un-dropped tags both hash-fail.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFPQDenseEngine(
+        vecs, nlist = 8, nprobe = 4, m = 8, codebookSize = 16,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        fixedCodebooks = Some(graft.search.PQDenseEngine.formulaCodebooks(8, 16, 8)),
+        residual = true,
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)),
+        stateDir = Some("/tmp/graft-cache/ivfpq-remove"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":full")
+      val eng = base.removeVectors(col("idx") % 5 === 2,
+        fingerprint = tableFp(s, d, "embeddings") + ":rm5")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s36_bm25_remove" -> ((s, d) => {
+      // deletion on the lexical index: BM25 stats built over the full
+      // corpus (persisted base — the standing-index shape), then
+      // removeDocuments(docId % 5 = 2) — postings/docs map-side
+      // filtered, per-term df DECREMENTED by the removed docs' distinct
+      // counts, n/avgdl re-aggregated from survivors. Every statistic is
+      // a sum, so the result is exactly a rebuild over the survivors —
+      // which is what the oracle replays: df, n, AND avgdl all shift
+      // with the deletion, so serving any stale statistic hash-fails.
+      val docs = t(s, d, "documents")
+      val cfg = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val base = graft.search.BM25Engine(docs, cfg,
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/bm25-remove"),
+        corpusFingerprint = tableFp(s, d, "documents") + ":full")
+      val eng = base.removeDocuments(col("docId") % 5 === 2)
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("query.text"))
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s29_filtered_ivf" -> ((s, d) => {
       // filtered ANN (FAISS IDSelector / vector-DB payload filter): the
       // `label` payload column is carried into the tagged index state at
@@ -4851,6 +4935,84 @@ object Queries {
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-delete IVF == the replay over ONLY the surviving rows
+    // (vec_id % 5 <> 2): the removed rows' tags must be gone — queries
+    // still come from the full table (deleted docs can still query)
+    "s34_ivf_remove" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb WHERE vec_id % 5 <> 2),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
+        |sc AS (SELECT pr.qid, cd.vec_id AS idx, list_dot_product(pr.qv, cd.v) AS score FROM pr JOIN cd ON pr.cid = cd.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-delete residual IVF-PQ == the s12 replay over ONLY the
+    // surviving rows: stale tags AND orphan codes both hash-fail
+    "s35_ivfpq_remove" ->
+      scl("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id, v, list_position(
+        |  list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))),
+        |  list_min(list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))))) - 1 AS cid
+        | FROM emb WHERE vec_id % 5 <> 2),
+        |res AS (SELECT vec_id, cid, list_transform(range(0,64), t -> v[t+1] - (((cid*29 + t*13) % 17) - 8) * 0.05) AS rv FROM cd),
+        |codes AS (SELECT vec_id, cid, list_transform(range(0,8), j ->
+        |  list_position(
+        |    list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))),
+        |    list_min(list_transform(range(0,16), c -> list_sum(list_transform(list_transform(range(0,8), t ->
+        |      rv[j*8+t+1] - (((c*31 + t*7 + j*13) % 10) * 0.1 - 0.4)), dd -> dd*dd))))) - 1) AS cs
+        | FROM res),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+        |pr AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 4),
+        |sc AS (SELECT pr.qid, codes.vec_id AS idx,
+        |  list_sum(list_transform(range(0,64), t -> pr.qv[t+1] * ((((codes.cid*29 + t*13) % 17) - 8) * 0.05)))
+        |  + list_sum(list_transform(range(0,8), j -> list_sum(list_transform(range(0,8), t ->
+        |      pr.qv[j*8+t+1] * (((cs[j+1]*31 + t*7 + j*13) % 10) * 0.1 - 0.4))))) AS score
+        | FROM pr JOIN codes ON pr.cid = codes.cid),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-delete BM25 == the full rebuild replay over the surviving
+    // docs (doc_id % 5 <> 2): df, n, avgdl all shift with the deletion;
+    // queries still come from the full table
+    "s36_bm25_remove" ->
+      scl("""WITH call AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks FROM call WHERE doc_id % 5 <> 2),
+        |dl AS (SELECT doc_id, len(toks) AS len FROM c),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM c) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS qid, toks[1:5] AS qtoks FROM call WHERE doc_id < 20),
+        |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+        |sc AS (SELECT qt.qid, post.doc_id AS idx,
+        |  sum( ln(1 + (tot.n - dfq.df + 0.5)/(dfq.df + 0.5)) * (post.tf*2.2)/(post.tf + 1.2*(0.25 + 0.75*dl.len/tot.avgdl)) ) AS score
+        |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
     // filtered IVF: probe pruning (nprobe=4 over the c*29+t*13 formula
     // quantizer) AND the label % 3 = 1 payload predicate both replayed —

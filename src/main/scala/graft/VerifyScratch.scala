@@ -1417,6 +1417,64 @@ object VerifyScratch {
       if (!pushed) println(plan.linesIterator.take(40).mkString("\n"))
     }
 
+    // [82] r17: index DELETION — removeVectors/removeDocuments must (a)
+    // search exactly like a pinned build over the survivors, (b) fuse the
+    // delete predicate into the persisted tagged-state scan (a NOT filter
+    // as PushedFilters — the zero-shuffle deletion claim), (c) BM25: stop
+    // returning removed docs AND shift df/n/avgdl to the survivors'.
+    {
+      import graft.search._
+      val dir = java.nio.file.Files
+        .createTempDirectory("vs-ivf-remove").toString
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val cfg = SearchConfig(k = 10, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val base = IVFDenseEngine(emb, nlist = 4, nprobe = 2, cfg,
+        fixedCentroids = Some(IVFDenseEngine.formulaCentroids(4, 64)),
+        stateDir = Some(dir), corpusFingerprint = "vs82")
+      base.tagged.count() // warm the persisted state
+      val rm = base.removeVectors(col("idx") % 4 === 1, fingerprint = "vs82rm")
+      val out = rm(qs)
+      val survivors = IVFDenseEngine(emb.filter(col("idx") % 4 =!= 1),
+        nlist = 4, nprobe = 2, cfg,
+        fixedCentroids = Some(IVFDenseEngine.formulaCentroids(4, 64)))
+      val eq = out.orderBy("qid").collect()
+        .sameElements(survivors(qs).orderBy("qid").collect())
+      val plan = out.queryExecution.executedPlan.toString
+      // the delete predicate must reach the persisted tagged parquet scan
+      val pushed = plan.matches(
+        "(?s).*PushedFilters: \\[[^\\]]*(Not|NOT)[^\\]]*\\].*")
+      val idxs = out.select(explode(col("`index.idx`")).as("i"))
+        .select(col("i").cast("long")).collect().map(_.getLong(0))
+      val noneRemoved = idxs.nonEmpty && idxs.forall(i => i % 4 != 1)
+      // BM25 side: removed doc ids unreachable, stats shifted exactly
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val bcfg = SearchConfig(k = 10, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val beng = BM25Engine(docs, bcfg, corpusIdxCol = "doc_id",
+        corpusTextCol = "text", roundScores = Some(4))
+        .removeDocuments(col("docId") % 4 === 1)
+      val brebuild = BM25Engine(docs.filter(col("doc_id") % 4 =!= 1), bcfg,
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        roundScores = Some(4))
+      val bqs = docs.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ")
+            .as("query.text"))
+      val bEq = beng(bqs).orderBy("qid").collect()
+        .sameElements(brebuild(bqs).orderBy("qid").collect())
+      val statsEq = beng.stats.n == brebuild.stats.n &&
+        beng.stats.avgdl == brebuild.stats.avgdl
+      println(s"[82] index deletion ivfEq=$eq pushedNot=$pushed " +
+        s"noneRemoved=$noneRemoved bm25Eq=$bEq statsEq=$statsEq -> " +
+        s"${eq && pushed && noneRemoved && bEq && statsEq}")
+      if (!pushed) println(plan.linesIterator.take(40).mkString("\n"))
+    }
+
     spark.stop()
   }
 }

@@ -147,6 +147,15 @@ case class BM25Engine(
     BM25Stats(postings, dfreq, docs, totals.getLong(0), totals.getDouble(1))
   }
 
+  /** Deletion on the standing index: a new engine whose statistics are
+    * [[BM25Stats.remove]] of this engine's — docs matching `removed` (a
+    * predicate over `docId`) stop being retrievable AND stop counting in
+    * df/n/avgdl, exactly as a rebuild over the surviving corpus (the s36
+    * gate replays that rebuild). The corpus is never re-tokenized.
+    */
+  def removeDocuments(removed: Column): BM25Engine =
+    copy(fixedStats = Some(BM25Stats.remove(stats, removed)))
+
   private def scoreJoin(
       queries: DataFrame, rowId: String, termCol: Column, weight: Column): DataFrame = {
     val s = stats
@@ -240,5 +249,36 @@ object BM25Stats {
     val docs = a.docs.unionByName(b.docs)
     val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl")).collect()(0)
     BM25Stats(postings, dfreq, docs, totals.getLong(0), totals.getDouble(1))
+  }
+
+  /** Deletion — the inverse of [[merge]], and exact for the same reason
+    * every BM25 statistic is a sum/count: drop every doc matching
+    * `removed` (a predicate over `docId`, plus `len`/`__filter__` where
+    * the docs frame carries them) and the result statistics are EXACTLY
+    * what a full rebuild over the surviving corpus computes —
+    *   - postings/docs rows are map-side filters (zero shuffle);
+    *   - per-term df subtracts the distinct removed docs containing the
+    *     term (one O(removed-postings) aggregate — at 100 TB a takedown
+    *     re-tokenizes nothing and never rescans the standing postings
+    *     beyond the fused filter); terms whose df hits 0 drop out, as a
+    *     rebuild would drop them;
+    *   - n/avgdl re-aggregate from the surviving docs frame (integer len
+    *     sum, one division — not a float-delta approximation).
+    * Caveat: statistics already pruned by `maxDfFraction` stay pruned —
+    * the cut was taken at build against the old n; a shrunken corpus
+    * cannot resurrect elided terms without a rebuild.
+    */
+  def remove(a: BM25Stats, removed: Column): BM25Stats = {
+    val dfRm = a.postings.filter(removed)
+      .groupBy("term").agg(countDistinct("docId").as("__dfrm__"))
+    val dfreq = a.dfreq.join(dfRm, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("__dfrm__"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val docs = a.docs.filter(!removed)
+    val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl")).collect()(0)
+    val n = totals.getLong(0)
+    BM25Stats(a.postings.filter(!removed), dfreq, docs,
+      n, if (n == 0) 0d else totals.getDouble(1))
   }
 }

@@ -221,6 +221,37 @@ case class IVFDenseEngine(
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
 
+  /** Deletion — the third index-maintenance verb next to [[addVectors]]
+    * (O(new)) and [[rebalance]] (O(index)): drop every standing row
+    * matching `removed` (a predicate over `idx` and the carried payload
+    * columns — FAISS `remove_ids` generalized to attribute deletes:
+    * takedowns, dedup purges, retention windows). Because per-row
+    * tagging is independent, filtering the TAGGED frame is exactly
+    * equivalent to a pinned-centroid build over the surviving corpus —
+    * nothing re-fits, nothing re-tags, and the filter is a map-side
+    * predicate fused into the standing index scan (zero shuffle; with
+    * `stateDir` the surviving frame persists once under the fresh
+    * fingerprint). At 100 TB a delete costs one filtered pass, not an
+    * index rebuild. Centroids stay pinned — deletes that empty a list
+    * just make that probe cheap; reclaim balance with [[rebalance]].
+    */
+  def removeVectors(removed: org.apache.spark.sql.Column, fingerprint: String = ""): IVFDenseEngine = {
+    // Same state-key hazard as addVectors: params don't see `removed`'s
+    // row effect, so an unchanged fingerprint would serve the pre-delete
+    // tagged cache — resurrecting the removed rows.
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "removeVectors with stateDir requires a fresh fingerprint covering " +
+        "the surviving corpus — an unchanged state key would serve the " +
+        "pre-delete cache")
+    val cents = centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    copy(corpus = corpus.limit(0), fixedCentroids = Some(cents),
+      baseTagged = Some(tagged.filter(!removed).select(
+        (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
   /** Coarse-quantizer maintenance for LIST SKEW: [[addVectors]] pins the
     * centroids, so a drifting ingest grows hot lists (probe cost follows
     * the largest probed list, not n/nlist — watch [[listSizes]]). Returns

@@ -94,7 +94,13 @@ case class PQDenseEngine(
   protected def fillRange: Option[Long] = Some(n)
 
   lazy val dim: Int =
-    corpus.select(size(qcol(corpusVecCol))).head().getInt(0)
+    // an all-base engine (e.g. after removeVectors empties the corpus)
+    // has no row to measure — the pinned codebooks carry the dimension
+    corpus.select(size(qcol(corpusVecCol))).head(1).headOption
+      .map(_.getInt(0))
+      .orElse(fixedCodebooks.map(b => m * b.head.head.size))
+      .getOrElse(throw new IllegalStateException(
+        "cannot infer vector dim: empty corpus and no fixedCodebooks"))
 
   private def persisted(frame: String)(compute: => DataFrame): DataFrame =
     stateDir match {
@@ -455,6 +461,37 @@ case class IVFPQDenseEngine(
       baseTagged = Some(ivf.tagged.select(
         (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
       baseCodes = Some(pq.codes),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
+  /** Deletion for the composed engine — [[IVFDenseEngine.removeVectors]]
+    * extended to the compressed index: drop every standing row matching
+    * `removed` (a predicate over `idx` + carried payload columns) from
+    * BOTH the coarse tagged lists and the PQ codes. Per-row tagging and
+    * encoding are independent, so the result searches exactly like a
+    * pinned-state build over the surviving corpus — centroids,
+    * codebooks, and rotation all stay pinned; nothing re-encodes. The
+    * tagged side is a map-side filter; the payload-free codes side is an
+    * anti-join against the REMOVED ids (O(removed) broadcast when the
+    * delete set is small — the common takedown shape), so orphan codes
+    * never linger in the standing state.
+    */
+  def removeVectors(removed: org.apache.spark.sql.Column, fingerprint: String = ""): IVFPQDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "removeVectors with stateDir requires a fresh fingerprint covering " +
+        "the surviving corpus — an unchanged state key would serve the " +
+        "pre-delete cache")
+    val cents = ivf.centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    val removedIds = ivf.tagged.filter(removed).select("idx")
+    copy(corpus = corpus.limit(0),
+      fixedCentroids = Some(cents),
+      fixedCodebooks = Some(pq.codebooks),
+      fixedRotation = pq.rotation,
+      baseTagged = Some(ivf.tagged.filter(!removed).select(
+        (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
+      baseCodes = Some(pq.codes.join(removedIds, Seq("idx"), "left_anti")),
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }

@@ -52,4 +52,38 @@ class BM25IncrementalSpec extends SparkSpec {
     assert(df("scales") == 2L) // base only
     assert(df("joins") == 2L) // delta only
   }
+
+  test("removed docs reproduce the survivors' full-rebuild statistics exactly") {
+    val removed = BM25Stats.remove(
+      BM25Engine(corpus, cfg).stats, col("docId") >= 2)
+    val rebuilt = BM25Engine(corpus.filter(col("idx") < 2), cfg).stats
+    assert(removed.n == rebuilt.n && removed.avgdl == rebuilt.avgdl)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(removed.postings) == rows(rebuilt.postings))
+    assert(rows(removed.docs) == rows(rebuilt.docs))
+    // df decrements exactly — and terms whose last doc died drop out
+    // entirely ("joins"/"late"/"night" lived only in docs 2 and 3)
+    assert(rows(removed.dfreq) == rows(rebuilt.dfreq))
+    assert(!removed.dfreq.collect().map(_.getString(0)).contains("joins"))
+  }
+
+  test("an engine after removeDocuments ranks identically to a survivors rebuild") {
+    val qs = Seq((100L, "spark scales")).toDF("qid", "q")
+      .select(col("qid"), col("q").as("query.text"))
+    def ranked(e: BM25Engine) = e(qs)
+      .select(qcol("index.idx").as("i"), qcol("index.score").as("s")).head()
+    val a = ranked(BM25Engine(corpus, cfg, roundScores = Some(4))
+      .removeDocuments(col("docId") % 2 === 1))
+    val b = ranked(BM25Engine(corpus.filter(col("idx") % 2 === 0), cfg,
+      roundScores = Some(4)))
+    assert(a.getSeq[Long](0) == b.getSeq[Long](0))
+    assert(a.getSeq[Double](1) == b.getSeq[Double](1))
+  }
+
+  test("removing every document leaves empty, n=0 statistics (no crash)") {
+    val gone = BM25Stats.remove(BM25Engine(corpus, cfg).stats, lit(true))
+    assert(gone.n == 0L && gone.avgdl == 0d)
+    assert(gone.postings.count() == 0 && gone.dfreq.count() == 0)
+  }
 }

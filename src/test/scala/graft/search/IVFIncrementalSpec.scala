@@ -121,4 +121,41 @@ class IVFIncrementalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { eng.rebalance() }
     assert(eng.rebalance(fingerprint = "rb-v2").corpusFingerprint == "rb-v2")
   }
+
+  test("removeVectors == pinned build over the survivors, pruned search") {
+    val all = corpus()
+    val removed = IVFDenseEngine(all, nlist = 8, nprobe = 3, config = cfg,
+      fixedCentroids = Some(cents)).removeVectors(col("idx") % 4 === 1)
+    val survivors = IVFDenseEngine(all.filter(col("idx") % 4 =!= 1),
+      nlist = 8, nprobe = 3, config = cfg, fixedCentroids = Some(cents))
+    assert(removed(queries()).orderBy("qid").collect()
+      .sameElements(survivors(queries()).orderBy("qid").collect()))
+    // the index truly shrank — and the centroids stayed pinned
+    assert(removed.tagged.count() == all.filter(col("idx") % 4 =!= 1).count())
+    assert(removed.centroids.orderBy("cid").collect()
+      .map(_.getSeq[Double](1)).toSeq == cents)
+  }
+
+  test("removeVectors composes with addVectors (add then delete some of both)") {
+    val all = corpus()
+    val eng = IVFDenseEngine(all.filter(col("idx") % 3 =!= 0), nlist = 8,
+      nprobe = 8, config = cfg, fixedCentroids = Some(cents))
+      .addVectors(all.filter(col("idx") % 3 === 0))
+      .removeVectors(col("idx") % 4 === 1)
+    // nprobe = nlist: exact, so the survivors' brute force is the oracle
+    val bf = BruteForceDenseEngine(all.filter(col("idx") % 4 =!= 1), config = cfg)
+    assert(eng(queries()).orderBy("qid").collect()
+      .sameElements(bf(queries()).orderBy("qid").collect()))
+  }
+
+  test("removeVectors with stateDir but no fingerprint is refused") {
+    val all = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rm-fp").toString
+    val eng = IVFDenseEngine(all, nlist = 8, nprobe = 3, config = cfg,
+      fixedCentroids = Some(cents), stateDir = Some(dir),
+      corpusFingerprint = "rm-v1")
+    intercept[IllegalArgumentException] { eng.removeVectors(col("idx") === 0) }
+    assert(eng.removeVectors(col("idx") === 0, fingerprint = "rm-v2")
+      .corpusFingerprint == "rm-v2")
+  }
 }

@@ -89,4 +89,34 @@ class IVFPQIncrementalSpec extends SparkSpec {
         baseCodes = Some(corpus().limit(1)))
     }
   }
+
+  test("removeVectors == pinned build over the survivors; no orphan codes") {
+    val all = corpus()
+    val removed = IVFPQDenseEngine(all, nlist = 8, nprobe = 4, m = 8,
+      codebookSize = 16, config = cfg, residual = true,
+      fixedCentroids = Some(cents), fixedCodebooks = Some(books))
+      .removeVectors(col("idx") % 4 === 1)
+    val survivors = IVFPQDenseEngine(all.filter(col("idx") % 4 =!= 1),
+      nlist = 8, nprobe = 4, m = 8, codebookSize = 16, config = cfg,
+      residual = true, fixedCentroids = Some(cents),
+      fixedCodebooks = Some(books))
+    assert(removed(queries()).orderBy("qid").collect()
+      .sameElements(survivors(queries()).orderBy("qid").collect()))
+    // both sides of the standing state shrank together: the deleted
+    // rows' codes must not linger as unreachable orphans
+    val nLeft = all.filter(col("idx") % 4 =!= 1).count()
+    assert(removed.ivf.tagged.count() == nLeft)
+    assert(removed.pq.codes.count() == nLeft)
+  }
+
+  test("removeVectors with stateDir but no fingerprint is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rm-fp").toString
+    val eng = IVFPQDenseEngine(corpus(), nlist = 8, nprobe = 4, m = 8,
+      codebookSize = 16, config = cfg, residual = true,
+      fixedCentroids = Some(cents), fixedCodebooks = Some(books),
+      stateDir = Some(dir), corpusFingerprint = "rm-v1")
+    intercept[IllegalArgumentException] { eng.removeVectors(col("idx") === 0) }
+    assert(eng.removeVectors(col("idx") === 0, fingerprint = "rm-v2")
+      .corpusFingerprint == "rm-v2")
+  }
 }
