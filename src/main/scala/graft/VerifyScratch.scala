@@ -1475,6 +1475,49 @@ object VerifyScratch {
       if (!pushed) println(plan.linesIterator.take(40).mkString("\n"))
     }
 
+    // [83] r17: deletion family completion — SQ8, LSH, and Jaccard
+    // removeVectors/removeDocuments each ≡ a build over the survivors at
+    // the package surface (stats/hyperplanes/shingles pinned or
+    // corpus-free, so the filter IS the delete).
+    {
+      import graft.search._
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val cfg = SearchConfig(k = 10, fillMaskedIndices = false,
+        queryIdCol = Some("qid"))
+      val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      def out(e: SearchEngine) = e(qs)
+        .select(col("qid"), col("`index.idx`"),
+          transform(col("`index.score`"), v => round(v, 6)).as("s"))
+        .orderBy("qid").collect().map(_.toString).toSeq
+      val sqFull = SQDenseEngine(emb, cfg)
+      val row = sqFull.stats.head()
+      val sqEq = out(sqFull.removeVectors(col("idx") % 4 === 1)) ==
+        out(SQDenseEngine(emb.filter(col("idx") % 4 =!= 1), cfg,
+          fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1)))))
+      val lshEq = out(LSHDenseEngine(emb, config = cfg)
+          .removeVectors(col("idx") % 4 === 1)) ==
+        out(LSHDenseEngine(emb.filter(col("idx") % 4 =!= 1), config = cfg))
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val jqs = docs.filter(col("doc_id") < 6)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ")
+            .as("query.text"))
+      def jout(e: SearchEngine) = e(jqs)
+        .select(col("qid"), col("`index.idx`"), col("`index.score`"))
+        .orderBy("qid").collect().map(_.toString).toSeq
+      def jeng(c: org.apache.spark.sql.DataFrame) = JaccardEngine(c, cfg,
+        corpusIdxCol = "doc_id", corpusTextCol = "text",
+        roundScores = Some(6))
+      val jacEq = jout(jeng(docs).removeDocuments(col("docId") % 4 === 1)) ==
+        jout(jeng(docs.filter(col("doc_id") % 4 =!= 1)))
+      println(s"[83] deletion family sqEq=$sqEq lshEq=$lshEq jacEq=$jacEq " +
+        s"-> ${sqEq && lshEq && jacEq}")
+    }
+
     spark.stop()
   }
 }

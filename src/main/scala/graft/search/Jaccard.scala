@@ -69,6 +69,25 @@ case class JaccardEngine(
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
 
+  /** Deletion: drop every standing doc matching `removed` (a predicate
+    * over `docId`) from the inverted index and the per-doc sizes — two
+    * map-side filters, zero shuffle, nothing re-shingles. Per-document
+    * shingling has no corpus statistics (the property that made the add
+    * exact), so the result ≡ a build over the survivors exactly.
+    */
+  def removeDocuments(removed: Column, fingerprint: String = ""): JaccardEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "removeDocuments with stateDir requires a fresh fingerprint " +
+        "covering the surviving corpus — an unchanged state key would " +
+        "serve the pre-delete cache")
+    val (inv, sizes, _) = state
+    copy(corpus = corpus.limit(0),
+      baseIndex = Some(inv.filter(!removed)),
+      baseSizes = Some(sizes.filter(!removed)),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
   // scoring/truncation knobs must hit the same persisted index
   override protected def queryTimeParams: Set[String] = Set("k", "roundScores")
 

@@ -102,6 +102,29 @@ case class LSHDenseEngine(
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
 
+  /** Deletion: drop every standing row matching `removed` (a predicate
+    * over `idx`) from BOTH the signature index and the raw rescoring
+    * vectors — two map-side filters, zero shuffle, nothing re-signs.
+    * Like [[addVectors]], unconditionally exact: hyperplanes are a
+    * corpus-independent formula, so the result ≡ a build over the
+    * survivors bit-for-bit.
+    */
+  def removeVectors(removed: Column, fingerprint: String = ""): LSHDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "removeVectors with stateDir requires a fresh fingerprint covering " +
+        "the surviving corpus — an unchanged state key would serve the " +
+        "pre-delete cache")
+    val own = corpus.select(
+      qcol(corpusIdxCol).cast("long").as("idx"),
+      qcol(corpusVecCol).as("__cv__"))
+    val allVecs = baseVectors.fold(own)(own.unionByName)
+    copy(corpus = corpus.limit(0),
+      baseSignatures = Some(signatures.filter(!removed)),
+      baseVectors = Some(allVecs.filter(!removed)),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
   /** `bands` only re-slices the persisted signatures at query time (the
     * signature bits depend on nBits alone) and `probes` only widens the
     * query-side bucket set, so neither may fork the signature cache.

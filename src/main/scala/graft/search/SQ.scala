@@ -86,6 +86,29 @@ case class SQDenseEngine(
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
 
+  /** Deletion — [[IVFDenseEngine.removeVectors]] for the scalar
+    * quantizer: drop every standing code row matching `removed` (a
+    * predicate over `idx`); per-dim stats stay pinned, nothing
+    * re-encodes, and per-row encoding independence makes the result
+    * exactly a pinned-stats build over the survivors. Map-side filter,
+    * zero shuffle. Retrain (fresh min/max) = rebuild from the source
+    * corpus, same as the add path's documented contract.
+    */
+  def removeVectors(
+      removed: org.apache.spark.sql.Column,
+      fingerprint: String = ""): SQDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "removeVectors with stateDir requires a fresh fingerprint covering " +
+        "the surviving corpus — an unchanged state key would serve the " +
+        "pre-delete cache")
+    val row = stats.head()
+    copy(corpus = corpus.limit(0),
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))),
+      baseCodes = Some(codes.filter(!removed)),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
   /** `stats`: ONE row `(vmin array<double>, vdiff array<double>)`;
     * `codes`: `(idx, codes array<int>)`.
     */
@@ -263,6 +286,33 @@ case class IVFSQDenseEngine(
       baseTagged = Some(ivf.tagged.select(
         (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
       baseCodes = Some(sq.codes),
+      corpusFingerprint =
+        if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
+  }
+
+  /** Deletion for the composed engine — [[IVFPQDenseEngine
+    * .removeVectors]] over IVF-SQ: the tagged lists map-side filter on
+    * the predicate (over `idx` + carried payload columns) and the
+    * payload-free codes anti-join against the removed ids; centroids
+    * and per-dim stats stay pinned, nothing re-encodes.
+    */
+  def removeVectors(
+      removed: org.apache.spark.sql.Column,
+      fingerprint: String = ""): IVFSQDenseEngine = {
+    require(fingerprint.nonEmpty || stateDir.isEmpty,
+      "removeVectors with stateDir requires a fresh fingerprint covering " +
+        "the surviving corpus — an unchanged state key would serve the " +
+        "pre-delete cache")
+    val cents = ivf.centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    val row = sq.stats.head()
+    val removedIds = ivf.tagged.filter(removed).select("idx")
+    copy(corpus = corpus.limit(0),
+      fixedCentroids = Some(cents),
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))),
+      baseTagged = Some(ivf.tagged.filter(!removed).select(
+        (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
+      baseCodes = Some(sq.codes.join(removedIds, Seq("idx"), "left_anti")),
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }

@@ -50,6 +50,32 @@ class JaccardSpec extends SparkSpec {
     }
   }
 
+  test("removeDocuments equals a full build over the survivors exactly") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"))
+    val rcfg = SearchConfig(k = 10, fillMaskedIndices = false,
+      queryIdCol = Some("qid"))
+    val qs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("query.text"))
+    def eng(c: org.apache.spark.sql.DataFrame) = JaccardEngine(c, rcfg,
+      corpusIdxCol = "doc_id", corpusTextCol = "text", roundScores = Some(6))
+    def out(e: SearchEngine) = e(qs)
+      .select(col("qid"), col("`index.idx`"), col("`index.score`"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    val removed = eng(docs).removeDocuments(col("docId") % 4 === 1)
+    val survivors = eng(docs.filter(col("doc_id") % 4 =!= 1))
+    assert(out(removed) == out(survivors))
+    // stateDir removal demands a fresh fingerprint
+    val dir = java.nio.file.Files.createTempDirectory("jac-rmfp").toString
+    val withState = JaccardEngine(docs, rcfg, corpusIdxCol = "doc_id",
+      corpusTextCol = "text", stateDir = Some(dir),
+      corpusFingerprint = "jac-rm-base")
+    intercept[IllegalArgumentException] {
+      withState.removeDocuments(col("docId") === 0)
+    }
+  }
+
   test("short query falls back to whole-text shingle") {
     val qs = Seq((9L, "a b")).toDF("qid", "t")
       .select(col("qid"), col("t").as("query.text"))

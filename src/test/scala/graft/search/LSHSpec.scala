@@ -49,6 +49,31 @@ class LSHSpec extends SparkSpec {
     }
   }
 
+  test("removeVectors equals a full build over the survivors exactly") {
+    def out(e: SearchEngine) = e(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    val removed = LSHDenseEngine(corpus, config = cfg)
+      .removeVectors(col("idx") % 4 === 1)
+    val survivors = LSHDenseEngine(corpus.filter(col("idx") % 4 =!= 1),
+      config = cfg)
+    assert(out(removed) == out(survivors))
+    // add-then-remove composes, still ≡ the survivors build
+    val composed = LSHDenseEngine(corpus.filter(col("idx") % 3 =!= 0),
+      config = cfg)
+      .addVectors(corpus.filter(col("idx") % 3 === 0))
+      .removeVectors(col("idx") % 4 === 1)
+    assert(out(composed) == out(survivors))
+    // stateDir removal demands a fresh fingerprint
+    val dir = java.nio.file.Files.createTempDirectory("lsh-rmfp").toString
+    val withState = LSHDenseEngine(corpus, config = cfg,
+      stateDir = Some(dir), corpusFingerprint = "lsh-rm-base")
+    intercept[IllegalArgumentException] {
+      withState.removeVectors(col("idx") === 0)
+    }
+  }
+
   test("a near-duplicate of a corpus vector is retrieved as a bucket-mate") {
     // perturb vector 3 far below the quantization that flips sign bits:
     // its signature equals vector 3's, so every band collides and the

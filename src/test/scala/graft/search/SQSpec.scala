@@ -150,4 +150,37 @@ class SQSpec extends SparkSpec {
     assert(persisted != null && persisted.length >= 2,
       s"expected stats+codes state dirs under $dir")
   }
+
+  test("SQ and IVF,SQ8 removeVectors equal pinned builds over the survivors") {
+    def out(e: SearchEngine) = e(queries(8))
+      .select(col("qid"), col("`index.idx`"),
+        transform(col("`index.score`"), v => round(v, 9)).as("s"))
+      .orderBy("qid").collect().map(_.toString).toSeq
+    // flat: stats pinned from the FULL build, codes filtered
+    val full = SQDenseEngine(corpus, cfg)
+    val row = full.stats.head()
+    val removed = full.removeVectors(col("idx") % 4 === 1)
+    val survivors = SQDenseEngine(corpus.filter(col("idx") % 4 =!= 1), cfg,
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))))
+    assert(out(removed) == out(survivors))
+    assert(removed.codes.count() ==
+      corpus.filter(col("idx") % 4 =!= 1).count())
+    // composed: tagged and codes shrink together, no orphans
+    val cents = IVFDenseEngine.formulaCentroids(4, 64)
+    val ivfFull = IVFSQDenseEngine(corpus, nlist = 4, nprobe = 2, cfg,
+      fixedCentroids = Some(cents))
+    val ivfRemoved = ivfFull.removeVectors(col("idx") % 4 === 1)
+    val ivfSurvivors = IVFSQDenseEngine(corpus.filter(col("idx") % 4 =!= 1),
+      nlist = 4, nprobe = 2, cfg, fixedCentroids = Some(cents),
+      fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))))
+    assert(out(ivfRemoved) == out(ivfSurvivors))
+    assert(ivfRemoved.sq.codes.count() == ivfRemoved.ivf.tagged.count())
+    // stateDir removal demands a fresh fingerprint
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sq-rmfp").toString
+    val withState = SQDenseEngine(corpus, cfg, stateDir = Some(dir2),
+      corpusFingerprint = "sq-rm-base")
+    intercept[IllegalArgumentException] {
+      withState.removeVectors(col("idx") === 0)
+    }
+  }
 }
