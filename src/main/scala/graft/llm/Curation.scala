@@ -181,7 +181,11 @@ case class OverlapFractionPipe(
     s"thresholdBp must be in (0, 10000], got $thresholdBp")
   override def params = Map("text" -> textCol, "id" -> idCol,
     "n" -> ngramSize.toString, "thresholdBp" -> thresholdBp.toString,
-    "flag" -> flagCol, "broadcastEval" -> broadcastEval.toString)
+    // all three output column names participate: two pipes differing
+    // only in output naming must not share a fingerprint (a keyed
+    // CachedStage replay would serve the other instance's columns)
+    "flag" -> flagCol, "matched" -> matchedCol, "total" -> totalCol,
+    "bp" -> bpCol, "broadcastEval" -> broadcastEval.toString)
 
   /** Distinct n-grams of a doc, null text folded to the empty set. */
   private def grams(text: Column): Column = {
@@ -367,6 +371,40 @@ object BloomOps {
     org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.graft.BloomGramHashExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
+  /** Doc-level Bloom probe as one Column: true iff ANY word n-gram of
+    * `text` finds all its k bit positions set. This is [[withFlag]]'s
+    * probe exposed as a composable expression — the gate the streaming
+    * decontamination literal scans hide behind: `when(probe, exact)`
+    * branches evaluate LAZILY per row in codegen, so a Bloom-negative
+    * (clean) doc pays only the O(#docGrams·k) probe and never touches
+    * the O(|evalNg|) literal scan.
+    */
+  def probeColumn(text: Column, ngramSize: Int, numHashes: Int,
+      mBits: Int, bits: Array[Long]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.BloomProbeExpr(
+        org.apache.spark.sql.graft.BloomGramPositionsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            coalesce(text, lit(""))),
+          ngramSize, mBits,
+          bloomCoeffs(numHashes).flatMap(p => Seq(p._1, p._2)).toArray),
+        bits, numHashes))
+
+  /** Power-of-two bitmap size targeting `bitsPerGram` bits per distinct
+    * eval gram. At the default 64 bits/gram with k=4 hashes the fill is
+    * ~1-exp(-4/64) ≈ 6%, per-gram FP ≈ 1.3e-5 — a 100-gram clean doc
+    * probes positive at ~0.1%, so the exact confirm behind the probe
+    * runs on ~1/1000 of clean rows. Clamped to [2^20, 2^27] bits
+    * (128 KiB – 16 MiB of bitmap shipped once per executor with the
+    * task binary).
+    */
+  def sizedBits(nGrams: Long, bitsPerGram: Int = 64): Int = {
+    val target = nGrams * bitsPerGram
+    var m = 1L << 20
+    while (m < target && m < (1L << 27)) m <<= 1
+    m.toInt
+  }
 }
 
 /** Bloom-filter eval-set decontamination — the O(1)-broadcast sibling of

@@ -71,14 +71,21 @@ case class BM25Engine(
       * full-rebuild statistics, so a 100 TB corpus is never re-tokenized
       * to add a day's documents. `corpus` is ignored when set.
       */
-    fixedStats: Option[BM25Stats] = None) extends SearchEngine {
+    fixedStats: Option[BM25Stats] = None,
+    /** True once [[removeDocuments]] ran — masked-index fill disabled:
+      * fill draws pmod(hash, n) over [0, n) and after a delete those ids
+      * can be exactly the REMOVED docs. See
+      * [[IVFDenseEngine.carriesDelete]].
+      */
+    carriesDelete: Boolean = false) extends SearchEngine {
 
   override def params = Map("k" -> config.k.toString, "k1" -> k1.toString,
     "b" -> b.toString, "auxWeight" -> auxWeight.toString,
     "temperature" -> temperature.mkString, "filterKey" -> filterKey.mkString,
     "roundScores" -> roundScores.mkString,
     "maxDfFraction" -> maxDfFraction.mkString, "engine" -> "bm25",
-    "fixedStats" -> fixedStats.isDefined.toString)
+    "fixedStats" -> fixedStats.isDefined.toString) ++
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   /** The persisted frames are raw postings/dfreq/docs statistics — every
     * scoring knob (k1/b/aux/temperature/rounding) and even maxDfFraction
@@ -98,8 +105,10 @@ case class BM25Engine(
       t => length(t) > 0)
 
   // fillRange reuses the stats totals (docs count == corpus rows) so the
-  // masked-fill path costs no extra corpus scan
-  protected def fillRange: Option[Long] = Some(stats.n)
+  // masked-fill path costs no extra corpus scan; disabled once a delete
+  // holed the doc-id space (see carriesDelete)
+  protected def fillRange: Option[Long] =
+    if (carriesDelete) None else Some(stats.n)
 
   /** Build-side statistics; small relative to the corpus, reusable across
     * query batches, and (with `stateDir`) persisted across engine
@@ -148,13 +157,18 @@ case class BM25Engine(
   }
 
   /** Deletion on the standing index: a new engine whose statistics are
-    * [[BM25Stats.remove]] of this engine's — docs matching `removed` (a
-    * predicate over `docId`) stop being retrievable AND stop counting in
-    * df/n/avgdl, exactly as a rebuild over the surviving corpus (the s36
-    * gate replays that rebuild). The corpus is never re-tokenized.
+    * [[BM25Stats.remove]] of this engine's — docs matching `removed`
+    * stop being retrievable AND stop counting in df/n/avgdl, exactly as
+    * a rebuild over the surviving corpus (the s36 gate replays that
+    * rebuild). The corpus is never re-tokenized. The predicate may
+    * reference `docId` alone (map-side filters everywhere) or any docs
+    * column (`len`, `__filter__`) — see [[BM25Stats.remove]] for the
+    * two shapes. NULL predicate rows are NOT removed (SQL DELETE-WHERE
+    * semantics).
     */
   def removeDocuments(removed: Column): BM25Engine =
-    copy(fixedStats = Some(BM25Stats.remove(stats, removed)))
+    copy(fixedStats = Some(BM25Stats.remove(stats, removed)),
+      carriesDelete = true)
 
   private def scoreJoin(
       queries: DataFrame, rowId: String, termCol: Column, weight: Column): DataFrame = {
@@ -253,10 +267,8 @@ object BM25Stats {
 
   /** Deletion — the inverse of [[merge]], and exact for the same reason
     * every BM25 statistic is a sum/count: drop every doc matching
-    * `removed` (a predicate over `docId`, plus `len`/`__filter__` where
-    * the docs frame carries them) and the result statistics are EXACTLY
-    * what a full rebuild over the surviving corpus computes —
-    *   - postings/docs rows are map-side filters (zero shuffle);
+    * `removed` and the result statistics are EXACTLY what a full rebuild
+    * over the surviving corpus computes —
     *   - per-term df subtracts the distinct removed docs containing the
     *     term (one O(removed-postings) aggregate — at 100 TB a takedown
     *     re-tokenizes nothing and never rescans the standing postings
@@ -264,21 +276,64 @@ object BM25Stats {
     *     rebuild would drop them;
     *   - n/avgdl re-aggregate from the surviving docs frame (integer len
     *     sum, one division — not a float-delta approximation).
+    *
+    * Two predicate shapes, picked by the columns the predicate
+    * references:
+    *   - `docId`-only (the takedown common case): postings and docs both
+    *     filter MAP-SIDE — zero shuffle beyond the df aggregate;
+    *   - any docs column (`len`, `__filter__` where carried): the
+    *     removed doc ids resolve against the DOCS frame first (the only
+    *     frame carrying those columns — applying such a predicate to the
+    *     postings would throw at plan time), then postings semi/anti-join
+    *     on docId. One extra join keyed on docId — unique, evenly
+    *     hashed, never skewed.
+    * NULL predicate rows are NOT removed on either side (SQL
+    * DELETE-WHERE semantics — [[SearchEngine.isRemoved]]), so a nullable
+    * payload column cannot silently delete unmatched rows or leave df
+    * inflated relative to the surviving postings.
+    *
     * Caveat: statistics already pruned by `maxDfFraction` stay pruned —
     * the cut was taken at build against the old n; a shrunken corpus
     * cannot resurrect elided terms without a rebuild.
     */
   def remove(a: BM25Stats, removed: Column): BM25Stats = {
-    val dfRm = a.postings.filter(removed)
+    val rm = SearchEngine.isRemoved(removed)
+    val docIdOnly = predicateRefs(removed).forall(_ == "docId")
+    val (postings, dfRmBase) =
+      if (docIdOnly)
+        (a.postings.filter(!rm), a.postings.filter(rm))
+      else {
+        // predicate references docs-only columns: resolve ids there,
+        // then key the postings split on docId
+        val removedIds = a.docs.filter(rm).select("docId")
+        (a.postings.join(removedIds, Seq("docId"), "left_anti"),
+          a.postings.join(removedIds, Seq("docId"), "left_semi"))
+      }
+    val dfRm = dfRmBase
       .groupBy("term").agg(countDistinct("docId").as("__dfrm__"))
     val dfreq = a.dfreq.join(dfRm, Seq("term"), "left_outer")
       .select(col("term"),
         (col("df") - coalesce(col("__dfrm__"), lit(0L))).as("df"))
       .filter(col("df") > 0)
-    val docs = a.docs.filter(!removed)
+    val docs = a.docs.filter(!rm)
     val totals = docs.agg(count(lit(1)).as("n"), avg("len").as("avgdl")).collect()(0)
     val n = totals.getLong(0)
-    BM25Stats(a.postings.filter(!removed), dfreq, docs,
+    BM25Stats(postings, dfreq, docs,
       n, if (n == 0) 0d else totals.getDouble(1))
+  }
+
+  /** Unresolved attribute names a predicate references (best-effort:
+    * resolved/aliased trees yield their leaf attribute names the same
+    * way). An empty set (pure literal predicate) routes to the map-side
+    * shape — either frame evaluates it identically.
+    */
+  private def predicateRefs(p: Column): Set[String] = {
+    val expr = org.apache.spark.sql.graft.ColumnBridge.resolvedExpression(p)
+    expr.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.last
+      case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        att.name
+    }.toSet
   }
 }

@@ -157,7 +157,15 @@ case class IVFDenseEngine(
       * be SHORT; raise nprobe for recall. Masked-index fill is disabled
       * under a filter (a random fill id could violate the predicate).
       */
-    memberFilter: Option[org.apache.spark.sql.Column] = None)
+    memberFilter: Option[org.apache.spark.sql.Column] = None,
+    /** True on every engine descended from a [[removeVectors]] call
+      * (survives copy through add/rebalance — the id space stays holed).
+      * Masked-index fill is DISABLED while set: fill draws pmod(hash, n)
+      * over [0, n), and after a delete those ids can be exactly the
+      * REMOVED (takedown) rows — the same silent correctness trap the
+      * memberFilter rule guards against.
+      */
+    carriesDelete: Boolean = false)
   extends SearchEngine {
   require(baseTagged.isEmpty || fixedCentroids.isDefined,
     "baseTagged (incremental add) requires fixedCentroids — the base " +
@@ -179,7 +187,11 @@ case class IVFDenseEngine(
     "carryCols" -> carryCols.mkString(","),
     // pipe-fingerprint-affecting but QUERY-TIME for the state key
     "filter" -> memberFilter.map(c =>
-      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+      graft.core.Fingerprint.hash(c.toString)).getOrElse("")) ++
+    // only when set, so pre-existing engines keep their keys; fill
+    // behavior differs on a delete-carrying engine, so the pipe
+    // fingerprint must differ
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   /** The member predicate selects which already-built lists' rows score —
     * like `nprobe` it must hit the SAME persisted index, not fork it.
@@ -245,9 +257,13 @@ case class IVFDenseEngine(
         "pre-delete cache")
     val cents = centroids.orderBy("cid").collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    // DELETE-WHERE null semantics (SearchEngine.isRemoved): a NULL
+    // predicate row is NOT removed — a bare filter(!removed) would
+    // silently drop it from the survivors
     copy(corpus = corpus.limit(0), fixedCentroids = Some(cents),
-      baseTagged = Some(tagged.filter(!removed).select(
+      baseTagged = Some(tagged.filter(!SearchEngine.isRemoved(removed)).select(
         (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
+      carriesDelete = true,
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -288,7 +304,7 @@ case class IVFDenseEngine(
   def listSizes: DataFrame = tagged.groupBy("cid").count()
 
   protected def fillRange: Option[Long] =
-    if (memberFilter.isDefined) None else Some(n)
+    if (memberFilter.isDefined || carriesDelete) None else Some(n)
 
   /** (cid, centroid array<double>) + corpus tagged with cid. With
     * `stateDir` both frames are fingerprint-cached parquet; the KMeans

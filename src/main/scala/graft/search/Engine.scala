@@ -158,4 +158,15 @@ object SearchEngine {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
+
+  /** SQL DELETE-WHERE null semantics for a delete predicate: NULL means
+    * "not removed" on EVERY side — keep = `!isRemoved(p)`, drop =
+    * `isRemoved(p)` — so a nullable payload/doc-id column can neither
+    * silently delete unmatched rows (a bare `filter(!p)` drops
+    * NULL-evaluating rows) nor leave the removal side (df decrements,
+    * code anti-joins) disagreeing with the survivor side about which
+    * rows went. Every engine's remove verb routes its predicate through
+    * this.
+    */
+  def isRemoved(p: Column): Column = coalesce(p, lit(false))
 }

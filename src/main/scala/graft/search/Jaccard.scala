@@ -39,7 +39,10 @@ case class JaccardEngine(
       * (unlike BM25's df/avgdl) — so add ≡ full build EXACTLY.
       */
     baseIndex: Option[DataFrame] = None,
-    baseSizes: Option[DataFrame] = None) extends SearchEngine {
+    baseSizes: Option[DataFrame] = None,
+    /** True once [[removeDocuments]] ran — masked-index fill disabled;
+      * see [[IVFDenseEngine.carriesDelete]]. */
+    carriesDelete: Boolean = false) extends SearchEngine {
   require(baseIndex.isDefined == baseSizes.isDefined,
     "incremental add needs BOTH baseIndex and baseSizes (or neither)")
 
@@ -47,7 +50,8 @@ case class JaccardEngine(
     "shingleSize" -> shingleSize.toString,
     "hashShingles" -> hashShingles.toString,
     "roundScores" -> roundScores.mkString, "engine" -> "jaccard",
-    "incremental" -> baseIndex.isDefined.toString)
+    "incremental" -> baseIndex.isDefined.toString) ++
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   /** Incremental index maintenance — the [[IVFDenseEngine.addVectors]]
     * contract for the lexical inverted index: a new engine over `extra`
@@ -81,9 +85,13 @@ case class JaccardEngine(
         "covering the surviving corpus — an unchanged state key would " +
         "serve the pre-delete cache")
     val (inv, sizes, _) = state
+    // DELETE-WHERE null semantics: NULL = not removed (SearchEngine
+    // .isRemoved) on both the postings and the sizes frames
+    val keep = !SearchEngine.isRemoved(removed)
     copy(corpus = corpus.limit(0),
-      baseIndex = Some(inv.filter(!removed)),
-      baseSizes = Some(sizes.filter(!removed)),
+      baseIndex = Some(inv.filter(keep)),
+      baseSizes = Some(sizes.filter(keep)),
+      carriesDelete = true,
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -122,7 +130,8 @@ case class JaccardEngine(
     (inv, sizes, sizes.count())
   }
 
-  protected def fillRange: Option[Long] = Some(state._3)
+  protected def fillRange: Option[Long] =
+    if (carriesDelete) None else Some(state._3)
 
   protected def searchRanked(stamped: DataFrame, rowId: String): DataFrame = {
     val (inv, sizes, _) = state

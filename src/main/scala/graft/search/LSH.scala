@@ -58,7 +58,10 @@ case class LSHDenseEngine(
       * pinning: add ≡ full build EXACTLY at any split.
       */
     baseSignatures: Option[DataFrame] = None,
-    baseVectors: Option[DataFrame] = None) extends SearchEngine {
+    baseVectors: Option[DataFrame] = None,
+    /** True once [[removeVectors]] ran — masked-index fill disabled; see
+      * [[IVFDenseEngine.carriesDelete]]. */
+    carriesDelete: Boolean = false) extends SearchEngine {
   require(baseSignatures.isDefined == baseVectors.isDefined,
     "incremental add needs BOTH baseSignatures and baseVectors (or neither)")
   require(nBits % bands == 0, "bands must divide nBits")
@@ -77,7 +80,8 @@ case class LSHDenseEngine(
   override def params = Map("k" -> config.k.toString, "engine" -> "dense_lsh",
     "nBits" -> nBits.toString, "bands" -> bands.toString,
     "probes" -> probes.toString,
-    "incremental" -> baseSignatures.isDefined.toString)
+    "incremental" -> baseSignatures.isDefined.toString) ++
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   /** Incremental index maintenance — the [[IVFDenseEngine.addVectors]]
     * contract for the signature index: a new engine over `extra` whose
@@ -118,9 +122,13 @@ case class LSHDenseEngine(
       qcol(corpusIdxCol).cast("long").as("idx"),
       qcol(corpusVecCol).as("__cv__"))
     val allVecs = baseVectors.fold(own)(own.unionByName)
+    // DELETE-WHERE null semantics: NULL = not removed (SearchEngine
+    // .isRemoved) on both the signature and vector frames
+    val keep = !SearchEngine.isRemoved(removed)
     copy(corpus = corpus.limit(0),
-      baseSignatures = Some(signatures.filter(!removed)),
-      baseVectors = Some(allVecs.filter(!removed)),
+      baseSignatures = Some(signatures.filter(keep)),
+      baseVectors = Some(allVecs.filter(keep)),
+      carriesDelete = true,
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -133,7 +141,8 @@ case class LSHDenseEngine(
 
   private lazy val n: Long =
     corpus.count() + baseVectors.map(_.count()).getOrElse(0L)
-  protected def fillRange: Option[Long] = Some(n)
+  protected def fillRange: Option[Long] =
+    if (carriesDelete) None else Some(n)
 
   private lazy val dim: Int =
     corpus.select(size(qcol(corpusVecCol))).limit(1).collect() match {

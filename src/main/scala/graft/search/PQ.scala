@@ -375,7 +375,13 @@ case class IVFPQDenseEngine(
       * lookups. Same honest-ANN caveat (probed ∩ filtered can be short)
       * and same fill-disabled rule.
       */
-    memberFilter: Option[org.apache.spark.sql.Column] = None)
+    memberFilter: Option[org.apache.spark.sql.Column] = None,
+    /** True once [[removeVectors]] ran (survives further copies): the id
+      * space is holed, so masked-index fill is disabled — a pmod(hash, n)
+      * fill id could be a REMOVED row. See
+      * [[IVFDenseEngine.carriesDelete]].
+      */
+    carriesDelete: Boolean = false)
   extends SearchEngine {
   require(baseTagged.isDefined == baseCodes.isDefined,
     "incremental add needs BOTH baseTagged and baseCodes (or neither)")
@@ -394,7 +400,8 @@ case class IVFPQDenseEngine(
     "incremental" -> baseTagged.isDefined.toString,
     "carryCols" -> carryCols.mkString(","),
     "filter" -> memberFilter.map(c =>
-      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+      graft.core.Fingerprint.hash(c.toString)).getOrElse("")) ++
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   override protected def queryTimeParams: Set[String] =
     super.queryTimeParams + "filter"
@@ -484,14 +491,18 @@ case class IVFPQDenseEngine(
         "pre-delete cache")
     val cents = ivf.centroids.orderBy("cid").collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
-    val removedIds = ivf.tagged.filter(removed).select("idx")
+    // DELETE-WHERE null semantics: NULL = not removed on BOTH sides, so
+    // the survivor filter and the code anti-join agree on which rows went
+    val rm = SearchEngine.isRemoved(removed)
+    val removedIds = ivf.tagged.filter(rm).select("idx")
     copy(corpus = corpus.limit(0),
       fixedCentroids = Some(cents),
       fixedCodebooks = Some(pq.codebooks),
       fixedRotation = pq.rotation,
-      baseTagged = Some(ivf.tagged.filter(!removed).select(
+      baseTagged = Some(ivf.tagged.filter(!rm).select(
         (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
       baseCodes = Some(pq.codes.join(removedIds, Seq("idx"), "left_anti")),
+      carriesDelete = true,
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -530,7 +541,7 @@ case class IVFPQDenseEngine(
   private lazy val n: Long =
     corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] =
-    if (memberFilter.isDefined) None else Some(n)
+    if (memberFilter.isDefined || carriesDelete) None else Some(n)
 
   /** Codes tagged with their inverted-list id (+ carried payload):
     * (cid, idx, __c0..__c{m-1}, carryCols*).

@@ -50,6 +50,19 @@ object RecallEval {
     require(!truth.config.mergePreviousResults,
       "truth engine must set mergePreviousResults = false — merging would " +
         "absorb the candidate's ranking into the truth ranking")
+    // the -1 strip in `valid` only sees padding that is still -1: an
+    // engine with fillMaskedIndices=true has already REPLACED it with
+    // pseudo-random valid ids, which would count as candidate hits/misses
+    // and silently skew hits/recall_bp — refuse at construction, like the
+    // indexField/merge checks above
+    require(!candidate.config.fillMaskedIndices,
+      "candidate engine must set fillMaskedIndices = false — filled " +
+        "pseudo-random ids are indistinguishable from real candidates and " +
+        "skew hits/recall_bp")
+    require(!truth.config.fillMaskedIndices,
+      "truth engine must set fillMaskedIndices = false — filled " +
+        "pseudo-random ids are indistinguishable from real truth rows and " +
+        "skew hits/recall_bp")
     val both = truth(candidate(queries))
     val cIdx = valid(col(s"`${candidate.config.indexField}.idx`"))
     val tIdx = valid(col(s"`${truth.config.indexField}.idx`"))

@@ -51,7 +51,13 @@ case class SQDenseEngine(
       * `fixedStats`: re-training min/max on only the new rows would
       * silently move the quantizer.
       */
-    baseCodes: Option[DataFrame] = None) extends SearchEngine {
+    baseCodes: Option[DataFrame] = None,
+    /** True once [[removeVectors]] ran (survives further copies): the id
+      * space is holed, so masked-index fill is disabled — a pmod(hash, n)
+      * fill id could be a REMOVED row. See
+      * [[IVFDenseEngine.carriesDelete]].
+      */
+    carriesDelete: Boolean = false) extends SearchEngine {
   require(baseCodes.isEmpty || fixedStats.isDefined,
     "baseCodes (incremental add) requires fixedStats — the base index's " +
       "quantizer must be pinned, not re-trained")
@@ -59,11 +65,13 @@ case class SQDenseEngine(
   override def params = Map("k" -> config.k.toString, "engine" -> "dense_sq",
     "fixedStats" -> fixedStats.map(s =>
       graft.core.Fingerprint.hash(s.toString)).getOrElse(""),
-    "incremental" -> baseCodes.isDefined.toString)
+    "incremental" -> baseCodes.isDefined.toString) ++
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   private lazy val n: Long =
     corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
-  protected def fillRange: Option[Long] = Some(n)
+  protected def fillRange: Option[Long] =
+    if (carriesDelete) None else Some(n)
 
   /** Incremental index maintenance — the [[IVFDenseEngine.addVectors]]
     * contract for the scalar quantizer: a new engine over `extra` whose
@@ -102,9 +110,12 @@ case class SQDenseEngine(
         "the surviving corpus — an unchanged state key would serve the " +
         "pre-delete cache")
     val row = stats.head()
+    // DELETE-WHERE null semantics: NULL = not removed (SearchEngine
+    // .isRemoved) — a bare filter(!removed) would drop NULL rows
     copy(corpus = corpus.limit(0),
       fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))),
-      baseCodes = Some(codes.filter(!removed)),
+      baseCodes = Some(codes.filter(!SearchEngine.isRemoved(removed))),
+      carriesDelete = true,
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -233,7 +244,10 @@ case class IVFSQDenseEngine(
       * predicate pruning code rows BEFORE the ADC scan; same honest-ANN
       * short-result caveat and fill-disabled rule.
       */
-    memberFilter: Option[org.apache.spark.sql.Column] = None)
+    memberFilter: Option[org.apache.spark.sql.Column] = None,
+    /** True once [[removeVectors]] ran — masked-index fill disabled; see
+      * [[IVFDenseEngine.carriesDelete]]. */
+    carriesDelete: Boolean = false)
   extends SearchEngine {
   require(baseTagged.isDefined == baseCodes.isDefined,
     "incremental add needs BOTH baseTagged and baseCodes (or neither)")
@@ -248,7 +262,8 @@ case class IVFSQDenseEngine(
     "incremental" -> baseTagged.isDefined.toString,
     "carryCols" -> carryCols.mkString(","),
     "filter" -> memberFilter.map(c =>
-      graft.core.Fingerprint.hash(c.toString)).getOrElse(""))
+      graft.core.Fingerprint.hash(c.toString)).getOrElse("")) ++
+    (if (carriesDelete) Map("carriesDelete" -> "true") else Map.empty)
 
   override protected def queryTimeParams: Set[String] =
     super.queryTimeParams + "filter"
@@ -306,13 +321,16 @@ case class IVFSQDenseEngine(
     val cents = ivf.centroids.orderBy("cid").collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
     val row = sq.stats.head()
-    val removedIds = ivf.tagged.filter(removed).select("idx")
+    // DELETE-WHERE null semantics: NULL = not removed on BOTH sides
+    val rm = SearchEngine.isRemoved(removed)
+    val removedIds = ivf.tagged.filter(rm).select("idx")
     copy(corpus = corpus.limit(0),
       fixedCentroids = Some(cents),
       fixedStats = Some((row.getSeq[Double](0), row.getSeq[Double](1))),
-      baseTagged = Some(ivf.tagged.filter(!removed).select(
+      baseTagged = Some(ivf.tagged.filter(!rm).select(
         (Seq("idx", "__cv__", "cid") ++ carryCols).map(col): _*)),
       baseCodes = Some(sq.codes.join(removedIds, Seq("idx"), "left_anti")),
+      carriesDelete = true,
       corpusFingerprint =
         if (fingerprint.nonEmpty) fingerprint else corpusFingerprint)
   }
@@ -320,7 +338,7 @@ case class IVFSQDenseEngine(
   private lazy val n: Long =
     corpus.count() + baseCodes.map(_.count()).getOrElse(0L)
   protected def fillRange: Option[Long] =
-    if (memberFilter.isDefined) None else Some(n)
+    if (memberFilter.isDefined || carriesDelete) None else Some(n)
 
   /** Codes tagged with their inverted-list id (+ carried payload):
     * (cid, idx, codes, carryCols*).

@@ -126,4 +126,17 @@ class OverlapFractionSpec extends SparkSpec {
     assert(err.getMessage.contains("foreachBatch"),
       s"over-cap stream error should name the fallback: ${err.getMessage}")
   }
+
+  test("output column names participate in the pipe fingerprint") {
+    // a fingerprint-keyed CachedStage replay must not serve a frame with
+    // another instance's column names
+    val eval = frame(100L -> "a b c")
+    def pipe(bp: String, m: String, t: String) = OverlapFractionPipe(
+      eval, "text", "doc_id", ngramSize = 2,
+      matchedCol = m, totalCol = t, bpCol = bp)
+    val base = pipe("overlap_bp", "matched_ngrams", "total_ngrams")
+    assert(base.fingerprint != pipe("bp2", "matched_ngrams", "total_ngrams").fingerprint)
+    assert(base.fingerprint != pipe("overlap_bp", "m2", "total_ngrams").fingerprint)
+    assert(base.fingerprint != pipe("overlap_bp", "matched_ngrams", "t2").fingerprint)
+  }
 }

@@ -60,6 +60,23 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("construction refusal: filled masked indices on either engine") {
+    // fill replaces -1 padding with pseudo-random VALID ids — the -1
+    // strip can't see them, so they'd count as hits/misses and silently
+    // skew recall_bp; refuse at construction like the other checks
+    val filledCand = BruteForceDenseEngine(corpus,
+      candCfg.copy(fillMaskedIndices = true))
+    intercept[IllegalArgumentException] {
+      RecallEval.vs(filledCand,
+        BruteForceDenseEngine(corpus, truthCfg), queries(2), "qid")
+    }
+    intercept[IllegalArgumentException] {
+      RecallEval.vs(BruteForceDenseEngine(corpus, candCfg),
+        BruteForceDenseEngine(corpus,
+          truthCfg.copy(fillMaskedIndices = true)), queries(2), "qid")
+    }
+  }
+
   test("a filtered truth with short lists divides by truth_k, not k") {
     // a very selective truth filter yields < k truth rows; recall must be
     // measured against what exists, not against the configured k
