@@ -2110,6 +2110,110 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s37_sq_remove" -> ((s, d) => {
+      // deletion on the scalar quantizer: SQ8 trained over the FULL
+      // corpus, removeVectors(idx % 5 = 2) — per-dim stats stay pinned,
+      // the standing codes map-side filter, nothing re-encodes. The
+      // oracle replays full train + encode but scores ONLY the
+      // survivors: queries 2 and 7 are themselves deleted, so their
+      // self-match must vanish, and any stale code row hash-fails.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.SQDenseEngine(vecs,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        stateDir = Some("/tmp/graft-cache/sq-remove"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":full")
+      val eng = base.removeVectors(col("idx") % 5 === 2,
+        fingerprint = tableFp(s, d, "embeddings") + ":rm5")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s38_ivfsq_remove" -> ((s, d) => {
+      // deletion on the composed IVF,SQ8 index: tagged lists map-side
+      // filtered AND payload-free codes anti-joined against the removed
+      // ids; centroids and per-dim stats stay pinned. nprobe = nlist
+      // makes the candidate set total (the s16 trick), so the flat-SQ
+      // survivor replay is exact despite KMeans list assignment — a
+      // stale tag or orphan code adds a candidate and hash-fails.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.IVFSQDenseEngine(vecs, nlist = 8, nprobe = 8,
+        config = graft.search.SearchConfig(k = 8, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        stateDir = Some("/tmp/graft-cache/ivfsq-remove"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":full")
+      val eng = base.removeVectors(col("idx") % 5 === 2,
+        fingerprint = tableFp(s, d, "embeddings") + ":rm5")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s39_lsh_remove" -> ((s, d) => {
+      // deletion on the signature index: LSH built over the full corpus,
+      // removeVectors(idx % 5 = 2) — signatures AND rescoring vectors
+      // both map-side filter, nothing re-signs. Hyperplanes are a
+      // corpus-independent formula, so the oracle replays sign/band/
+      // score over ONLY the survivors; deleted bucket-mates (including
+      // the deleted queries' self-matches) must vanish. Padding dropped
+      // as in s17 (bucket candidates can be short).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val vecs = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+      val base = graft.search.LSHDenseEngine(vecs,
+        config = graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        stateDir = Some("/tmp/graft-cache/lsh-remove"),
+        corpusFingerprint = tableFp(s, d, "embeddings") + ":full")
+      val eng = base.removeVectors(col("idx") % 5 === 2,
+        fingerprint = tableFp(s, d, "embeddings") + ":rm5")
+      val pairs = filter(
+        zip_with(q("index.idx"), q("index.score"),
+          (i, sc) => struct(i.as("i"), sc.as("s"))),
+        p => p.getField("i") >= 0)
+      eng(queries)
+        .select(col("qid"),
+          transform(pairs, _.getField("i")).as("index.idx"),
+          transform(pairs, p => round(p.getField("s"), 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
+    "s40_jaccard_remove" -> ((s, d) => {
+      // deletion on the lexical inverted index: Jaccard built over the
+      // full corpus, removeDocuments(docId % 5 = 2) — postings and
+      // per-doc sizes both map-side filter, nothing re-shingles
+      // (per-document shingling has no corpus statistics, the property
+      // that made the add exact). The oracle replays shingle/join/score
+      // over ONLY the surviving docs; queries still come from the full
+      // table, so deleted self-matches must vanish.
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("query.text"))
+      val base = graft.search.JaccardEngine(docs,
+        graft.search.SearchConfig(k = 10, fillMaskedIndices = false,
+          queryIdCol = Some("qid")),
+        corpusIdxCol = "doc_id", corpusTextCol = "text", roundScores = Some(4),
+        stateDir = Some("/tmp/graft-cache/jaccard-remove"),
+        corpusFingerprint = tableFp(s, d, "documents") + ":full")
+      val eng = base.removeDocuments(col("docId") % 5 === 2,
+        fingerprint = tableFp(s, d, "documents") + ":rm5")
+      eng(queries)
+        .select(col("qid"), q("index.idx"),
+          transform(q("index.score"), v => round(v, 4)).as("index.score"))
+        .orderBy("qid")
+    }),
+
     "s29_filtered_ivf" -> ((s, d) => {
       // filtered ANN (FAISS IDSelector / vector-DB payload filter): the
       // `label` payload column is carried into the tagged index state at
@@ -2768,6 +2872,65 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "mg_version_diff_partitioned" -> ((s, d) => {
+      // time-travel CDC audit on the PRODUCTION (key-partitioned) layout:
+      // the mg_version_diff construction run through PartitionedUpsert —
+      // seed + two micro-batches over 8 hash partitions, then
+      // diff(vinit, v1) where BOTH endpoints are reconstructed from the
+      // per-version MANIFESTS (untouched partitions' entries still name
+      // older dirs — exactly the reconstruction this gate exists to
+      // prove). The oracle replays the merges and FULL OUTER JOINs the
+      // endpoints with IS DISTINCT FROM; a manifest mapping a stale or
+      // missing partition version hash-fails.
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      val k = col("o_orderkey")
+      def tuples(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+      val b0 = tuples(
+        base.filter(k % 7 === 3 && k % 13 =!= 5)
+          .select(k, col("o_custkey"), lit("U").as("s"),
+            (col("o_totalprice") + 10.0).as("p"), lit(false).as("del"))
+        .unionByName(base.filter(k % 11 === 2)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("s"), col("o_totalprice").as("p"),
+            lit(false).as("del"))))
+      val b1 = tuples(
+        base.filter(k % 13 === 5)
+          .select(k, col("o_custkey"), col("o_orderstatus").as("s"),
+            col("o_totalprice").as("p"), lit(true).as("del"))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 0)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("s"), col("o_totalprice").as("p"),
+            lit(true).as("del")))
+        .unionByName(base.filter(k % 11 === 2 && k % 2 === 1)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("X").as("s"), (col("o_totalprice") + 5.0).as("p"),
+            lit(false).as("del"))))
+      val dir = java.nio.file.Files.createTempDirectory("graft-pdiff").toString
+      graft.streaming.PartitionedUpsert.seed(base, s"$dir/t", Seq("o_orderkey"), 8)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double, Boolean)]
+      val q = graft.streaming.PartitionedUpsert.run(
+        mem.toDF.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "__del__"),
+        s"$dir/t", Seq("o_orderkey"), Some("__del__"), s"$dir/ckpt")
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      graft.streaming.PartitionedUpsert.diff(s, s"$dir/t", "vinit", "v1",
+        Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change"),
+          col("o_orderstatus_before"), col("o_orderstatus_after"),
+          col("o_totalprice_before"), col("o_totalprice_after"))
+        .orderBy("o_orderkey")
+    }),
+
     "mg_upsert_partitioned" -> ((s, d) => {
       // the KEY-PARTITIONED version layout (r12): same seed + same two
       // micro-batches as mg_upsert_stream, but the table is hash-split
@@ -3272,6 +3435,39 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "io_compacted_roundtrip" -> ((s, d) => {
+      // the small-file compaction writer end-to-end: writeCompacted
+      // splits the table into ceil(estimate/target) files via
+      // round-robin repartition — content must survive the rewrite
+      // bit-for-bit (the oracle is the identity replay), and the layout
+      // claim (more than one file at a small target) is asserted
+      // in-plan so a silent coalesce-to-one regression fails loudly.
+      val docs = t(s, d, "documents")
+      val path = s"/tmp/graft_io_${math.abs(d.hashCode)}/documents_compacted"
+      val n = graft.sources.Formats.writeCompacted(docs, path,
+        targetFileBytes = 16L << 10)
+      require(n > 1, s"a 64 KiB target must yield multiple files (got $n)")
+      s.read.parquet(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "io_footer_audit" -> ((s, d) => {
+      // the footer-only layout audit end-to-end AGAINST THE DATA: write
+      // the table compacted, read per-file row counts + doc_id min/max
+      // from parquet FOOTERS ONLY (zero data pages), fold to one row —
+      // which must equal the SQL count/min/max over the table itself.
+      // A footer misread, a dropped file, or a stats-less file all
+      // hash-fail.
+      val docs = t(s, d, "documents")
+      val path = s"/tmp/graft_io_${math.abs(d.hashCode)}/documents_audit"
+      graft.sources.Formats.writeCompacted(docs, path,
+        targetFileBytes = 16L << 10)
+      graft.sources.ParquetStats.fileStats(s, path, Seq("doc_id"))
+        .agg(sum("rows").as("total_rows"),
+          min("min").as("min_doc"), max("max").as("max_doc"))
+    }),
+
     // ----- composed selection pipeline v3: the round-6 capstone -----
     "pp_select_v3" -> ((s, d) => {
       // the full modern selection flow as ONE chain: duplicated-substring
@@ -3428,15 +3624,19 @@ object Queries {
     * `trainWhere` restricts the TRAINED rows (the incremental-add gate
     * trains on the base two thirds and encodes everything — out-of-range
     * added components must saturate at 0/255 exactly like the engine).
+    * `scoreWhere` restricts the SCORED candidates (the deletion gates
+    * train on the full corpus — stats stay pinned — and score only the
+    * survivors, so a stale code row hash-fails).
     */
-  private def sqOracle(k: Int, qmax: Int, trainWhere: String = "TRUE"): String = scl(
+  private def sqOracle(k: Int, qmax: Int, trainWhere: String = "TRUE",
+      scoreWhere: String = "TRUE"): String = scl(
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
       |d AS (SELECT generate_subscripts(ev, 1) AS p, unnest(ev) AS x FROM v WHERE $trainWhere),
       |st AS (SELECT p, min(x) AS mn, max(x) - min(x) AS df FROM d GROUP BY p),
       |stl AS (SELECT list(mn ORDER BY p) AS vmin, list(df ORDER BY p) AS vdiff FROM st),
       |cd AS (SELECT vec_id, list_transform(range(1, length(ev)+1), i -> CASE WHEN vdiff[i] <= 0 THEN CAST(0 AS DOUBLE) ELSE least(greatest(round((ev[i]-vmin[i])/vdiff[i]*255, 0), 0), 255) END) AS codes FROM v, stl),
       |qs AS (SELECT vec_id AS qid, list_dot_product(ev, vmin) AS qmin, list_transform(range(1, length(ev)+1), i -> ev[i]*vdiff[i]/255) AS qd FROM v, stl WHERE vec_id < $qmax),
-      |sc AS (SELECT qs.qid, cd.vec_id AS idx, qs.qmin + list_dot_product(qs.qd, cd.codes) AS score FROM qs CROSS JOIN cd),
+      |sc AS (SELECT qs.qid, cd.vec_id AS idx, qs.qmin + list_dot_product(qs.qd, cd.codes) AS score FROM qs CROSS JOIN cd WHERE $scoreWhere),
       |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
       |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
       |FROM rk WHERE r <= $k GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
@@ -4838,6 +5038,33 @@ object Queries {
         | OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
         | OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+    // the partitioned layout's manifest-reconstructed endpoints must
+    // diff exactly like the flat layout's: identical change batches,
+    // identical merge-replay + IS DISTINCT FROM oracle
+    "mg_version_diff_partitioned" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |b0 AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, false AS del
+        |   FROM base WHERE o_orderkey%7=3 AND o_orderkey%13<>5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'N', o_totalprice, false FROM base WHERE o_orderkey%11=2),
+        |m1 AS (SELECT b.* FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM b0)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b0 WHERE NOT del),
+        |b1 AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, true AS del FROM base WHERE o_orderkey%13=5
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, o_orderstatus, o_totalprice, true FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=0
+        | UNION ALL SELECT o_orderkey+100000000, o_custkey, 'X', o_totalprice + 5.0, false FROM base WHERE o_orderkey%11=2 AND o_orderkey%2=1),
+        |m2 AS (SELECT m.* FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+        | UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM b1 WHERE NOT del)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        | CASE WHEN a.o_orderkey IS NULL THEN 'insert' WHEN b.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS change,
+        | a.o_orderstatus AS o_orderstatus_before, b.o_orderstatus AS o_orderstatus_after,
+        | a.o_totalprice AS o_totalprice_before, b.o_totalprice AS o_totalprice_after
+        |FROM base a FULL OUTER JOIN m2 b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        | OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        | OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        | OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
     // the key-partitioned layout must be INVISIBLE to the merged result:
     // identical change batches, identical sequential-MERGE oracle
     "mg_upsert_partitioned" ->
@@ -5010,6 +5237,62 @@ object Queries {
         |  FROM qt JOIN post USING(term) JOIN dfq USING(term) JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN tot GROUP BY 1,2),
         |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY round(score,4) DESC, idx) AS r FROM sc),
         |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(round(score,4) ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
+        |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
+        | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
+        |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-delete SQ8 == full train + encode replayed, scored over ONLY
+    // the survivors (vec_id % 5 <> 2): stats stay pinned to the full
+    // train, so a survivors-trained replay would hash-fail too
+    "s37_sq_remove" -> sqOracle(k = 10, qmax = 10,
+      scoreWhere = "cd.vec_id % 5 <> 2"),
+    // post-delete IVF8,SQ8 at nprobe = nlist: candidate set is total, so
+    // the same survivor-scored flat-SQ replay is exact (KMeans only
+    // picks list assignment); stale tags or orphan codes add candidates
+    "s38_ivfsq_remove" -> sqOracle(k = 8, qmax = 8,
+      scoreWhere = "cd.vec_id % 5 <> 2"),
+    // post-delete LSH == the s17 sign/band/score replay with the
+    // CANDIDATE side restricted to survivors; queries from the full table
+    "s39_lsh_remove" ->
+      scl("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |sig AS (SELECT vec_id,
+        | list_sum(list_transform(range(0,48), b ->
+        |  CASE WHEN list_sum(list_transform(range(1, length(ev)+1), t ->
+        |    ev[t] * ((((b*37 + (t-1)*11) % 21) - 10) / 10.0))) > 0
+        |  THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS sg FROM v),
+        |bnd AS (SELECT vec_id, z.b AS b,
+        |  (CAST(sg AS BIGINT) // (1::BIGINT << CAST(z.b*8 AS INT))) % 256 AS bv
+        | FROM sig, LATERAL (SELECT unnest(range(0, 6)) AS b) z),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS idx
+        | FROM bnd q JOIN bnd c ON q.b = c.b AND q.bv = c.bv
+        | WHERE q.vec_id < 10 AND c.vec_id % 5 <> 2),
+        |sc AS (SELECT cand.qid, cand.idx, list_dot_product(a.ev, b.ev) AS score
+        | FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v b ON b.vec_id = cand.idx),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc)
+        |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
+        "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // post-delete Jaccard == the s22 shingle/join/score replay with the
+    // inverted index and sizes restricted to survivors (doc_id % 5 <> 2)
+    "s40_jaccard_remove" ->
+      scl("""WITH c AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [text] END) AS s FROM c),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh WHERE doc_id % 5 <> 2),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 <> 2),
+        |q0 AS (SELECT doc_id AS qid, array_to_string(toks[1:8], ' ') AS qtext FROM c WHERE doc_id < 20),
+        |qt AS (SELECT qid, qtext, string_split(trim(qtext), ' ') AS toks FROM q0),
+        |qsh AS (SELECT qid, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [qtext] END) AS s FROM qt),
+        |qsz AS (SELECT qid, len(s) AS qn FROM qsh),
+        |qinv AS (SELECT qid, unnest(s) AS g FROM qsh),
+        |shr AS (SELECT qid, inv.doc_id AS idx, count(*) AS shd FROM qinv JOIN inv USING (g) GROUP BY 1, 2),
+        |sc AS (SELECT shr.qid, shr.idx, round(shd::DOUBLE / (qsz.qn + szs.n - shd)::DOUBLE, 4) AS score
+        | FROM shr JOIN qsz USING (qid) JOIN szs ON szs.doc_id = shr.idx),
+        |rk AS (SELECT qid, idx, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, idx) AS r FROM sc),
+        |g AS (SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS li, list(score ORDER BY r) AS ls FROM rk WHERE r <= 10 GROUP BY qid)
         |SELECT qid, li || list_transform(range(10 - len(li)), x -> CAST(-1 AS BIGINT)) AS "index.idx",
         | ls || list_transform(range(10 - len(ls)), x -> CAST('-infinity' AS DOUBLE)) AS "index.score"
         |FROM g ORDER BY qid""".stripMargin.replace("\n", " "),
@@ -5352,6 +5635,13 @@ object Queries {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "io_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // compaction preserves content exactly: identity replay over the
+    // round-robin rewrite
+    "io_compacted_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // footer-only audit must recover the table's count/min/max exactly
+    "io_footer_audit" ->
+      "SELECT CAST(count(*) AS BIGINT) AS total_rows, CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc FROM documents",
     // nearest-neighbor resample out[i] = in[floor(i*n/32)], ASCII text so
     // byte positions equal char positions
     "mm_resize" ->

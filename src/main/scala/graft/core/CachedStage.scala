@@ -48,4 +48,33 @@ object CachedStage {
   def through(pipe: Pipe, cacheDir: String, upstreamFingerprint: String)(
       df: DataFrame): DataFrame =
     apply(df.sparkSession, cacheDir, cacheKey(upstreamFingerprint, pipe.fingerprint))(pipe(df))
+
+  /** Retention for a cache dir — the repo's own medicine applied to its
+    * standing state: content-keyed entries accumulate one dir per
+    * (fixture fingerprint × engine config) FOREVER on a long-lived host
+    * (a refreshed corpus gets a new fingerprint; nothing ever deletes
+    * the old key). Deletes every entry whose last modification is older
+    * than `maxAgeMs` (stale `_tmp_` staging dirs from crashed writers
+    * included — completed entries are never half-deleted because the
+    * rename-in commit makes each entry atomic). Recently-READ entries
+    * survive on mtime alone only where the FS updates it; the
+    * cheap-to-rebuild contract of a fingerprint cache makes an
+    * occasional false eviction a re-compute, never a correctness event.
+    * Returns deleted entry names.
+    */
+  def vacuum(spark: SparkSession, cacheDir: String,
+      maxAgeMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val dir = new Path(cacheDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+        .map { s =>
+          fs.delete(s.getPath, true)
+          s.getPath.getName
+        }
+    }
+  }
 }

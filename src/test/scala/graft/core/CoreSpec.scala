@@ -129,6 +129,26 @@ class CoreSpec extends SparkSpec {
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
 
+  test("CachedStage.vacuum drops only entries older than the TTL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    CachedStage(spark, dir, "old")(batch).count()
+    CachedStage(spark, dir, "fresh")(batch).count()
+    // backdate the old entry past a 1-hour TTL
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(dir, "old")
+    fs.setTimes(oldPath, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    val deleted = CachedStage.vacuum(spark, dir, maxAgeMs = 3600 * 1000L)
+    assert(deleted == Seq("old"))
+    assert(!fs.exists(oldPath))
+    // the fresh entry still reads without recompute
+    var computes = 0
+    CachedStage(spark, dir, "fresh") { computes += 1; batch }.count()
+    assert(computes == 0, "vacuum must not touch fresh entries")
+    // idempotent on an empty/missing dir
+    assert(CachedStage.vacuum(spark, dir + "/nope", 1L).isEmpty)
+  }
+
   test("ApplyToEachExample(checked): lazy at build, raises at execution") {
     import graft.pipes.{ApplyToEachExample, ApplyToCols, LambdaPipe}
     import org.apache.spark.sql.functions.col

@@ -127,6 +127,24 @@ class OverlapFractionSpec extends SparkSpec {
       s"over-cap stream error should name the fallback: ${err.getMessage}")
   }
 
+  test("Bloom-gated fraction keeps exact counts, bp, and flags (forced gate)") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select("doc_id", "text").limit(80)
+    val eval = docs.filter(col("doc_id") < 30)
+    val expected = collectOut(graft.streaming.StreamingDecontaminate.fraction(
+      docs, eval, "text", "doc_id", ngramSize = 4, thresholdBp = 1500))
+    // force the gate: matched hides behind when(bloomProbe, intersect).
+    // probe-negative proves matched = 0, so counts stay bit-identical
+    val gated = collectOut(graft.streaming.StreamingDecontaminate.fraction(
+      docs, eval, "text", "doc_id", ngramSize = 4, thresholdBp = 1500,
+      bloomGateNgrams = 1))
+    assert(gated == expected)
+    assert(expected.values.exists(_._4) && expected.values.exists(!_._4))
+    // and some clean rows carry nonzero matched counts — the gate must
+    // not zero sub-threshold matches
+    assert(expected.values.exists(v => v._1 > 0 && !v._4))
+  }
+
   test("output column names participate in the pipe fingerprint") {
     // a fingerprint-keyed CachedStage replay must not serve a frame with
     // another instance's column names
