@@ -67,8 +67,15 @@ object DecontamScale {
       println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
+    // count via an aggregate, NOT filter(...).count(): Catalyst pushes a
+    // filter (with the flag expression substituted in) below the widening
+    // repartition, serializing the whole scan onto the fixture's single
+    // checkpoint partition — a partial aggregate stays above the exchange
+    // and runs at the widened parallelism (at real scale the input has
+    // many splits and either shape is parallel)
     def flagged(out: org.apache.spark.sql.DataFrame): Long =
-      out.filter(col("contaminated")).count()
+      out.agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
+        .head().getLong(0)
 
     // attribute the gate's ONE-TIME setup separately: the bitmap build
     // is a single job over the eval side, independent of train size
