@@ -24,6 +24,23 @@ object CurationOps {
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Membership count of `grams` (array<string>) against a fixed key
+    * set BROADCAST once per executor and hash-probed per element —
+    * [[org.apache.spark.sql.graft.StringSetCountExpr]]. The exact,
+    * O(#docGrams)-per-row form of `size(array_intersect(grams,
+    * lit(keys)))` / `arrays_overlap(grams, lit(keys))`, whose per-row
+    * cost is linear in |keys| (the intersect builds a |keys|-entry hash
+    * set per row, and both duplicate the literal per task).
+    */
+  def setCount(
+      spark: org.apache.spark.sql.SparkSession,
+      grams: Column, keys: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.StringSetCountExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(grams),
+        spark.sparkContext.broadcast(keys.toArray),
+        org.apache.spark.sql.graft.StringSetCountExpr.fingerprint(keys)))
+
   /** Duplicate statistics of a SORTED array in ONE `aggregate` pass:
     * returns struct(top, dup) where `top` is the longest run of equal
     * adjacent elements and `dup` the total length of runs longer than 1.

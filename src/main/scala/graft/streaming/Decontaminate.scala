@@ -25,23 +25,28 @@ import org.apache.spark.sql.functions._
   * flag applied per micro-batch via `foreachBatch`, with the eval n-gram
   * frame computed once and persisted across batches.
   *
-  * Above `bloomGateNgrams` distinct eval grams (well under the literal
-  * cap) the PER-ROW cost of the literal scan becomes the hazard, not
-  * the plan size: `arrays_overlap` probes the ~100 doc grams against
-  * the FULL eval literal, so every CLEAN row walks |evalNg| string
-  * comparisons. The exact check is then gated behind the codegen'd
-  * [[graft.llm.BloomOps.probeColumn]] bitmap — no false negatives (the
-  * native kernel replays the same whitespace-token/n-gram chain), so
-  * `when(probe, exact)` keeps flags EXACT while clean rows pay only the
-  * O(#docGrams·k) probe: per-doc cost independent of |evalNg|.
+  * Above `literalScanNgrams` distinct eval grams (well under the
+  * literal cap) the PER-ROW cost of the literal scan becomes the
+  * hazard, not the plan size: `arrays_overlap` probes the ~100 doc
+  * grams against the FULL eval literal, so every CLEAN row walks
+  * |evalNg| string comparisons. The flag then switches to the
+  * codegen'd [[org.apache.spark.sql.graft.StringSetCountExpr]] — the
+  * eval grams ship ONCE per executor as a hash set (the same bytes the
+  * literal embedded in the plan) and EVERY row, clean or dirty, pays
+  * O(#docGrams) byte-equality lookups: per-doc cost independent of
+  * |evalNg|, flags bit-identical (count > 0 ≡ arrays_overlap under
+  * Spark string equality). The full exactness ladder: in-plan literal
+  * (small) → shipped set probe (up to the collect cap) →
+  * [[bloom]] fixed-size bitmap (ANY eval size, one-sided error) →
+  * [[runOverCapToParquet]] relational foreachBatch (any size, exact).
   */
 object StreamingDecontaminate {
-  /** Distinct-eval-gram count above which the exact literal scan hides
-    * behind the Bloom pre-probe (both modes). Below it the plain scan
-    * is cheap; above it the probe gate bounds per-row cost.
+  /** Distinct-eval-gram count above which the in-plan literal scan
+    * switches to the shipped-set probe (both modes). Below it the plain
+    * literal is cheap and keeps the plan self-contained; above it the
+    * set probe bounds per-row cost.
     */
-  val DefaultBloomGateNgrams: Int = 65536
-  private val GateHashes: Int = 4
+  val DefaultLiteralScanNgrams: Int = 65536
 
   def apply(
       df: DataFrame,
@@ -51,7 +56,7 @@ object StreamingDecontaminate {
       ngramSize: Int = 3,
       flagCol: String = "contaminated",
       maxEvalNgrams: Int = 2000000,
-      bloomGateNgrams: Int = DefaultBloomGateNgrams): DataFrame = {
+      literalScanNgrams: Int = DefaultLiteralScanNgrams): DataFrame = {
     val ngrams: Column => Column = text =>
       graft.llm.CurationOps.wordNgrams(
         graft.llm.TextAnalysisOps.toks(text), ngramSize)
@@ -79,22 +84,16 @@ object StreamingDecontaminate {
     // the batch pipe flags such rows false (nothing exploded, no hit).
     // Doc n-grams ride on the LEFT of arrays_overlap: Spark builds its
     // probe set from the smaller side, ~100 doc n-grams vs the eval set.
-    val exact =
-      coalesce(arrays_overlap(ngrams(col(textCol)), typedLit(evalNg)),
-        lit(false))
     val flag =
-      if (evalNg.size <= bloomGateNgrams) exact
-      else {
-        // Bloom pre-probe gate: bitmap sized to the eval gram count,
-        // built in one job over the eval side; CaseWhen short-circuits,
-        // so clean (probe-negative) rows never touch the literal scan
-        val mBits = graft.llm.BloomOps.sizedBits(evalNg.size.toLong)
-        val bits = graft.llm.BloomOps.buildBitmap(
-          evalDf, textCol, ngramSize, GateHashes, mBits)
-        when(graft.llm.BloomOps.probeColumn(
-          col(textCol), ngramSize, GateHashes, mBits, bits), exact)
-          .otherwise(lit(false))
-      }
+      if (evalNg.size <= literalScanNgrams)
+        coalesce(arrays_overlap(ngrams(col(textCol)), typedLit(evalNg)),
+          lit(false))
+      else
+        // broadcast-set probe: O(#docGrams) per row regardless of
+        // |evalNg|; null text → null gram array → null count → false,
+        // matching the literal path's coalesce
+        coalesce(graft.llm.CurationOps.setCount(df.sparkSession,
+          ngrams(col(textCol)), evalNg) > 0, lit(false))
     wide.withColumn(flagCol, flag)
   }
 
@@ -204,16 +203,20 @@ object StreamingDecontaminate {
     * the batch pipe (same tokenizer, same distinct-gram algebra, same
     * integer threshold arithmetic).
     *
-    * Bounded by the same `maxEvalNgrams` literal cap as [[apply]], and
-    * above `bloomGateNgrams` the exact intersect hides behind the same
-    * Bloom pre-probe GATE (sound for a count too: probe-negative proves
-    * matched = 0; only probe-positive rows pay the literal scan). Past
-    * the cap there is NO exact stateless form (a Bloom membership probe
-    * COUNTING matches would inflate `matched` by false positives — a
-    * one-sided flag/gate is sound, a one-sided count is not): a batch
-    * frame degrades to the relational batch pipe in-plan; a stream fails
-    * loudly pointing at running [[graft.llm.OverlapFractionPipe]] per
-    * micro-batch via `foreachBatch` (the [[runOverCapToParquet]] shape).
+    * Bounded by the same `maxEvalNgrams` collect cap as [[apply]], and
+    * above `literalScanNgrams` the per-row intersect (which builds a
+    * |evalNg|-entry hash set PER ROW — the measured 1.25 s·core/doc
+    * cliff at 1M grams) switches to the shipped-set
+    * [[org.apache.spark.sql.graft.StringSetCountExpr]]: the doc's
+    * DISTINCT grams hash-probe one per-executor set, O(#docGrams) per
+    * row, counts bit-identical (the input array is distinct, so the
+    * membership count ≡ size(array_intersect)). Past the cap there is
+    * NO exact stateless form (a Bloom membership probe COUNTING matches
+    * would inflate `matched` by false positives — one-sided error is
+    * sound for a flag, not a count): a batch frame degrades to the
+    * relational batch pipe in-plan; a stream fails loudly pointing at
+    * running [[graft.llm.OverlapFractionPipe]] per micro-batch via
+    * `foreachBatch` (the [[runOverCapToParquet]] shape).
     */
   def fraction(
       df: DataFrame,
@@ -224,7 +227,7 @@ object StreamingDecontaminate {
       thresholdBp: Int = 7000,
       flagCol: String = "contaminated",
       maxEvalNgrams: Int = 2000000,
-      bloomGateNgrams: Int = DefaultBloomGateNgrams): DataFrame = {
+      literalScanNgrams: Int = DefaultLiteralScanNgrams): DataFrame = {
     require(!evalDf.isStreaming,
       "the eval corpus must be a static frame — its n-gram set is " +
         "collected once before the stream starts")
@@ -253,23 +256,14 @@ object StreamingDecontaminate {
     // doc grams ride on the LEFT of array_intersect (the smaller side);
     // matched counts DISTINCT grams exactly like the batch pipe because
     // both input arrays are distinct
-    val matchedExact =
-      size(array_intersect(col("__of_ng__"), typedLit(evalNg))).cast("int")
-    // a one-sided COUNT is unsound (see the over-cap refusal) but a
-    // one-sided GATE on the exact count is not: probe-negative means NO
-    // doc gram is in the eval set, so matched is exactly 0 and the
-    // expensive intersect runs only on probe-positive rows — per-doc
-    // cost independent of |evalNg|, counts bit-identical
     val matched =
-      if (evalNg.size <= bloomGateNgrams) matchedExact
-      else {
-        val mBits = graft.llm.BloomOps.sizedBits(evalNg.size.toLong)
-        val bits = graft.llm.BloomOps.buildBitmap(
-          evalDf, textCol, ngramSize, GateHashes, mBits)
-        when(graft.llm.BloomOps.probeColumn(
-          col(textCol), ngramSize, GateHashes, mBits, bits), matchedExact)
-          .otherwise(lit(0)).cast("int")
-      }
+      if (evalNg.size <= literalScanNgrams)
+        size(array_intersect(col("__of_ng__"), typedLit(evalNg))).cast("int")
+      else
+        // broadcast-set membership count over the (distinct) gram array
+        // — O(#docGrams) per row, ≡ size(array_intersect) bit-for-bit
+        graft.llm.CurationOps.setCount(df.sparkSession,
+          col("__of_ng__"), evalNg)
     val total = size(col("__of_ng__")).cast("int")
     val num = matched.cast("long") * 10000L
     val den = total.cast("long")

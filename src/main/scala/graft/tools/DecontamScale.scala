@@ -3,18 +3,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale probe for the Bloom-gated decontamination literal scan —
-  * `runMain graft.tools.DecontamScale [docsDir]`.
+/** Scale probe for the decontamination eval-literal scan —
+  * `runMain graft.tools.DecontamScale [docsDir] [trainDocs] [evalDocs]`.
   *
   * The r17 finding: `arrays_overlap(docGrams, typedLit(evalNg))` walks
-  * the FULL eval literal per clean row, so per-doc cost was linear in
-  * |evalNg| up to the 2M-gram cap. The fix gates the exact scan behind
-  * the codegen'd Bloom probe. This probe measures, on the same train
-  * side in one JVM:
+  * the FULL eval literal per clean row (and `array_intersect` builds a
+  * |evalNg|-entry hash set PER ROW), so per-doc cost was linear in
+  * |evalNg| up to the 2M-gram cap. The fix switches the over-threshold
+  * path to the shipped-set probe (StringSetCountExpr — O(#docGrams) per
+  * row). This probe measures, on the same train side in one JVM:
   *
   *   1. small eval (≤ 64k grams, plain literal path) — the baseline;
-  *   2. big eval (≥ 1M grams), Bloom-gated (the default);
-  *   3. big eval, gate forcibly DISABLED — the r17 shape;
+  *   2. big eval (≥ 1M grams), SET-PROBE (the default);
+  *   3. big eval, probe forcibly DISABLED — the r17 literal shape;
   *
   * and asserts flags of (2) == (3). "Fixed" = wall(2) ≈ wall(1) (per-doc
   * cost independent of |evalNg|) while wall(3) is the old cliff.
@@ -77,9 +78,10 @@ object DecontamScale {
       out.agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
         .head().getLong(0)
 
-    // attribute the gate's ONE-TIME setup separately: the bitmap build
-    // is a single job over the eval side, independent of train size
-    time("bitmap build alone (one-time, eval side only)") {
+    // reference datum for the NEXT ladder rung (the fixed-size bloom
+    // bitmap used once the eval side outgrows even the collect cap):
+    // one job over the eval side, independent of train size
+    time("bloom bitmap build alone (one-time, eval side only)") {
       graft.llm.BloomOps.buildBitmap(evalBig, "text", 8, 4,
         graft.llm.BloomOps.sizedBits(gBig))
     }
@@ -89,14 +91,14 @@ object DecontamScale {
       flagged(graft.streaming.StreamingDecontaminate(
         train, evalSmall, "text", "doc_id", 8))
     }
-    val gated = time(s"big-eval BLOOM-GATED ($gBig grams)") {
+    val gated = time(s"big-eval SET-PROBE ($gBig grams)") {
       flagged(graft.streaming.StreamingDecontaminate(
         train, evalBig, "text", "doc_id", 8))
     }
     val ungated = time(s"big-eval UNGATED — the r17 shape ($gBig grams)") {
       flagged(graft.streaming.StreamingDecontaminate(
         train, evalBig, "text", "doc_id", 8,
-        bloomGateNgrams = Int.MaxValue))
+        literalScanNgrams = Int.MaxValue))
     }
     println(s"[check] flags small=$small gated=$gated ungated=$ungated " +
       s"gated==ungated: ${gated == ungated}")
@@ -106,14 +108,14 @@ object DecontamScale {
       flagged(graft.streaming.StreamingDecontaminate.fraction(
         train, evalSmall, "text", "doc_id", 8, 1500))
     }
-    val fGated = time("fraction big-eval BLOOM-GATED") {
+    val fGated = time("fraction big-eval SET-PROBE") {
       flagged(graft.streaming.StreamingDecontaminate.fraction(
         train, evalBig, "text", "doc_id", 8, 1500))
     }
     val fUngated = time("fraction big-eval UNGATED") {
       flagged(graft.streaming.StreamingDecontaminate.fraction(
         train, evalBig, "text", "doc_id", 8, 1500,
-        bloomGateNgrams = Int.MaxValue))
+        literalScanNgrams = Int.MaxValue))
     }
     println(s"[check] fraction flags small=$fSmall gated=$fGated " +
       s"ungated=$fUngated gated==ungated: ${fGated == fUngated}")

@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of the input string-array's elements that are members of a
+  * fixed key set — the exact-membership workhorse behind the
+  * decontamination paths once the eval n-gram set outgrows an in-plan
+  * literal.
+  *
+  * The relational alternatives are per-row linear in |keys|:
+  * `arrays_overlap(doc, lit(keys))` scans the literal until a hit (a
+  * CLEAN doc walks all of it) and `size(array_intersect(doc,
+  * lit(keys)))` builds a |keys|-entry hash set PER ROW (measured 1.25
+  * s·core/doc at 1M keys). Here each row pays O(#docGrams) hash
+  * lookups, independent of |keys|.
+  *
+  * Memory shape — the part that actually bites at 1M keys: the keys
+  * ride in a [[Broadcast]] (ONE torrent-fetched copy per executor JVM;
+  * embedding the array in the expression would deserialize a private
+  * copy PER TASK — 32 concurrent tasks × ~350 MB built sets OOM'd an
+  * 8 GiB local run), and the built UTF8String hash set is shared
+  * across tasks through a fingerprint-keyed JVM cache, so an executor
+  * holds exactly one set per distinct eval corpus regardless of
+  * task/stage count.
+  *
+  * Membership is UTF8String byte equality — exactly Spark's string
+  * equality, so `count > 0` ≡ `arrays_overlap` and, over a DISTINCT
+  * input array, `count` ≡ `size(array_intersect)` bit-for-bit. NULL
+  * array elements never match (the relational twins skip them too).
+  */
+case class StringSetCountExpr(
+    child: Expression,
+    keys: Broadcast[Array[String]],
+    keysFp: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "string_set_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] =
+    StringSetCountExpr.setFor(keysFp, keys)
+
+  /** Plan strings / canonicalization must not render (or hash) a
+    * million keys — the content fingerprint stands in (the
+    * [[BloomGramPositionsExpr]] convention).
+    */
+  override def flatArguments: Iterator[Any] = Iterator(child, keysFp)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, f"fp=$keysFp%016x")
+
+  def count(arr: ArrayData): Int = {
+    val s = set
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && s.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("setCountExpr", this,
+      classOf[StringSetCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StringSetCountExpr =
+    copy(child = newChild)
+}
+
+object StringSetCountExpr {
+  /** One built set per (JVM, eval-corpus fingerprint), shared by every
+    * task of every stage that probes it. Bounded: a JVM juggling more
+    * than [[MaxCachedSets]] DISTINCT eval corpora clears the cache
+    * first (sets rebuild from the broadcast on demand — a re-hash, not
+    * a correctness event), so a long-lived executor can't accrete
+    * unbounded eval sets.
+    */
+  val MaxCachedSets = 8
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[UTF8String]]()
+
+  private[graft] def setFor(
+      fp: Long, keys: Broadcast[Array[String]]): java.util.HashSet[UTF8String] = {
+    if (cache.size > MaxCachedSets) cache.clear()
+    cache.computeIfAbsent(fp, _ => {
+      val ks = keys.value
+      val s = new java.util.HashSet[UTF8String](
+        math.max(16, (ks.length / 0.75).toInt + 1))
+      var i = 0
+      while (i < ks.length) {
+        s.add(UTF8String.fromString(ks(i)))
+        i += 1
+      }
+      s
+    })
+  }
+
+  /** FNV-1a over the keys — the content fingerprint plan strings and
+    * pipe fingerprints carry instead of the key text.
+    */
+  def fingerprint(keys: Seq[String]): Long = {
+    var h = 0xcbf29ce484222325L
+    keys.foreach { k =>
+      var i = 0
+      while (i < k.length) { h = (h ^ k.charAt(i)) * 0x100000001b3L; i += 1 }
+      h = (h ^ 0x1f) * 0x100000001b3L
+    }
+    h
+  }
+}

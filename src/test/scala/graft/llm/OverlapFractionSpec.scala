@@ -127,20 +127,21 @@ class OverlapFractionSpec extends SparkSpec {
       s"over-cap stream error should name the fallback: ${err.getMessage}")
   }
 
-  test("Bloom-gated fraction keeps exact counts, bp, and flags (forced gate)") {
+  test("set-probe fraction keeps exact counts, bp, and flags (forced)") {
     val docs = spark.read.parquet(sf("documents"))
       .select("doc_id", "text").limit(80)
     val eval = docs.filter(col("doc_id") < 30)
     val expected = collectOut(graft.streaming.StreamingDecontaminate.fraction(
       docs, eval, "text", "doc_id", ngramSize = 4, thresholdBp = 1500))
-    // force the gate: matched hides behind when(bloomProbe, intersect).
-    // probe-negative proves matched = 0, so counts stay bit-identical
-    val gated = collectOut(graft.streaming.StreamingDecontaminate.fraction(
+    // force the over-threshold path: matched comes from the shipped-set
+    // membership count instead of the in-plan literal intersect — over a
+    // distinct gram array the two are bit-identical
+    val probed = collectOut(graft.streaming.StreamingDecontaminate.fraction(
       docs, eval, "text", "doc_id", ngramSize = 4, thresholdBp = 1500,
-      bloomGateNgrams = 1))
-    assert(gated == expected)
+      literalScanNgrams = 1))
+    assert(probed == expected)
     assert(expected.values.exists(_._4) && expected.values.exists(!_._4))
-    // and some clean rows carry nonzero matched counts — the gate must
+    // and some clean rows carry nonzero matched counts — the probe must
     // not zero sub-threshold matches
     assert(expected.values.exists(v => v._1 > 0 && !v._4))
   }

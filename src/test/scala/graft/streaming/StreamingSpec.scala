@@ -215,30 +215,31 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.isEmpty, stateful.map(_.nodeName))
   }
 
-  test("Bloom-gated literal scan keeps exact flags (forced gate, batch + stream)") {
+  test("set-probe literal replacement keeps exact flags (forced, batch + stream)") {
     implicit val sctx = spark.sqlContext
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val eval = docs.filter(col("doc_id") < 10)
-    // ungated reference (gate threshold above any real gram count here)
+    // literal reference (threshold above any real gram count here)
     val expected = StreamingDecontaminate(docs, eval, "text", "doc_id", 4)
       .select("doc_id", "contaminated")
       .collect().map(_.toString).sorted.toSeq
-    // force the gate: every row routes through when(bloomProbe, exact);
-    // the probe has no false negatives, so flags must be bit-identical
-    val gated = StreamingDecontaminate(docs, eval, "text", "doc_id", 4,
-      bloomGateNgrams = 1)
+    // force the over-threshold path: the flag comes from the shipped-set
+    // membership count (> 0 ≡ arrays_overlap under Spark string
+    // equality), so flags must be bit-identical
+    val probed = StreamingDecontaminate(docs, eval, "text", "doc_id", 4,
+      literalScanNgrams = 1)
       .select("doc_id", "contaminated")
       .collect().map(_.toString).sorted.toSeq
-    assert(gated == expected)
+    assert(probed == expected)
     assert(expected.exists(_.contains("true")) &&
       expected.exists(_.contains("false")))
-    // same on a real stream (the gate is a pure projection — still legal
-    // with zero state)
+    // same on a real stream (the probe is a pure projection — still
+    // legal with zero state)
     val mem = MemoryStream[(Long, String)]
     mem.addData(docs.as[(Long, String)].collect().toIndexedSeq: _*)
     val q = StreamingDecontaminate(mem.toDF().toDF("doc_id", "text"),
-      eval, "text", "doc_id", 4, bloomGateNgrams = 1)
+      eval, "text", "doc_id", 4, literalScanNgrams = 1)
       .writeStream.format("memory").queryName("dcg_out")
       .outputMode("append").start()
     q.processAllAvailable()
