@@ -176,12 +176,13 @@ object Bench {
     }
     // bench-state retention: the gates' fingerprint-keyed caches under
     // /tmp/graft-cache/<gate>/<key> accumulate one entry per fixture
-    // fingerprint × engine config per round — vacuum entries untouched
+    // fingerprint × engine config per round — vacuum entries unUSED
     // for SPARK_GRAFT_CACHE_TTL_DAYS (default 7; 0 disables) so a
-    // long-lived bench host doesn't grow state unboundedly. Recent
-    // (warm-path) entries are untouched, so record timings are
-    // unaffected; an evicted stale entry is a re-compute, never a
-    // correctness event.
+    // long-lived bench host doesn't grow state unboundedly. The TTL is
+    // time-since-last-use (CachedStage.apply refreshes the entry mtime
+    // on every hit), so the gates' warm entries — hit on every run —
+    // never age out and record timings are unaffected; an evicted
+    // stale entry is a re-compute, never a correctness event.
     try {
       val ttlDays = sys.env.get("SPARK_GRAFT_CACHE_TTL_DAYS")
         .map(_.toLong).getOrElse(7L)

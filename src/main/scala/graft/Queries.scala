@@ -3446,7 +3446,7 @@ object Queries {
       val path = s"/tmp/graft_io_${math.abs(d.hashCode)}/documents_compacted"
       val n = graft.sources.Formats.writeCompacted(docs, path,
         targetFileBytes = 16L << 10)
-      require(n > 1, s"a 64 KiB target must yield multiple files (got $n)")
+      require(n > 1, s"a 16 KiB target must yield multiple files (got $n)")
       s.read.parquet(path)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")

@@ -30,6 +30,15 @@ object CachedStage {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new Path(dir, "_SUCCESS")
     if (fs.exists(done)) {
+      // refresh the entry's mtime on every hit: reads never update a
+      // directory's modification time on any FS, so without this a
+      // warm entry in daily use looks as stale to [[vacuum]] as an
+      // abandoned one and gets evicted at TTL age. Best-effort — an FS
+      // that refuses setTimes (some object stores) degrades to the
+      // time-since-write TTL, and a false eviction is a re-compute,
+      // never a correctness event.
+      try fs.setTimes(dir, System.currentTimeMillis(), -1)
+      catch { case _: Exception => () }
       spark.read.parquet(dir.toString)
     } else {
       val tmp = new Path(cacheDir, s"_tmp_$key")
@@ -56,11 +65,15 @@ object CachedStage {
     * the old key). Deletes every entry whose last modification is older
     * than `maxAgeMs` (stale `_tmp_` staging dirs from crashed writers
     * included — completed entries are never half-deleted because the
-    * rename-in commit makes each entry atomic). Recently-READ entries
-    * survive on mtime alone only where the FS updates it; the
-    * cheap-to-rebuild contract of a fingerprint cache makes an
-    * occasional false eviction a re-compute, never a correctness event.
-    * Returns deleted entry names.
+    * rename-in commit makes each entry atomic). The TTL is
+    * time-since-last-USE, not time-since-write: [[apply]] refreshes the
+    * entry dir's mtime on every cache hit, so entries in active use
+    * survive indefinitely while abandoned keys age out. On an FS that
+    * refuses setTimes the cheap-to-rebuild contract of a fingerprint
+    * cache makes the occasional false eviction a re-compute, never a
+    * correctness event. Returns the names of entries actually deleted —
+    * a dir whose delete fails (permissions, concurrent writer) is NOT
+    * reported dropped.
     */
   def vacuum(spark: SparkSession, cacheDir: String,
       maxAgeMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
@@ -71,10 +84,8 @@ object CachedStage {
       val cutoff = System.currentTimeMillis() - maxAgeMs
       fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getModificationTime < cutoff)
-        .map { s =>
-          fs.delete(s.getPath, true)
-          s.getPath.getName
-        }
+        .filter(s => fs.delete(s.getPath, true))
+        .map(_.getPath.getName)
     }
   }
 }

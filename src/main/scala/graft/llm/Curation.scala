@@ -389,25 +389,6 @@ object BloomOps {
       org.apache.spark.sql.graft.BloomGramHashExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
-  /** Doc-level Bloom probe as one Column: true iff ANY word n-gram of
-    * `text` finds all its k bit positions set. This is [[withFlag]]'s
-    * probe exposed as a composable expression — the gate the streaming
-    * decontamination literal scans hide behind: `when(probe, exact)`
-    * branches evaluate LAZILY per row in codegen, so a Bloom-negative
-    * (clean) doc pays only the O(#docGrams·k) probe and never touches
-    * the O(|evalNg|) literal scan.
-    */
-  def probeColumn(text: Column, ngramSize: Int, numHashes: Int,
-      mBits: Int, bits: Array[Long]): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
-      org.apache.spark.sql.graft.BloomProbeExpr(
-        org.apache.spark.sql.graft.BloomGramPositionsExpr(
-          org.apache.spark.sql.graft.ColumnBridge.expression(
-            coalesce(text, lit(""))),
-          ngramSize, mBits,
-          bloomCoeffs(numHashes).flatMap(p => Seq(p._1, p._2)).toArray),
-        bits, numHashes))
-
   /** Power-of-two bitmap size targeting `bitsPerGram` bits per distinct
     * eval gram. At the default 64 bits/gram with k=4 hashes the fill is
     * ~1-exp(-4/64) ≈ 6%, per-gram FP ≈ 1.3e-5 — a 100-gram clean doc

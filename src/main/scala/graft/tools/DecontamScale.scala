@@ -51,7 +51,10 @@ object DecontamScale {
       .select(col("doc_id"), mangled.as("text"))
     val plants = train.filter(col("doc_id") % 50 === 3)
       .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-    val evalSmall = evalPool.limit(600).unionByName(plants).localCheckpoint()
+    // 350 pool docs keep the small eval comfortably under the 64k
+    // literal threshold (≈100 8-grams/doc + the planted train docs);
+    // the require below keeps the baseline label honest if data drifts
+    val evalSmall = evalPool.limit(350).unionByName(plants).localCheckpoint()
     val evalBig = evalPool.limit(bigDocs).unionByName(plants).localCheckpoint()
     def gramCount(df: org.apache.spark.sql.DataFrame): Long = df.select(
       explode(graft.llm.CurationOps.wordNgrams(
@@ -61,6 +64,11 @@ object DecontamScale {
     val gBig = gramCount(evalBig)
     println(s"[setup] eval grams: small=$gSmall big=$gBig")
     require(gBig >= 1000000, s"big eval must carry >= 1M grams (got $gBig)")
+    // the "small" legs are the LITERAL baseline by label — if the small
+    // eval drifts over the probe threshold they'd silently run the set
+    // probe too and the baseline comparison measures nothing
+    require(gSmall <= graft.streaming.StreamingDecontaminate.DefaultLiteralScanNgrams,
+      s"small eval must stay under the literal threshold (got $gSmall grams)")
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -100,8 +108,9 @@ object DecontamScale {
         train, evalBig, "text", "doc_id", 8,
         literalScanNgrams = Int.MaxValue))
     }
-    println(s"[check] flags small=$small gated=$gated ungated=$ungated " +
-      s"gated==ungated: ${gated == ungated}")
+    println(s"[check] flags small=$small gated=$gated ungated=$ungated")
+    require(gated == ungated,
+      s"set-probe flags diverge from the literal scan: $gated != $ungated")
 
     // fraction mode, same three legs (8-grams, the PaLM protocol)
     val fSmall = time("fraction small-eval literal") {
@@ -118,7 +127,10 @@ object DecontamScale {
         literalScanNgrams = Int.MaxValue))
     }
     println(s"[check] fraction flags small=$fSmall gated=$fGated " +
-      s"ungated=$fUngated gated==ungated: ${fGated == fUngated}")
+      s"ungated=$fUngated")
+    require(fGated == fUngated,
+      s"fraction set-probe flags diverge from the literal scan: " +
+        s"$fGated != $fUngated")
     spark.stop()
   }
 }

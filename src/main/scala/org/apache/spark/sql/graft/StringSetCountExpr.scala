@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * embedding the array in the expression would deserialize a private
   * copy PER TASK — 32 concurrent tasks × ~350 MB built sets OOM'd an
   * 8 GiB local run), and the built UTF8String hash set is shared
-  * across tasks through a fingerprint-keyed JVM cache, so an executor
+  * across tasks through a broadcast-id-keyed JVM cache, so an executor
   * holds exactly one set per distinct eval corpus regardless of
   * task/stage count.
   *
@@ -44,13 +44,17 @@ case class StringSetCountExpr(
   override def prettyName: String = "string_set_count"
 
   @transient private lazy val set: java.util.HashSet[UTF8String] =
-    StringSetCountExpr.setFor(keysFp, keys)
+    StringSetCountExpr.setFor(keys)
 
   /** Plan strings / canonicalization must not render (or hash) a
     * million keys — the content fingerprint stands in (the
-    * [[BloomGramPositionsExpr]] convention).
+    * [[BloomGramPositionsExpr]] convention). The broadcast id rides
+    * along so canonical equality never merges two expressions probing
+    * DIFFERENT key sets on a 64-bit fp collision: same broadcast ⇒
+    * same set by construction, and common-subexpression reuse within a
+    * plan (one pipe, one broadcast) still fires.
     */
-  override def flatArguments: Iterator[Any] = Iterator(child, keysFp)
+  override def flatArguments: Iterator[Any] = Iterator(child, keysFp, keys.id)
   override def stringArgs: Iterator[Any] =
     Iterator(child, f"fp=$keysFp%016x")
 
@@ -80,21 +84,26 @@ case class StringSetCountExpr(
 }
 
 object StringSetCountExpr {
-  /** One built set per (JVM, eval-corpus fingerprint), shared by every
-    * task of every stage that probes it. Bounded: a JVM juggling more
-    * than [[MaxCachedSets]] DISTINCT eval corpora clears the cache
-    * first (sets rebuild from the broadcast on demand — a re-hash, not
-    * a correctness event), so a long-lived executor can't accrete
-    * unbounded eval sets.
+  /** One built set per (JVM, broadcast), shared by every task of every
+    * stage that probes it. Keyed by the BROADCAST id, not the content
+    * fingerprint: a broadcast id is unique per SparkContext by
+    * construction, so two distinct eval corpora can never alias one
+    * cache slot (a 64-bit fp collision would serve the WRONG membership
+    * set — silently wrong flags), while every expression holding the
+    * same broadcast — all tasks, all stages — still shares one built
+    * set. Bounded: a JVM juggling more than [[MaxCachedSets]] DISTINCT
+    * broadcasts clears the cache first (sets rebuild from the broadcast
+    * on demand — a re-hash, not a correctness event), so a long-lived
+    * executor can't accrete unbounded eval sets.
     */
   val MaxCachedSets = 8
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[UTF8String]]()
 
   private[graft] def setFor(
-      fp: Long, keys: Broadcast[Array[String]]): java.util.HashSet[UTF8String] = {
+      keys: Broadcast[Array[String]]): java.util.HashSet[UTF8String] = {
     if (cache.size > MaxCachedSets) cache.clear()
-    cache.computeIfAbsent(fp, _ => {
+    cache.computeIfAbsent(keys.id, _ => {
       val ks = keys.value
       val s = new java.util.HashSet[UTF8String](
         math.max(16, (ks.length / 0.75).toInt + 1))
@@ -108,14 +117,21 @@ object StringSetCountExpr {
   }
 
   /** FNV-1a over the keys — the content fingerprint plan strings and
-    * pipe fingerprints carry instead of the key text.
+    * pipe fingerprints carry instead of the key text. Each key's LENGTH
+    * is folded in ahead of its characters, so key boundaries are
+    * unambiguous: `["foo" + U+001F + "bar"]` and `["foo","bar"]` hash apart
+    * (a separator byte alone is forgeable by a key containing that
+    * byte; a length prefix is not). Display/fingerprint only — set
+    * identity is the broadcast id, never this hash.
     */
   def fingerprint(keys: Seq[String]): Long = {
     var h = 0xcbf29ce484222325L
     keys.foreach { k =>
+      var n = k.length
+      while (n != 0) { h = (h ^ (n & 0xff)) * 0x100000001b3L; n >>>= 8 }
+      h = (h ^ 0x1f) * 0x100000001b3L
       var i = 0
       while (i < k.length) { h = (h ^ k.charAt(i)) * 0x100000001b3L; i += 1 }
-      h = (h ^ 0x1f) * 0x100000001b3L
     }
     h
   }

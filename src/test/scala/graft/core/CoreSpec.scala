@@ -145,6 +145,14 @@ class CoreSpec extends SparkSpec {
     var computes = 0
     CachedStage(spark, dir, "fresh") { computes += 1; batch }.count()
     assert(computes == 0, "vacuum must not touch fresh entries")
+    // the TTL is time-since-last-USE: a hit refreshes the entry mtime,
+    // so an old-but-in-daily-use entry survives the vacuum
+    val freshPath = new org.apache.hadoop.fs.Path(dir, "fresh")
+    fs.setTimes(freshPath, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    CachedStage(spark, dir, "fresh")(batch).count() // hit → touch
+    assert(CachedStage.vacuum(spark, dir, maxAgeMs = 3600 * 1000L).isEmpty,
+      "a cache hit must refresh the entry's TTL clock")
+    assert(fs.exists(freshPath))
     // idempotent on an empty/missing dir
     assert(CachedStage.vacuum(spark, dir + "/nope", 1L).isEmpty)
   }

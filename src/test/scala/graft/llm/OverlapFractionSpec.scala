@@ -158,4 +158,16 @@ class OverlapFractionSpec extends SparkSpec {
     assert(base.fingerprint != pipe("overlap_bp", "m2", "total_ngrams").fingerprint)
     assert(base.fingerprint != pipe("overlap_bp", "matched_ngrams", "t2").fingerprint)
   }
+
+  test("key-set fingerprint is unambiguous over key boundaries") {
+    // a separator byte alone is forgeable by a key containing that byte;
+    // the length-prefixed fold is not
+    import org.apache.spark.sql.graft.StringSetCountExpr.fingerprint
+    assert(fingerprint(Seq("foo" + "\u001f" + "bar")) !=
+      fingerprint(Seq("foo", "bar")))
+    assert(fingerprint(Seq("foobar")) != fingerprint(Seq("foo", "bar")))
+    assert(fingerprint(Seq("", "")) != fingerprint(Seq("")))
+    assert(fingerprint(Seq("ab", "c")) != fingerprint(Seq("a", "bc")))
+    assert(fingerprint(Seq("x", "y")) == fingerprint(Seq("x", "y")))
+  }
 }
