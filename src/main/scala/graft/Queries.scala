@@ -3044,6 +3044,14 @@ object Queries {
         .select("doc_id", "matched_ngrams", "total_ngrams", "overlap_bp",
           "contaminated")
         .orderBy("doc_id")),
+    "ev_stream_domain_mixture" -> ((s, d) =>
+      // REAL StreamingQuery: the quota plan built once from the static
+      // corpus, arriving docs expanded by the stateless broadcast join +
+      // bounded explode — rows/epochs bit-identical to the batch
+      // mx_domain_mixture, SAME oracle
+      graft.streaming.EventStream.runDomainMixtureStream(s, d)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")),
     "ev_stream_weighted_sample" -> ((s, d) =>
       // REAL StreamingQuery: Efraimidis-Spirakis reservoir folded per
       // micro-batch (O(k) state) — the final sample is bit-identical to
@@ -3385,6 +3393,27 @@ object Queries {
       graft.llm.TemperatureMixPipe("doc_id", "lang", alpha = 0.5)(
         t(s, d, "documents"))
         .select("doc_id", "lang").orderBy("doc_id")),
+    "mx_domain_mixture" -> ((s, d) => {
+      // deterministic domain-mixture sampling with bounded repetition
+      // (the GPT-3/Pile/DoReMi recipe): budget = |corpus|, weights skewed
+      // so every regime is exercised at once — src19 (wt 200) hits the
+      // maxRepeat=3 cap (full epochs only, rem=0), wt-60 domains land
+      // fe=1 + a partial epoch, wt-11/21 domains are partial-only, and
+      // at sf<=0.01 the wt-1 domains' quota rounds to 0 (dropped
+      // entirely). The oracle replays the whole plan: per-domain counts,
+      // integer needed/cap/fe/rem, the HUGEINT threshold, and the
+      // quadratic-M31 per-(id, epoch) draw — any drift in quota math,
+      // cap, epoch explosion, or hash selection hash-fails.
+      val docs = t(s, d, "documents")
+      val budget = docs.count() // one-row driver read: the gate's budget
+      val weights = (0 until 20).map { i =>
+        s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
+      }
+      graft.llm.DomainMixturePipe("doc_id", "source", weights,
+        budget = budget, maxRepeat = 3)(docs)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
     "bg_bigram_nll" -> ((s, d) =>
       graft.llm.BigramLogProbPipe("text", "doc_id")(t(s, d, "documents"))
         .select("doc_id", "bigram_nll").orderBy("doc_id")),
@@ -5753,6 +5782,21 @@ object Queries {
         |r AS (SELECT lang, greatest(CAST(round(sqrt(CAST((SELECT mn FROM m) AS DOUBLE) / n) * 10000) AS BIGINT), 1) AS thr FROM c)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
         |WHERE ((d.doc_id*131+7) % 1000003) % 10000 < r.thr ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // domain-mixture with bounded repetition: the full quota plan
+    // (integer needed/cap/fe/rem, HUGEINT threshold) + the quadratic-M31
+    // per-(id, epoch) draw replayed relationally
+    "mx_domain_mixture" ->
+      """WITH tot AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT 'src' || CAST(i AS VARCHAR) AS dom, CASE WHEN i = 19 THEN 200 WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 11 WHEN i % 4 = 2 THEN 21 ELSE 60 END AS wt FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+        |cnt AS (SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+        |pl AS (SELECT c.dom, c.n, ((SELECT n FROM tot) * wt) // (SELECT sum(wt) FROM w) AS needed FROM cnt c JOIN w ON c.dom = w.dom),
+        |p2 AS (SELECT dom, n, least(needed, n * 3) AS capped FROM pl WHERE least(needed, n * 3) > 0),
+        |p3 AS (SELECT dom, n, capped // n AS fe, capped % n AS rem FROM p2),
+        |p4 AS (SELECT dom, fe, CAST((CAST(rem AS HUGEINT) * 2147483647) // n AS BIGINT) AS thr FROM p3),
+        |eps AS (SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS epoch),
+        |ex AS (SELECT d.doc_id, d.source, e.epoch, p.fe, p.thr FROM documents d JOIN p4 p ON d.source = p.dom CROSS JOIN eps e WHERE e.epoch <= p.fe + 1),
+        |sl AS (SELECT doc_id, source, epoch, fe, thr, ((s1*s1 + s1) % 2147483647) AS slot FROM (SELECT *, (doc_id*131 + 23 + epoch*7919) % 2147483647 AS s1 FROM ex))
+        |SELECT doc_id, source, epoch FROM sl WHERE epoch <= fe OR slot < thr ORDER BY doc_id, epoch""".stripMargin.replace("\n", " "),
     // add-one-smoothed conditional bigram table replayed in fixed point
     "bg_bigram_nll" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t FROM documents),
@@ -5935,5 +5979,8 @@ object Queries {
     // index (per-doc shingles, no corpus statistics) — the full-build
     // oracles apply VERBATIM to the incrementally-built engines
     "s32_lsh_add" -> oracleBase("s17_lsh_dense"),
-    "s33_jaccard_add" -> oracleBase("s22_jaccard_search"))
+    "s33_jaccard_add" -> oracleBase("s22_jaccard_search"),
+    // the stream's expansion is the batch pipe's map-only half against
+    // the identical static quota plan — bit-identical rows/epochs
+    "ev_stream_domain_mixture" -> oracleBase("mx_domain_mixture"))
 }

@@ -1,0 +1,135 @@
+package graft.llm
+
+import graft.core.Pipe
+import graft.core.Pipe.qcol
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain-mixture sampling WITH bounded repetition — the
+  * published data-mixing recipe (GPT-3 Brown et al. 2005.14165 §2.2
+  * Table 2.2, where high-quality corpora are "sampled 2-3 times" while
+  * CommonCrawl is sampled under once per epoch; The Pile, Gao et al.
+  * 2101.00027 Table 1's per-set epoch counts; DoReMi, Xie et al.
+  * 2305.10429's reweighted domain mixture) recast as a deterministic,
+  * engine-replayable generator: given target mixture weights `w_d` and a
+  * total row `budget`, domain d owes `needed_d = budget·w_d / Σw`
+  * output rows. With `n_d` rows on hand the pipe emits
+  * `capped_d = min(needed_d, n_d·maxRepeat)` rows: every row repeats
+  * `fe_d = capped_d div n_d` full epochs, and the remainder
+  * `rem_d = capped_d mod n_d` comes from ONE partial epoch that keeps a
+  * row iff its quadratic-M31 hash slot clears `thr_d = rem_d·P div n_d`
+  * — the same engine-reproducible draw as [[WeightedSamplePipe]] (per
+  * (id, epoch), so each epoch's partial subset is independent), which
+  * makes the partial epoch a RATE: ~rem_d rows in expectation,
+  * identically replayable on any cluster size, retry, or engine. The
+  * emitted `epochCol` (1-based) disambiguates the repeats, so downstream
+  * shuffling/sharding ([[DeterministicShufflePipe]] on a unique mix of
+  * id and epoch, then [[ShardAssignPipe]]) keeps copies apart and the
+  * repetition auditable — a training job can count actual epochs per
+  * domain with one GROUP BY.
+  *
+  * Semantics at the edges: `needed` is computed driver-side in BigInt
+  * (config-only inputs — budget and weights — so no data-dependent
+  * overflow); a domain in the data but NOT in `weights` has weight 0 and
+  * is dropped (so is a NULL domain); a weight naming a domain absent
+  * from the data leaves its quota unfilled — deliberately NO
+  * renormalization, so the mix stays a pure function of the config and
+  * each domain's own count (a renormalizing sampler would let one
+  * domain's outage silently inflate every other domain's repetition).
+  * `thr` is exact at any corpus size: `rem·P` is computed in
+  * DECIMAL(38,0) (a BIGINT product would wrap past n_d ≈ 4.3e9 rows).
+  *
+  * Scale shape: ONE map-side-combined count per domain (|domains| rows),
+  * the plan broadcast back; the 100 TB side is a map-only bounded
+  * explode (≤ maxRepeat+1 copies) + filter — zero big-side shuffles.
+  *
+  * Reference: the reference has no mixing stage (its pipelines start
+  * from an already-mixed dataset); this is §8.1 extension surface next
+  * to [[TemperatureMixPipe]] (rate-only, no repetition) and
+  * [[InterleaveDatasets]] (ordering, not selection).
+  */
+case class DomainMixturePipe(
+    idCol: String,
+    domainCol: String,
+    /** Target mixture weights, integer so every replay is exact. */
+    weights: Seq[(String, Long)],
+    /** Total output rows owed across all domains (pre-cap). */
+    budget: Long,
+    /** Repetition cap: no row is emitted more than this many times. */
+    maxRepeat: Int = 3,
+    seed: Long = 23L,
+    epochCol: String = "epoch") extends Pipe {
+  require(weights.nonEmpty, "need at least one domain weight")
+  require(weights.forall(_._2 > 0), "weights must be positive")
+  require(weights.map(_._1).distinct.size == weights.size,
+    "duplicate domain in weights")
+  require(budget >= 0, "budget must be non-negative")
+  require(maxRepeat >= 1, "maxRepeat must be at least 1")
+
+  override def params = Map("id" -> idCol, "domain" -> domainCol,
+    "weights" -> weights.map { case (d, w) => s"$d:$w" }.mkString(","),
+    "budget" -> budget.toString, "maxRepeat" -> maxRepeat.toString,
+    "seed" -> seed.toString, "epochCol" -> epochCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+    DomainMixturePipe.expand(df,
+      DomainMixturePipe.quotaPlan(df, domainCol, weights, budget, maxRepeat),
+      idCol, domainCol, seed, epochCol)
+}
+
+object DomainMixturePipe {
+  private val P = 2147483647L // M31: s² + s < 2⁶³ — no engine's BIGINT wraps
+
+  /** The |domains|-row quota plan: (domain, fullEpochs, remainder,
+    * partial-epoch threshold) from the corpus's per-domain counts —
+    * the aggregate half of the pipe, split out so a STREAM can apply
+    * [[expand]] against a plan built once from the static corpus
+    * (per-domain counts are corpus statistics, known to the planner up
+    * front — the same premise as the decontamination eval literal).
+    */
+  def quotaPlan(df: DataFrame, domainCol: String,
+      weights: Seq[(String, Long)], budget: Long,
+      maxRepeat: Int): DataFrame = {
+    val sumW = weights.map(w => BigInt(w._2)).sum
+    // budget·w/Σw in BigInt — exact for any (budget, weight) config
+    val needed = typedLit(weights.map { case (d, w) =>
+      d -> (BigInt(budget) * w / sumW).toLong
+    }.toMap)
+    df.groupBy(qcol(domainCol).as("__mx_d__"))
+      .agg(count(lit(1)).as("__mx_n__"))
+      .withColumn("__mx_need__", element_at(needed, col("__mx_d__")))
+      // unlisted (weight-0) domains and null domains drop here
+      .filter(col("__mx_need__").isNotNull)
+      .withColumn("__mx_cap__",
+        least(col("__mx_need__"), col("__mx_n__") * maxRepeat))
+      // capped = 0 emits nothing — filtered BEFORE expand's sequence so
+      // its end bound is always >= 1 (sequence(1, 0) would DESCEND)
+      .filter(col("__mx_cap__") > 0)
+      .withColumn("__mx_fe__", expr("__mx_cap__ div __mx_n__"))
+      .withColumn("__mx_rem__", pmod(col("__mx_cap__"), col("__mx_n__")))
+      // rem·P div n: DECIMAL(38,0) product — BIGINT wraps past n ≈ 4.3e9
+      .withColumn("__mx_thr__",
+        expr(s"(CAST(__mx_rem__ AS DECIMAL(38,0)) * $P) div __mx_n__"))
+      .select("__mx_d__", "__mx_fe__", "__mx_rem__", "__mx_thr__")
+  }
+
+  /** The map-only half: replicate each row of `df` per the standing
+    * quota plan — broadcast join + bounded explode (≤ maxRepeat+1) +
+    * the quadratic-M31 partial-epoch filter. STATELESS, so it runs
+    * unchanged on a streaming frame in append mode (stream-static
+    * broadcast join; every arriving row emits its copies exactly once).
+    */
+  def expand(df: DataFrame, plan: DataFrame, idCol: String,
+      domainCol: String, seed: Long, epochCol: String): DataFrame = {
+    // epochs 1..fe, plus the partial epoch fe+1 only when rem > 0
+    val end = (col("__mx_fe__") +
+      when(col("__mx_rem__") > 0, 1L).otherwise(0L)).cast("int")
+    val s1 = pmod(
+      qcol(idCol).cast("long") * 131 + seed + col(epochCol) * 7919, lit(P))
+    val slot = pmod(s1 * s1 + s1, lit(P))
+    df.join(broadcast(plan), qcol(domainCol) === col("__mx_d__"))
+      .withColumn(epochCol, explode(sequence(lit(1), end)))
+      .filter(col(epochCol) <= col("__mx_fe__") || slot < col("__mx_thr__"))
+      .drop("__mx_d__", "__mx_fe__", "__mx_rem__", "__mx_thr__")
+  }
+}

@@ -324,6 +324,36 @@ object EventStream {
       "append")
   }
 
+  /** Domain-mixture expansion on INGEST (gate `ev_stream_domain_mixture`):
+    * arriving documents are replicated per the standing quota plan inside
+    * a REAL StreamingQuery. The plan (per-domain full-epoch counts +
+    * partial-epoch thresholds) is built ONCE from the static corpus —
+    * per-domain counts are corpus statistics a mixing deployment knows
+    * up front, the same premise as the decontamination eval literal —
+    * and the stream side is [[graft.llm.DomainMixturePipe.expand]]'s
+    * stateless broadcast join + bounded explode: append mode, ZERO
+    * streaming state, every arriving row emits its copies exactly once,
+    * rows/epochs bit-identical to the batch pipe — the SAME oracle
+    * replays it.
+    */
+  def runDomainMixtureStream(spark: SparkSession, dir: String): DataFrame = {
+    val statics = spark.read.parquet(s"$dir/documents.parquet")
+    val weights = (0 until 20).map { i =>
+      s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
+    }
+    // localCheckpoint: the |domains|-row plan computes once, not once
+    // per micro-batch re-plan
+    val plan = graft.llm.DomainMixturePipe.quotaPlan(
+      statics, "source", weights, budget = statics.count(), maxRepeat = 3)
+      .localCheckpoint()
+    val docs = readStreamTable(spark, dir, "documents")
+      .select("doc_id", "source")
+    runToMemorySink(
+      graft.llm.DomainMixturePipe.expand(docs, plan, "doc_id", "source",
+        seed = 23L, epochCol = "epoch"),
+      "append")
+  }
+
   /** Weighted sampling on the stream (gate `ev_stream_weighted_sample`):
     * documents flow through [[StreamingWeightedSample]] inside a REAL
     * StreamingQuery; the final reservoir must be BIT-IDENTICAL to the

@@ -1,0 +1,147 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 2147483647L
+
+  /** The pipe's per-(id, epoch) draw, replayed in plain Scala. */
+  private def slot(id: Long, epoch: Int, seed: Long = 23L): Long = {
+    val s1 = (id * 131 + seed + epoch * 7919L) % P
+    ((BigInt(s1) * s1 + s1) % P).toLong
+  }
+
+  private def frame = Seq(
+    (0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"),
+    (10L, "b"), (11L, "b"),
+    (20L, "c")).toDF("id", "dom")
+
+  test("full epochs, partial epoch, and weight-0 drop — hand-computed") {
+    // W = 4; needed_a = 10*3/4 = 7, capped = min(7, 4*2) = 7 -> fe=1 rem=3
+    // needed_b = 10*1/4 = 2, capped = 2 -> fe=1 rem=0; c unlisted -> drop
+    val out = DomainMixturePipe("id", "dom",
+      Seq("a" -> 3L, "b" -> 1L), budget = 10L, maxRepeat = 2)(frame)
+      .select("id", "dom", "epoch").as[(Long, String, Int)].collect().toSet
+    val thrA = (BigInt(3) * P / 4).toLong
+    val expected =
+      Seq(0L, 1L, 2L, 3L).map(id => (id, "a", 1)).toSet ++
+      Seq(0L, 1L, 2L, 3L).filter(id => slot(id, 2) < thrA)
+        .map(id => (id, "a", 2)).toSet ++
+      Set((10L, "b", 1), (11L, "b", 1))
+    assert(out == expected)
+    assert(!out.exists(_._2 == "c"), "weight-0 domain must drop")
+  }
+
+  test("repetition cap binds: huge budget emits exactly maxRepeat epochs") {
+    val out = DomainMixturePipe("id", "dom", Seq("a" -> 1L),
+      budget = 1000L, maxRepeat = 2)(frame.filter($"dom" === "a"))
+    val perId = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perId == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(out.select("epoch").distinct().as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("capped = 0 domain emits nothing; budget 0 emits nothing") {
+    // needed_a = 1*1/1000 = 0 -> capped 0 -> no rows (not a crash)
+    val tiny = DomainMixturePipe("id", "dom", Seq("a" -> 1L, "b" -> 999L),
+      budget = 1L)(frame)
+    assert(tiny.filter($"dom" === "a").count() == 0)
+    assert(DomainMixturePipe("id", "dom", Seq("a" -> 1L),
+      budget = 0L)(frame).count() == 0)
+  }
+
+  test("deterministic and partitioning-invariant") {
+    val pipe = DomainMixturePipe("id", "dom",
+      Seq("a" -> 3L, "b" -> 1L), budget = 10L, maxRepeat = 2)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      pipe(df).select("id", "epoch").as[(Long, Int)].collect().toSet
+    assert(run(frame) == run(frame.repartition(7)))
+  }
+
+  test("absent-weight domain leaves quota unfilled, others unaffected") {
+    // "ghost" owes 5 of the 10-row budget but has no rows; a's share is
+    // NOT renormalized: needed_a = 10*1/2 = 5 -> fe=1 rem=1
+    val out = DomainMixturePipe("id", "dom",
+      Seq("a" -> 1L, "ghost" -> 1L), budget = 10L, maxRepeat = 2)(
+      frame.filter($"dom" === "a"))
+    val full = out.filter($"epoch" === 1).count()
+    assert(full == 4, "full epoch must keep every row")
+    val thrA = (BigInt(1) * P / 4).toLong
+    val exp2 = Seq(0L, 1L, 2L, 3L).count(id => slot(id, 2) < thrA)
+    assert(out.filter($"epoch" === 2).count() == exp2)
+  }
+
+  test("null domain drops; null id survives full epochs only") {
+    val withNulls = Seq(
+      (Some(0L), Some("a")), (Some(1L), None), (None, Some("a"))
+    ).toDF("id", "dom")
+    // budget 16, weight a only: n_a = 2 (null-dom row dropped by the
+    // inner join), capped = min(16, 2*3) = 6 -> fe = 3, rem = 0
+    val out = DomainMixturePipe("id", "dom", Seq("a" -> 1L),
+      budget = 16L)(withNulls)
+    assert(out.filter($"dom".isNull).count() == 0)
+    // the null-id row has no hash but full epochs don't consult it
+    assert(out.filter($"id".isNull).count() == 3)
+    assert(out.count() == 6)
+  }
+
+  test("big side never shuffles: broadcast join + bounded explode") {
+    val docs = spark.read.parquet(sf("documents"))
+    val plan = DomainMixturePipe("doc_id", "source",
+      Seq("src0" -> 2L, "src1" -> 1L), budget = 100L)(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("config validation") {
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Nil, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 0L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L, "a" -> 2L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L, maxRepeat = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), -1L)
+    }
+  }
+
+  test("stream ≡ batch: the expansion is stateless on a real stream") {
+    val out = graft.streaming.EventStream.runDomainMixtureStream(
+      spark, "/root/testdata/sf0.001")
+    val streamed = out.select("doc_id", "source", "epoch")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(streamed.size == streamed.toSet.size,
+      "append mode must emit every (row, epoch) exactly once")
+    val docs = spark.read.parquet(sf("documents"))
+    val weights = (0 until 20).map { i =>
+      s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
+    }
+    val batch = DomainMixturePipe("doc_id", "source", weights,
+      budget = docs.count(), maxRepeat = 3)(docs)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed.toSet == batch)
+  }
+
+  test("weights, budget, and epoch column fork the fingerprint") {
+    val base = DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)
+    assert(base.fingerprint !=
+      DomainMixturePipe("id", "dom", Seq("a" -> 2L), 10L).fingerprint)
+    assert(base.fingerprint !=
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 11L).fingerprint)
+    assert(base.fingerprint !=
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L,
+        epochCol = "ep").fingerprint)
+    assert(base.fingerprint ==
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L).fingerprint)
+  }
+}

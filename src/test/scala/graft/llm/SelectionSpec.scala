@@ -158,11 +158,16 @@ class SelectionSpec extends SparkSpec {
     val caches = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
     assert(caches.length == 2, caches.mkString(","))
-    // second run hits the cache (stage dirs untouched) and agrees with
-    // both the first run and the uncached pipe
-    val mtimes = caches.map(_.lastModified()).toSeq
+    // second run hits the cache and agrees with both the first run and
+    // the uncached pipe. A hit never rewrites content — the files INSIDE
+    // each entry stay byte-identical (apply() only touches the entry
+    // DIR's mtime, the TTL-refresh contract) — so the proof of "read,
+    // not recomputed" is the contained files' (name, mtime) set
+    def entryFiles() = caches.flatMap(_.listFiles())
+      .map(f => f.getName -> f.lastModified()).toSet
+    val files = entryFiles()
     val second = pipe(docs).collect().toSet
-    assert(caches.map(_.lastModified()).toSeq == mtimes)
+    assert(entryFiles() == files)
     assert(second == first)
     assert(plain(docs).collect().toSet == first)
     // simhash signature cache: cached run == uncached run
@@ -286,9 +291,13 @@ class SelectionSpec extends SparkSpec {
     val caches = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
     assert(caches.length == 4, caches.mkString(","))
-    val mtimes = caches.map(_.lastModified()).toSeq
+    // a hit never rewrites content (apply() only TTL-touches the entry
+    // dir): the contained files' (name, mtime) set proves the read
+    def entryFiles() = caches.flatMap(_.listFiles())
+      .map(f => f.getName -> f.lastModified()).toSet
+    val files = entryFiles()
     val second = pipe(docs).collect().toSet
-    assert(caches.map(_.lastModified()).toSeq == mtimes)
+    assert(entryFiles() == files)
     assert(second == first)
     // and the cached result equals the uncached pipe's
     assert(CrossCorpusMinHashPipe("text", "doc_id", evalDf, "text",
