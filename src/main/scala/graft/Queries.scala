@@ -3406,11 +3406,25 @@ object Queries {
       // cap, epoch explosion, or hash selection hash-fails.
       val docs = t(s, d, "documents")
       val budget = docs.count() // one-row driver read: the gate's budget
-      val weights = (0 until 20).map { i =>
-        s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
-      }
-      graft.llm.DomainMixturePipe("doc_id", "source", weights,
+      graft.llm.DomainMixturePipe("doc_id", "source",
+        graft.llm.DomainMixturePipe.fixtureGateWeights,
         budget = budget, maxRepeat = 3)(docs)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+    "mx_token_mixture" -> ((s, d) => {
+      // token-budget accounting — the unit the published recipes
+      // actually budget: quotas/caps/epochs over per-domain n_chars
+      // SUMS (sizeCol), budget = total corpus chars, same skewed weight
+      // table. The partial epoch keeps rows at rate rem/S_d, so its
+      // expected char yield is exactly rem whatever the length
+      // distribution; the oracle replays sum-based quota math + the
+      // same per-(id, epoch) draw — a row-counted plan hash-fails.
+      val docs = t(s, d, "documents")
+      val budget = docs.agg(sum("n_chars")).first().getLong(0)
+      graft.llm.DomainMixturePipe("doc_id", "source",
+        graft.llm.DomainMixturePipe.fixtureGateWeights,
+        budget = budget, maxRepeat = 3, sizeCol = Some("n_chars"))(docs)
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")
     }),
@@ -5790,6 +5804,20 @@ object Queries {
         |w AS (SELECT 'src' || CAST(i AS VARCHAR) AS dom, CASE WHEN i = 19 THEN 200 WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 11 WHEN i % 4 = 2 THEN 21 ELSE 60 END AS wt FROM (SELECT unnest(generate_series(0, 19)) AS i)),
         |cnt AS (SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
         |pl AS (SELECT c.dom, c.n, ((SELECT n FROM tot) * wt) // (SELECT sum(wt) FROM w) AS needed FROM cnt c JOIN w ON c.dom = w.dom),
+        |p2 AS (SELECT dom, n, least(needed, n * 3) AS capped FROM pl WHERE least(needed, n * 3) > 0),
+        |p3 AS (SELECT dom, n, capped // n AS fe, capped % n AS rem FROM p2),
+        |p4 AS (SELECT dom, fe, CAST((CAST(rem AS HUGEINT) * 2147483647) // n AS BIGINT) AS thr FROM p3),
+        |eps AS (SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS epoch),
+        |ex AS (SELECT d.doc_id, d.source, e.epoch, p.fe, p.thr FROM documents d JOIN p4 p ON d.source = p.dom CROSS JOIN eps e WHERE e.epoch <= p.fe + 1),
+        |sl AS (SELECT doc_id, source, epoch, fe, thr, ((s1*s1 + s1) % 2147483647) AS slot FROM (SELECT *, (doc_id*131 + 23 + epoch*7919) % 2147483647 AS s1 FROM ex))
+        |SELECT doc_id, source, epoch FROM sl WHERE epoch <= fe OR slot < thr ORDER BY doc_id, epoch""".stripMargin.replace("\n", " "),
+    // the token-budget twin: identical chain with per-domain n_chars
+    // SUMS in place of row counts (budget = total corpus chars)
+    "mx_token_mixture" ->
+      """WITH tot AS (SELECT sum(n_chars) AS n FROM documents),
+        |w AS (SELECT 'src' || CAST(i AS VARCHAR) AS dom, CASE WHEN i = 19 THEN 200 WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 11 WHEN i % 4 = 2 THEN 21 ELSE 60 END AS wt FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+        |cnt AS (SELECT source AS dom, sum(n_chars) AS n FROM documents GROUP BY 1),
+        |pl AS (SELECT c.dom, c.n, ((SELECT n FROM tot) * wt) // (SELECT sum(wt) FROM w) AS needed FROM cnt c JOIN w ON c.dom = w.dom WHERE c.n > 0),
         |p2 AS (SELECT dom, n, least(needed, n * 3) AS capped FROM pl WHERE least(needed, n * 3) > 0),
         |p3 AS (SELECT dom, n, capped // n AS fe, capped % n AS rem FROM p2),
         |p4 AS (SELECT dom, fe, CAST((CAST(rem AS HUGEINT) * 2147483647) // n AS BIGINT) AS thr FROM p3),

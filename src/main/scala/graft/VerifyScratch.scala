@@ -851,10 +851,15 @@ object VerifyScratch {
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
       val caches = new java.io.File(dir).listFiles()
         .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
-      val mtimes = caches.map(_.lastModified()).toSeq
+      // a hit never rewrites content, but CachedStage.apply TTL-touches
+      // the entry DIR's mtime — so the hit proof is the contained files'
+      // (path, mtime) set, not the dirs' mtimes
+      def entryFiles() = caches.flatMap(_.listFiles())
+        .map(f => f.getPath -> f.lastModified()).toSet
+      val files = entryFiles()
       val r2 = eng()(qs).select(col("qid"), qcol("index.idx")).orderBy("qid")
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
-      val hit = caches.map(_.lastModified()).toSeq == mtimes
+      val hit = entryFiles() == files
       println(s"[58] pq state cache stages=${caches.length} hit=$hit equal=${r1 == r2} -> ${caches.nonEmpty && hit && r1 == r2}")
     }
 

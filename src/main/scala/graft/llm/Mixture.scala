@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   * repetition auditable — a training job can count actual epochs per
   * domain with one GROUP BY.
   *
+  * `sizeCol` switches the budget's UNIT from rows to that column's sum
+  * — the published recipes budget TOKENS, not documents: quotas, caps,
+  * and full epochs are then computed over per-domain token totals
+  * `S_d = Σ size`, and the partial epoch keeps each row independently
+  * at rate `rem/S_d`, so its expected token yield is exactly `rem`
+  * regardless of the length distribution (the hash is independent of
+  * size). Full epochs still replicate whole rows — a row is the unit of
+  * replication, a token the unit of accounting, exactly the published
+  * protocol (The Pile's epochs are per-document, its budget per-token).
+  *
   * Semantics at the edges: `needed` is computed driver-side in BigInt
   * (config-only inputs — budget and weights — so no data-dependent
   * overflow); a domain in the data but NOT in `weights` has weight 0 and
@@ -37,7 +47,10 @@ import org.apache.spark.sql.functions._
   * each domain's own count (a renormalizing sampler would let one
   * domain's outage silently inflate every other domain's repetition).
   * `thr` is exact at any corpus size: `rem·P` is computed in
-  * DECIMAL(38,0) (a BIGINT product would wrap past n_d ≈ 4.3e9 rows).
+  * DECIMAL(38,0) (a BIGINT product would wrap past n_d ≈ 4.3e9 rows —
+  * or past ~4.3e9 summed size units under `sizeCol`); a null `sizeCol`
+  * value contributes 0 to its domain's total (the row still replicates
+  * with its domain's epochs).
   *
   * Scale shape: ONE map-side-combined count per domain (|domains| rows),
   * the plan broadcast back; the 100 TB side is a map-only bounded
@@ -58,7 +71,11 @@ case class DomainMixturePipe(
     /** Repetition cap: no row is emitted more than this many times. */
     maxRepeat: Int = 3,
     seed: Long = 23L,
-    epochCol: String = "epoch") extends Pipe {
+    epochCol: String = "epoch",
+    /** When set, `budget` counts this column's SUM (e.g. tokens), not
+      * rows: quotas/caps/epochs computed over per-domain size totals.
+      */
+    sizeCol: Option[String] = None) extends Pipe {
   require(weights.nonEmpty, "need at least one domain weight")
   require(weights.forall(_._2 > 0), "weights must be positive")
   require(weights.map(_._1).distinct.size == weights.size,
@@ -69,16 +86,44 @@ case class DomainMixturePipe(
   override def params = Map("id" -> idCol, "domain" -> domainCol,
     "weights" -> weights.map { case (d, w) => s"$d:$w" }.mkString(","),
     "budget" -> budget.toString, "maxRepeat" -> maxRepeat.toString,
-    "seed" -> seed.toString, "epochCol" -> epochCol)
+    "seed" -> seed.toString, "epochCol" -> epochCol,
+    "sizeCol" -> sizeCol.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
     DomainMixturePipe.expand(df,
-      DomainMixturePipe.quotaPlan(df, domainCol, weights, budget, maxRepeat),
+      DomainMixturePipe.quotaPlan(df, domainCol, weights, budget, maxRepeat,
+        sizeCol),
       idCol, domainCol, seed, epochCol)
 }
 
 object DomainMixturePipe {
   private val P = 2147483647L // M31: s² + s < 2⁶³ — no engine's BIGINT wraps
+
+  /** The fixture-gate weight table shared VERBATIM by the batch gate
+    * (mx_domain_mixture), the streaming twin (ev_stream_domain_mixture),
+    * the parity spec, and — mirrored as a CASE table — the DuckDB
+    * oracle: one definition so the three Scala sites can never drift
+    * apart while the oracle still describes them. Skewed so every
+    * regime fires at once on the 20-source documents fixture: src19
+    * (wt 200) hits the maxRepeat=3 cap, wt-60 sources land one full
+    * epoch + a partial, wt-11/21 are partial-only, and the wt-1 quota
+    * rounds to 0 at sf≤0.01 (dropped).
+    */
+  val fixtureGateWeights: Seq[(String, Long)] = (0 until 20).map { i =>
+    s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
+  }
+
+  /** Per-domain totals in [[quotaPlanFromCounts]]'s shape — row counts,
+    * or `sizeCol` sums (token accounting) when set. Split out so a
+    * caller that ALSO needs the corpus total (the streaming gate derives
+    * budget = |corpus|) can fold it from this one aggregate instead of
+    * scanning the corpus a second time.
+    */
+  def domainCounts(df: DataFrame, domainCol: String,
+      sizeCol: Option[String] = None): DataFrame =
+    df.groupBy(qcol(domainCol).as("__mx_d__"))
+      .agg(sizeCol.fold(count(lit(1)))(c =>
+        coalesce(sum(qcol(c)), lit(0L)).cast("long")).as("__mx_n__"))
 
   /** The |domains|-row quota plan: (domain, fullEpochs, remainder,
     * partial-epoch threshold) from the corpus's per-domain counts —
@@ -89,14 +134,24 @@ object DomainMixturePipe {
     */
   def quotaPlan(df: DataFrame, domainCol: String,
       weights: Seq[(String, Long)], budget: Long,
+      maxRepeat: Int, sizeCol: Option[String] = None): DataFrame =
+    quotaPlanFromCounts(domainCounts(df, domainCol, sizeCol), weights,
+      budget, maxRepeat)
+
+  /** [[quotaPlan]] over an already-computed [[domainCounts]] frame. */
+  def quotaPlanFromCounts(counts: DataFrame,
+      weights: Seq[(String, Long)], budget: Long,
       maxRepeat: Int): DataFrame = {
     val sumW = weights.map(w => BigInt(w._2)).sum
     // budget·w/Σw in BigInt — exact for any (budget, weight) config
     val needed = typedLit(weights.map { case (d, w) =>
       d -> (BigInt(budget) * w / sumW).toLong
     }.toMap)
-    df.groupBy(qcol(domainCol).as("__mx_d__"))
-      .agg(count(lit(1)).as("__mx_n__"))
+    counts
+      // a zero/negative total (possible only under sizeCol: all-null or
+      // degenerate sizes) has nothing to account — drop it BEFORE the
+      // divisions below rather than divide by zero
+      .filter(col("__mx_n__") > 0)
       .withColumn("__mx_need__", element_at(needed, col("__mx_d__")))
       // unlisted (weight-0) domains and null domains drop here
       .filter(col("__mx_need__").isNotNull)

@@ -338,14 +338,15 @@ object EventStream {
     */
   def runDomainMixtureStream(spark: SparkSession, dir: String): DataFrame = {
     val statics = spark.read.parquet(s"$dir/documents.parquet")
-    val weights = (0 until 20).map { i =>
-      s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
-    }
-    // localCheckpoint: the |domains|-row plan computes once, not once
-    // per micro-batch re-plan
-    val plan = graft.llm.DomainMixturePipe.quotaPlan(
-      statics, "source", weights, budget = statics.count(), maxRepeat = 3)
+    // ONE corpus scan: the per-domain count aggregate (a |domains|-row
+    // frame, localCheckpoint'd so micro-batch re-plans reuse it) also
+    // yields the gate's budget = |corpus| — no second count() pass
+    val counts = graft.llm.DomainMixturePipe.domainCounts(statics, "source")
       .localCheckpoint()
+    val budget = counts.agg(sum("__mx_n__")).first().getLong(0)
+    val plan = graft.llm.DomainMixturePipe.quotaPlanFromCounts(
+      counts, graft.llm.DomainMixturePipe.fixtureGateWeights, budget,
+      maxRepeat = 3).localCheckpoint()
     val docs = readStreamTable(spark, dir, "documents")
       .select("doc_id", "source")
     runToMemorySink(

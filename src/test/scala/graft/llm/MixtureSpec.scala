@@ -114,6 +114,46 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("sizeCol: token-budget accounting, hand-computed epochs") {
+    val df = Seq(
+      (0L, "a", Some(5L)), (1L, "a", Some(5L)),
+      (10L, "b", Some(2L)),
+      (20L, "c", Some(0L)),
+      (30L, "d", None: Option[Long])).toDF("id", "dom", "sz")
+    // W = 5; S_a = 10: needed = 40*2/5 = 16, cap min(16, 30) = 16 ->
+    // fe = 1, rem = 6, thr = 6P/10; S_b = 2: needed = 40*1/5 = 8, cap
+    // min(8, 6) = 6 -> fe = 3, rem = 0 (the size-axis cap binds); c and
+    // d have zero/null totals -> dropped before any division
+    val out = DomainMixturePipe("id", "dom",
+      Seq("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 1L), budget = 40L,
+      maxRepeat = 3, sizeCol = Some("sz"))(df)
+      .select("id", "epoch").as[(Long, Int)].collect().toSet
+    val thrA = (BigInt(6) * P / 10).toLong
+    val expected =
+      Set(0L, 1L).map(id => (id, 1)) ++
+      Set(0L, 1L).filter(id => slot(id, 2) < thrA).map(id => (id, 2)) ++
+      Set((10L, 1), (10L, 2), (10L, 3))
+    assert(out == expected)
+  }
+
+  test("sizeCol: a null-size row still replicates with its domain") {
+    // S_a = 10 from the sized rows; the null-size row contributes 0 to
+    // the quota but rides the domain's full epochs like any other row
+    val df = Seq((0L, "a", Some(5L)), (1L, "a", Some(5L)),
+      (2L, "a", None: Option[Long])).toDF("id", "dom", "sz")
+    // needed = 30*1/1 = 30, cap min(30, 30) = 30 -> fe = 3, rem = 0
+    val out = DomainMixturePipe("id", "dom", Seq("a" -> 1L), budget = 30L,
+      maxRepeat = 3, sizeCol = Some("sz"))(df)
+    assert(out.filter($"id" === 2L).count() == 3)
+    assert(out.count() == 9)
+  }
+
+  test("sizeCol forks the fingerprint") {
+    val base = DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)
+    assert(base.fingerprint != DomainMixturePipe("id", "dom",
+      Seq("a" -> 1L), 10L, sizeCol = Some("sz")).fingerprint)
+  }
+
   test("stream ≡ batch: the expansion is stateless on a real stream") {
     val out = graft.streaming.EventStream.runDomainMixtureStream(
       spark, "/root/testdata/sf0.001")
@@ -122,10 +162,8 @@ class MixtureSpec extends SparkSpec {
     assert(streamed.size == streamed.toSet.size,
       "append mode must emit every (row, epoch) exactly once")
     val docs = spark.read.parquet(sf("documents"))
-    val weights = (0 until 20).map { i =>
-      s"src$i" -> (if (i == 19) 200L else Seq(1L, 11L, 21L, 60L)(i % 4))
-    }
-    val batch = DomainMixturePipe("doc_id", "source", weights,
+    val batch = DomainMixturePipe("doc_id", "source",
+      DomainMixturePipe.fixtureGateWeights,
       budget = docs.count(), maxRepeat = 3)(docs)
       .select("doc_id", "source", "epoch")
       .as[(Long, String, Int)].collect().toSet

@@ -162,9 +162,11 @@ class SelectionSpec extends SparkSpec {
     // the uncached pipe. A hit never rewrites content — the files INSIDE
     // each entry stay byte-identical (apply() only touches the entry
     // DIR's mtime, the TTL-refresh contract) — so the proof of "read,
-    // not recomputed" is the contained files' (name, mtime) set
+    // not recomputed" is the contained files' (path, mtime) set
+    // (full path: same-named files across entries — every entry has a
+    // _SUCCESS — must not collapse into one set element)
     def entryFiles() = caches.flatMap(_.listFiles())
-      .map(f => f.getName -> f.lastModified()).toSet
+      .map(f => f.getPath -> f.lastModified()).toSet
     val files = entryFiles()
     val second = pipe(docs).collect().toSet
     assert(entryFiles() == files)
@@ -292,9 +294,9 @@ class SelectionSpec extends SparkSpec {
       .filter(f => f.isDirectory && !f.getName.startsWith("_tmp"))
     assert(caches.length == 4, caches.mkString(","))
     // a hit never rewrites content (apply() only TTL-touches the entry
-    // dir): the contained files' (name, mtime) set proves the read
+    // dir): the contained files' (path, mtime) set proves the read
     def entryFiles() = caches.flatMap(_.listFiles())
-      .map(f => f.getName -> f.lastModified()).toSet
+      .map(f => f.getPath -> f.lastModified()).toSet
     val files = entryFiles()
     val second = pipe(docs).collect().toSet
     assert(entryFiles() == files)
