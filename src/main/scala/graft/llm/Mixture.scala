@@ -82,6 +82,14 @@ case class DomainMixturePipe(
     "duplicate domain in weights")
   require(budget >= 0, "budget must be non-negative")
   require(maxRepeat >= 1, "maxRepeat must be at least 1")
+  // the explode emits up to maxRepeat+1 copies PER ROW — an unbounded
+  // cap would let a config typo amplify a 100 TB corpus a thousandfold
+  // before any filter runs. Published recipes repeat single digits
+  // (GPT-3/Pile <= ~4); refuse absurd caps loudly.
+  require(maxRepeat <= 1000,
+    s"maxRepeat = $maxRepeat amplifies every row up to ${maxRepeat + 1}x " +
+      "before filtering — repetition caps above 1000 are refused " +
+      "(published mixing recipes repeat single-digit epochs)")
 
   override def params = Map("id" -> idCol, "domain" -> domainCol,
     "weights" -> weights.map { case (d, w) => s"$d:$w" }.mkString(","),

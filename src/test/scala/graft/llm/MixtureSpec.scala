@@ -109,6 +109,9 @@ class MixtureSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L, maxRepeat = 0)
     }
+    intercept[IllegalArgumentException] { // row-amplification refusal
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L, maxRepeat = 1001)
+    }
     intercept[IllegalArgumentException] {
       DomainMixturePipe("id", "dom", Seq("a" -> 1L), -1L)
     }
