@@ -3421,7 +3421,9 @@ object Queries {
       // distribution; the oracle replays sum-based quota math + the
       // same per-(id, epoch) draw — a row-counted plan hash-fails.
       val docs = t(s, d, "documents")
-      val budget = docs.agg(sum("n_chars")).first().getLong(0)
+      // coalesce: an empty/all-null table means budget 0, not an NPE
+      val budget = docs.agg(coalesce(sum("n_chars"), lit(0L)))
+        .first().getLong(0)
       graft.llm.DomainMixturePipe("doc_id", "source",
         graft.llm.DomainMixturePipe.fixtureGateWeights,
         budget = budget, maxRepeat = 3, sizeCol = Some("n_chars"))(docs)

@@ -354,10 +354,25 @@ object WeightedSamplePipe {
     * surviving set is BIT-IDENTICAL to the batch sample (the key is a
     * pure function of (id, w, seed), independent of arrival order).
     */
+  /** M31: s² + s < 2⁶³, so no engine's BIGINT wraps. */
+  val M31 = 2147483647L
+
+  /** The quadratic-M31 slot — slot = (s² + s) mod M31 over
+    * s = pre mod M31 — single-sourced for every pipe whose scaladoc
+    * promises "the same engine-reproducible draw" (this pipe's sample
+    * key, [[graft.streaming.StreamingWeightedSample]],
+    * [[DomainMixturePipe]]'s partial-epoch filter), so the formula
+    * cannot drift between copies. `pre` must stay under 2⁶³ (callers
+    * mix id·131 + seed (+ epoch·7919) — all far below the bound).
+    */
+  def quadraticSlotM31(pre: Column): Column = {
+    val s1 = pmod(pre, lit(M31))
+    pmod(s1 * s1 + s1, lit(M31))
+  }
+
   def sampleKey(id: Column, w: Column, seed: Long): Column = {
-    val p = 2147483647L // M31: s² + s < 2⁶³, so no engine's BIGINT wraps
-    val s1 = pmod(id.cast("long") * 131 + seed, lit(p))
-    val u = (pmod(s1 * s1 + s1, lit(p)) + 1) / lit((p + 1).toDouble)
+    val u = (quadraticSlotM31(id.cast("long") * 131 + seed) + 1) /
+      lit((M31 + 1).toDouble)
     log(u) / w.cast("double")
   }
 }

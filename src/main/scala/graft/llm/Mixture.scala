@@ -92,7 +92,11 @@ case class DomainMixturePipe(
       "(published mixing recipes repeat single-digit epochs)")
 
   override def params = Map("id" -> idCol, "domain" -> domainCol,
-    "weights" -> weights.map { case (d, w) => s"$d:$w" }.mkString(","),
+    // sorted: the weights are a MAP (order never affects the mixture),
+    // so two orderings of the same set must share a fingerprint — an
+    // order-sensitive render would fork CachedStage keys for nothing
+    "weights" -> weights.sortBy(_._1)
+      .map { case (d, w) => s"$d:$w" }.mkString(","),
     "budget" -> budget.toString, "maxRepeat" -> maxRepeat.toString,
     "seed" -> seed.toString, "epochCol" -> epochCol,
     "sizeCol" -> sizeCol.mkString)
@@ -105,7 +109,9 @@ case class DomainMixturePipe(
 }
 
 object DomainMixturePipe {
-  private val P = 2147483647L // M31: s² + s < 2⁶³ — no engine's BIGINT wraps
+  // the draw modulus — shared with WeightedSamplePipe so the promised
+  // "same engine-reproducible draw" is one definition, not two copies
+  private val P = WeightedSamplePipe.M31
 
   /** The fixture-gate weight table shared VERBATIM by the batch gate
     * (mx_domain_mixture), the streaming twin (ev_stream_domain_mixture),
@@ -163,8 +169,14 @@ object DomainMixturePipe {
       .withColumn("__mx_need__", element_at(needed, col("__mx_d__")))
       // unlisted (weight-0) domains and null domains drop here
       .filter(col("__mx_need__").isNotNull)
+      // the cap product in DECIMAL too: a BIGINT n·maxRepeat wraps
+      // negative past S_d ≈ 9.2e18/maxRepeat summed size units and the
+      // wrapped least() would silently DROP the domain; the final cap
+      // ≤ needed always fits a long
       .withColumn("__mx_cap__",
-        least(col("__mx_need__"), col("__mx_n__") * maxRepeat))
+        least(col("__mx_need__").cast("decimal(38,0)"),
+          expr(s"CAST(__mx_n__ AS DECIMAL(38,0)) * $maxRepeat"))
+          .cast("long"))
       // capped = 0 emits nothing — filtered BEFORE expand's sequence so
       // its end bound is always >= 1 (sequence(1, 0) would DESCEND)
       .filter(col("__mx_cap__") > 0)
@@ -187,9 +199,8 @@ object DomainMixturePipe {
     // epochs 1..fe, plus the partial epoch fe+1 only when rem > 0
     val end = (col("__mx_fe__") +
       when(col("__mx_rem__") > 0, 1L).otherwise(0L)).cast("int")
-    val s1 = pmod(
-      qcol(idCol).cast("long") * 131 + seed + col(epochCol) * 7919, lit(P))
-    val slot = pmod(s1 * s1 + s1, lit(P))
+    val slot = WeightedSamplePipe.quadraticSlotM31(
+      qcol(idCol).cast("long") * 131 + seed + col(epochCol) * 7919)
     df.join(broadcast(plan), qcol(domainCol) === col("__mx_d__"))
       .withColumn(epochCol, explode(sequence(lit(1), end)))
       .filter(col(epochCol) <= col("__mx_fe__") || slot < col("__mx_thr__"))

@@ -343,7 +343,10 @@ object EventStream {
     // yields the gate's budget = |corpus| — no second count() pass
     val counts = graft.llm.DomainMixturePipe.domainCounts(statics, "source")
       .localCheckpoint()
-    val budget = counts.agg(sum("__mx_n__")).first().getLong(0)
+    // coalesce: sum over an empty counts frame is NULL, and an empty
+    // corpus should mean budget 0 (pipe emits nothing), not an NPE
+    val budget = counts.agg(coalesce(sum("__mx_n__"), lit(0L)))
+      .first().getLong(0)
     val plan = graft.llm.DomainMixturePipe.quotaPlanFromCounts(
       counts, graft.llm.DomainMixturePipe.fixtureGateWeights, budget,
       maxRepeat = 3).localCheckpoint()

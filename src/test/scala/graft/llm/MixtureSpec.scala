@@ -184,5 +184,11 @@ class MixtureSpec extends SparkSpec {
         epochCol = "ep").fingerprint)
     assert(base.fingerprint ==
       DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L).fingerprint)
+    // weights are a MAP: ordering must not fork the fingerprint
+    assert(
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L, "b" -> 2L), 10L)
+        .fingerprint ==
+      DomainMixturePipe("id", "dom", Seq("b" -> 2L, "a" -> 1L), 10L)
+        .fingerprint)
   }
 }
