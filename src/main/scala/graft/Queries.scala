@@ -3277,6 +3277,16 @@ object Queries {
     "ds_shuffle" -> ((s, d) =>
       graft.llm.DeterministicShufflePipe("doc_id")(t(s, d, "documents"))
         .select("doc_id", "shuffle_slot").orderBy("shuffle_slot", "doc_id")),
+    "cr_curriculum" -> ((s, d) =>
+      // quality-annealed training order: rank by (n_chars, doc_id) →
+      // 4 equal rank-slice phases, within-phase order = the quadratic
+      // shuffle. The oracle replays rank, integer bucket cut, slot, and
+      // the final position — a sketch-based or tie-unstable cut
+      // hash-fails.
+      graft.llm.CurriculumOrderPipe("doc_id", "n_chars")(
+        t(s, d, "documents"))
+        .select("doc_id", "curriculum_bucket", "curriculum_pos")
+        .orderBy("doc_id")),
     "cs_stats" -> ((s, d) =>
       // exact-percentile path (oracle-replayable); approx path is spec'd
       graft.llm.CorpusStatsPipe(Seq("lang"), "n_chars", approx = false)(
@@ -5580,6 +5590,16 @@ object Queries {
       """WITH s AS (SELECT doc_id, (doc_id*131+7) % 1000003 AS s1 FROM documents)
         |SELECT doc_id, (s1*s1 + s1) % 1000003 AS shuffle_slot
         |FROM s ORDER BY shuffle_slot, doc_id""".stripMargin.replace("\n", " "),
+    // curriculum order: rank-exact phases + the quadratic-M31
+    // within-phase shuffle replayed with window functions
+    "cr_curriculum" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS r FROM documents),
+        |b AS (SELECT doc_id, (r * 4) // (SELECT n FROM n) AS bucket FROM r),
+        |sl AS (SELECT doc_id, bucket, ((s1*s1 + s1) % 2147483647) AS slot FROM (SELECT doc_id, bucket, (doc_id*131 + 29) % 2147483647 AS s1 FROM b))
+        |SELECT doc_id, bucket AS curriculum_bucket,
+        | row_number() OVER (ORDER BY bucket, slot, doc_id) - 1 AS curriculum_pos
+        |FROM sl ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // quantile_cont == Spark's exact percentile (linear interpolation on
     // the sorted group)
     "cs_stats" ->

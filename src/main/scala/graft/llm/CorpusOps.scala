@@ -128,6 +128,62 @@ case class ShardAssignPipe(
       .drop("__sh_rank__")
 }
 
+/** Deterministic curriculum (quality-annealed) training order: rows are
+  * ranked by `(scoreCol, idCol)`, cut into `buckets` equal rank slices
+  * (bucket 0 = lowest scores), and ordered `(bucket, quadratic-M31 slot
+  * of the id, id)` — so a training job reading in `posCol` order sees
+  * quality ascend phase by phase (the mid-training annealing recipe:
+  * highest-quality data last, when it shapes the final weights most)
+  * while WITHIN a phase the order is the engine-reproducible shuffle,
+  * not the score order (adjacent examples stay decorrelated). The whole
+  * layout is a pure function of (scores, ids, config): identical on any
+  * cluster size, retry, or engine.
+  *
+  * Buckets are RANK-based (exact integer `r·B div n`), not
+  * quantile-sketch-based: equal-population phases by construction, and
+  * an external SQL oracle replays them exactly — `percentile_approx`
+  * boundaries would be neither. Null scores sort FIRST (Spark ascending
+  * order; an external replay must say NULLS FIRST explicitly).
+  *
+  * Scale shape: two range-partitioned global ranks (the
+  * [[graft.pipes.NestingOps.withGlobalRank]] design — per-partition
+  * positions + a broadcast offset table, NEVER a corpus-wide
+  * single-partition window) and a one-row count broadcast; everything
+  * else is map-only. Compose with [[ShardAssignPipe]] on `posCol` to
+  * materialize the phases as fixed-size shards.
+  */
+case class CurriculumOrderPipe(
+    idCol: String,
+    scoreCol: String,
+    buckets: Int = 4,
+    seed: Long = 29L,
+    bucketCol: String = "curriculum_bucket",
+    posCol: String = "curriculum_pos") extends Pipe {
+  require(buckets >= 1, "need at least one bucket")
+  // r·B stays under 2⁶³ for any corpus a long can rank
+  require(buckets <= 1000, "more than 1000 curriculum phases is a config typo")
+  override def update: Boolean = true
+  override def params = Map("id" -> idCol, "score" -> scoreCol,
+    "buckets" -> buckets.toString, "seed" -> seed.toString,
+    "bucket" -> bucketCol, "pos" -> posCol)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__cu_n__"))
+    val ranked = graft.pipes.NestingOps.withGlobalRank(
+        df, Seq(qcol(scoreCol), qcol(idCol)), "__cu_r__")
+      .crossJoin(broadcast(n))
+      // empty input: no rows reach the division, so n = 0 is unreachable
+      .withColumn(bucketCol, expr(s"(__cu_r__ * $buckets) div __cu_n__"))
+      .drop("__cu_r__", "__cu_n__")
+    val slot = WeightedSamplePipe.quadraticSlotM31(
+      qcol(idCol).cast("long") * 131 + seed)
+    graft.pipes.NestingOps.withGlobalRank(
+      ranked.withColumn("__cu_s__", slot),
+      Seq(col(bucketCol), col("__cu_s__"), qcol(idCol)), posCol)
+      .drop("__cu_s__")
+  }
+}
+
 /** Deterministic weighted interleaving of multiple corpora — the
   * at-scale equivalent of HF `datasets.interleave_datasets`: source `s`
   * with weight `w_s` contributes rows at rate proportional to `w_s` in

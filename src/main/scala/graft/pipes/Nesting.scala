@@ -86,10 +86,18 @@ object NestingOps {
     * the downstream job share ONE RDD lineage, hence one partitioner and
     * one shuffle — agreement is structural, not best-effort.
     */
-  def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String): DataFrame = {
+  def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String): DataFrame =
+    withGlobalRank(df, Seq(qcol(orderCol)), rankCol)
+
+  /** Multi-column overload: rank in lexicographic `orderCols` order —
+    * the way to get a DETERMINISTIC rank over a non-unique primary key
+    * (pass the tie-break column explicitly, e.g. Seq(score, id)) without
+    * first packing a composite into one column.
+    */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(qcol(orderCol))
-      .sortWithinPartitions(qcol(orderCol))
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         rankCol, org.apache.spark.sql.types.LongType, nullable = false))
