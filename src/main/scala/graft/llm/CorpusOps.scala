@@ -160,7 +160,9 @@ case class CurriculumOrderPipe(
     bucketCol: String = "curriculum_bucket",
     posCol: String = "curriculum_pos") extends Pipe {
   require(buckets >= 1, "need at least one bucket")
-  // r·B stays under 2⁶³ for any corpus a long can rank
+  // r·B must stay under 2⁶³: at the B=1000 cap that bounds the corpus
+  // at ~9.2e15 rows — far past any real corpus, but NOT structural for
+  // arbitrary B (raising the cap shrinks the rankable corpus 1:1)
   require(buckets <= 1000, "more than 1000 curriculum phases is a config typo")
   override def update: Boolean = true
   override def params = Map("id" -> idCol, "score" -> scoreCol,
@@ -168,13 +170,16 @@ case class CurriculumOrderPipe(
     "bucket" -> bucketCol, "pos" -> posCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val n = df.agg(count(lit(1)).as("__cu_n__"))
-    val ranked = graft.pipes.NestingOps.withGlobalRank(
-        df, Seq(qcol(scoreCol), qcol(idCol)), "__cu_r__")
-      .crossJoin(broadcast(n))
-      // empty input: no rows reach the division, so n = 0 is unreachable
-      .withColumn(bucketCol, expr(s"(__cu_r__ * $buckets) div __cu_n__"))
-      .drop("__cu_r__", "__cu_n__")
+    WeightedSamplePipe.requireNumericId(df, idCol, name)
+    // the counted rank: the bucket cut needs n, and the rank's own
+    // per-partition counting job already derives it — a separate
+    // count() would pay a WHOLE extra pass over the upstream lineage
+    val (ranked0, n) = graft.pipes.NestingOps.withGlobalRankCounted(
+      df, Seq(qcol(scoreCol), qcol(idCol)), "__cu_r__")
+    val ranked = ranked0
+      // empty input: no rows reach the division, so n = 0 is harmless
+      .withColumn(bucketCol, expr(s"(__cu_r__ * $buckets) div ${math.max(n, 1L)}L"))
+      .drop("__cu_r__")
     val slot = WeightedSamplePipe.quadraticSlotM31(
       qcol(idCol).cast("long") * 131 + seed)
     graft.pipes.NestingOps.withGlobalRank(
@@ -412,6 +417,21 @@ object WeightedSamplePipe {
     */
   /** M31: s² + s < 2⁶³, so no engine's BIGINT wraps. */
   val M31 = 2147483647L
+
+  /** Loud plan-time refusal for a non-numeric id under the quadratic
+    * draw: `cast("long")` on a string/uuid id yields NULL per row, so
+    * every slot goes NULL and the "deterministic shuffle" silently
+    * degrades to plain id order (and external replays diverge — Spark
+    * sorts NULL first, SQL windows default NULLS LAST). Hash pipes call
+    * this before building the draw.
+    */
+  private[llm] def requireNumericId(df: DataFrame, idCol: String,
+      pipe: String): Unit =
+    df.schema.find(_.name == idCol).map(_.dataType).foreach { t =>
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"$pipe: idCol '$idCol' must be numeric for the deterministic " +
+          s"quadratic draw (got $t) — cast or hash it to a long first")
+    }
 
   /** The quadratic-M31 slot — slot = (s² + s) mod M31 over
     * s = pre mod M31 — single-sourced for every pipe whose scaladoc

@@ -101,11 +101,13 @@ case class DomainMixturePipe(
     "seed" -> seed.toString, "epochCol" -> epochCol,
     "sizeCol" -> sizeCol.mkString)
 
-  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame =
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    WeightedSamplePipe.requireNumericId(df, idCol, name)
     DomainMixturePipe.expand(df,
       DomainMixturePipe.quotaPlan(df, domainCol, weights, budget, maxRepeat,
         sizeCol),
       idCol, domainCol, seed, epochCol)
+  }
 }
 
 object DomainMixturePipe {

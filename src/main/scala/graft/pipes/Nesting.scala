@@ -94,17 +94,41 @@ object NestingOps {
     * (pass the tie-break column explicitly, e.g. Seq(score, id)) without
     * first packing a composite into one column.
     */
-  def withGlobalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String): DataFrame = {
+  def withGlobalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String): DataFrame =
+    withGlobalRankCounted(df, orderCols, rankCol)._1
+
+  /** [[withGlobalRank]] that ALSO returns the total row count — for
+    * free: the rank already needs one per-partition counting job (the
+    * [[withGlobalPrefixSum]] design; `zipWithIndex` runs the same job
+    * internally but hides the sizes), and a caller that needs the total
+    * (e.g. [[graft.llm.CurriculumOrderPipe]]'s `rank·B div n` bucket
+    * cut) would otherwise pay a WHOLE extra pass over the upstream
+    * lineage for a `count()`.
+    */
+  def withGlobalRankCounted(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd // ONE instance: both jobs share its partitioner
+    val partCounts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L
+      it.foreach(_ => n += 1)
+      Iterator((i, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         rankCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row =>
+        val pre = r
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pre)
+      }
     }
-    spark.createDataFrame(ranked, schema)
+    (spark.createDataFrame(ranked, schema), offsets.last)
   }
 
   /** Scale-safe 0-based EXCLUSIVE global prefix sum of `valueCol` in

@@ -71,5 +71,11 @@ class CurriculumSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CurriculumOrderPipe("id", "score", buckets = 1001)
     }
+    // a string id would cast to NULL slots and silently degrade the
+    // within-phase shuffle to id order — refused at plan time
+    val strIds = Seq(("u1", 1L), ("u2", 2L)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      CurriculumOrderPipe("id", "score")(strIds)
+    }
   }
 }

@@ -115,6 +115,11 @@ class MixtureSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DomainMixturePipe("id", "dom", Seq("a" -> 1L), -1L)
     }
+    // string ids would cast to NULL slots in the partial-epoch draw
+    val strIds = Seq(("u1", "a")).toDF("id", "dom")
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)(strIds)
+    }
   }
 
   test("sizeCol: token-budget accounting, hand-computed epochs") {
