@@ -23,13 +23,25 @@ object CachedStage {
 
   /** Run `compute` (or reuse a previous run's result) under
     * `cacheDir/<key>`.
+    *
+    * Concurrency with [[vacuum]]: a hit refreshes the entry's mtime, so
+    * only a plan held unread past the whole TTL can race an eviction.
+    * If the entry vanishes between this call's plan and the caller's
+    * ACTION, that action fails with a FileNotFound-caused job error — a
+    * FAILED JOB, not wrong rows; re-running recomputes (the entry is
+    * gone, so the else-branch takes over). A caller that must absorb
+    * even that window runs its action through [[selfHealing]], which
+    * catches the missing-file failure and recomputes in-process. The
+    * narrower plan-TIME race (entry deleted between the `_SUCCESS`
+    * probe and the read) is healed right here: the failed read falls
+    * through to compute.
     */
   def apply(spark: SparkSession, cacheDir: String, key: String)(
       compute: => DataFrame): DataFrame = {
     val dir = new Path(cacheDir, key)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new Path(dir, "_SUCCESS")
-    if (fs.exists(done)) {
+    val hit = if (fs.exists(done)) {
       // refresh the entry's mtime on every hit: reads never update a
       // directory's modification time on any FS, so without this a
       // warm entry in daily use looks as stale to [[vacuum]] as an
@@ -39,8 +51,16 @@ object CachedStage {
       // never a correctness event.
       try fs.setTimes(dir, System.currentTimeMillis(), -1)
       catch { case _: Exception => () }
-      spark.read.parquet(dir.toString)
-    } else {
+      // the read lists files eagerly: a vacuum landing between the
+      // _SUCCESS probe above and this listing surfaces HERE as a
+      // plan-time analysis error (PATH_NOT_FOUND if the dir went,
+      // UNABLE_TO_INFER_SCHEMA if only the data files did) — either way
+      // the entry is unreadable, which for a fingerprint cache is a
+      // MISS: fall through, recompute, overwrite
+      try Some(spark.read.parquet(dir.toString))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    } else None
+    hit.getOrElse {
       val tmp = new Path(cacheDir, s"_tmp_$key")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       compute.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -57,6 +77,51 @@ object CachedStage {
   def through(pipe: Pipe, cacheDir: String, upstreamFingerprint: String)(
       df: DataFrame): DataFrame =
     apply(df.sparkSession, cacheDir, cacheKey(upstreamFingerprint, pipe.fingerprint))(pipe(df))
+
+  /** Does this failure chain bottom out in missing input files — the
+    * signature of a cache entry vacuumed out from under a standing plan
+    * (task-time `FileNotFoundException` wrapped in job/stage errors, or
+    * the plan-time PATH_NOT_FOUND analysis error)?
+    */
+  private def isMissingFiles(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getMessage != null &&
+              (a.getMessage.contains("PATH_NOT_FOUND") ||
+                a.getMessage.contains("Path does not exist")) => return true
+        case _ =>
+      }
+      // SparkException flattens executor-side causes into the message
+      if (t.getMessage != null &&
+        t.getMessage.contains("FileNotFoundException")) return true
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Run `action` over the cached frame, absorbing the one failure mode
+    * a lazily-planned cache read cannot prevent: the entry being
+    * vacuumed (this host or another) between [[apply]]'s plan and the
+    * action's execution. On a missing-file failure the stale plan is
+    * dropped, the entry recomputes + rewrites through [[apply]] (the
+    * dir is gone, so the compute branch runs), and the action retries
+    * ONCE against the fresh frame — same rows, one extra compute, never
+    * a wrong answer. Any other failure propagates untouched.
+    */
+  def selfHealing[T](spark: SparkSession, cacheDir: String, key: String)(
+      compute: => DataFrame)(action: DataFrame => T): T = {
+    val df = apply(spark, cacheDir, key)(compute)
+    try action(df)
+    catch {
+      case e: Exception if isMissingFiles(e) =>
+        action(apply(spark, cacheDir, key)(compute))
+    }
+  }
 
   /** Retention for a cache dir — the repo's own medicine applied to its
     * standing state: content-keyed entries accumulate one dir per

@@ -34,6 +34,7 @@ case class DeterministicShufflePipe(
     "slot" -> slotCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    WeightedSamplePipe.requireNumericId(df, idCol, name)
     val p = lit(1000003L)
     val s1 = pmod(qcol(idCol).cast("long") * 131 + seed, p)
     val slot = pmod(s1 * s1 + s1, p)
@@ -68,6 +69,7 @@ case class TemperatureMixPipe(
     "alpha" -> alpha.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    WeightedSamplePipe.requireNumericId(df, idCol, name)
     val counts = df.groupBy(qcol(groupCol).as("__tm_g__"))
       .agg(count(lit(1)).as("__tm_n__"))
     val nmin = counts.agg(min("__tm_n__").as("__tm_min__"))
@@ -333,6 +335,7 @@ case class SplitPipe(
     "splitCol" -> splitCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    WeightedSamplePipe.requireNumericId(df, idCol, name)
     val p = 1000003L
     val s1 = pmod(qcol(idCol).cast("long") * 131 + seed, lit(p))
     val slot = pmod(s1 * s1 + s1, lit(p))
@@ -394,6 +397,7 @@ case class WeightedSamplePipe(
     "seed" -> seed.toString, "key" -> keyCol)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    WeightedSamplePipe.requireNumericId(df, idCol, name)
     // w <= 0 is outside the paper's domain: excluded from the draw
     // entirely (not keyed -inf) so a short group emits < k rows rather
     // than padding with unsampleable ones
@@ -418,20 +422,29 @@ object WeightedSamplePipe {
   /** M31: s² + s < 2⁶³, so no engine's BIGINT wraps. */
   val M31 = 2147483647L
 
-  /** Loud plan-time refusal for a non-numeric id under the quadratic
-    * draw: `cast("long")` on a string/uuid id yields NULL per row, so
-    * every slot goes NULL and the "deterministic shuffle" silently
-    * degrades to plain id order (and external replays diverge — Spark
-    * sorts NULL first, SQL windows default NULLS LAST). Hash pipes call
-    * this before building the draw.
+  /** Loud plan-time refusal for a missing or non-numeric id under the
+    * quadratic draw: `cast("long")` on a string/uuid id yields NULL per
+    * row, so every slot goes NULL and the "deterministic shuffle"
+    * silently degrades to plain id order (and external replays diverge —
+    * Spark sorts NULL first, SQL windows default NULLS LAST). A MISSING
+    * column would only surface as an unresolved-column error deep in the
+    * draw expression, so that fails loudly here too (ADVICE r18: the
+    * find→foreach silently no-op'd on absent columns). Every pipe that
+    * builds the cast("long") draw calls this first —
+    * [[DomainMixturePipe]], [[CurriculumOrderPipe]],
+    * [[DeterministicShufflePipe]], [[SplitPipe]], [[TemperatureMixPipe]],
+    * [[WeightedSamplePipe]].
     */
   private[llm] def requireNumericId(df: DataFrame, idCol: String,
-      pipe: String): Unit =
-    df.schema.find(_.name == idCol).map(_.dataType).foreach { t =>
-      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"$pipe: idCol '$idCol' must be numeric for the deterministic " +
-          s"quadratic draw (got $t) — cast or hash it to a long first")
-    }
+      pipe: String): Unit = {
+    val t = df.schema.find(_.name == idCol).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(
+        s"$pipe: idCol '$idCol' not found in the input schema " +
+          s"[${df.columns.mkString(", ")}]"))
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$pipe: idCol '$idCol' must be numeric for the deterministic " +
+        s"quadratic draw (got $t) — cast or hash it to a long first")
+  }
 
   /** The quadratic-M31 slot — slot = (s² + s) mod M31 over
     * s = pre mod M31 — single-sourced for every pipe whose scaladoc

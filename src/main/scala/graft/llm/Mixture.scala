@@ -198,6 +198,17 @@ object DomainMixturePipe {
     */
   def expand(df: DataFrame, plan: DataFrame, idCol: String,
       domainCol: String, seed: Long, epochCol: String): DataFrame = {
+    // loud refusal on name collisions (ADVICE r18): a pre-existing
+    // epochCol would be silently OVERWRITTEN by the explode (user data
+    // lost), and an input column named like the internal plan columns
+    // would make the join/drop ambiguous — both are config errors, not
+    // things to paper over
+    val reserved = epochCol +: plan.columns.toSeq
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"DomainMixturePipe: input columns [${clash.mkString(", ")}] collide " +
+        s"with the emitted epoch column '$epochCol' or the internal " +
+        "__mx_* plan columns — rename them (or pass a different epochCol)")
     // epochs 1..fe, plus the partial epoch fe+1 only when rem > 0
     val end = (col("__mx_fe__") +
       when(col("__mx_rem__") > 0, 1L).otherwise(0L)).cast("int")

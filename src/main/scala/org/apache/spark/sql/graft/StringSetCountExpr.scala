@@ -91,45 +91,69 @@ object StringSetCountExpr {
     * cache slot (a 64-bit fp collision would serve the WRONG membership
     * set — silently wrong flags), while every expression holding the
     * same broadcast — all tasks, all stages — still shares one built
-    * set. Bounded: a JVM juggling more than [[MaxCachedSets]] DISTINCT
-    * broadcasts clears the cache first (sets rebuild from the broadcast
-    * on demand — a re-hash, not a correctness event), so a long-lived
-    * executor can't accrete unbounded eval sets.
+    * set. Bounded by LRU: a JVM juggling more than [[MaxCachedSets]]
+    * DISTINCT broadcasts evicts only the least-recently-USED entry (a
+    * multi-tenant decontamination service rotating 9 eval corpora
+    * rebuilds one ~1M-key set per rotation, not all 8 — the ADVICE r18
+    * clear-all thrash), so a long-lived executor can't accrete
+    * unbounded eval sets while hot sets stay built. An evicted set
+    * rebuilds from the broadcast on demand — a re-hash, never a
+    * correctness event.
     */
   val MaxCachedSets = 8
+  // access-order LinkedHashMap = the LRU; all access under its monitor
+  // (lookups are O(1) and rare — once per task at codegen-reference
+  // resolution, not per row), set BUILDS happen outside the lock so a
+  // slow 1M-key build never serializes other corpora's lookups (two
+  // tasks racing the same absent id may both build; first put wins)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[UTF8String]]()
+    new java.util.LinkedHashMap[Long, java.util.HashSet[UTF8String]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, java.util.HashSet[UTF8String]]): Boolean =
+        size() > MaxCachedSets
+    }
 
   private[graft] def setFor(
       keys: Broadcast[Array[String]]): java.util.HashSet[UTF8String] = {
-    if (cache.size > MaxCachedSets) cache.clear()
-    cache.computeIfAbsent(keys.id, _ => {
-      val ks = keys.value
-      val s = new java.util.HashSet[UTF8String](
-        math.max(16, (ks.length / 0.75).toInt + 1))
-      var i = 0
-      while (i < ks.length) {
-        s.add(UTF8String.fromString(ks(i)))
-        i += 1
-      }
-      s
-    })
+    val hit = cache.synchronized(cache.get(keys.id))
+    if (hit != null) return hit
+    val ks = keys.value
+    val built = new java.util.HashSet[UTF8String](
+      math.max(16, (ks.length / 0.75).toInt + 1))
+    var i = 0
+    while (i < ks.length) {
+      built.add(UTF8String.fromString(ks(i)))
+      i += 1
+    }
+    cache.synchronized {
+      val again = cache.get(keys.id)
+      if (again != null) again
+      else { cache.put(keys.id, built); built }
+    }
   }
 
   /** FNV-1a over the keys — the content fingerprint plan strings and
     * pipe fingerprints carry instead of the key text. Each key's LENGTH
-    * is folded in ahead of its characters, so key boundaries are
-    * unambiguous: `["foo" + U+001F + "bar"]` and `["foo","bar"]` hash apart
-    * (a separator byte alone is forgeable by a key containing that
-    * byte; a length prefix is not). Display/fingerprint only — set
-    * identity is the broadcast id, never this hash.
+    * is folded in ahead of its characters as a FIXED-WIDTH 4-byte
+    * little-endian prefix, so key boundaries are unambiguous:
+    * `["foo" + U+001F + "bar"]` and `["foo","bar"]` hash apart. Fixed
+    * width matters: a variable-width length (dropping leading zero
+    * bytes) aliases its own bytes with the character stream — e.g. a
+    * length byte 0x1f is indistinguishable from a U+001F character, a
+    * collision the ADVICE r18 review demonstrated — while a fixed
+    * 4-byte prefix makes the encoding prefix-free (Int lengths cannot
+    * exceed 4 bytes). Display/fingerprint only — set identity is the
+    * broadcast id, never this hash.
     */
   def fingerprint(keys: Seq[String]): Long = {
     var h = 0xcbf29ce484222325L
     keys.foreach { k =>
-      var n = k.length
-      while (n != 0) { h = (h ^ (n & 0xff)) * 0x100000001b3L; n >>>= 8 }
-      h = (h ^ 0x1f) * 0x100000001b3L
+      var shift = 0
+      while (shift < 32) {
+        h = (h ^ ((k.length >>> shift) & 0xff)) * 0x100000001b3L
+        shift += 8
+      }
       var i = 0
       while (i < k.length) { h = (h ^ k.charAt(i)) * 0x100000001b3L; i += 1 }
     }

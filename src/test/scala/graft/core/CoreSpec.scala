@@ -157,6 +157,52 @@ class CoreSpec extends SparkSpec {
     assert(CachedStage.vacuum(spark, dir + "/nope", 1L).isEmpty)
   }
 
+  test("CachedStage.selfHealing: entry vacuumed between plan and action still yields the right rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    var computes = 0
+    def compute: DataFrame = { computes += 1; batch }
+    // prime the entry, then hold a plan over it
+    val expected = CachedStage(spark, dir, "k")(compute).count()
+    assert(computes == 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var raced = false
+    val rows = CachedStage.selfHealing(spark, dir, "k")(compute) { df =>
+      if (!raced) {
+        // the race under test: a vacuum (this host or another) deletes
+        // the entry AFTER the frame was planned, BEFORE the action runs
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "k"), true)
+        raced = true
+      }
+      df.count()
+    }
+    assert(rows == expected, "the healed action must return the right rows")
+    assert(computes == 2, "healing recomputes (and rewrites) exactly once")
+    // the rewritten entry serves later readers without another compute
+    assert(CachedStage(spark, dir, "k")(compute).count() == expected)
+    assert(computes == 2)
+  }
+
+  test("CachedStage.apply: entry deleted between probe and read falls through to compute") {
+    // the plan-TIME half of the window: simulate by handing apply a dir
+    // whose _SUCCESS exists but whose parquet files are gone — the read
+    // raises the missing-path analysis error and the compute branch runs
+    val dir = java.nio.file.Files.createTempDirectory("graft-heal2").toString
+    var computes = 0
+    def compute: DataFrame = { computes += 1; batch }
+    CachedStage(spark, dir, "k")(compute).count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entry = new org.apache.hadoop.fs.Path(dir, "k")
+    // gut the entry but keep the dir + _SUCCESS marker: exists() passes,
+    // the parquet listing finds no data files
+    fs.listStatus(entry).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val rows = CachedStage(spark, dir, "k")(compute).count()
+    assert(rows == batch.count() && computes == 2,
+      "a gutted entry must recompute, not fail or return empty")
+  }
+
   test("ApplyToEachExample(checked): lazy at build, raises at execution") {
     import graft.pipes.{ApplyToEachExample, ApplyToCols, LambdaPipe}
     import org.apache.spark.sql.functions.col

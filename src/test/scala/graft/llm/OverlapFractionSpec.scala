@@ -161,7 +161,7 @@ class OverlapFractionSpec extends SparkSpec {
 
   test("key-set fingerprint is unambiguous over key boundaries") {
     // a separator byte alone is forgeable by a key containing that byte;
-    // the length-prefixed fold is not
+    // the FIXED-WIDTH 4-byte length prefix is prefix-free and is not
     import org.apache.spark.sql.graft.StringSetCountExpr.fingerprint
     assert(fingerprint(Seq("foo" + "\u001f" + "bar")) !=
       fingerprint(Seq("foo", "bar")))
@@ -169,5 +169,12 @@ class OverlapFractionSpec extends SparkSpec {
     assert(fingerprint(Seq("", "")) != fingerprint(Seq("")))
     assert(fingerprint(Seq("ab", "c")) != fingerprint(Seq("a", "bc")))
     assert(fingerprint(Seq("x", "y")) == fingerprint(Seq("x", "y")))
+    // ADVICE r18's verified forgery against the old VARIABLE-width length
+    // fold: len 31 encoded as the single byte 0x1f, aliasing the 0x1f
+    // separator byte — ["", "", "x"*29] collided with ["\u001d\u001f" +
+    // "x"*29]. The fixed 4-byte fold keeps them apart (a length byte
+    // stream is never ambiguous with separator/character bytes).
+    assert(fingerprint(Seq("", "", "x" * 29)) !=
+      fingerprint(Seq("\u001d\u001f" + "x" * 29)))
   }
 }
