@@ -3553,6 +3553,38 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ----- the training-data EPILOGUE as one chain (capstone): mix ->
+    // curriculum order -> sequence packing -> shard layout — the stages a
+    // real pretraining job runs AFTER selection, composed and replayed
+    // end-to-end the way pp_select_v3 replays the selection chain -----
+    "pp_train_order_v1" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val budget = docs.count() // one-row driver read: the gate's budget
+      // 1. bounded-repetition domain mixture (the mx_domain_mixture
+      //    construction: every quota regime fires at once)
+      val mixed = graft.llm.DomainMixturePipe("doc_id", "source",
+        graft.llm.DomainMixturePipe.fixtureGateWeights,
+        budget = budget, maxRepeat = 3)(docs)
+      // unique numeric id per emitted COPY: epoch <= maxRepeat+1 = 4 < 8,
+      // so doc_id*8+epoch is collision-free and integer-replayable — the
+      // downstream order keeps repeated docs apart (the mixture scaladoc's
+      // documented composition contract)
+      val copies = mixed.withColumn("mix_id",
+        col("doc_id") * 8 + col("epoch"))
+      // 2. quality-annealed curriculum over the MIXTURE (score = n_chars,
+      //    4 rank-slice phases, within-phase quadratic decorrelation)
+      val ordered = graft.llm.CurriculumOrderPipe("mix_id", "n_chars")(copies)
+      // 3. concat-and-chunk packing in curriculum order (token accounting
+      //    = n_chars; global range-partitioned prefix sum)
+      val packed = graft.llm.PackSequencesPipe("n_chars", 2048,
+        "curriculum_pos")(ordered)
+      // 4. fixed-size shard layout over the same order
+      graft.llm.ShardAssignPipe("curriculum_pos", 32)(packed)
+        .select("doc_id", "epoch", "curriculum_bucket", "curriculum_pos",
+          "pack_first", "pack_last", "pack_pos", "shard_id", "pos_in_shard")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ----- dense global row ids + deterministic shard layout -----
     "u5_assign_row_id" -> ((s, d) =>
       graft.pipes.AssignRowIdPipe("doc_id")(t(s, d, "documents"))
@@ -5766,6 +5798,36 @@ object Queries {
         |SELECT doc_id, lang, n_tokens_removed, dsir_logweight,
         | rkn // 32 AS shard_id, rkn % 32 AS pos_in_shard
         |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // stage-by-stage replay of the training-data EPILOGUE chain: the
+    // mx_domain_mixture quota plan + per-(id, epoch) draw, then the
+    // cr_curriculum rank-slice buckets + quadratic within-phase order
+    // over the MIXTURE copies (id = doc_id*8+epoch), then the pk_pack
+    // prefix-sum packing and the sh_shard layout over the same order —
+    // drift in ANY stage (or in how they compose) hash-fails
+    "pp_train_order_v1" ->
+      """WITH tot AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT 'src' || CAST(i AS VARCHAR) AS dom, CASE WHEN i = 19 THEN 200 WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 11 WHEN i % 4 = 2 THEN 21 ELSE 60 END AS wt FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+        |cnt AS (SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+        |pl AS (SELECT c.dom, c.n, ((SELECT n FROM tot) * wt) // (SELECT sum(wt) FROM w) AS needed FROM cnt c JOIN w ON c.dom = w.dom),
+        |p2 AS (SELECT dom, n, least(needed, n * 3) AS capped FROM pl WHERE least(needed, n * 3) > 0),
+        |p3 AS (SELECT dom, n, capped // n AS fe, capped % n AS rem FROM p2),
+        |p4 AS (SELECT dom, fe, CAST((CAST(rem AS HUGEINT) * 2147483647) // n AS BIGINT) AS thr FROM p3),
+        |eps AS (SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS epoch),
+        |ex AS (SELECT d.doc_id, d.n_chars, e.epoch, p.fe, p.thr FROM documents d JOIN p4 p ON d.source = p.dom CROSS JOIN eps e WHERE e.epoch <= p.fe + 1),
+        |mx AS (SELECT doc_id, n_chars, epoch FROM (SELECT *, ((s1*s1 + s1) % 2147483647) AS slot FROM (SELECT *, (doc_id*131 + 23 + epoch*7919) % 2147483647 AS s1 FROM ex)) WHERE epoch <= fe OR slot < thr),
+        |m2 AS (SELECT doc_id, n_chars, epoch, doc_id*8 + epoch AS mid FROM mx),
+        |nn AS (SELECT count(*) AS n FROM m2),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY n_chars NULLS FIRST, mid) - 1 AS r FROM m2),
+        |bk AS (SELECT *, (r * 4) // (SELECT n FROM nn) AS bucket FROM rk),
+        |s2 AS (SELECT *, ((u1*u1 + u1) % 2147483647) AS slot2 FROM (SELECT *, (mid*131 + 29) % 2147483647 AS u1 FROM bk)),
+        |po AS (SELECT *, row_number() OVER (ORDER BY bucket, slot2, mid) - 1 AS cpos FROM s2),
+        |pk AS (SELECT *, CAST(coalesce(sum(coalesce(n_chars, 0)) OVER (ORDER BY cpos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM po)
+        |SELECT doc_id, epoch, bucket AS curriculum_bucket, cpos AS curriculum_pos,
+        | prev // 2048 AS pack_first,
+        | CASE WHEN coalesce(n_chars, 0) > 0 THEN (prev + n_chars - 1) // 2048 ELSE prev // 2048 END AS pack_last,
+        | prev % 2048 AS pack_pos,
+        | cpos // 32 AS shard_id, cpos % 32 AS pos_in_shard
+        |FROM pk ORDER BY doc_id, epoch""".stripMargin.replace("\n", " "),
     // exhaustive-jaccard pairs + dense-rank negative arithmetic, with the
     // anchor/pos collision fallback replayed via the 3-candidate CASE
     "tp_triplets" ->
