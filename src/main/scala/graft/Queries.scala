@@ -2000,6 +2000,49 @@ object Queries {
         .orderBy("qid")
     }),
 
+    "s41_recall_drift" -> ((s, d) => {
+      // the closed maintenance loop, ORACLE-REPLAYABLE end to end (the
+      // RecallDriftSpec scenario re-shaped onto deterministic formula
+      // quantizers): a drifted ingest (every vector +10 per component,
+      // offset ids) is added to a PINNED formula-A index, partial-probe
+      // recall vs the brute-force truth is MEASURED, the index is
+      // rebalanced onto formula B (4 centroids covering the drifted
+      // region), and recall is measured AGAIN — DuckDB replays both
+      // evaluations (probe + tag + top-k + the RecallEval integer
+      // arithmetic), so the recovery NUMBER sits under the oracle, not
+      // just a spec assertion. The drift is float(x+10f) so the shifted
+      // vectors are bit-identical on both engines.
+      val emb = t(s, d, "embeddings")
+      val base = emb.select(col("vec_id").as("idx"),
+        col("embedding").as("vector"))
+      val drift = emb.select((col("vec_id") + 100000000L).as("idx"),
+        transform(col("embedding"), v => v + lit(10.0f)).as("vector"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+      val candCfg = graft.search.SearchConfig(k = 10,
+        fillMaskedIndices = false, queryIdCol = Some("qid"))
+      val truthCfg = candCfg.copy(indexField = "truth",
+        mergePreviousResults = false)
+      val pinned = graft.search.IVFDenseEngine(base, nlist = 8, nprobe = 2,
+        config = candCfg,
+        fixedCentroids = Some(graft.search.IVFDenseEngine.formulaCentroids(8, 64)))
+        .addVectors(drift)
+      val truth = graft.search.BruteForceDenseEngine(
+        base.unionByName(drift), truthCfg)
+      val before = graft.search.RecallEval.vs(pinned, truth, queries, "qid")
+        .select(col("qid"), col("recall_bp").cast("long").as("before_bp"))
+      // the retrained quantizer: formula B allocates centroids 4-7 to the
+      // drifted mass (+10 shift) — integer-replayable, unlike the seeded
+      // KMeans the spec uses
+      val centsB = (0 until 8).map(c => (0 until 64).map(t =>
+        (((c * 31 + t * 7) % 17) - 8) * 0.05 +
+          (if (c >= 4) 10.0 else 0.0)))
+      val rb = pinned.rebalance(newFixedCentroids = Some(centsB))
+      val after = graft.search.RecallEval.vs(rb, truth, queries, "qid")
+        .select(col("qid"), col("recall_bp").cast("long").as("after_bp"))
+      before.join(after, "qid").orderBy("qid")
+    }),
+
     "ev_stream_dense_search" -> ((s, d) => {
       // similarity search on ARRIVING queries: a standing IVF index
       // (fixed centroids, state-cached once before the stream starts)
@@ -5194,6 +5237,46 @@ object Queries {
         |SELECT qid, list(CAST(idx AS BIGINT) ORDER BY r) AS "index.idx", list(round(score,4) ORDER BY r) AS "index.score"
         |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " "),
         "qid" -> "", "index.idx" -> "i", "index.score" -> "d"),
+    // the recall-drift loop replayed END TO END: brute truth over
+    // base+drift, BOTH partial-probe evaluations (pinned formula A =
+    // c*29+t*13; rebalanced formula B = c*31+t*7 with centroids 4-7
+    // shifted +10 onto the drifted mass), and the RecallEval integer
+    // arithmetic hits·10⁴ div truth_k — the recovery number itself is
+    // under the oracle. Drift = float(x+10f), bit-identical both sides.
+    "s41_recall_drift" ->
+      """WITH corp AS (SELECT vec_id AS idx, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        | UNION ALL SELECT vec_id + 100000000, CAST(list_transform(embedding, x -> x + CAST(10 AS FLOAT)) AS DOUBLE[]) FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |tr AS (SELECT qid, idx FROM (
+        |  SELECT qs.qid, corp.idx, row_number() OVER (PARTITION BY qs.qid ORDER BY list_dot_product(qs.qv, corp.v) DESC, corp.idx) AS r
+        |  FROM qs CROSS JOIN corp) WHERE r <= 10),
+        |tk AS (SELECT qid, count(*) AS tn FROM tr GROUP BY qid),
+        |cda AS (SELECT idx, v, list_position(ds, list_min(ds)) - 1 AS cid FROM (
+        |  SELECT idx, v, list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05) * (v[t+1] - (((c*29 + t*13) % 17) - 8) * 0.05)))) AS ds FROM corp)),
+        |pra AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*29 + t*13) % 17) - 8) * 0.05))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 2),
+        |caa AS (SELECT qid, idx FROM (
+        |  SELECT pra.qid, cda.idx, row_number() OVER (PARTITION BY pra.qid ORDER BY list_dot_product(pra.qv, cda.v) DESC, cda.idx) AS r
+        |  FROM pra JOIN cda ON pra.cid = cda.cid) WHERE r <= 10),
+        |hba AS (SELECT caa.qid, count(tr.idx) AS hits FROM caa LEFT JOIN tr ON caa.qid = tr.qid AND caa.idx = tr.idx GROUP BY caa.qid),
+        |cdb AS (SELECT idx, v, list_position(ds, list_min(ds)) - 1 AS cid FROM (
+        |  SELECT idx, v, list_transform(range(0,8), c -> list_sum(list_transform(range(0,64), t ->
+        |    (v[t+1] - ((((c*31 + t*7) % 17) - 8) * 0.05 + CASE WHEN c >= 4 THEN 10 ELSE 0 END)) * (v[t+1] - ((((c*31 + t*7) % 17) - 8) * 0.05 + CASE WHEN c >= 4 THEN 10 ELSE 0 END))))) AS ds FROM corp)),
+        |prb AS (SELECT qid, qv, cid FROM (
+        |  SELECT qs.qid, qs.qv, cc.c AS cid, row_number() OVER (PARTITION BY qs.qid
+        |    ORDER BY list_sum(list_transform(range(0,64), t -> qs.qv[t+1] * ((((cc.c*31 + t*7) % 17) - 8) * 0.05 + CASE WHEN cc.c >= 4 THEN 10 ELSE 0 END))) DESC, cc.c) AS rn
+        |  FROM qs CROSS JOIN (SELECT unnest(range(0,8)) AS c) cc) WHERE rn <= 2),
+        |cab AS (SELECT qid, idx FROM (
+        |  SELECT prb.qid, cdb.idx, row_number() OVER (PARTITION BY prb.qid ORDER BY list_dot_product(prb.qv, cdb.v) DESC, cdb.idx) AS r
+        |  FROM prb JOIN cdb ON prb.cid = cdb.cid) WHERE r <= 10),
+        |hbb AS (SELECT cab.qid, count(tr.idx) AS hits FROM cab LEFT JOIN tr ON cab.qid = tr.qid AND cab.idx = tr.idx GROUP BY cab.qid)
+        |SELECT tk.qid, (coalesce(hba.hits, 0) * 10000) // tk.tn AS before_bp,
+        | (coalesce(hbb.hits, 0) * 10000) // tk.tn AS after_bp
+        |FROM tk LEFT JOIN hba ON tk.qid = hba.qid LEFT JOIN hbb ON tk.qid = hbb.qid
+        |ORDER BY tk.qid""".stripMargin.replace("\n", " "),
     // post-rebalance search == the replay over the NEW quantizer formula
     // (c*31 + t*7): tagging, probe pruning, and member top-k over the
     // FULL corpus — the pre-rebalance (c*29 + t*13) lists must be gone

@@ -65,4 +65,34 @@ class RecallDriftSpec extends SparkSpec {
       s"rebalance must recover recall at fixed nprobe " +
         s"(before=$before bp, after=$after bp)")
   }
+
+  test("the ORACLE-GATED construction (s41): formula-B rebalance recovers mean recall") {
+    // the s41_recall_drift gate's deterministic scenario, pinned here so
+    // a formula-B regression fails in tests too (the gate itself only
+    // proves both evaluations replay — DuckDB carries the numbers, this
+    // carries the recovery claim): real fixture vectors, drift = +10f
+    // per component, pinned formula A vs rebalance onto formula B whose
+    // centroids 4-7 cover the drifted region.
+    val emb = spark.read.parquet(sf("embeddings"))
+    val base = emb.select(col("vec_id").as("idx"), col("embedding").as("vector"))
+    val drift = emb.select((col("vec_id") + 100000000L).as("idx"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        v => v + lit(10.0f)).as("vector"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("query.vector"))
+    val pinned = IVFDenseEngine(base, nlist = 8, nprobe = 2, config = candCfg,
+      fixedCentroids = Some(IVFDenseEngine.formulaCentroids(8, 64)))
+      .addVectors(drift)
+    val truth = BruteForceDenseEngine(base.unionByName(drift), truthCfg)
+    def meanBp(cand: SearchEngine): Int =
+      RecallEval.summary(RecallEval.vs(cand, truth, queries, "qid"))
+        .head().getInt(0)
+    val centsB = (0 until 8).map(c => (0 until 64).map(t =>
+      (((c * 31 + t * 7) % 17) - 8) * 0.05 + (if (c >= 4) 10.0 else 0.0)))
+    val before = meanBp(pinned)
+    val after = meanBp(pinned.rebalance(newFixedCentroids = Some(centsB)))
+    assert(after > before,
+      s"formula-B rebalance must recover mean recall (before=$before bp, " +
+        s"after=$after bp) — the s41 gate's oracle replays these numbers")
+  }
 }
