@@ -178,6 +178,55 @@ class MixtureSpec extends SparkSpec {
     assert(streamed.toSet == batch)
   }
 
+  test("stream restart: checkpointed mixture resumes exactly-once across a kill") {
+    // the production ingest path's real failure mode: the mixing query
+    // dies between micro-batches and restarts from its checkpoint — rows
+    // already emitted must NOT re-emit (their epochs would double), rows
+    // not yet seen must still emit, and the final corpus must equal the
+    // batch pipe exactly. File sink: its _spark_metadata commit log is
+    // the exactly-once half the memory sink doesn't have.
+    implicit val sctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b"))
+    val corpusDf = corpus.toDF("doc_id", "source")
+    // the standing quota plan: built ONCE from the full static corpus
+    // (the documented premise), shared by both query incarnations
+    val plan = DomainMixturePipe.quotaPlanFromCounts(
+      DomainMixturePipe.domainCounts(corpusDf, "source"),
+      Seq("a" -> 3L, "b" -> 1L), budget = 60L, maxRepeat = 3)
+      .localCheckpoint()
+    val docs = mem.toDF().toDF("doc_id", "source")
+    val expanded = DomainMixturePipe.expand(
+      docs, plan, "doc_id", "source", seed = 23L, epochCol = "epoch")
+    val root = java.nio.file.Files.createTempDirectory("mx-restart")
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    def start() = expanded.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // incarnation 1: first half of the corpus, then KILL
+    val q1 = start()
+    try { mem.addData(corpus.take(20): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // incarnation 2: restart from the checkpoint, second half arrives
+    val q2 = start()
+    try { mem.addData(corpus.drop(20): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(streamed.size == streamed.toSet.size,
+      "restart must not re-emit any (row, epoch) copy")
+    val batch = DomainMixturePipe.expand(
+      corpusDf, plan, "doc_id", "source", seed = 23L, epochCol = "epoch")
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed.toSet == batch,
+      "the resumed stream's corpus must equal the batch expansion exactly")
+  }
+
   test("weights, budget, and epoch column fork the fingerprint") {
     val base = DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)
     assert(base.fingerprint !=
