@@ -227,6 +227,50 @@ class MixtureSpec extends SparkSpec {
       "the resumed stream's corpus must equal the batch expansion exactly")
   }
 
+  test("refreshable plan: an overwritten quota plan takes effect at the next batch") {
+    // the long-running-ingest drift story: per-domain statistics are
+    // recomputed by a planner job and OVERWRITE the plan parquet — the
+    // foreachBatch form re-reads it each micro-batch, so batch 2 expands
+    // under the refreshed plan without a query restart
+    implicit val sctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val corpus = Seq.tabulate(20)(i => (i.toLong, "a"))
+    val corpusDf = corpus.toDF("doc_id", "source")
+    val root = java.nio.file.Files.createTempDirectory("mx-refresh")
+    val planPath = s"$root/plan"
+    val outDir = s"$root/out"
+    def writePlan(budget: Long): Unit =
+      DomainMixturePipe.quotaPlanFromCounts(
+        DomainMixturePipe.domainCounts(corpusDf, "source"),
+        Seq("a" -> 1L), budget = budget, maxRepeat = 3)
+        .write.mode("overwrite").parquet(planPath)
+    // plan A: budget 20 over n=20 -> fe=1, rem=0 (one epoch per row)
+    writePlan(20L)
+    val q = graft.streaming.StreamingMixture.runRefreshable(
+      mem.toDF().toDF("doc_id", "source"), planPath, "doc_id", "source",
+      outDir, s"$root/ckpt")
+    try {
+      mem.addData(corpus.take(10): _*)
+      q.processAllAvailable()
+      // the refresh: budget 60 -> fe=3 (three epochs per row)
+      writePlan(60L)
+      mem.addData(corpus.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = graft.streaming.StreamingMixture.emitted(spark, outDir)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().toSeq
+    assert(out.size == out.toSet.size, "per-batch overwrite keeps exactly-once")
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    corpus.take(10).foreach { case (id, _) =>
+      assert(got(id) == Seq(1), s"batch-1 row $id must expand under plan A")
+    }
+    corpus.drop(10).foreach { case (id, _) =>
+      assert(got(id) == Seq(1, 2, 3),
+        s"batch-2 row $id must expand under the REFRESHED plan")
+    }
+  }
+
   test("weights, budget, and epoch column fork the fingerprint") {
     val base = DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)
     assert(base.fingerprint !=
