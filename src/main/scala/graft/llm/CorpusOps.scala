@@ -435,7 +435,7 @@ object WeightedSamplePipe {
     * [[DeterministicShufflePipe]], [[SplitPipe]], [[TemperatureMixPipe]],
     * [[WeightedSamplePipe]].
     */
-  private[llm] def requireNumericId(df: DataFrame, idCol: String,
+  private[graft] def requireNumericId(df: DataFrame, idCol: String,
       pipe: String): Unit = {
     val t = df.schema.find(_.name == idCol).map(_.dataType).getOrElse(
       throw new IllegalArgumentException(

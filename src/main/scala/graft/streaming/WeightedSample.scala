@@ -108,10 +108,16 @@ object StreamingWeightedSample {
   }
 
   private def withKey(df: DataFrame, idCol: String, weightCol: String,
-      seed: Long, keyCol: String): DataFrame =
+      seed: Long, keyCol: String): DataFrame = {
+    // same loud refusal as the batch pipe (ADVICE r18): a string id casts
+    // to NULL per row inside sampleKey's quadratic draw and the reservoir
+    // silently degrades
+    graft.llm.WeightedSamplePipe.requireNumericId(
+      df, idCol, "StreamingWeightedSample")
     df.filter(graft.core.Pipe.qcol(weightCol) > 0)
       .withColumn(keyCol, graft.llm.WeightedSamplePipe.sampleKey(
         graft.core.Pipe.qcol(idCol), graft.core.Pipe.qcol(weightCol), seed))
+  }
 
   private def topK(df: DataFrame, k: Int, groupCols: Seq[String],
       idCol: String, keyCol: String): DataFrame =
