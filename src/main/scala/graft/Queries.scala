@@ -19,6 +19,37 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
+  /** The training-data EPILOGUE chain shared by pp_train_order_v1 (the
+    * composed-arithmetic capstone) and io_train_shards (the same frame
+    * MATERIALIZED file-per-shard): mixture → unique copy id → curriculum
+    * → packing → shard layout. One definition so the two gates can never
+    * drift apart while both replay the same oracle.
+    */
+  private def trainOrderChain(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val budget = docs.count() // one-row driver read: the gate's budget
+    // 1. bounded-repetition domain mixture (the mx_domain_mixture
+    //    construction: every quota regime fires at once)
+    val mixed = graft.llm.DomainMixturePipe("doc_id", "source",
+      graft.llm.DomainMixturePipe.fixtureGateWeights,
+      budget = budget, maxRepeat = 3)(docs)
+    // unique numeric id per emitted COPY: epoch <= maxRepeat+1 = 4 < 8,
+    // so doc_id*8+epoch is collision-free and integer-replayable — the
+    // downstream order keeps repeated docs apart (the mixture scaladoc's
+    // documented composition contract)
+    val copies = mixed.withColumn("mix_id",
+      col("doc_id") * 8 + col("epoch"))
+    // 2. quality-annealed curriculum over the MIXTURE (score = n_chars,
+    //    4 rank-slice phases, within-phase quadratic decorrelation)
+    val ordered = graft.llm.CurriculumOrderPipe("mix_id", "n_chars")(copies)
+    // 3. concat-and-chunk packing in curriculum order (token accounting
+    //    = n_chars; global range-partitioned prefix sum)
+    val packed = graft.llm.PackSequencesPipe("n_chars", 2048,
+      "curriculum_pos")(ordered)
+    // 4. fixed-size shard layout over the same order
+    graft.llm.ShardAssignPipe("curriculum_pos", 32)(packed)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -3600,32 +3631,41 @@ object Queries {
     // curriculum order -> sequence packing -> shard layout — the stages a
     // real pretraining job runs AFTER selection, composed and replayed
     // end-to-end the way pp_select_v3 replays the selection chain -----
-    "pp_train_order_v1" -> ((s, d) => {
+    "pp_train_order_v1" -> ((s, d) =>
+      trainOrderChain(s, d)
+        .select("doc_id", "epoch", "curriculum_bucket", "curriculum_pos",
+          "pack_first", "pack_last", "pack_pos", "shard_id", "pos_in_shard")
+        .orderBy("doc_id", "epoch")),
+
+    // ----- the epilogue MATERIALIZED: one parquet file per shard, rows
+    // in pos order, read back whole — content must round-trip exactly
+    // (same oracle as the capstone; file-per-shard + in-file order are
+    // TrainingShardsSpec's half, invisible to SQL) -----
+    "io_train_shards" -> ((s, d) => {
+      val dir = s"/tmp/graft_io_${math.abs(d.hashCode)}/train_shards"
+      graft.sources.TrainingShards.write(trainOrderChain(s, d), dir)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("epoch"), col("curriculum_bucket"),
+          col("curriculum_pos"), col("pack_first"), col("pack_last"),
+          col("pack_pos"),
+          // the partition column comes back as the discovery-inferred INT
+          col("shard_id").cast("long").as("shard_id"), col("pos_in_shard"))
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // ----- realized-vs-owed mixture audit over the same construction -----
+    "mx_mixture_report" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val budget = docs.count() // one-row driver read: the gate's budget
-      // 1. bounded-repetition domain mixture (the mx_domain_mixture
-      //    construction: every quota regime fires at once)
+      val budget = docs.count()
       val mixed = graft.llm.DomainMixturePipe("doc_id", "source",
         graft.llm.DomainMixturePipe.fixtureGateWeights,
         budget = budget, maxRepeat = 3)(docs)
-      // unique numeric id per emitted COPY: epoch <= maxRepeat+1 = 4 < 8,
-      // so doc_id*8+epoch is collision-free and integer-replayable — the
-      // downstream order keeps repeated docs apart (the mixture scaladoc's
-      // documented composition contract)
-      val copies = mixed.withColumn("mix_id",
-        col("doc_id") * 8 + col("epoch"))
-      // 2. quality-annealed curriculum over the MIXTURE (score = n_chars,
-      //    4 rank-slice phases, within-phase quadratic decorrelation)
-      val ordered = graft.llm.CurriculumOrderPipe("mix_id", "n_chars")(copies)
-      // 3. concat-and-chunk packing in curriculum order (token accounting
-      //    = n_chars; global range-partitioned prefix sum)
-      val packed = graft.llm.PackSequencesPipe("n_chars", 2048,
-        "curriculum_pos")(ordered)
-      // 4. fixed-size shard layout over the same order
-      graft.llm.ShardAssignPipe("curriculum_pos", 32)(packed)
-        .select("doc_id", "epoch", "curriculum_bucket", "curriculum_pos",
-          "pack_first", "pack_last", "pack_pos", "shard_id", "pos_in_shard")
-        .orderBy("doc_id", "epoch")
+      graft.llm.MixtureReportPipe(docs, "doc_id", "source",
+        graft.llm.DomainMixturePipe.fixtureGateWeights,
+        budget = budget, maxRepeat = 3)(mixed)
+        .select("source", "needed", "capped", "fe", "emitted",
+          "distinct_docs", "max_epoch", "quota_fill_bp")
+        .orderBy("source")
     }),
 
     // ----- dense global row ids + deterministic shard layout -----
@@ -5911,6 +5951,29 @@ object Queries {
         | prev % 2048 AS pack_pos,
         | cpos // 32 AS shard_id, cpos % 32 AS pos_in_shard
         |FROM pk ORDER BY doc_id, epoch""".stripMargin.replace("\n", " "),
+    // realized-vs-owed audit: quota math (needed/cap/fe) joined to what
+    // the mixture actually emitted, outage domains kept at emitted 0
+    "mx_mixture_report" ->
+      """WITH tot AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT 'src' || CAST(i AS VARCHAR) AS dom, CASE WHEN i = 19 THEN 200 WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 11 WHEN i % 4 = 2 THEN 21 ELSE 60 END AS wt FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+        |cnt AS (SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+        |pl AS (SELECT c.dom, c.n, ((SELECT n FROM tot) * wt) // (SELECT sum(wt) FROM w) AS needed FROM cnt c JOIN w ON c.dom = w.dom),
+        |p2 AS (SELECT dom, n, needed, least(needed, n * 3) AS capped FROM pl WHERE least(needed, n * 3) > 0),
+        |p3 AS (SELECT dom, n, needed, capped, capped // n AS fe, capped % n AS rem FROM p2),
+        |p4 AS (SELECT dom, fe, CAST((CAST(rem AS HUGEINT) * 2147483647) // n AS BIGINT) AS thr FROM p3),
+        |eps AS (SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS epoch),
+        |ex AS (SELECT d.doc_id, d.source, e.epoch, p.fe, p.thr FROM documents d JOIN p4 p ON d.source = p.dom CROSS JOIN eps e WHERE e.epoch <= p.fe + 1),
+        |mx AS (SELECT doc_id, source, epoch FROM (SELECT *, ((s1*s1 + s1) % 2147483647) AS slot FROM (SELECT *, (doc_id*131 + 23 + epoch*7919) % 2147483647 AS s1 FROM ex)) WHERE epoch <= fe OR slot < thr),
+        |rz AS (SELECT source AS dom, count(*) AS emitted, count(DISTINCT doc_id) AS distinct_docs, max(epoch) AS max_epoch FROM mx GROUP BY 1),
+        |ow AS (SELECT w.dom, ((SELECT n FROM tot) * w.wt) // (SELECT sum(wt) FROM w) AS needed, coalesce(c.n, 0) AS n FROM w LEFT JOIN cnt c ON w.dom = c.dom),
+        |o2 AS (SELECT dom, needed, least(needed, n * 3) AS capped, CASE WHEN n > 0 THEN least(needed, n * 3) // n ELSE 0 END AS fe FROM ow)
+        |SELECT o2.dom AS source, o2.needed, o2.capped, o2.fe,
+        | coalesce(rz.emitted, 0) AS emitted,
+        | coalesce(rz.distinct_docs, 0) AS distinct_docs,
+        | CAST(coalesce(rz.max_epoch, 0) AS INTEGER) AS max_epoch,
+        | CASE WHEN o2.capped > 0 THEN (coalesce(rz.emitted, 0) * 10000) // o2.capped
+        |      WHEN o2.needed = 0 THEN 10000 ELSE 0 END AS quota_fill_bp
+        |FROM o2 LEFT JOIN rz ON o2.dom = rz.dom ORDER BY source""".stripMargin.replace("\n", " "),
     // exhaustive-jaccard pairs + dense-rank negative arithmetic, with the
     // anchor/pos collision fallback replayed via the 3-candidate CASE
     "tp_triplets" ->
@@ -6177,5 +6240,9 @@ object Queries {
     "s33_jaccard_add" -> oracleBase("s22_jaccard_search"),
     // the stream's expansion is the batch pipe's map-only half against
     // the identical static quota plan — bit-identical rows/epochs
-    "ev_stream_domain_mixture" -> oracleBase("mx_domain_mixture"))
+    "ev_stream_domain_mixture" -> oracleBase("mx_domain_mixture"),
+    // the materialized shard dir must round-trip the capstone frame
+    // exactly — SAME oracle (file-per-shard + in-file order are the
+    // spec's half, invisible to SQL)
+    "io_train_shards" -> oracleBase("pp_train_order_v1"))
 }

@@ -110,6 +110,97 @@ case class DomainMixturePipe(
   }
 }
 
+/** Realized-vs-owed mixture AUDIT — the |domains|-row report a training
+  * job reads before trusting a mixed corpus: for every domain in the
+  * quota plan, what the plan OWED (`needed`, the post-cap `capped`, the
+  * planned full epochs `fe`) next to what the mixture actually EMITTED
+  * (`emitted` rows — or size units under `sizeCol` — `distinct_docs`,
+  * `max_epoch`), plus `quota_fill_bp = emitted·10⁴ div capped` (the
+  * remainder-stripped integer division every audit column here uses, so
+  * any engine replays it). Because the partial epoch is a RATE,
+  * `quota_fill_bp` hovers near 10000 without pinning it — the audit's
+  * point is to surface domains that are OFF plan: an outage domain
+  * (owed but absent: emitted 0), a weight typo (capped ≪ needed shows
+  * the repetition cap binding), or an upstream filter that ate a domain.
+  *
+  * Takes the SOURCE corpus as a constructor frame (the
+  * [[ImportanceWeightPipe]] convention) because the quota plan derives
+  * from source-domain counts the mixture output no longer carries. The
+  * owed side is built from the WEIGHTS list itself, so every planned
+  * domain reports — including a true OUTAGE (weighted but absent from
+  * the source: needed > 0, capped = 0, emitted = 0, fill 0 bp), the
+  * audit's most important line, which a counts-derived plan would drop.
+  * `quota_fill_bp` edge rule, exactly replayable: capped > 0 → the
+  * division; capped = 0 with needed = 0 → 10000 (nothing owed, nothing
+  * missing); capped = 0 with needed > 0 → 0 (outage).
+  *
+  * Scale shape: two map-side-combined |domains|-row aggregates (source
+  * counts, output realized) + broadcast joins between tiny frames —
+  * nothing touches the big side beyond the two aggregates.
+  */
+case class MixtureReportPipe(
+    source: org.apache.spark.sql.DataFrame,
+    idCol: String,
+    domainCol: String,
+    weights: Seq[(String, Long)],
+    budget: Long,
+    maxRepeat: Int = 3,
+    epochCol: String = "epoch",
+    sizeCol: Option[String] = None) extends Pipe {
+  require(weights.nonEmpty, "need at least one domain weight")
+  override def update: Boolean = false
+  override def params = Map("id" -> idCol, "domain" -> domainCol,
+    "weights" -> weights.sortBy(_._1)
+      .map { case (d, w) => s"$d:$w" }.mkString(","),
+    "budget" -> budget.toString, "maxRepeat" -> maxRepeat.toString,
+    "epochCol" -> epochCol, "sizeCol" -> sizeCol.mkString)
+
+  protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the owed side: the WEIGHTS list with quotaPlanFromCounts' exact
+    // arithmetic (needed driver-side in BigInt, cap in DECIMAL) — built
+    // from the config, not the counts, so outage domains still report
+    val sumW = weights.map(w => BigInt(w._2)).sum
+    val owed0 = weights.map { case (dom, wt) =>
+      (dom, (BigInt(budget) * wt / sumW).toLong)
+    }.toDF(domainCol, "needed")
+    val counts = DomainMixturePipe.domainCounts(source, domainCol, sizeCol)
+    val owed = owed0
+      .join(broadcast(counts), qcol(domainCol) === col("__mx_d__"), "left")
+      .withColumn("__rp_n__", coalesce(col("__mx_n__"), lit(0L)))
+      .withColumn("capped",
+        least(col("needed").cast("decimal(38,0)"),
+          expr(s"CAST(__rp_n__ AS DECIMAL(38,0)) * $maxRepeat"))
+          .cast("long"))
+      .withColumn("fe", when(col("__rp_n__") > 0,
+        expr("capped div __rp_n__")).otherwise(lit(0L)))
+      .drop("__mx_d__", "__mx_n__", "__rp_n__")
+    val emittedCol = sizeCol.fold(count(lit(1)))(c =>
+      coalesce(sum(qcol(c)), lit(0L)).cast("long"))
+    val realized = df.groupBy(qcol(domainCol).as("__rp_d__"))
+      .agg(emittedCol.as("emitted"),
+        count_distinct(qcol(idCol)).as("distinct_docs"),
+        max(qcol(epochCol)).cast("int").as("max_epoch"))
+    val joined = owed.join(broadcast(realized),
+      qcol(domainCol) === col("__rp_d__"), "left")
+    val em = coalesce(col("emitted"), lit(0L))
+    val num = em * 10000L
+    joined
+      .withColumn("emitted", em)
+      .withColumn("distinct_docs", coalesce(col("distinct_docs"), lit(0L)))
+      .withColumn("max_epoch", coalesce(col("max_epoch"), lit(0)))
+      // exact integer division (the RecallEval/OverlapFraction pattern),
+      // with the documented capped-0 edge rule
+      .withColumn("quota_fill_bp",
+        when(col("capped") > 0,
+          ((num - pmod(num, col("capped"))) / col("capped")).cast("long"))
+          .when(col("needed") === 0, lit(10000L))
+          .otherwise(lit(0L)))
+      .drop("__rp_d__")
+  }
+}
+
 object DomainMixturePipe {
   // the draw modulus — shared with WeightedSamplePipe so the promised
   // "same engine-reproducible draw" is one definition, not two copies

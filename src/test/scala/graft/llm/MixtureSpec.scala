@@ -271,6 +271,35 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("mixture report: realized vs owed, outage and eaten domains surface") {
+    // weights: a (present, sampled), ghost (OWED but absent from the
+    // source — the outage line), b (present in source, eaten by an
+    // upstream filter before the report input)
+    val src = frame // a: ids 0-3, b: 10-11, c: 20
+    val mixed = DomainMixturePipe("id", "dom",
+      Seq("a" -> 3L, "b" -> 1L), budget = 10L, maxRepeat = 2)(src)
+    val report = MixtureReportPipe(src, "id", "dom",
+      Seq("a" -> 3L, "ghost" -> 3L, "b" -> 1L), budget = 14L, maxRepeat = 2)(
+      mixed.filter($"dom" =!= "b"))
+      .select("dom", "needed", "capped", "fe", "emitted", "distinct_docs",
+        "max_epoch", "quota_fill_bp")
+      .as[(String, Long, Long, Long, Long, Long, Int, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: needed = 14*3/7 = 6, capped = min(6, 4*2) = 6, fe = 1; the
+    // mixture above emitted per ITS OWN config (budget 10: 4 + partial)
+    val aEmitted = report("a")._5
+    assert(report("a")._2 == 6 && report("a")._3 == 6 && report("a")._4 == 1)
+    assert(aEmitted >= 4 && report("a")._6 == 4 && report("a")._7 >= 1)
+    assert(report("a")._8 == aEmitted * 10000 / 6)
+    // ghost: owed 6, zero source rows -> capped 0, emitted 0, fill 0
+    assert(report("ghost") == ("ghost", 6L, 0L, 0L, 0L, 0L, 0, 0L),
+      s"outage row wrong: ${report("ghost")}")
+    // b: owed 2, present in source (capped 2) but eaten upstream ->
+    // emitted 0 with fill 0 — the report must SCREAM, not drop the row
+    assert(report("b")._2 == 2 && report("b")._3 == 2 &&
+      report("b")._5 == 0 && report("b")._8 == 0)
+  }
+
   test("weights, budget, and epoch column fork the fingerprint") {
     val base = DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)
     assert(base.fingerprint !=
