@@ -47,15 +47,17 @@ object Bench {
     // subset loop and silently measured all 221 gates because only the
     // SPARK_GRAFT_ONLY env worked here) — or SPARK_GRAFT_ONLY="a,b,c";
     // neither = full driver contract
-    val only = Option(args.toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
-      .map(_.toSet)
+    val only = Option(args.toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty).map(_.toSet)
       .orElse(sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
-    // a misspelled name must not silently shrink the measured subset
+    // a misspelled name must not silently shrink the measured subset —
+    // and the diagnostic must blame the channel the names came from
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
+      val via = if (args.nonEmpty) "trailing args" else "SPARK_GRAFT_ONLY"
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in the query registry: ${unknown.toSeq.sorted.mkString(",")}")
+        s"$via names not in the query registry: ${unknown.toSeq.sorted.mkString(",")}")
     }
     // Per-query baseline for the contention guard: the newest committed
     // bench_full_r<N>.json (override: SPARK_GRAFT_BASELINE=<path>; skip

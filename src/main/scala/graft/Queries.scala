@@ -25,14 +25,27 @@ object Queries {
     * → packing → shard layout. One definition so the two gates can never
     * drift apart while both replay the same oracle.
     */
-  private def trainOrderChain(s: SparkSession, d: String): DataFrame = {
+  /** The fixture mixture (docs, budget, mixed) shared by the epilogue
+    * chain AND its audit gate — one construction so the audit can never
+    * audit a different mixture than the chain runs. (The report's OWN
+    * weights/maxRepeat config is still passed at its call site by
+    * design: the audit takes the plan config as input, and a drift
+    * between the two would hash-fail against the oracle's single
+    * weight table anyway.)
+    */
+  private def fixtureMixture(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
     val docs = t(s, d, "documents")
     val budget = docs.count() // one-row driver read: the gate's budget
-    // 1. bounded-repetition domain mixture (the mx_domain_mixture
-    //    construction: every quota regime fires at once)
     val mixed = graft.llm.DomainMixturePipe("doc_id", "source",
       graft.llm.DomainMixturePipe.fixtureGateWeights,
       budget = budget, maxRepeat = 3)(docs)
+    (docs, budget, mixed)
+  }
+
+  private def trainOrderChain(s: SparkSession, d: String): DataFrame = {
+    // 1. bounded-repetition domain mixture (the mx_domain_mixture
+    //    construction: every quota regime fires at once)
+    val (_, _, mixed) = fixtureMixture(s, d)
     // unique numeric id per emitted COPY: epoch <= maxRepeat+1 = 4 < 8,
     // so doc_id*8+epoch is collision-free and integer-replayable — the
     // downstream order keeps repeated docs apart (the mixture scaladoc's
@@ -3655,11 +3668,7 @@ object Queries {
 
     // ----- realized-vs-owed mixture audit over the same construction -----
     "mx_mixture_report" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val budget = docs.count()
-      val mixed = graft.llm.DomainMixturePipe("doc_id", "source",
-        graft.llm.DomainMixturePipe.fixtureGateWeights,
-        budget = budget, maxRepeat = 3)(docs)
+      val (docs, budget, mixed) = fixtureMixture(s, d)
       graft.llm.MixtureReportPipe(docs, "doc_id", "source",
         graft.llm.DomainMixturePipe.fixtureGateWeights,
         budget = budget, maxRepeat = 3)(mixed)

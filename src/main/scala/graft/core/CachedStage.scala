@@ -119,6 +119,16 @@ object CachedStage {
     try action(df)
     catch {
       case e: Exception if isMissingFiles(e) =>
+        // do NOT trust whatever is left of the entry: a vacuum (or a
+        // vacuum process that died mid-recursive-delete) can leave
+        // _SUCCESS plus a SUBSET of the part files, which apply()'s hit
+        // path would happily serve as a short frame — wrong rows, the
+        // one outcome this runner exists to rule out. Drop the remnant
+        // first so the retry takes the compute+rewrite branch.
+        val dir = new Path(cacheDir, key)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try if (fs.exists(dir)) fs.delete(dir, true)
+        catch { case _: Exception => () }
         action(apply(spark, cacheDir, key)(compute))
     }
   }

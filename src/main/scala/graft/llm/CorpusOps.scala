@@ -437,10 +437,18 @@ object WeightedSamplePipe {
     */
   private[graft] def requireNumericId(df: DataFrame, idCol: String,
       pipe: String): Unit = {
-    val t = df.schema.find(_.name == idCol).map(_.dataType).getOrElse(
-      throw new IllegalArgumentException(
-        s"$pipe: idCol '$idCol' not found in the input schema " +
-          s"[${df.columns.mkString(", ")}]"))
+    // resolve the way Spark will: case-insensitively unless the session
+    // says otherwise — a == comparison would reject "DOC_ID" against a
+    // doc_id schema that every downstream qcol() resolves fine
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val t = df.schema.find(f =>
+        if (caseSensitive) f.name == idCol
+        else f.name.equalsIgnoreCase(idCol))
+      .map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"$pipe: idCol '$idCol' not found in the input schema " +
+            s"[${df.columns.mkString(", ")}]"))
     require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"$pipe: idCol '$idCol' must be numeric for the deterministic " +
         s"quadratic draw (got $t) — cast or hash it to a long first")

@@ -293,9 +293,15 @@ object DomainMixturePipe {
     // epochCol would be silently OVERWRITTEN by the explode (user data
     // lost), and an input column named like the internal plan columns
     // would make the join/drop ambiguous — both are config errors, not
-    // things to paper over
+    // things to paper over. Matching follows the session's resolution
+    // rule (case-INsensitive by default): withColumn("epoch") replaces a
+    // column named "Epoch" just the same, so a == check would miss the
+    // exact overwrite this guard exists to refuse.
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
     val reserved = epochCol +: plan.columns.toSeq
-    val clash = df.columns.filter(reserved.contains)
+    val clash = df.columns.filter(c => reserved.exists(r =>
+      if (caseSensitive) r == c else r.equalsIgnoreCase(c)))
     require(clash.isEmpty,
       s"DomainMixturePipe: input columns [${clash.mkString(", ")}] collide " +
         s"with the emitted epoch column '$epochCol' or the internal " +

@@ -48,7 +48,24 @@ object TrainingShards {
       .write.mode("overwrite")
       .partitionBy(shardCol)
       .parquet(dir)
-    manifest(df.sparkSession, dir, shardCol, posCol)
+    // empty input: the write lands only _SUCCESS (no shard dirs), so the
+    // read-back manifest would die on schema inference — a vacuously
+    // successful materialization should return an EMPTY manifest (with
+    // the input-derived schema), not a confusing crash
+    if (hasShardDirs(df.sparkSession, dir))
+      manifest(df.sparkSession, dir, shardCol, posCol)
+    else
+      df.limit(0).groupBy(col(shardCol))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col(posCol)).as("min_pos"),
+          max(col(posCol)).as("max_pos"))
+  }
+
+  /** Does the written dir hold any shard partition (not just markers)? */
+  private def hasShardDirs(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.isDirectory)
   }
 
   /** The manifest of a written shard dir, from the data itself. */

@@ -23,6 +23,11 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-sf10docs")
     val provider = args.lift(1).getOrElse("rocksdb")
+    // a typo'd provider must not silently run on the default store while
+    // every output line labels it with the typo — these numbers exist to
+    // be quoted
+    require(provider == "rocksdb" || provider == "default",
+      s"provider must be 'rocksdb' or 'default', got '$provider'")
     val only = args.drop(2).toSet
     val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -77,6 +82,13 @@ object StreamScale {
         val t0 = System.nanoTime()
         val rows = run()
         val sec = (System.nanoTime() - t0) / 1e9
+        // the listener bus is ASYNC: the final progress event can still
+        // be in flight when the drain returns, and a late event from
+        // this gate must not land after the NEXT gate's clear() and get
+        // misattributed. There is no public drain API for the streaming
+        // listener bus, so give it a generous settle window before
+        // reading — seconds of slack on a minutes-scale measurement.
+        Thread.sleep(3000)
         val state = {
           import scala.jdk.CollectionConverters._
           lastState.values.asScala.mkString("[", ",", "]")

@@ -183,6 +183,35 @@ class CoreSpec extends SparkSpec {
     assert(computes == 2)
   }
 
+  test("CachedStage.selfHealing: a HALF-deleted entry (live _SUCCESS, parts gone) recomputes, never serves partial rows") {
+    // a vacuum that died mid-recursive-delete can leave _SUCCESS plus a
+    // subset of part files; the heal path must not trust the remnant
+    val dir = java.nio.file.Files.createTempDirectory("graft-heal3").toString
+    var computes = 0
+    def compute: DataFrame = { computes += 1; batch.repartition(2) }
+    val expected = CachedStage(spark, dir, "k")(compute).count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entry = new org.apache.hadoop.fs.Path(dir, "k")
+    var raced = false
+    val rows = CachedStage.selfHealing(spark, dir, "k")(compute) { df =>
+      if (!raced) {
+        // delete ONE of the two part files, keep _SUCCESS — the
+        // half-deleted remnant still reads "successfully" as a SUBSET of
+        // the rows, which is exactly what the heal must refuse to serve
+        val parts = fs.listStatus(entry)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        assert(parts.length == 2, s"fixture needs 2 parts, got ${parts.length}")
+        fs.delete(parts.head.getPath, false)
+        raced = true
+      }
+      df.count()
+    }
+    assert(rows == expected,
+      "the heal must recompute the FULL frame, not serve the remnant")
+    assert(computes == 2)
+  }
+
   test("CachedStage.apply: entry deleted between probe and read falls through to compute") {
     // the plan-TIME half of the window: simulate by handing apply a dir
     // whose _SUCCESS exists but whose parquet files are gone — the read

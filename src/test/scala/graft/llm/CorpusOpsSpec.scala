@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("id checks resolve like Spark: case-insensitive match passes, missing fails") {
+    val docs = spark.read.parquet(sf("documents")).limit(5)
+    // "DOC_ID" resolves against doc_id under the default case-insensitive
+    // session — the numeric-id refusal must not reject what qcol accepts
+    assert(DeterministicShufflePipe("DOC_ID")(docs).count() == 5)
+    // a genuinely absent column fails loudly at plan time
+    val e = intercept[IllegalArgumentException] {
+      DeterministicShufflePipe("nope_id")(docs)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("deterministic shuffle: a permutation, stable across runs and plans") {
     val docs = spark.read.parquet(sf("documents"))
     val a = DeterministicShufflePipe("doc_id")(docs)

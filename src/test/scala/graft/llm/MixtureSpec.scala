@@ -120,6 +120,18 @@ class MixtureSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)(strIds)
     }
+    // a pre-existing epoch column would be silently overwritten by the
+    // explode — refused, INCLUDING a case-variant ("Epoch"): Spark's
+    // default resolution is case-insensitive, so withColumn("epoch")
+    // replaces it just the same
+    val withEpoch = Seq((1L, "a", 9)).toDF("id", "dom", "epoch")
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)(withEpoch)
+    }
+    val withEpochCase = Seq((1L, "a", 9)).toDF("id", "dom", "Epoch")
+    intercept[IllegalArgumentException] {
+      DomainMixturePipe("id", "dom", Seq("a" -> 1L), 10L)(withEpochCase)
+    }
   }
 
   test("sizeCol: token-budget accounting, hand-computed epochs") {

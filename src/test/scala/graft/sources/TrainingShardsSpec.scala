@@ -56,6 +56,14 @@ class TrainingShardsSpec extends SparkSpec {
     assert(back == orig, "read-back must recover the exact frame")
   }
 
+  test("empty input yields an empty manifest, not a schema-inference crash") {
+    val dir = java.nio.file.Files.createTempDirectory("tshards3").toString
+    val man = TrainingShards.write(layout(100, 16L).filter(col("doc_id") < 0), dir)
+    assert(man.count() == 0)
+    assert(man.columns.toSeq ==
+      Seq("shard_id", "n_rows", "min_pos", "max_pos"))
+  }
+
   test("refuses a frame without the layout columns") {
     intercept[IllegalArgumentException] {
       TrainingShards.write(Seq((1L, 2L)).toDF("a", "b"), "/tmp/nope-tshards")
