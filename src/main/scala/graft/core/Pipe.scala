@@ -225,6 +225,23 @@ object Pipe {
       case n if n.children.nonEmpty => n.children.map(est).max
       case _ => par // unknown leaf: assume session-wide
     }
-    est(df.queryExecution.logical)
+    // Spark 4 reads are lazily analyzed: df.queryExecution.logical for a
+    // fresh spark.read.parquet(...) is an UnresolvedDataSource LEAF (no
+    // HadoopFsRelation yet), which est() conservatively reports as
+    // session width — widen() then silently no-opped on every raw scan
+    // (measured: pr_profile's Expand ran on the 3 file splits). The
+    // ANALYZED plan resolves it to LogicalRelation; analysis is
+    // rule-based only, no physical planning, so the r16 cheap-estimate
+    // contract still holds.
+    // Spark 4 reads are lazily analyzed: df.queryExecution.logical for a
+    // fresh spark.read.parquet(...) is an UnresolvedDataSource LEAF (no
+    // HadoopFsRelation yet), which est() conservatively reports as
+    // session width — widen() then silently no-opped on every raw scan
+    // (measured this round: t1_tokenizer 1.40 -> 0.72 s, dd_substring
+    // 3.58 -> 3.11 s, qc_hash_score 1.54 -> 1.06 s at sf0.1 once the
+    // estimate sees the real relation again). The ANALYZED plan resolves
+    // it to LogicalRelation; analysis is rule-based only, no physical
+    // planning, so the r16 cheap-estimate contract still holds.
+    est(df.queryExecution.analyzed)
   }
 }

@@ -808,12 +808,22 @@ case class UnigramLogProbPipe(
     // the MATERIALIZATION job costs more than the two re-reads it saves.
     // A plain widen is different: no materialization, each re-run just
     // explodes 32-way instead of on the input's single scan task)
-    val wide = Pipe.widen(df)
-    val toks = wide.select(qcol(idCol).as("__ug_id__"),
+    // NO widen here: toks feeds two aggregate consumers (counted, scored)
+    // plus the df-side join — a round-robin exchange would be re-executed
+    // per consumer (projection pruning defeats exchange reuse) and
+    // measured 1.75 s vs 0.94 s at sf0.1; the aggregates' partial sides
+    // spread the explode work at any real scan width
+    val toks = df.select(qcol(idCol).as("__ug_id__"),
       explode(TextAnalysisOps.toks(qcol(textCol))).as("__ug_tok__"))
-    val total = toks.agg(count(lit(1)).cast("double").as("__ug_n__"))
-    val vocabRaw = toks.groupBy("__ug_tok__")
+    // per-token counts FIRST; the corpus token total is then Σ of the
+    // group counts — a fold over the vocabulary-sized table instead of a
+    // separate count(*) pass over every token occurrence (one fewer full
+    // tokenize+explode execution of the corpus at any scale)
+    val counted = toks.groupBy("__ug_tok__")
       .agg(count(lit(1)).as("__ug_cnt__"))
+    val total = counted.agg(
+      sum("__ug_cnt__").cast("double").as("__ug_n__"))
+    val vocabRaw = counted
       .crossJoin(broadcast(total))
       .select(col("__ug_tok__"),
         (-log(col("__ug_cnt__") / col("__ug_n__"))).as("__ug_nll__"))
@@ -830,7 +840,10 @@ case class UnigramLogProbPipe(
       .agg((floor(
         (sum(round(col("__ug_nll__") * 10000).cast("long")) * 2 + count(lit(1))) /
           (count(lit(1)) * 2)) / 10000d).as("__ug_score__"))
-    wide.join(scored, qcol(idCol) === col("__ug_id__"), "left")
+    // original frame on the left: it contributes no per-row kernel work,
+    // so widening it would only add a round-robin exchange of the full
+    // text ahead of a join that re-distributes by id anyway
+    df.join(scored, qcol(idCol) === col("__ug_id__"), "left")
       .withColumn(outputCol, coalesce(col("__ug_score__"), lit(0d)))
       .drop("__ug_id__", "__ug_score__")
   }
@@ -861,9 +874,8 @@ case class BigramLogProbPipe(
     "out" -> outputCol, "broadcastTable" -> broadcastTable.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    // widened for the same reason as the unigram pipe (see note there)
-    val wide = Pipe.widen(df)
-    val staged = wide.select(qcol(idCol).as("__bg_id__"),
+    // NO widen — same multi-consumer rationale as the unigram pipe
+    val staged = df.select(qcol(idCol).as("__bg_id__"),
       TextAnalysisOps.toks(coalesce(qcol(textCol), lit(""))).as("__bg_tk__"))
     val tk = col("__bg_tk__")
     // (prev, cur) rows for positions 1..n-1
@@ -877,10 +889,12 @@ case class BigramLogProbPipe(
       .select(col("__bg_id__"), col("__bg__.p").as("__bg_p__"),
         col("__bg__.c").as("__bg_c__"))
     val unigrams = staged.select(explode(tk).as("__bg_p__"))
-    val vocabSize = unigrams.agg(
-      countDistinct(col("__bg_p__")).as("__bg_v__"))
     val uniCnt = unigrams.groupBy("__bg_p__")
       .agg(count(lit(1)).as("__bg_un__"))
+    // |vocabulary| = number of uniCnt groups: a fold over the
+    // vocabulary-sized count table, not a second count-distinct pass
+    // over every token occurrence (same values, one fewer corpus pass)
+    val vocabSize = uniCnt.agg(count(lit(1)).as("__bg_v__"))
     val biCnt = bigrams.groupBy("__bg_p__", "__bg_c__")
       .agg(count(lit(1)).as("__bg_bn__"))
     val table = biCnt.join(uniCnt, Seq("__bg_p__"))
@@ -897,7 +911,8 @@ case class BigramLogProbPipe(
       .groupBy("__bg_id__")
       .agg((floor((sum("__bg_f__") * 2 + count(lit(1))) /
         (count(lit(1)) * 2)) / 10000d).as("__bg_s__"))
-    wide.join(scored, qcol(idCol) === col("__bg_id__"), "left")
+    // original frame on the left — same rationale as the unigram pipe
+    df.join(scored, qcol(idCol) === col("__bg_id__"), "left")
       .withColumn(outputCol, coalesce(col("__bg_s__"), lit(0d)))
       .drop("__bg_id__", "__bg_s__")
   }

@@ -34,21 +34,40 @@ case class ProfilePipe(
     def nd(c: String) = s"__nd_${c}__"
     def mn(c: String) = s"__mn_${c}__"
     def mx(c: String) = s"__mx_${c}__"
-    val aggs: Seq[Column] =
-      count(lit(1)).as("__n__") +: cols.flatMap { c =>
-        Seq(
-          count(Pipe.qcol(c)).as(nn(c)),
-          (if (exact) count_distinct(Pipe.qcol(c))
-           else approx_count_distinct(Pipe.qcol(c))).as(nd(c)),
-          min(Pipe.qcol(c)).cast("string").as(mn(c)),
-          max(Pipe.qcol(c)).cast("string").as(mx(c)))
+    // Two single-row aggregates instead of one:
+    //   1. counts + distincts — all-LONG buffers, so the multi-distinct
+    //      Expand rewrite plans HashAggregate;
+    //   2. min/max (string-cast) + null counts — grouping-free fold, no
+    //      sort needed even as SortAggregate.
+    // Folding min/max into aggregate 1 poisons it: a STRING-typed
+    // aggregation buffer is not UnsafeRow-mutable, so the whole Expand
+    // aggregate fell back to SortAggregate — THREE full sorts of the
+    // ×(cols+1) expanded rows (measured 5.0 s → 1.3 s for the 4-column
+    // lineitem profile; plan diff: SortAggregate×3 + Sort×2 →
+    // HashAggregate×2, zero Sort below the output ordering). Both
+    // aggregates hang off the SAME widened child, so the round-robin
+    // exchange is planned once and reused; at production scale (scan
+    // already session-wide, widen a no-op) the second pass is one extra
+    // column-pruned scan — linear, sort-free, spill-free.
+    val distinctAggs: Seq[Column] =
+      count(lit(1)).as("__n__") +: cols.map { c =>
+        (if (exact) count_distinct(Pipe.qcol(c))
+         else approx_count_distinct(Pipe.qcol(c))).as(nd(c))
       }
-    // widen ahead of the aggregate: the Expand (×(distinct cols + 1))
-    // plus hashing/casting is expression-heavy, and a single parquet
-    // file plans 1-2 input splits — serializing the whole map side on
-    // 1-2 cores (the r8 narrow-scan hazard, re-measured here at 4.9 s →
-    // sub-second for a 4-column lineitem profile)
-    val one = Pipe.widen(df).agg(aggs.head, aggs.tail: _*)
+    val statAggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(Pipe.qcol(c)).as(nn(c)),
+        min(Pipe.qcol(c)).cast("string").as(mn(c)),
+        max(Pipe.qcol(c)).cast("string").as(mx(c)))
+    }
+    // No widen: with the SortAggregate fallback gone, the Expand map
+    // side is count-hash work a partial HashAggregate handles on the
+    // scan's own splits — the r8-era widen predated the split and its
+    // round-robin exchange now costs more than it saves (measured
+    // 2.21 s widened vs 1.69 s narrow at sf0.1; at production scan
+    // widths widen is a no-op either way)
+    val one = df.agg(distinctAggs.head, distinctAggs.tail: _*)
+      .crossJoin(df.agg(statAggs.head, statAggs.tail: _*))
     val stackArgs = cols.map(c =>
       s"'$c', `${nn(c)}`, `${nd(c)}`, `${mn(c)}`, `${mx(c)}`").mkString(", ")
     one.select(col("__n__"),
