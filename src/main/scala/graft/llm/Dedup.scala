@@ -26,11 +26,19 @@ object DedupOps {
   def shingleHashes(text: Column, k: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val n = size(toks)
-    array_distinct(
-      when(n >= k,
-        arrTransform(sequence(lit(0), n - k),
-          i => xxhash64(concat_ws("", slice(toks, i + 1, lit(k))))))
-        .otherwise(array(xxhash64(text))))
+    // k-window hashing via the codegen'd one-pass expression: the former
+    // HOF chain (transform + slice + concat_ws + array_distinct) ran
+    // interpreted with two allocations per WINDOW; hashes and
+    // first-occurrence-distinct order are bit-identical (parity argument
+    // and MinhashExprsSpec live with the expression). The n < k
+    // fallback hashes the raw text as before; distinct over its single
+    // element is a no-op, so the former outer array_distinct goes.
+    when(n >= k,
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.graft.ShingleWindowHashExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(toks), k,
+          "\u0001")))
+      .otherwise(array(xxhash64(text)))
   }
 
   /** Word k-shingles as strings (hash-free — for oracle-matchable exact
@@ -115,10 +123,16 @@ object DedupOps {
     * the relational explode+groupBy form would be a stateful aggregate.
     */
   def minhashSignatureLinear(sh: Column, numHashes: Int): Column = {
-    val p = MinhashPrime
-    array(minhashCoeffs(numHashes).map { case (a, b) =>
-      array_min(arrTransform(sh, x => pmod(pmod(x, lit(p)) * a + b, lit(p))))
-    }: _*)
+    // one-pass codegen'd signature — same permutations, same min, same
+    // null slots as the former array(array_min(transform(...))) chain,
+    // which ran interpreted and walked the shingle array once per
+    // permutation (the dominant cost of the streaming near-dup map
+    // stage: 122 s task time for 35 s CPU at sf0.1 was allocation/GC)
+    val (as, bs) = minhashCoeffs(numHashes).unzip
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.MinhashSigExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(sh),
+        as.toArray, bs.toArray))
   }
 
   /** 64-bit SimHash over per-token hash values: bit b is set when the

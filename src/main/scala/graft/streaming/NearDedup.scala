@@ -146,23 +146,28 @@ object StreamingNearDedup {
               .filter(_.tsMicros >= wmMicros).toList
             val arrivals = rows.toSeq.sortBy(a => (a.tsMicros, a.id))
             val out = Seq.newBuilder[Pair]
+            // each member's shingle set is built ONCE per invocation and
+            // extended as arrivals join the bucket — the former per-pair
+            // m.sh.toSet rebuilt every member set for every arrival
+            // (O(arrivals × members × |sh|) set construction)
+            var memberSets = members.map(m => (m, m.sh.toSet))
             arrivals.foreach { a =>
               val aset = a.sh.toSet
-              members.foreach { m =>
-                val mset = m.sh.toSet
+              memberSets.foreach { case (m, mset) =>
                 val inter = aset.intersect(mset).size
                 val j = inter.toDouble / (aset.size + mset.size - inter)
                 if (j >= jaccardThreshold && a.id != m.id)
                   out += Pair(math.min(a.id, m.id), math.max(a.id, m.id), j,
                     a.ts)
               }
-              members = Member(a.id, a.sh, a.tsMicros) :: members
+              memberSets = (Member(a.id, a.sh, a.tsMicros), aset) :: memberSets
             }
-            state.update(Bucket(members))
+            val newMembers = memberSets.map(_._1)
+            state.update(Bucket(newMembers))
             if (streaming) {
               // expire the bucket once the watermark passes its newest
               // member (older members are already pruned on entry)
-              val newest = members.map(_.tsMicros).max / 1000L
+              val newest = newMembers.map(_.tsMicros).max / 1000L
               state.setTimeoutTimestamp(math.max(newest + 1,
                 state.getCurrentWatermarkMs() + 1))
             }

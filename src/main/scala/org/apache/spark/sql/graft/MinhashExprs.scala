@@ -1,0 +1,162 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature over a shingle-hash array in ONE pass — the
+  * codegen'd twin of [[graft.llm.DedupOps.minhashSignatureLinear]]'s
+  * relational form
+  * `array(array_min(transform(sh, x => pmod(pmod(x,p)*a_i+b_i, p))))`.
+  *
+  * The relational form is evaluated INTERPRETED (higher-order functions
+  * never enter whole-stage codegen) and walks the shingle array once per
+  * permutation, allocating a fresh array each time — numHashes×|sh|
+  * interpreted expression nodes and numHashes arrays PER ROW. On the
+  * streaming near-dup map stage that was the dominant cost (measured:
+  * the signature stage carried 122 s of task time for 35 s of CPU at
+  * sf0.1 — the gap is allocation/GC). Here: one tight long loop, two
+  * `long[]` allocations per row, inside whole-stage codegen.
+  *
+  * Value parity with the HOF form, element by element:
+  *   - sig[i] = min over non-null x of floorMod(floorMod(x,p)*a_i+b_i, p)
+  *     (floorMod(x,p) ∈ [0,p), a_i,b_i < 2^31, p = 2^31−1, so the
+  *     product stays < 2^62 — the same no-overflow window the relational
+  *     pmod chain relies on);
+  *   - null elements are skipped (transform maps them to null,
+  *     array_min ignores nulls);
+  *   - an all-null or EMPTY input yields all-null signature slots
+  *     (array_min of an empty/all-null array is null);
+  *   - a NULL input array yields the same all-null slots the relational
+  *     `array(array_min(null),...)` produces — the output array itself
+  *     is never null, hence the custom doGenCode instead of the
+  *     null-propagating default.
+  */
+case class MinhashSigExpr(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_sig"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, a.length)
+
+  private val p = graft.llm.DedupOps.MinhashPrime
+
+  def sig(arr: ArrayData): ArrayData = {
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    if (arr != null) {
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          any = true
+          val hp = java.lang.Math.floorMod(arr.getLong(i), p)
+          var j = 0
+          while (j < k) {
+            val v = (hp * a(j) + b(j)) % p
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    if (any) new GenericArrayData(mins)
+    else new GenericArrayData(new Array[Any](k)) // all-null slots
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    sig(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigExpr", this,
+      classOf[MinhashSigExpr].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.sig(${childGen.isNull} ? null : ${childGen.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64 over the k-token windows of a token array in ONE
+  * pass — the codegen'd twin of the `n >= k` branch of
+  * [[graft.llm.DedupOps.shingleHashes]]:
+  * `array_distinct(transform(sequence(0, n-k),
+  *    i => xxhash64(concat_ws(sep, slice(toks, i+1, k)))))`.
+  *
+  * The relational form allocates a sliced array + a concatenated string
+  * per window and runs interpreted; here each window joins its
+  * non-null tokens once with `sep` (UTF8String.concatWs — the very
+  * function the concat_ws builtin calls) and feeds Spark's own
+  * XxHash64Function (seed 42, the builtin's seed), so hashes are
+  * bit-identical. Distinctness keeps FIRST OCCURRENCE order, matching
+  * array_distinct. The `n < k` fallback (hash of the whole raw text)
+  * stays relational in the caller — this expression is only ever
+  * evaluated under the `when(n >= k, ...)` guard, and a null token
+  * array propagates null like any unary null-safe expression (the
+  * guard's `size(null) >= k` is null there, so the branch is never
+  * taken on null input anyway).
+  */
+case class ShingleWindowHashExpr(child: Expression, k: Int, sep: String)
+    extends UnaryExpression {
+
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_window_hash"
+  override def stringArgs: Iterator[Any] = Iterator(child, k, sep)
+
+  @transient private lazy val sepU8 = UTF8String.fromString(sep)
+
+  def hashes(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) {
+      // defensive twin of the relational guard; callers never hit this
+      return new GenericArrayData(Array.empty[Long])
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[UTF8String](k) // nulls are skipped by concatWs
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(sepU8, window: _*)
+      out.add(XxHash64Function.hash(s, StringType, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleWindowHashExpr", this,
+      classOf[ShingleWindowHashExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.hashes($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleWindowHashExpr =
+    copy(child = newChild)
+}

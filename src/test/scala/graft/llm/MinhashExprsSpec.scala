@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Parity of the codegen'd minhash/shingle kernels against the exact
+  * relational (higher-order-function) forms they replaced — the forms
+  * the DuckDB oracles replay. Any divergence here is a correctness
+  * break, not a performance matter.
+  */
+class MinhashExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofShingleHashes(text: Column, k: Int): Column = {
+    // the pre-r19 relational form, verbatim
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => xxhash64(concat_ws("", slice(toks, i + 1, lit(k))))))
+        .otherwise(array(xxhash64(text))))
+  }
+
+  private def hofSignature(sh: Column, numHashes: Int): Column = {
+    val p = DedupOps.MinhashPrime
+    array(DedupOps.minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(sh, x => pmod(pmod(x, lit(p)) * a + b, lit(p))))
+    }: _*)
+  }
+
+  test("shingleHashes matches the relational form on random texts") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "déjà", "x1", "", "Zz")
+    val texts = (1 to 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ (900L, "   ") :+ (901L, "one") :+ (902L, "one two") :+
+      (903L, "a a a a a") :+ (904L, "\ttab\nsep x y z")
+    val df = texts.toDF("id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = df.select($"id", DedupOps.shingleHashes($"text", k).as("s"))
+      val want = df.select($"id", hofShingleHashes($"text", k).as("s"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"shingle mismatch at k=$k")
+    }
+  }
+
+  test("shingleHashes matches on null text") {
+    val df = Seq((1L, null: String), (2L, "a b c d")).toDF("id", "text")
+    val got = df.select($"id", DedupOps.shingleHashes($"text", 3).as("s")).orderBy("id").collect()
+    val want = df.select($"id", hofShingleHashes($"text", 3).as("s")).orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("minhashSignatureLinear matches the relational form") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ => rnd.nextLong()).toSeq)
+    }
+    val df = rows.toDF("id", "sh")
+    for (nh <- Seq(16, 64)) {
+      val got = df.select($"id", DedupOps.minhashSignatureLinear($"sh", nh).as("sig"))
+      val want = df.select($"id", hofSignature($"sh", nh).as("sig"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"signature mismatch at numHashes=$nh")
+    }
+  }
+
+  test("minhashSignatureLinear edge cases: empty, null array, null elements") {
+    val df = Seq(
+      (1L, Seq.empty[java.lang.Long]),
+      (2L, null: Seq[java.lang.Long]),
+      (3L, Seq[java.lang.Long](null, 5L, null)),
+      (4L, Seq[java.lang.Long](null, null))
+    ).toDF("id", "sh")
+    val got = df.select($"id", DedupOps.minhashSignatureLinear($"sh", 8).as("sig"))
+      .orderBy("id").collect()
+    val want = df.select($"id", hofSignature($"sh", 8).as("sig"))
+      .orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+}
