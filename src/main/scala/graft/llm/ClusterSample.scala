@@ -69,7 +69,14 @@ object ClusterBalancedSamplePipe {
     * kernel of this pipe and [[SemDeDupPipe]].
     */
   def squaredDists(vecDouble: Column, centroids: Seq[Seq[Double]]): Column =
-    arrTransform(typedLit(centroids), c =>
-      aggregate(zip_with(vecDouble, c, (x, y) => (x - y) * (x - y)),
-        lit(0d), (acc, v) => acc + v))
+    // codegen'd one-pass twin of
+    // transform(typedLit(centroids), c => aggregate(zip_with(vecDouble,
+    //   c, (x,y) => (x-y)*(x-y)), 0d, _+_)) — same index-order IEEE fold
+    // per centroid, same array-of-null-slots poisoning (parity proven in
+    // VectorExprsSpec). The HOF chain ran interpreted with one zip_with
+    // allocation per centroid per ROW on the assignment map stage.
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.SquaredDistsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vecDouble),
+        centroids.map(_.toArray).toArray))
 }

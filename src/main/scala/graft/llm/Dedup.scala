@@ -149,13 +149,15 @@ object DedupOps {
   def simhash64(tokens: Column,
       hashFn: Column => Column = xxhash64(_)): Column = {
     val th = arrTransform(tokens, hashFn)
-    val zeros = typedLit(Seq.fill(64)(0L))
-    val powers = typedLit(Seq.tabulate(64)(b => 1L << b))
-    val votes = aggregate(th, zeros, (acc, h) =>
-      zip_with(acc, powers,
-        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
-    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    // codegen'd one-pass vote fold (former form: aggregate over a
+    // 64-wide zip_with per TOKEN, interpreted — 64 array allocations per
+    // row of overhead; the per-token hash transform above stays
+    // relational so the poly61/xxhash choice is unchanged). Integer
+    // arithmetic, so parity is exact: null hash elements vote -1 on
+    // every bit, empty arrays fold to 0L — VectorExprsSpec.
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.Simhash64Expr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(th)))
   }
 
   /** Rotate-left of a 61-bit value by k (integer shifts only — exact in
@@ -193,11 +195,47 @@ object DedupOps {
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 20,
       failOnNonConvergence: Boolean = true): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .unionByName(pairs.select(col("id_b").cast("long").as("u"),
         col("id_a").cast("long").as("v")))
       .distinct().localCheckpoint(true)
+    // Small-graph fast path: below the (conf-parameterized) edge
+    // threshold, collect the edge list — bounded at threshold × 16 bytes
+    // — and label components with driver-side union-find. Near-dup pair
+    // graphs are sparse (edge count ~ duplicate count, FAR below corpus
+    // size), so even 100 TB corpora often fit; above the threshold the
+    // distributed min-label loop below runs unchanged. Labels are
+    // IDENTICAL either way: cluster = min member id, a property of the
+    // graph, not of the algorithm. The count is free — edges is already
+    // materialized by the eager checkpoint.
+    val localMax = spark.conf.getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong).getOrElse(500000L)
+    val nDirected = edges.count()
+    if (nDirected <= localMax) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      // min-root invariant: unions always point the larger root at the
+      // smaller, so find() already yields the component's min id
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(id => out += ((id, find(id))))
+      import spark.implicits._
+      return out.toSeq.toDF("id", "cluster")
+    }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -319,12 +357,18 @@ object DedupOps {
   }
 
   /** Cosine similarity in double precision (sequential accumulation). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    // codegen'd one-pass twin of the former HOF form
+    // dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) with
+    // dot = aggregate(zip_with(_*_ as double), 0d, _+_): same index-order
+    // IEEE fold, same null/length-mismatch poisoning — parity proven in
+    // VectorExprsSpec. The HOF chain ran interpreted with three zip_with
+    // allocations per PAIR: the dominant per-row cost of every
+    // within-cell pairwise join (SemDeDup, cosine near-dup, SRP verify).
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.CosineSimExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }
 
 /** Exact dedup: group rows by content hash of `keys`, keep the row with

@@ -45,17 +45,43 @@ class KeepBestSpec extends SparkSpec {
     assert(got == (0L to 5L).map(Row(_, 0L)))
   }
 
+  /** Pin the distributed min-label loop (the small-graph union-find
+    * path would otherwise take over below the edge threshold).
+    */
+  private def forceDistributed[A](f: => A): A = {
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "-1")
+    try f finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("connected components: non-convergence is an exception, not a log line") {
     // diameter 5 > maxIter 2: a silently split component would let
-    // keep-best keep multiple survivors of one true cluster — must throw
+    // keep-best keep multiple survivors of one true cluster — must throw.
+    // (Distributed path pinned: the union-find fast path cannot split.)
     val path = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] {
+    val e = intercept[IllegalStateException] { forceDistributed {
       DedupOps.connectedComponents(path, maxIter = 2)
-    }
+    }}
     assert(e.getMessage.contains("NOT converged"))
     // explicit opt-out restores the old warn-and-return behavior
-    val loose = DedupOps.connectedComponents(path, maxIter = 2,
-      failOnNonConvergence = false)
+    val loose = forceDistributed { DedupOps.connectedComponents(path,
+      maxIter = 2, failOnNonConvergence = false) }
     assert(loose.count() == 6)
+  }
+
+  test("connected components: union-find fast path labels exactly like the loop") {
+    // random sparse graph: chains, a star, singleton edges, duplicate and
+    // reversed pairs — local union-find and the distributed loop must
+    // agree row-for-row (cluster = min member id is a graph property)
+    val rnd = new scala.util.Random(41)
+    val edges = ((0 until 300).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b } ++
+      (900L to 905L).map(i => (880L, i))).toDF("id_a", "id_b")
+    val local = DedupOps.connectedComponents(edges)
+      .orderBy("id").collect().toSeq
+    val dist = forceDistributed { DedupOps.connectedComponents(edges) }
+      .orderBy("id").collect().toSeq
+    assert(local == dist)
   }
 }
