@@ -5976,12 +5976,13 @@ object Queries {
         |rz AS (SELECT source AS dom, count(*) AS emitted, count(DISTINCT doc_id) AS distinct_docs, max(epoch) AS max_epoch FROM mx GROUP BY 1),
         |ow AS (SELECT w.dom, ((SELECT n FROM tot) * w.wt) // (SELECT sum(wt) FROM w) AS needed, coalesce(c.n, 0) AS n FROM w LEFT JOIN cnt c ON w.dom = c.dom),
         |o2 AS (SELECT dom, needed, least(needed, n * 3) AS capped, CASE WHEN n > 0 THEN least(needed, n * 3) // n ELSE 0 END AS fe FROM ow)
-        |SELECT o2.dom AS source, o2.needed, o2.capped, o2.fe,
+        |SELECT o2.dom AS source, CAST(o2.needed AS BIGINT) AS needed,
+        | CAST(o2.capped AS BIGINT) AS capped, CAST(o2.fe AS BIGINT) AS fe,
         | coalesce(rz.emitted, 0) AS emitted,
         | coalesce(rz.distinct_docs, 0) AS distinct_docs,
         | CAST(coalesce(rz.max_epoch, 0) AS INTEGER) AS max_epoch,
-        | CASE WHEN o2.capped > 0 THEN (coalesce(rz.emitted, 0) * 10000) // o2.capped
-        |      WHEN o2.needed = 0 THEN 10000 ELSE 0 END AS quota_fill_bp
+        | CAST(CASE WHEN o2.capped > 0 THEN (coalesce(rz.emitted, 0) * 10000) // o2.capped
+        |      WHEN o2.needed = 0 THEN 10000 ELSE 0 END AS BIGINT) AS quota_fill_bp
         |FROM o2 LEFT JOIN rz ON o2.dom = rz.dom ORDER BY source""".stripMargin.replace("\n", " "),
     // exhaustive-jaccard pairs + dense-rank negative arithmetic, with the
     // anchor/pos collision fallback replayed via the 3-candidate CASE

@@ -106,10 +106,22 @@ object Pipe {
   /** Round-robin repartition up to the session's default parallelism when
     * the incoming plan has FEWER partitions — a single small parquet file
     * plans 1-2 input splits, which serializes per-row expression-heavy
-    * stages (tokenize, shingle, passage generation) on 1-2 of N cores.
+    * stages (tokenize, shingle, minhash) on 1-2 of N cores.
     * No-op on already-wide inputs (at 100 TB a scan has thousands of
     * splits, so this never down-shuffles) and on streaming frames (whose
     * partitioning the source owns).
+    *
+    * POLICY (r20): only EXPRESSION-HEAVY kernels may call this — stages
+    * whose per-byte compute (tokenize, regex batteries, shingle/minhash,
+    * BPE merge loops) dwarfs the cost of moving the row once. Cheap
+    * flag-only / byte-slicing map pipes (Gopher/C4 rule batteries, bloom
+    * flagging, byte resamples, vocab encode) must NOT widen: the
+    * round-robin exchange ships the full document text to buy a linear
+    * pass that is already I/O-bound — measured in r19 as a 1.5-2x
+    * regression on exactly those gates (t2/vb/mm/bloom cluster), and it
+    * breaks the map-only plan contract their specs pin. Pipes that
+    * aggregate or join immediately after the map stage also must not
+    * widen — the aggregation's own exchange already redistributes.
     *
     * The partition count comes from [[estimatePartitions]] over the
     * LOGICAL plan: the previous `df.rdd.getNumPartitions` forced a full
@@ -229,15 +241,7 @@ object Pipe {
     // fresh spark.read.parquet(...) is an UnresolvedDataSource LEAF (no
     // HadoopFsRelation yet), which est() conservatively reports as
     // session width — widen() then silently no-opped on every raw scan
-    // (measured: pr_profile's Expand ran on the 3 file splits). The
-    // ANALYZED plan resolves it to LogicalRelation; analysis is
-    // rule-based only, no physical planning, so the r16 cheap-estimate
-    // contract still holds.
-    // Spark 4 reads are lazily analyzed: df.queryExecution.logical for a
-    // fresh spark.read.parquet(...) is an UnresolvedDataSource LEAF (no
-    // HadoopFsRelation yet), which est() conservatively reports as
-    // session width — widen() then silently no-opped on every raw scan
-    // (measured this round: t1_tokenizer 1.40 -> 0.72 s, dd_substring
+    // (measured in r19: t1_tokenizer 1.40 -> 0.72 s, dd_substring
     // 3.58 -> 3.11 s, qc_hash_score 1.54 -> 1.06 s at sf0.1 once the
     // estimate sees the real relation again). The ANALYZED plan resolves
     // it to LogicalRelation; analysis is rule-based only, no physical

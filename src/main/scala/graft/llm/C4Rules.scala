@@ -93,7 +93,10 @@ case class C4CleanPipe(textCol: String) extends Pipe {
     // Stage the line array as a real column so CollapseProject cannot
     // inline the producing split() into every per-element lambda (the
     // RepetitionStatsPipe HOF-inline lesson).
-    val staged = Pipe.widen(df).withColumn("__c4_lines__", split(text, "\n"))
+    // no widen: flag/rewrite rule battery, map-only contract (the spec
+    // pins an Exchange-free plan) — shuffling full text costs more than
+    // the linear pass it parallelizes (r19 A/B)
+    val staged = df.withColumn("__c4_lines__", split(text, "\n"))
     val outs = C4CleanOps.battery(textCol, text, col("__c4_lines__"))
     finish(staged, outs).drop("__c4_lines__")
   }

@@ -105,7 +105,10 @@ case class GopherQualityPipe(textCol: String) extends Pipe {
     // Stage the token/line arrays as real columns so CollapseProject
     // cannot inline the producing split() into every per-element lambda
     // (the RepetitionStatsPipe HOF-inline lesson).
-    val staged = Pipe.widen(df)
+    // no widen: flag-only rule battery, map-only contract (the spec pins
+    // an Exchange-free plan) — the round-robin exchange of full document
+    // text costs more than the linear pass it parallelizes (r19 A/B)
+    val staged = df
       .withColumn("__gq_toks__", TextAnalysisOps.toks(text))
       .withColumn("__gq_lines__", split(text, "\n"))
     val outs = GopherQualityOps.battery(

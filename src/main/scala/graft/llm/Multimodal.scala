@@ -407,8 +407,10 @@ case class ResampleBytesPipe(
       aggregate(pieces, lit(Array.empty[Byte]),
         (acc, x) => concat(acc, x)))
       .otherwise(lit(Array.empty[Byte]))
-    // the per-byte resample HOF is interpreted — widen past narrow scans
-    val wide = graft.core.Pipe.widen(df)
+    // no widen: the resample slices a bounded number of bytes per row
+    // (targetBytes substrings) — cheap relative to shuffling the full
+    // media payload row (r19: 0.72 -> 1.15 s regression with widen)
+    val wide = df
     val meta = struct(
       lit("resized").as("format"),
       octet_length(resized).cast("long").as("n_bytes"),

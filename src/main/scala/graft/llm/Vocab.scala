@@ -52,9 +52,11 @@ case class VocabEncodePipe(
     "prebuilt" -> prebuilt.isDefined.toString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    // widen: the tokenize+explode map stage otherwise runs on the input's
-    // (possibly single) scan tasks
-    val wide = graft.core.Pipe.widen(df)
+    // no widen: both consumers shuffle immediately anyway (vocab build
+    // aggregates; encode explodes into a join + groupBy), so the
+    // aggregation exchanges already redistribute — a prior round-robin
+    // exchange of full rows was pure extra cost (r19: 0.95 -> 1.55 s)
+    val wide = df
     val vocab = broadcast(
       prebuilt.getOrElse(VocabOps.build(wide, textCol, vocabSize))
         .select(col("token"), col("id")))
