@@ -155,10 +155,27 @@ object DedupOps {
     // relational so the poly61/xxhash choice is unchanged). Integer
     // arithmetic, so parity is exact: null hash elements vote -1 on
     // every bit, empty arrays fold to 0L — VectorExprsSpec.
+    simhash64Fold(th)
+  }
+
+  /** The codegen'd 64-bit vote fold over an ALREADY-HASHED token array —
+    * for callers whose per-token hash is itself a codegen kernel
+    * ([[poly61SigArray]]), keeping the whole signature map-only.
+    */
+  def simhash64Fold(tokenHashes: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.graft.Simhash64Expr(
-        org.apache.spark.sql.graft.ColumnBridge.expression(th)))
-  }
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokenHashes)))
+
+  /** [[polySig61]] applied to every element of a string array in ONE
+    * codegen pass — bit-identical to `transform(toks, polySig61)`
+    * (parity: SimhashKernelSpec; the HOF form splits each token into
+    * per-char strings and folds them interpreted).
+    */
+  def poly61SigArray(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.Poly61SigArrayExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 
   /** Rotate-left of a 61-bit value by k (integer shifts only — exact in
     * any engine with 64-bit integer arithmetic).
@@ -495,41 +512,48 @@ case class SimHashDedupPipe(
     "cacheDir" -> cacheDir.mkString)
 
   protected def transform(df: DataFrame, ks: Seq[String]): DataFrame = {
-    val hf: Column => Column =
-      if (tokenHash == "poly61") DedupOps.polySig61 else xxhash64(_)
-    // Relational simhash instead of the per-row HOF fold: token signatures
-    // come from a distinct-token dimension (the char-fold hash is
-    // interpreted higher-order-function work — evaluating it once per
-    // DISTINCT token instead of once per occurrence is ~10x at natural
-    // token repetition; for xxhash64 it is still free), and the 64
-    // per-bit vote sums are plain codegen'd aggregates. Costs one
-    // distinct + join (AQE broadcasts small vocabularies) + one groupBy;
-    // buys whole-stage codegen for the entire per-occurrence path.
     // NULL text normalizes to "" (one empty token): explode of
     // split(trim(null)) would DROP the row entirely, silently removing
     // null-text docs from the candidate pool — with coalesce a null doc
     // and an empty doc share a signature and pair up as exact near-dups
-    val toks = df.select(qcol(idCol).cast("long").as("id"),
-      explode(split(trim(coalesce(qcol(textCol), lit(""))), "\\s+")).as("__tok__"))
-    // (dict left on AQE's post-distinct partitioning: a pre-signature
-    // repartition and a widened toks projection both re-measured slower
-    // at sf0.1 — the extra exchange outweighs the parallelism it buys on
-    // a vocabulary this small; at scale distinct() output is already wide)
-    val dict = toks.select("__tok__").distinct()
-      .withColumn("__sig__", hf(col("__tok__")))
-    val joined = toks.join(dict, Seq("__tok__"))
-    val voteCols = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(col("__sig__"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"__v$b"))
-    val votes = joined.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
-    // bits are disjoint, so summing the selected powers equals bitwise OR
-    val simExpr = (0 until 64).map(b =>
-      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val tokArr = split(trim(coalesce(qcol(textCol), lit(""))), "\\s+")
+    val withSimRaw =
+      if (tokenHash == "poly61") {
+        // MAP-ONLY signature: per-token poly61 hashes and the 64-bit vote
+        // fold are both one-pass codegen kernels (Poly61SigArrayExpr +
+        // Simhash64Expr), so the whole signature build is a single
+        // zero-shuffle projection. The former relational form (explode ->
+        // distinct dict -> join -> 64 vote aggregates) existed only
+        // because the char fold ran as an interpreted HOF per token —
+        // per-DISTINCT-token evaluation bought ~10x there, but cost
+        // three exchanges of the exploded token stream. With the hash
+        // codegen'd, hashing per OCCURRENCE is cheaper than shuffling
+        // the occurrences (r20 A/B; votes are per occurrence in both
+        // forms, so signatures are bit-identical — SimhashParitySpec).
+        df.select(qcol(idCol).cast("long").as("id"),
+          DedupOps.simhash64Fold(DedupOps.poly61SigArray(tokArr)).as("sim"))
+      } else {
+        // xxhash64 variant: no DuckDB twin, engine-internal only. The
+        // per-token hash has no codegen array kernel, so the relational
+        // per-distinct-token form stays (see git history for rationale).
+        val toks = df.select(qcol(idCol).cast("long").as("id"),
+          explode(tokArr).as("__tok__"))
+        val dict = toks.select("__tok__").distinct()
+          .withColumn("__sig__", xxhash64(col("__tok__")))
+        val joined = toks.join(dict, Seq("__tok__"))
+        val voteCols = (0 until 64).map(b =>
+          sum(when(shiftrightunsigned(col("__sig__"), b).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)).as(s"__v$b"))
+        val votes = joined.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+        // bits are disjoint, so summing the selected powers equals bitwise OR
+        val simExpr = (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        votes.select(col("id"), simExpr.as("sim"))
+      }
     // (not localCheckpoint-ed: the band self-join's two reads dedupe via
-    // ReusedExchange on the vote aggregate's shuffle; an eager checkpoint
-    // re-measured SLOWER in both r3 and r5 — the materialization job costs
-    // more than the one re-read it saves)
-    val withSimRaw = votes.select(col("id"), simExpr.as("sim"))
+    // ReusedExchange (relational form) / recompute a cheap map stage
+    // (poly61 form); an eager checkpoint re-measured SLOWER in both r3
+    // and r5 — the materialization job costs more than the re-read)
     val withSim = cacheDir match {
       case Some(dir) =>
         // third component = the producing plan's fingerprint: a kernel

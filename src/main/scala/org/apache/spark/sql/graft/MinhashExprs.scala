@@ -160,3 +160,80 @@ case class ShingleWindowHashExpr(child: Expression, k: Int, sep: String)
   override protected def withNewChildInternal(newChild: Expression): ShingleWindowHashExpr =
     copy(child = newChild)
 }
+
+/** Engine-reproducible 61-bit poly signature of every token in a string
+  * array, ONE pass — the codegen'd twin of mapping
+  * [[graft.llm.DedupOps.polySig61]] over the array:
+  * `transform(toks, t => polySig61(t))`.
+  *
+  * The relational form is interpreted HOF work that SPLITS each token
+  * into per-character one-char strings (`split(t, "")` — one UTF8String
+  * allocation per character) and folds them with an interpreted
+  * `aggregate` — the dominant per-row cost of the simhash signature
+  * build. Here: one codepoint loop per token, zero per-char allocations,
+  * inside whole-stage codegen.
+  *
+  * Bit-parity with the HOF chain, piece by piece:
+  *   - the char fold: Spark's `split(t, "")` yields CODEPOINTS (Java
+  *     zero-width regex split does not separate surrogate pairs) and
+  *     `ascii(c)` is `c.toString.codePointAt(0)` (checked against the
+  *     Spark 4.1 Ascii bytecode), so `h = (h*31 + codePointAt(i)) %
+  *     1000003` over the string's codepoints is the exact fold —
+  *     h*31+cp <= 1000002*31 + 0x10FFFF, far under 2^63, and
+  *     non-negative, so % == pmod;
+  *   - the mixing chain (s0/s1/s2/final xor-rotl) is the same Java long
+  *     arithmetic the Column form compiles to: s1 < 2^61 + 2^11 so
+  *     s1*3+7 never overflows, and both pmods see non-negative inputs;
+  *   - a NULL token maps to a null slot (transform maps null lambdas to
+  *     null via the fold's null propagation);
+  *   - an EMPTY token ("") folds zero characters: id = 7, mixed like
+  *     any other value — same as filter(split(t,""), length>0) folding
+  *     nothing;
+  *   - a NULL input array propagates null (null-safe unary).
+  */
+case class Poly61SigArrayExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "poly61_sig_array"
+
+  private def mix(id: Long): Long = {
+    // rotl61(x, k) = ((x & ((1<<(61-k))-1)) << k) + (x >>> (61-k))
+    val s0 = id * 2097169L + 12345L
+    val s1 = s0 ^ (((s0 & ((1L << 30) - 1)) << 31) + (s0 >>> 30))
+    val s2 = java.lang.Math.floorMod(s1 * 3L + 7L, (1L << 61) - 1L)
+    s2 ^ (((s2 & ((1L << 44) - 1)) << 17) + (s2 >>> 44))
+  }
+
+  def sigs(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val s = toks.getUTF8String(i).toString
+        var h = 7L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31L + cp) % 1000003L
+          j += Character.charCount(cp)
+        }
+        out(i) = mix(h)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sigs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("poly61SigArrayExpr", this,
+      classOf[Poly61SigArrayExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.sigs($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Poly61SigArrayExpr =
+    copy(child = newChild)
+}

@@ -80,4 +80,48 @@ class MinhashExprsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(got.toSeq == want.toSeq)
   }
+
+  test("poly61SigArray matches transform(toks, polySig61) incl. unicode edges") {
+    val texts = Seq(
+      (1L, Seq("hello", "world", "hello")),
+      (2L, Seq("")),                      // empty token: zero-char fold
+      (3L, Seq("héllo", "日本語", "a😀b")), // multi-byte + supplementary
+      (4L, Seq(null, "x", null)),          // null elements
+      (5L, null: Seq[String]),             // null array
+      (6L, Seq("a" * 500)),                // long token, many mod steps
+      (7L, Seq.empty[String]))
+    val df = texts.toDF("id", "toks")
+    val got = df.select($"id", DedupOps.poly61SigArray($"toks").as("s"))
+      .orderBy("id").collect()
+    val want = df.select($"id",
+      transform($"toks", t => DedupOps.polySig61(t)).as("s"))
+      .orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("map-only poly61 simhash equals the relational per-distinct-token form") {
+    // the pre-r20 relational pipeline, verbatim: explode -> distinct
+    // dict -> join -> 64 vote aggregates -> power sum
+    val rnd = new scala.util.Random(21)
+    val words = Vector("alpha", "beta", "gamma", "", "déjà", "x")
+    val docs = ((1 to 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ (900L, null: String) :+ (901L, "") :+ (902L, "   ")).toDF("doc_id", "text")
+    val tokArr = split(trim(coalesce($"text", lit(""))), "\\s+")
+    val mapOnly = docs.select($"doc_id".as("id"),
+      DedupOps.simhash64Fold(DedupOps.poly61SigArray(tokArr)).as("sim"))
+    val toks = docs.select($"doc_id".as("id"), explode(tokArr).as("__tok__"))
+    val dict = toks.select("__tok__").distinct()
+      .withColumn("__sig__", DedupOps.polySig61($"__tok__"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned($"__sig__", b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$b"))
+    val votes = toks.join(dict, Seq("__tok__")).groupBy($"id")
+      .agg(voteCols.head, voteCols.tail: _*)
+    val simExpr = (0 until 64).map(b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val relational = votes.select($"id", simExpr.as("sim"))
+    assert(mapOnly.exceptAll(relational).isEmpty &&
+      relational.exceptAll(mapOnly).isEmpty)
+  }
 }
