@@ -97,12 +97,16 @@ case class BM25Engine(
     "k", "k1", "b", "auxWeight", "temperature", "roundScores",
     "maxDfFraction")
 
-  /** Whitespace tokens with punctuation stripped (reference `_tokenize`). */
+  /** Whitespace tokens with punctuation stripped (reference `_tokenize`).
+    * One-pass codegen kernel — bit-identical to the former HOF chain
+    * `filter(transform(split(trim(text),"\\s+"), regexp_replace(punct)),
+    * length>0)`, which ran interpreted with a regex match per token (the
+    * dominant CPU of every fresh stats build; parity: MinhashExprsSpec).
+    */
   def tokens(text: Column): Column =
-    filter(
-      arrTransform(split(trim(text), "\\s+"),
-        t => regexp_replace(t, lit("[\\p{Punct}]"), lit(""))),
-      t => length(t) > 0)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.PunctStripTokensExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   // fillRange reuses the stats totals (docs count == corpus rows) so the
   // masked-fill path costs no extra corpus scan; disabled once a delete

@@ -237,3 +237,71 @@ case class Poly61SigArrayExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Poly61SigArrayExpr =
     copy(child = newChild)
 }
+
+/** Whitespace tokens with ASCII punctuation stripped, ONE pass — the
+  * codegen'd twin of [[graft.search.BM25Engine.tokens]]'s HOF chain:
+  * `filter(transform(split(trim(text), "\\s+"),
+  *   t => regexp_replace(t, "[\\p{Punct}]", "")), t => length(t) > 0)`.
+  *
+  * The relational form runs interpreted (HOFs never enter whole-stage
+  * codegen) and compiles a regex MATCH per token — the dominant CPU of
+  * every fresh BM25 statistics build (s21's delta half re-tokenizes per
+  * run by design). Here: one byte scan per document.
+  *
+  * Parity, piece by piece (the fixture corpora are replayed bit-for-bit
+  * by DuckDB oracles, so this must be EXACT):
+  *   - Java's `\s` (no UNICODE_CHARACTER_CLASS) is exactly
+  *     [ \t\n\x0B\f\r] — all ASCII, so splitting on byte runs is safe in
+  *     UTF-8 (multi-byte sequences never contain ASCII bytes);
+  *   - Java's `\p{Punct}` is exactly the 32 ASCII punctuation chars —
+  *     again safe to test per byte;
+  *   - `trim` only strips leading/trailing 0x20: a leading whitespace
+  *     run otherwise yields one "" token via split, which the
+  *     length>0 filter drops — same net result as skipping the run;
+  *     trailing empties are dropped by split itself;
+  *   - a token that is ALL punctuation strips to "" and is dropped by
+  *     the length filter, exactly like the HOF chain;
+  *   - NULL text propagates null (null-safe unary).
+  */
+case class PunctStripTokensExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "punct_strip_tokens"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def isPunct(b: Byte): Boolean =
+    (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
+      (b >= '[' && b <= '`') || (b >= '{' && b <= '~')
+
+  def tokens(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    val buf = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      var m = 0
+      while (i < n && !isWs(bytes(i))) {
+        if (!isPunct(bytes(i))) { buf(m) = bytes(i); m += 1 }
+        i += 1
+      }
+      if (m > 0) out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, m)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("punctStripTokensExpr", this,
+      classOf[PunctStripTokensExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PunctStripTokensExpr =
+    copy(child = newChild)
+}

@@ -99,6 +99,33 @@ class MinhashExprsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("BM25 punct-strip tokens kernel matches the HOF chain") {
+    // the pre-r20 relational form, verbatim
+    def hofTokens(text: Column): Column =
+      filter(
+        transform(split(trim(text), "\\s+"),
+          t => regexp_replace(t, lit("[\\p{Punct}]"), lit(""))),
+      t => length(t) > 0)
+    val texts = Seq(
+      (1L, "hello, world! (punct)"),
+      (2L, "  leading and trailing  "),
+      (3L, "\ttabs\nnewlines\randbody"),
+      (4L, "!!! ... ??? --"),              // all-punct tokens drop
+      (5L, ""),
+      (6L, "   "),
+      (7L, null: String),
+      (8L, "déjà-vu — em–dash ¿unicode? 日本語。"), // non-ASCII punct KEPT
+      (9L, "a_b c'd [e] {f} |g| ~h~ `i` @j #k $l %m ^n &o *p"),
+      (10L, "xvertical\ftab"))
+    val df = texts.toDF("id", "text")
+    val eng = graft.search.BM25Engine(df.limit(0),
+      graft.search.SearchConfig(k = 1), corpusIdxCol = "id",
+      corpusTextCol = "text")
+    val got = df.select($"id", eng.tokens($"text").as("t")).orderBy("id").collect()
+    val want = df.select($"id", hofTokens($"text").as("t")).orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("map-only poly61 simhash equals the relational per-distinct-token form") {
     // the pre-r20 relational pipeline, verbatim: explode -> distinct
     // dict -> join -> 64 vote aggregates -> power sum
