@@ -19,9 +19,15 @@ object CurationOps {
     * produce a DESCENDING range, not an empty one).
     */
   def wordNgrams(tokens: Column, n: Int): Column =
+    // one-pass codegen kernel for the >= n branch (the former
+    // transform/slice/concat_ws chain ran interpreted and allocated a
+    // sliced array per window — twice per corpus pass on every n-gram
+    // path); the n < n-gram-size and null-array branches stay relational
+    // here, exactly like the shingle kernel (parity: MinhashExprsSpec)
     when(size(tokens) >= n,
-      arrTransform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.graft.WordNgramsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n, " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Membership count of `grams` (array<string>) against a fixed key

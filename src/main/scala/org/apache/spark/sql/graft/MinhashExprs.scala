@@ -305,3 +305,60 @@ case class PunctStripTokensExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PunctStripTokensExpr =
     copy(child = newChild)
 }
+
+/** All k-token windows of a token array as sep-joined strings, ONE pass
+  * — the codegen'd twin of the `size(toks) >= k` branch of
+  * [[graft.llm.CurationOps.wordNgrams]]:
+  * `transform(sequence(0, n-k), i => concat_ws(sep, slice(toks, i+1, k)))`.
+  *
+  * The relational form allocates a sliced array per window and runs
+  * interpreted (HOFs never enter whole-stage codegen) — it sat on the
+  * hot path of every n-gram pass (heavy hitters, decontamination,
+  * repetition stats) TWICE per document corpus pass. Here each window is
+  * one `UTF8String.concatWs` (the very function the builtin calls, so
+  * values are bit-identical; null tokens are skipped by concatWs exactly
+  * as concat_ws skips them). NON-distinct, first-to-last window order —
+  * unlike [[ShingleWindowHashExpr]] these are occurrence rows. The
+  * `n < k` branch (empty array) and null-array handling stay relational
+  * in the caller, as with the shingle kernel.
+  */
+case class WordNgramsExpr(child: Expression, k: Int, sep: String)
+    extends UnaryExpression {
+
+  require(k >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def stringArgs: Iterator[Any] = Iterator(child, k, sep)
+
+  @transient private lazy val sepU8 = UTF8String.fromString(sep)
+
+  def grams(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val window = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sepU8, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgramsExpr", this,
+      classOf[WordNgramsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.grams($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}

@@ -126,6 +126,31 @@ class MinhashExprsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("wordNgrams kernel matches the transform/slice/concat_ws chain") {
+    // the pre-r20 relational form, verbatim
+    def hofNgrams(tokens: Column, n: Int): Column =
+      when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("one")),                    // shorter than n -> empty
+      (3L, Seq("x", null, "y", "z")),      // null tokens: concat_ws skips
+      (4L, Seq.empty[String]),
+      (5L, null: Seq[String]),             // null array -> empty (otherwise)
+      (6L, Seq("", "", "a")),              // empty tokens join to sparse grams
+      (7L, (1 to 40).map(i => s"t$i")))
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select($"id", CurationOps.wordNgrams($"toks", n).as("g"))
+        .orderBy("id").collect()
+      val want = df.select($"id", hofNgrams($"toks", n).as("g"))
+        .orderBy("id").collect()
+      assert(got.toSeq == want.toSeq, s"ngram mismatch at n=$n")
+    }
+  }
+
   test("map-only poly61 simhash equals the relational per-distinct-token form") {
     // the pre-r20 relational pipeline, verbatim: explode -> distinct
     // dict -> join -> 64 vote aggregates -> power sum
