@@ -29,9 +29,12 @@ object UpsertMerge {
       deleteCol: Option[String] = None,
       /** SQL MERGE errors when a source row matches twice; two change
         * rows with one key would here silently insert BOTH after the
-        * anti-join removes the base row. Checked by default — one cheap
-        * aggregate over the (small, broadcastable by assumption) change
-        * set. Opt out only when the producer guarantees unique keys.
+        * anti-join removes the base row. Checked by default — the check
+        * is FUSED into the anti-join's key build (a per-key raise_error
+        * guard on the distinct-keys aggregate the join needs anyway), so
+        * it costs no extra pass over the change set and surfaces when
+        * the merged frame is first acted on, Spark-lazily. Opt out only
+        * when the producer guarantees unique keys.
         */
       requireUniqueKeys: Boolean = true,
       /** Additive schema evolution: when true, the change set may carry
@@ -43,14 +46,6 @@ object UpsertMerge {
         */
       allowNewColumns: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "UpsertMerge needs at least one key column")
-    if (requireUniqueKeys) {
-      val dups = changes.groupBy(keys.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).collect()
-      require(dups.isEmpty,
-        s"UpsertMerge: change set has multiple rows for key " +
-          s"${dups.headOption.map(_.toSeq.init.mkString(",")).getOrElse("")} — " +
-          "one change row per key (set requireUniqueKeys=false to skip this check)")
-    }
     // null delete flag = NOT a delete: `!col(c)` is null for null input,
     // which would silently drop the row from upserts while its key still
     // anti-joins the base row away — a malformed change row would become a
@@ -74,8 +69,29 @@ object UpsertMerge {
       acc.withColumn(c,
         lit(null).cast(upserts.schema(upserts.schema.fieldIndex(c)).dataType))
     }
-    val kept = widened.join(
-      changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // The anti-join needs the distinct change keys either way; with the
+    // uniqueness check on, build them as groupBy+count and guard each
+    // key with a lazy raise_error — a duplicate key throws the moment
+    // the merge is executed, and the check costs zero extra jobs/passes
+    // (the former eager collect() scanned and shuffled the change set
+    // once more per merge — one full extra delta pass at scale, one
+    // extra Spark job per micro-batch in the CDC stream).
+    val changeKeys =
+      if (requireUniqueKeys) {
+        val counted = changes.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__um_n__"))
+        val msg = concat(
+          lit("UpsertMerge: change set has multiple rows for key "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+          lit(" — one change row per key (set requireUniqueKeys=false " +
+            "to skip this check)"))
+        counted.select(keys.map { k =>
+          val kt = changes.schema(changes.schema.fieldIndex(k)).dataType
+          when(col("__um_n__") > 1, raise_error(msg).cast(kt))
+            .otherwise(col(k)).as(k)
+        }: _*)
+      } else changes.select(keys.map(col): _*).distinct()
+    val kept = widened.join(changeKeys, keys, "left_anti")
     kept.unionByName(upserts.select(widened.columns.map(col).toIndexedSeq: _*))
   }
 }

@@ -37,10 +37,14 @@ class UpsertMergeSpec extends SparkSpec {
 
   test("duplicate change keys are refused (SQL MERGE source-match rule)") {
     val dup = Seq((2L, "B", 21.0), (2L, "C", 22.0)).toDF("k", "s", "v")
-    val e = intercept[IllegalArgumentException] {
-      UpsertMerge(base, dup, Seq("k"))
+    // the check is fused into the merge's own anti-join (no extra pass
+    // over the change set), so it surfaces Spark-lazily at first action
+    val e = intercept[Exception] {
+      UpsertMerge(base, dup, Seq("k")).collect()
     }
-    assert(e.getMessage.contains("multiple rows"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("multiple rows")))
     // opt-out keeps both (caller's contract)
     assert(UpsertMerge(base, dup, Seq("k"), requireUniqueKeys = false)
       .count() == 4)
